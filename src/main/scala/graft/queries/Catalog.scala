@@ -1,0 +1,675 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One named query: the Spark-side plan builder plus (when the semantics are
+  * ANSI-SQL-expressible) an equivalent DuckDB SQL string for the driver's
+  * oracle compare. `headline` marks the queries the bench harness times.
+  */
+final case class QuerySpec(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+/** The engine's query surface: every operator family from SURVEY.md §2
+  * (reference: hoigreen/project-bigdata-recsys) re-expressed as a named,
+  * deterministic DataFrame query over the driver fixture tables.
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *  - every query ends in a total ORDER BY (all tie-break keys included);
+  *  - every floating aggregate is `round`-ed the same way on both sides;
+  *  - integer sums are cast to BIGINT on the DuckDB side (DuckDB widens
+  *    BIGINT sums to HUGEINT, Spark keeps LongType);
+  *  - column aliases match the SQL exactly (driver sorts columns by name).
+  *
+  * Scale notes are inline per query — each one must survive 100 TB, so
+  * joins annotate their expected physical strategy and shuffles.
+  */
+object Catalog {
+
+  // ---------------------------------------------------------------------
+  // §2.4 Aggregations
+  // ---------------------------------------------------------------------
+
+  /** A4/A5 flagship "pricing summary" (reference per-course stats shape,
+    * dashboard/app.py:301-321): grouped conditional aggregation + derived
+    * columns. Scale: single hash-agg shuffle on a tiny (flag,status) key
+    * domain; partial aggregation makes the shuffle a few rows per task.
+    */
+  val q01PricingSummary: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 4)                            AS sum_qty,
+             round(sum(l_extendedprice), 4)                       AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4)  AS sum_disc_price,
+             round(avg(l_quantity), 6)                            AS avg_qty,
+             round(avg(l_extendedprice), 6)                       AS avg_price,
+             round(avg(l_discount), 6)                            AS avg_disc,
+             count(*)                                             AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  /** A1+A2 global count + distinct count in one pass. Scale: count-distinct
+    * is a two-phase hash agg; for 100 TB interactive use `q41` (HLL).
+    */
+  val q02GlobalCounts: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts")),
+    oracle = Some("""
+      SELECT count(*) AS n_rows,
+             count(DISTINCT l_orderkey) AS n_orders,
+             count(DISTINCT l_partkey)  AS n_parts
+      FROM lineitem"""))
+
+  /** A3 group-count (reference truth distribution, dashboard/app.py:228-241). */
+  val q03EventTypeCounts: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+    oracle = Some("""
+      SELECT event_type, count(*) AS n FROM events
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** A4+A5+O2: per-part enrollment/return-rate top-k — the reference's
+    * course-stats query (dashboard/app.py:301-321) on fixture columns.
+    * Scale: hash agg on l_partkey (high cardinality — shuffles once), then
+    * TakeOrderedAndProject keeps only 50 rows per partition before the
+    * driver merge; no global sort materialized.
+    */
+  val q04PartStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_partkey"))
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returns_cnt"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"))
+        .withColumn("return_rate",
+          round(col("returns_cnt") * 100.0 / col("total"), 6))
+        .orderBy(col("total").desc, col("l_partkey"))
+        .limit(50)
+    },
+    oracle = Some("""
+      SELECT l_partkey,
+             count(*) AS total,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returns_cnt,
+             round(avg(l_quantity), 6) AS avg_qty,
+             round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) * 100.0 / count(*), 6) AS return_rate
+      FROM lineitem
+      GROUP BY l_partkey
+      ORDER BY total DESC, l_partkey
+      LIMIT 50"""),
+    headline = true)
+
+  /** J2+A6: left join then group (reference per-user stats,
+    * dashboard/app.py:337-351). Scale: orders side shuffles on o_custkey;
+    * customer is the small build side → broadcast hash join, zero extra
+    * shuffle for the join itself.
+    */
+  val q05CustomerOrderStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_mktsegment,
+             count(o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0), 4) AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_mktsegment
+      ORDER BY c_custkey"""),
+    headline = true)
+
+  /** A7 multi-agg snapshot (reference history snapshot,
+    * train_module.py:383-389): per-user sums + min/max timestamps.
+    */
+  val q06UserActivity: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy(col("user_id")),
+    oracle = Some("""
+      SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** A8 group-collect (reference per-user course list, train_module.py:399)
+    * rendered as a sorted joined string so the hash compare is stable.
+    */
+  val q07UserEventTypes: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
+        .orderBy(col("user_id")),
+    oracle = Some("""
+      SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** A9 success-profile column means (train_module.py:408-409): global avgs
+    * over a filtered slice. Scale: filter is pushed to the parquet scan
+    * (`PushedFilters: [EqualTo(l_returnflag,N)]`), then a single partial+
+    * final agg — bytes shuffled are O(#partitions).
+    */
+  val q08SuccessProfile: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "N")
+        .agg(
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n")),
+    oracle = Some("""
+      SELECT round(avg(l_quantity), 6) AS avg_qty,
+             round(avg(l_extendedprice), 6) AS avg_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS n
+      FROM lineitem WHERE l_returnflag = 'N'"""))
+
+  /** A10 top-k by frequency (popular courses, train_module.py:412-413).
+    * Catalyst plans TakeOrderedAndProject — no full sort at scale.
+    */
+  val q09TopUsers: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20),
+    oracle = Some("""
+      SELECT user_id, count(*) AS n FROM events
+      GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20"""))
+
+  /** W4 events/minute over the observed span (dashboard/app.py:1060-1070). */
+  val q10EventsPerMin: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("n"),
+        round(count(lit(1)) /
+          ((max(col("ts")).cast("double") - min(col("ts")).cast("double")) / 60.0), 6)
+          .as("events_per_min")),
+    oracle = Some("""
+      SELECT count(*) AS n,
+             round(count(*) / ((epoch(max(ts)) - epoch(min(ts))) / 60.0), 6) AS events_per_min
+      FROM events"""))
+
+  /** A2 per-group distinct counts. */
+  val q11DistinctUsersByType: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")),
+    oracle = Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
+  // §2.3 Joins
+  // ---------------------------------------------------------------------
+
+  /** J1 equi inner join + agg (factors↔id-map shape,
+    * batch_als_train.py:217-234). Scale: part is a dimension → Catalyst
+    * broadcasts it; lineitem never shuffles for the join, only for the
+    * final small-key agg.
+    */
+  val q12BrandRevenue: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = broadcast(Tables.part(s, dir))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+    oracle = Some("""
+      SELECT p_brand,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand"""),
+    headline = true)
+
+  /** J2 left join chain across two dimensions (demographics enrich,
+    * train_module.py:277). Both dims broadcast; no shuffle at all.
+    */
+  val q13CustomerGeo: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+        .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_name, n_name, r_name
+      FROM customer
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      ORDER BY c_custkey"""))
+
+  /** J4 self-join co-occurrence (course pairs, train_module.py:397-405):
+    * distinct (order, part) → equi-join on order + theta (`<`) dedup →
+    * pair counts → top 50. Scale: the one genuinely skew-sensitive query —
+    * a power order with k parts makes k² pairs. The distinct pre-pass
+    * bounds k, AQE skew-join splits hot partitions; for 100 TB add a
+    * per-order pair cap before the join (documented in ops.Dedup).
+    */
+  val q14PartPairs: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = op.as("a")
+      val b = op.as("b")
+      a.join(b,
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(50)
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      ORDER BY cnt DESC, p1, p2
+      LIMIT 50"""),
+    headline = true)
+
+  /** J5 anti join (not-passed candidate filter, run_consumer.py:248-257). */
+  val q15CustomersWithoutOrders: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Semi join (membership test — set semantics from §2.7). */
+  val q16CustomersWithFinishedOrders: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------------
+  // §2.5 Window functions
+  // ---------------------------------------------------------------------
+
+  /** W1 latest-row-per-key (active model view, train_module.py:110-117). */
+  val q17LatestOrderPerCustomer: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, o_orderdate
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) t
+      WHERE rn = 1
+      ORDER BY o_custkey"""))
+
+  /** W2 lag-based drift (metric drift, dashboard/app.py:2476-2536). */
+  val q18OrderValueDrift: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .filter(col("prev_price").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round((col("o_totalprice") - col("prev_price")) / col("prev_price") * 100.0, 4)
+            .as("drift_pct"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey, o_orderkey,
+             round((o_totalprice - prev_price) / prev_price * 100.0, 4) AS drift_pct
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   lag(o_totalprice, 1) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+            FROM orders) t
+      WHERE prev_price IS NOT NULL
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** W3 per-group top-k via row_number (rank badges, run_consumer.py:330-344). */
+  val q19Top5OrdersPerStatus: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("o_orderstatus"), col("rnk"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("rnk"))
+    },
+    oracle = Some("""
+      SELECT o_orderstatus, rnk, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+      FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders) t
+      WHERE rnk <= 5
+      ORDER BY o_orderstatus, rnk"""))
+
+  /** Running total with an explicit ROWS frame (cumulative spend). */
+  val q20RunningSpend: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 4))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+      FROM orders
+      ORDER BY o_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------------------------
+  // §2.6 Sorts / limits / sampling
+  // ---------------------------------------------------------------------
+
+  /** O1 recent-N (dashboard/app.py:281-283) → TakeOrderedAndProject. */
+  val q21RecentOrders: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1000),
+    oracle = Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice, o_orderdate
+      FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1000"""),
+    headline = true)
+
+  /** O6 deterministic arithmetic sample (the reference's ORDER BY RANDOM()
+    * sample, made reproducible across engines via a modulus predicate).
+    */
+  val q22ArithSample: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 97 === 0)
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price")),
+    oracle = Some("""
+      SELECT count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+      FROM lineitem WHERE l_orderkey % 97 = 0"""))
+
+  /** O7/O8 deterministic split + per-split label balance (A13). */
+  val q23SplitBalance: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("split",
+          when(col("l_orderkey") % 5 < 4, "train").otherwise("test"))
+        .groupBy(col("split"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("l_returnflag")),
+    oracle = Some("""
+      SELECT CASE WHEN l_orderkey % 5 < 4 THEN 'train' ELSE 'test' END AS split,
+             l_returnflag, count(*) AS n
+      FROM lineitem GROUP BY 1, 2 ORDER BY split, l_returnflag"""))
+
+  // ---------------------------------------------------------------------
+  // §2.7 Set operations
+  // ---------------------------------------------------------------------
+
+  val q24StatusUnion: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.union(p).distinct().orderBy(col("o_custkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_custkey"""))
+
+  val q25StatusIntersect: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.intersect(p).orderBy(col("o_custkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_custkey"""))
+
+  val q26StatusExcept: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      f.except(p).orderBy(col("o_custkey"))
+    },
+    oracle = Some("""
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_custkey"""))
+
+  // ---------------------------------------------------------------------
+  // §2.8 Scalar functions
+  // ---------------------------------------------------------------------
+
+  /** F2/F3 JSON extraction (event payload parse, run_consumer.py:189-192). */
+  val q27JsonExtract: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k")),
+    oracle = Some("""
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+      FROM events GROUP BY 1 ORDER BY k"""))
+
+  /** F5/F6 string ops (truncate+ellipsis, run_consumer.py:198-199). */
+  val q28StringFuncs: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          concat(substring(col("c_name"), 1, 10), lit("...")).as("name_short"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          length(col("c_name")).cast("long").as("name_len"))
+        .orderBy(col("c_custkey")),
+    oracle = Some("""
+      SELECT c_custkey,
+             substring(c_name, 1, 10) || '...' AS name_short,
+             upper(c_mktsegment) AS seg_upper,
+             length(c_name) AS name_len
+      FROM customer ORDER BY c_custkey"""))
+
+  /** F7/F8 date bucketing (strftime rollup, dashboard/app.py:920-921). */
+  val q29MonthlyOrders: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy(col("ym")),
+    oracle = Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             count(*) AS n, round(sum(o_totalprice), 4) AS total
+      FROM orders GROUP BY 1 ORDER BY ym"""))
+
+  /** P5/F10 relative time-range predicate (NOW() - INTERVAL, anchored to
+    * max(ts) so it is reproducible): scalar-subquery filter.
+    */
+  val q30RecentWindow: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = Tables.events(s, dir)
+      val mx = e.agg(max(col("ts")).as("mx"))
+      e.crossJoin(mx)
+        .filter(col("ts") > col("mx") - expr("INTERVAL 1 DAY"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    },
+    oracle = Some("""
+      SELECT count(*) AS n, count(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 1 DAY"""))
+
+  /** F4 CASE WHEN tiering (dashboard/app.py:305-306). */
+  val q31PriceTiers: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("tier",
+          when(col("o_totalprice") < 1000, "low")
+            .when(col("o_totalprice") < 10000, "mid")
+            .otherwise("high"))
+        .groupBy(col("tier")).agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .orderBy(col("tier")),
+    oracle = Some("""
+      SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+                  WHEN o_totalprice < 10000 THEN 'mid'
+                  ELSE 'high' END AS tier,
+             count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      FROM orders GROUP BY 1 ORDER BY tier"""))
+
+  /** F15 lenient numeric parse (int(float(x)) with bad→NULL,
+    * etl/load_users_from_minio.py:43-49): regexp extract + null-safe cast.
+    */
+  val q32LenientParse: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("bigint").as("name_num"),
+          col("c_acctbal").cast("int").as("acctbal_int"))
+        .orderBy(col("c_custkey")),
+    oracle = Some("""
+      SELECT c_custkey,
+             TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+             CAST(trunc(c_acctbal) AS INT) AS acctbal_int
+      FROM customer ORDER BY c_custkey"""))
+
+  /** M8 logloss of the prior-rate baseline predictor as a pure aggregation
+    * (train_module.py:345-369 metric contract, no ML needed).
+    */
+  val q33LoglossBaseline: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      val rate = li.agg(avg(col("y")).as("r"))
+      li.crossJoin(rate)
+        .agg(round(-avg(col("y") * log(col("r")) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - col("r"))), 6).as("logloss"),
+          round(avg(col("y")), 6).as("base_rate"))
+    },
+    oracle = Some("""
+      WITH l AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+                 FROM lineitem),
+           r AS (SELECT avg(y) AS r FROM l)
+      SELECT round(-avg(y * ln(r) + (1.0 - y) * ln(1.0 - r)), 6) AS logloss,
+             round(avg(y), 6) AS base_rate
+      FROM l, r"""))
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, QuerySpec] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_global_counts" -> q02GlobalCounts,
+    "q03_event_type_counts" -> q03EventTypeCounts,
+    "q04_part_stats" -> q04PartStats,
+    "q05_customer_order_stats" -> q05CustomerOrderStats,
+    "q06_user_activity" -> q06UserActivity,
+    "q07_user_event_types" -> q07UserEventTypes,
+    "q08_success_profile" -> q08SuccessProfile,
+    "q09_top_users" -> q09TopUsers,
+    "q10_events_per_min" -> q10EventsPerMin,
+    "q11_distinct_users_by_type" -> q11DistinctUsersByType,
+    "q12_brand_revenue" -> q12BrandRevenue,
+    "q13_customer_geo" -> q13CustomerGeo,
+    "q14_part_pairs" -> q14PartPairs,
+    "q15_customers_without_orders" -> q15CustomersWithoutOrders,
+    "q16_customers_with_finished_orders" -> q16CustomersWithFinishedOrders,
+    "q17_latest_order_per_customer" -> q17LatestOrderPerCustomer,
+    "q18_order_value_drift" -> q18OrderValueDrift,
+    "q19_top5_orders_per_status" -> q19Top5OrdersPerStatus,
+    "q20_running_spend" -> q20RunningSpend,
+    "q21_recent_orders" -> q21RecentOrders,
+    "q22_arith_sample" -> q22ArithSample,
+    "q23_split_balance" -> q23SplitBalance,
+    "q24_status_union" -> q24StatusUnion,
+    "q25_status_intersect" -> q25StatusIntersect,
+    "q26_status_except" -> q26StatusExcept,
+    "q27_json_extract" -> q27JsonExtract,
+    "q28_string_funcs" -> q28StringFuncs,
+    "q29_monthly_orders" -> q29MonthlyOrders,
+    "q30_recent_window" -> q30RecentWindow,
+    "q31_price_tiers" -> q31PriceTiers,
+    "q32_lenient_parse" -> q32LenientParse,
+    "q33_logloss_baseline" -> q33LoglossBaseline,
+  )
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Reads the Verify output dir (parquet per query + oracle_sql.json), runs each
+oracle SQL in DuckDB over the same fixture tables, and compares: row count,
+column names, and values (exact for non-floats, tolerance report for floats).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            ours = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            failures.append((name, f"spark output unreadable: {e}"))
+            continue
+        try:
+            ref = con.execute(sql).fetchdf()
+        except Exception as e:
+            failures.append((name, f"oracle SQL failed: {e}"))
+            continue
+        ours_cols = sorted(ours.columns)
+        ref_cols = sorted(ref.columns)
+        if ours_cols != ref_cols:
+            failures.append((name, f"columns differ: {ours_cols} vs {ref_cols}"))
+            continue
+        if len(ours) != len(ref):
+            failures.append((name, f"row count {len(ours)} vs {len(ref)}"))
+            continue
+        ours = ours[ours_cols]
+        ref = ref[ref_cols]
+        # driver sorts columns by name then hashes values; we compare
+        # positionally (both sides carry the same total ORDER BY)
+        bad = None
+        for c in ours_cols:
+            a = ours[c].tolist()
+            b = ref[c].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x is None and y is None:
+                    continue
+                xna = x is None or (isinstance(x, float) and math.isnan(x))
+                yna = y is None or (isinstance(y, float) and math.isnan(y))
+                if xna and yna:
+                    continue
+                if xna != yna:
+                    bad = f"col {c} row {i}: {x!r} vs {y!r} (null mismatch)"
+                    break
+                if isinstance(x, float) or isinstance(y, float):
+                    if x != y:
+                        diff = abs(float(x) - float(y))
+                        bad = f"col {c} row {i}: {x!r} vs {y!r} (diff {diff:g})"
+                        break
+                elif str(x) != str(y):
+                    bad = f"col {c} row {i}: {x!r} vs {y!r}"
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, bad))
+        else:
+            print(f"  OK   {name} ({len(ours)} rows)")
+    print()
+    if failures:
+        for name, why in failures:
+            print(f"  FAIL {name}: {why}")
+        print(f"\n{len(failures)}/{len(oracle)} FAILED")
+        sys.exit(1)
+    print(f"all {len(oracle)} queries match")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
