@@ -671,5 +671,5 @@ object Catalog {
     "q31_price_tiers" -> q31PriceTiers,
     "q32_lenient_parse" -> q32LenientParse,
     "q33_logloss_baseline" -> q33LoglossBaseline,
-  )
+  ) ++ PipelineCatalog.all
 }

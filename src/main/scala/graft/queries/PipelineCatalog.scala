@@ -1,0 +1,692 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal columns) over the `documents` / `embeddings`
+  * fixture tables — the LLM-data-pipeline surface mandated by
+  * BASELINE.json beyond the reference's own operators.
+  *
+  * Cross-engine determinism strategy: every hash used here is a plain
+  * arithmetic expression (character-level polynomial rolling hash,
+  * affine permutations mod a Mersenne prime) rather than an engine
+  * builtin (murmur3/xxhash differ between Spark and DuckDB), so the
+  * DuckDB oracle can replay the exact computation. Floating point is
+  * kept bit-identical by forcing the same left-to-right sequential
+  * fold on both sides (Spark `aggregate` HOF ≡ DuckDB `list_reduce`)
+  * and rounding at the end.
+  *
+  * Scale design (100 TB): no operator here does a driver collect, a
+  * global sort of the full input, or an unbounded cross join. Near-dup
+  * candidate generation is inverted-index / LSH-bucket joins — the
+  * standard distributed formulations. Residual risks and their
+  * mitigations are noted per query.
+  */
+object PipelineCatalog {
+
+  /** Mersenne prime 2^31-1: all token/permutation hashes live mod P. */
+  private val P = 2147483647L
+
+  /** doc_id, sh: distinct word-3-gram shingles (array<string>).
+    * Shingling is a pure per-row projection — embarrassingly parallel.
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("sh",
+        expr("""CASE WHEN size(w) >= 3 THEN
+                  array_distinct(transform(sequence(0, size(w)-3),
+                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+                ELSE array() END"""))
+      .select(col("doc_id"), col("sh"))
+
+  /** The same shingling as a DuckDB CTE body (1-indexed lists). */
+  private val shinglesSql =
+    """SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""
+
+  /** Char-level polynomial rolling hash (acc*31+ascii mod P) — the
+    * engine-portable token hash; Spark `aggregate` and DuckDB
+    * `list_reduce` fold identically left-to-right.
+    */
+  private def polyhashExpr(in: String): String =
+    s"""aggregate(transform(split($in, ''), c -> cast(ascii(c) as bigint)),
+                  0L, (acc, x) -> (acc*31 + x) % $P)"""
+
+  private def polyhashSql(in: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split_regex($in, ''), c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc*31 + x) % $P)"""
+
+  // ---------------------------------------------------------------------
+  // Deduplication family
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup: group identical text, keep the smallest doc_id as the
+    * canonical representative. Scale: one hash-shuffle on the text hash;
+    * at 100 TB group by a 128-bit content hash (sha2) instead of the raw
+    * text so shuffle rows stay small — semantics identical absent
+    * collisions. Fixtures have no exact dups, so n_copies is all 1 —
+    * the retained-set contract (one row per distinct text) still holds.
+    */
+  val q34ExactDedup: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY doc_id"""))
+
+  /** N-gram Jaccard near-dup (threshold 0.8 on word-3-gram shingle
+    * sets). Spark side generates candidates with an inverted-index
+    * join (explode shingle → self-join on shingle → count common)
+    * instead of the O(n²) cross join the oracle uses — only pairs
+    * sharing ≥1 shingle are ever materialized, which is exactly the
+    * support of jaccard > 0. Scale: skew mitigation = drop shingles
+    * with document frequency above a cap (stop-shingles) before the
+    * join; at 0.8 threshold a pair sharing only ultra-common shingles
+    * cannot pass, so a df cap ≫ 1/(1-t) is lossless in practice.
+    */
+  val q35NgramJaccardNearDup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val sh = shingles(s, dir).filter(size(col("sh")) > 0)
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val common = inv.as("a").join(inv.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.as("sa"), col("d1") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("d2") === col("sb.doc_id"))
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (col("sa.n") + col("sb.n") - col("common")), 6))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($shinglesSql)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+      ORDER BY d1, d2"""),
+    headline = true)
+
+  /** MinHash + LSH near-dup: 16 affine permutations mod P over polyhashed
+    * shingles → 4 bands × 4 rows → band-bucket self-join for candidates →
+    * exact-jaccard verify at 0.8. This is the full distributed
+    * MinHashLSH pipeline (signature computation is per-row; the only
+    * shuffle is the band-bucket join, whose fan-out is bounded by bucket
+    * sizes). Scale: with b=4,r=4 the collision curve is s^4 per band —
+    * at 100 TB raise r to shrink buckets and salt any megabucket.
+    * The DuckDB oracle replays the identical arithmetic end-to-end.
+    */
+  val q36MinhashLshNearDup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val sh = shingles(s, dir).filter(size(col("sh")) > 0)
+      val sig = sh
+        .withColumn("tids", expr(s"transform(sh, s -> ${polyhashExpr("s")})"))
+        .withColumn("mh",
+          expr(s"""transform(sequence(0, 15), i ->
+                     array_min(transform(tids, t -> ((2*i+1)*t + 12345*i) % $P)))"""))
+        .withColumn("bands",
+          expr("""transform(sequence(0, 3), b ->
+                    concat_ws('-', mh[4*b], mh[4*b+1], mh[4*b+2], mh[4*b+3]))"""))
+      val buckets = sig.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_sig")))
+      val cand = buckets.as("a").join(buckets.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("d2") === col("sb.doc_id"))
+        .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (size(col("sa.sh")) + size(col("sb.sh")) - col("common")), 6))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH sh0 AS ($shinglesSql),
+      sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 16), i -> list_min(
+                 list_transform(list_transform(sh, s -> ${polyhashSql("s")}),
+                                t -> ((2*i+1)*t + 12345*i) % $P))) AS mh
+        FROM sh),
+      buckets AS (
+        SELECT doc_id, b AS band_idx,
+               concat_ws('-', mh[4*b+1], mh[4*b+2], mh[4*b+3], mh[4*b+4]) AS band_sig
+        FROM sig, unnest(range(0, 4)) AS t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM buckets a JOIN buckets b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id)
+      SELECT d1, d2,
+             round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+      FROM cand
+      JOIN sh sa ON d1 = sa.doc_id
+      JOIN sh sb ON d2 = sb.doc_id
+      WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+            (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+      ORDER BY d1, d2"""),
+    headline = true)
+
+  /** SimHash: 16-bit signature per document from the shingle hash
+    * stream (bit j = sign of Σ ±1 over permuted-hash parities). Pure
+    * per-row computation — zero shuffle. Pairing on signatures is
+    * q38; at scale hamming search bands on signature prefixes.
+    */
+  val q37Simhash: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      shingles(s, dir).filter(size(col("sh")) > 0)
+        .withColumn("tids", expr(s"transform(sh, s -> ${polyhashExpr("s")})"))
+        .withColumn("simhash",
+          expr(s"""aggregate(sequence(15, 0, -1), 0L, (acc, j) -> acc*2 +
+                     CASE WHEN aggregate(
+                            transform(tids, t -> CASE WHEN ((2*j+1)*t + 12345*j) % $P % 2 = 1
+                                                 THEN 1L ELSE -1L END),
+                            0L, (a, b) -> a + b) > 0 THEN 1L ELSE 0L END)"""))
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH sh0 AS ($shinglesSql),
+      th AS (SELECT doc_id, list_transform(sh, s -> ${polyhashSql("s")}) AS tids
+             FROM sh0 WHERE len(sh) > 0)
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), range(15, -1, -1)),
+               (acc, j) -> acc*2 +
+                 CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(tids, t ->
+                          CASE WHEN ((2*j+1)*t + 12345*j) % $P % 2 = 1
+                               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                        (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) AS simhash
+      FROM th ORDER BY doc_id"""))
+
+  /** SimHash near-dup pairs: same-lang candidate blocking + hamming
+    * distance ≤ 3 over the 16-bit signatures (bit_count(xor)). Scale:
+    * lang is the blocking key here; production blocks on signature
+    * bands (split the 16 bits into 4 nibbles — a pair within distance
+    * 3 shares ≥1 exact nibble by pigeonhole) making this the same
+    * bucket-join shape as q36.
+    */
+  val q38SimhashPairs: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val sh = shingles(s, dir).filter(size(col("sh")) > 0)
+        .withColumn("tids", expr(s"transform(sh, s -> ${polyhashExpr("s")})"))
+        .withColumn("simhash",
+          expr(s"""aggregate(sequence(15, 0, -1), 0L, (acc, j) -> acc*2 +
+                     CASE WHEN aggregate(
+                            transform(tids, t -> CASE WHEN ((2*j+1)*t + 12345*j) % $P % 2 = 1
+                                                 THEN 1L ELSE -1L END),
+                            0L, (a, b) -> a + b) > 0 THEN 1L ELSE 0L END)"""))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val sd = sh.join(d, "doc_id").select(col("doc_id"), col("lang"), col("simhash"))
+      sd.as("a").join(sd.as("b"),
+          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("hamming",
+          expr("bit_count(a.simhash ^ b.simhash)").cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH sh0 AS ($shinglesSql),
+      th AS (SELECT doc_id, list_transform(sh, s -> ${polyhashSql("s")}) AS tids
+             FROM sh0 WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), range(15, -1, -1)),
+                 (acc, j) -> acc*2 +
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(tids, t ->
+                            CASE WHEN ((2*j+1)*t + 12345*j) % $P % 2 = 1
+                                 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+                          (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) AS simhash
+        FROM th),
+      sd AS (SELECT s.doc_id, d.lang, s.simhash
+             FROM sig s JOIN documents d ON s.doc_id = d.doc_id)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM sd a JOIN sd b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY d1, d2"""))
+
+  // ---------------------------------------------------------------------
+  // Similarity search over embeddings
+  // ---------------------------------------------------------------------
+
+  /** Per-vector L2 norm with a sequential fold (both engines fold
+    * left-to-right → bit-identical doubles).
+    */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm",
+      expr("""sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
+                             0D, (acc, v) -> acc + v))"""))
+
+  private val normSql =
+    """SELECT vec_id, embedding,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           (acc, v) -> acc + v)) AS nrm
+       FROM embeddings"""
+
+  /** Brute-force cosine top-k (k=3) — the exact ANN baseline. Scale:
+    * the cross join is O(n²); this is the small-side formulation where
+    * one side fits in a broadcast block. For 100 TB the scale path is
+    * q40's LSH bucketing (or IVF via k-means coarse quantizer): same
+    * scoring expression, candidates restricted to a bucket.
+    */
+  val q39EmbeddingKnn: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("nb"))
+      val sim = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+        .withColumn("cosine", round(
+          expr("""aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
+                            0D, (acc, v) -> acc + v)""") / (col("na") * col("nb")), 6))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cosine").desc, col("b_id"))
+      sim.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("a_id").as("vec_id"), col("rank"),
+          col("b_id").as("neighbor"), col("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH e AS ($normSql),
+      sim AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i ->
+                   CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+      SELECT vec_id, rank, neighbor, cosine
+      FROM (SELECT vec_id, neighbor, cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cosine DESC, neighbor) AS rank
+            FROM sim) t
+      WHERE rank <= 3
+      ORDER BY vec_id, rank"""),
+    headline = true)
+
+  /** LSH-bucketed ANN — the 100 TB scale path: 8 hash tables × 4
+    * deterministic random hyperplanes (affine-LCG pseudo-random
+    * coefficients, engine-portable arithmetic) → 16 sign buckets per
+    * table → candidates = pairs colliding in ANY table → exact cosine
+    * top-3 among candidates. Multi-table union is what buys recall
+    * (P(found) = 1-(1-p^k)^L; k=4, L=8 gives ~0.83 at cosine 0.5 —
+    * single-table was measured at 0.2 on the fixtures). The bucket
+    * join replaces the O(n²) cross join with O(L · Σ bucket²); at
+    * 100 TB raise k to shrink buckets, raise L for recall, AQE
+    * skew-split hot buckets.
+    */
+  val q40EmbeddingLshAnn: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir))
+        .withColumn("buckets",
+          expr(s"""transform(sequence(0, 7), t ->
+                     aggregate(sequence(3, 0, -1), 0L, (acc, j) -> acc*2 +
+                       CASE WHEN aggregate(transform(sequence(1, 64), d ->
+                              cast(element_at(embedding, cast(d as int)) as double) *
+                              (cast(((((cast(t as bigint)*4 + j)*64 + d) * 1103515245 + 12345) % $P * 1103515245 + 12345) % $P as double)
+                                 / $P.0 - 0.5)),
+                              0D, (acc2, v) -> acc2 + v) >= 0D THEN 1L ELSE 0L END))"""))
+      val tb = e.select(col("vec_id"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val cand = tb.as("x").join(tb.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("nb"))
+      val sim = cand.join(a, "a_id").join(b, "b_id")
+        .withColumn("cosine", round(
+          expr("""aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
+                            0D, (acc, v) -> acc + v)""") / (col("na") * col("nb")), 6))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cosine").desc, col("b_id"))
+      sim.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("a_id").as("vec_id"), col("rank"),
+          col("b_id").as("neighbor"), col("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH e0 AS ($normSql),
+      e AS (
+        SELECT vec_id, embedding, nrm,
+               list_transform(range(0, 8), t ->
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), range(3, -1, -1)),
+                   (acc, j) -> acc*2 +
+                     CASE WHEN list_reduce(list_prepend(0.0,
+                            list_transform(range(1, 65), d ->
+                              CAST(embedding[d] AS DOUBLE) *
+                              (CAST(((((t*4 + j)*64 + d) * 1103515245 + 12345) % $P * 1103515245 + 12345) % $P AS DOUBLE)
+                                 / $P.0 - 0.5))),
+                            (acc2, v) -> acc2 + v) >= 0.0 THEN 1 ELSE 0 END)) AS buckets
+        FROM e0),
+      tb AS (
+        SELECT vec_id, t AS tbl, buckets[t+1] AS bucket
+        FROM e, unnest(range(0, 8)) AS u(t)),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        FROM tb x JOIN tb y
+          ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+      sim AS (
+        SELECT c.a_id AS vec_id, c.b_id AS neighbor,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i ->
+                   CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM cand c JOIN e a ON c.a_id = a.vec_id JOIN e b ON c.b_id = b.vec_id)
+      SELECT vec_id, rank, neighbor, cosine
+      FROM (SELECT vec_id, neighbor, cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cosine DESC, neighbor) AS rank
+            FROM sim) t
+      WHERE rank <= 3
+      ORDER BY vec_id, rank"""))
+
+  /** Embedding-cosine near-dup join: all pairs with cosine ≥ 0.45
+    * (threshold calibrated to the fixtures' planted near-identical
+    * vectors). Same scoring as q39 but emitted as a dedup-style pair
+    * list; the LSH bucketing of q40 is the scale path here too.
+    */
+  val q41EmbeddingNearDup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir))
+      val a = e.select(col("vec_id").as("d1"), col("embedding").as("ae"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("d2"), col("embedding").as("be"),
+        col("nrm").as("nb"))
+      a.crossJoin(b).filter(col("d1") < col("d2"))
+        .withColumn("cosine", round(
+          expr("""aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
+                            0D, (acc, v) -> acc + v)""") / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= 0.45)
+        .select(col("d1"), col("d2"), col("cosine"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH e AS ($normSql)
+      SELECT a.vec_id AS d1, b.vec_id AS d2,
+             round(list_reduce(list_prepend(0.0,
+               list_transform(range(1, 65), i ->
+                 CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+               (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_reduce(list_prepend(0.0,
+              list_transform(range(1, 65), i ->
+                CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+              (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) >= 0.45
+      ORDER BY d1, d2"""))
+
+  // ---------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------
+
+  /** Language-ID by marker-word counting (n-gram-free heuristic over a
+    * per-language marker list; argmax with alphabetical tie-break).
+    * Pure per-row map — no shuffle until the final presentation sort.
+    */
+  val q42LangId: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("c_de", expr("size(filter(w, t -> t IN ('hash','sort','vector')))"))
+        .withColumn("c_en", expr("size(filter(w, t -> t IN ('the','a','table','row')))"))
+        .withColumn("c_es", expr("size(filter(w, t -> t IN ('scan','stream','filter')))"))
+        .withColumn("c_fr", expr("size(filter(w, t -> t IN ('query','window','agg')))"))
+        .withColumn("c_zh", expr("size(filter(w, t -> t IN ('merge','join','batch')))"))
+        .withColumn("mx", greatest(col("c_de"), col("c_en"), col("c_es"),
+          col("c_fr"), col("c_zh")))
+        .withColumn("pred_lang",
+          when(col("c_de") === col("mx"), "de")
+            .when(col("c_en") === col("mx"), "en")
+            .when(col("c_es") === col("mx"), "es")
+            .when(col("c_fr") === col("mx"), "fr")
+            .otherwise("zh"))
+        .select(col("doc_id"), col("pred_lang"), col("mx").cast("long").as("score"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text,' '), x -> x IN ('hash','sort','vector')))  AS c_de,
+               len(list_filter(string_split(text,' '), x -> x IN ('the','a','table','row'))) AS c_en,
+               len(list_filter(string_split(text,' '), x -> x IN ('scan','stream','filter'))) AS c_es,
+               len(list_filter(string_split(text,' '), x -> x IN ('query','window','agg')))  AS c_fr,
+               len(list_filter(string_split(text,' '), x -> x IN ('merge','join','batch')))  AS c_zh
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN c_de = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'de'
+                  WHEN c_en = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'en'
+                  WHEN c_es = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'es'
+                  WHEN c_fr = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
+                  ELSE 'zh' END AS pred_lang,
+             greatest(c_de, c_en, c_es, c_fr, c_zh) AS score
+      FROM t ORDER BY doc_id"""))
+
+  /** Quality scoring: token count, mean token length, stopword ratio →
+    * bounded composite score + tier. Per-row map, shuffle-free.
+    */
+  val q43QualityScore: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("avg_tok_len",
+          expr("aggregate(transform(w, t -> cast(length(t) as bigint)), 0L, (a, b) -> a + b)")
+            .cast("double") / col("n_tok"))
+        .withColumn("stop_ratio",
+          expr("size(filter(w, t -> t IN ('the','a')))").cast("double") / col("n_tok"))
+        .withColumn("quality_score", round(
+          lit(0.4) * least(col("n_tok") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(col("avg_tok_len") / 6.0, lit(1.0)), 6))
+        .withColumn("tier",
+          when(col("quality_score") >= 0.7, "high")
+            .when(col("quality_score") >= 0.5, "mid")
+            .otherwise("low"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("avg_tok_len"), 6).as("avg_tok_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          col("quality_score"), col("tier"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      m AS (
+        SELECT doc_id, len(w) AS n_tok,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(w, x -> CAST(length(x) AS BIGINT))),
+                 (a, b) -> a + b) * 1.0 / len(w) AS avg_tok_len,
+               len(list_filter(w, x -> x IN ('the','a'))) * 1.0 / len(w) AS stop_ratio
+        FROM t)
+      SELECT doc_id, n_tok,
+             round(avg_tok_len, 6) AS avg_tok_len,
+             round(stop_ratio, 6) AS stop_ratio,
+             round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - stop_ratio)
+                   + 0.3 * least(avg_tok_len / 6.0, 1.0), 6) AS quality_score,
+             CASE WHEN round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - stop_ratio)
+                       + 0.3 * least(avg_tok_len / 6.0, 1.0), 6) >= 0.7 THEN 'high'
+                  WHEN round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - stop_ratio)
+                       + 0.3 * least(avg_tok_len / 6.0, 1.0), 6) >= 0.5 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM m ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count +
+    * type/token ratio. Per-row; regexp_count keeps it codegen'd.
+    */
+  val q44TokenStats: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("long").as("ws_tokens"),
+          expr("regexp_count(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]')")
+            .cast("long").as("bpe_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("distinct_tokens"),
+          round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
+            .as("ttr"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
+             len(list_distinct(string_split(text, ' '))) AS distinct_tokens,
+             round(len(list_distinct(string_split(text, ' '))) * 1.0 /
+                   len(string_split(text, ' ')), 6) AS ttr
+      FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprinting: whole-text rolling hash + min shingle
+    * hash (the MinHash first component — a winnowing-style anchor).
+    */
+  val q45Fingerprint: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      shingles(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("fp", expr(polyhashExpr("text")))
+        .withColumn("min_shingle_hash",
+          expr(s"coalesce(array_min(transform(sh, s -> ${polyhashExpr("s")})), -1L)"))
+        .select(col("doc_id"), col("fp"), col("min_shingle_hash"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH sh0 AS ($shinglesSql)
+      SELECT d.doc_id,
+             ${polyhashSql("d.text")} AS fp,
+             coalesce(list_min(list_transform(s.sh, x -> ${polyhashSql("x")})),
+                      CAST(-1 AS BIGINT)) AS min_shingle_hash
+      FROM documents d JOIN sh0 s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // Multimodal: opaque binary columns with typed metadata
+  // ---------------------------------------------------------------------
+
+  /** Multimodal column plumbing over an opaque binary payload (text
+    * bytes stand in for image/audio blobs — the real decode is stubbed
+    * in [[graft.multimodal.BinaryPipeline]]): byte length, content
+    * hash, head-bytes hex, fixed-size chunk count. All per-row
+    * projections over `binary` — the exact shape a decode/resize/
+    * frame-sample stage consumes at scale.
+    */
+  val q46MultimodalBinary: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("blob", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(col("blob")).cast("long").as("byte_len"),
+          sha2(col("blob"), 256).as("content_sha"),
+          lower(hex(expr("cast(substring(text, 1, 8) as binary)"))).as("head_hex"),
+          ceil(length(col("blob")) / 64.0).cast("long").as("n_chunks"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS byte_len,
+             sha256(text) AS content_sha,
+             lower(hex(CAST(substring(text, 1, 8) AS BLOB))) AS head_hex,
+             CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) AS n_chunks
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // Sessionization (the reference's per-(user,course) accumulator shape,
+  // batch formulation of ST2/ST12)
+  // ---------------------------------------------------------------------
+
+  /** Per-user behavioral profile: event-type counters (the reference's
+    * action_* columns, sql/init.sql:14-37) + 30-minute-gap session
+    * count (ST12 `unique_session_count`). One shuffle on user_id; the
+    * session lag runs inside the per-user window partition.
+    */
+  val q47UserSessions: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 1L)
+            .when(col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("new_session")).as("n_sessions"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+          round(count(lit(1)).cast("double") / sum(col("new_session")), 6)
+            .as("avg_events_per_session"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT user_id, event_type,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1
+                    WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events)
+      SELECT user_id,
+             count(*) AS n_events,
+             CAST(sum(new_session) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             round(count(*) * 1.0 / sum(new_session), 6) AS avg_events_per_session
+      FROM t GROUP BY user_id ORDER BY user_id"""),
+    headline = true)
+
+  val all: Map[String, QuerySpec] = Map(
+    "q34_exact_dedup" -> q34ExactDedup,
+    "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
+    "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
+    "q37_simhash" -> q37Simhash,
+    "q38_simhash_pairs" -> q38SimhashPairs,
+    "q39_embedding_knn" -> q39EmbeddingKnn,
+    "q40_embedding_lsh_ann" -> q40EmbeddingLshAnn,
+    "q41_embedding_neardup" -> q41EmbeddingNearDup,
+    "q42_lang_id" -> q42LangId,
+    "q43_quality_score" -> q43QualityScore,
+    "q44_token_stats" -> q44TokenStats,
+    "q45_fingerprint" -> q45Fingerprint,
+    "q46_multimodal_binary" -> q46MultimodalBinary,
+    "q47_user_sessions" -> q47UserSessions,
+  )
+}
