@@ -1,0 +1,275 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.ml.classification.GBTClassifier
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.QuerySpec
+
+/** The reference's ML operator surface (SURVEY.md §2.10) re-expressed on
+  * `spark.ml`:
+  *
+  *  - M1 StringIndexer (reference `batch_als_train.py:127-143`)
+  *  - M2-M5 ALS train / evaluate / factor export
+  *    (`batch_als_train.py:154-248`): same estimator contract, ratings
+  *    derived from the fixture fact table (customer × part purchase
+  *    counts) instead of the Postgres interactions table.
+  *  - M6 LabelEncoder parity: `stringOrderType="alphabetAsc"` matches
+  *    sklearn's lexicographic ordering (`train_module.py:283-292`).
+  *  - M7/M8 gradient-boosted binary classifier + AUC/logloss/accuracy
+  *    (`train_module.py:313-369`; GBTClassifier stands in for LightGBM
+  *    — same feature/label/metric contract).
+  *  - M12 confusion matrix / ROC points as pure aggregations
+  *    (`dashboard/app.py:1571-1635` simulates these; we compute real
+  *    ones).
+  *
+  * Scale: ALS is the one genuinely iterative-distributed op — Spark's
+  * implementation block-partitions both factor matrices and shuffles
+  * per iteration; `coldStartStrategy="drop"` keeps evaluation defined.
+  * Everything else is embarrassingly parallel scoring + small-key aggs.
+  *
+  * ALS/GBT trainings are seeded but their outputs still depend on
+  * partitioning, so those queries carry no DuckDB oracle (driver falls
+  * back to the rows-only check); the deterministic metric-shaped ops
+  * (indexer mapping, confusion matrix, ROC) are fully oracle-checked.
+  */
+object MlCatalog {
+
+  /** customer × part implicit ratings (purchase counts) from the fact
+    * tables: the `interactions` analogue. One shuffle (groupBy).
+    */
+  private def ratings(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .agg(count(lit(1)).cast("float").as("rating"))
+      .select(col("user").cast("int"), col("item").cast("int"), col("rating"))
+  }
+
+  /** One ALS model per fixture dir per JVM — Verify runs several ALS
+    * queries back-to-back and must not retrain for each.
+    */
+  private val alsCache =
+    scala.collection.concurrent.TrieMap.empty[String, ALSModel]
+
+  private def alsModel(s: SparkSession, dir: String): ALSModel =
+    alsCache.getOrElseUpdate(dir, {
+      // Reference hyperparams (batch_als_train.py:154-165) scaled for
+      // the fixture size: rank 50→16, maxIter 10→5; same implicit/
+      // nonnegative/coldStart semantics, same seed discipline.
+      new ALS()
+        .setRank(16).setMaxIter(5).setRegParam(0.01)
+        .setImplicitPrefs(true).setNonnegative(true)
+        .setColdStartStrategy("drop")
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setSeed(42L)
+        .fit(ratings(s, dir).cache())
+    })
+
+  /** M5 factor export (batch_als_train.py:217-234): id + JSON-encoded
+    * factor vector, the reference's exact sink shape (to_json of the
+    * features array). Rows-only check: factor values are partitioning-
+    * dependent.
+    */
+  val m01AlsUserFactors: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      alsModel(s, dir).userFactors
+        .select(col("id").as("user_id"), to_json(col("features")).as("factors"))
+        .orderBy(col("user_id")),
+    oracle = None)
+
+  /** M2/M9 batch recommendation: top-5 items per user via
+    * `recommendForAllUsers` (the distributed top-k the streaming loop
+    * approximates per-event). Rows-only check.
+    */
+  val m02AlsRecommendations: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      alsModel(s, dir).recommendForAllUsers(5)
+        .select(col("user").as("user_id"),
+          expr("transform(recommendations, r -> r.item)").as("items"))
+        .orderBy(col("user_id")),
+    oracle = None)
+
+  /** M3/M4 train/test evaluation: randomSplit(0.8/0.2, seed 42) —
+    * the reference's exact split contract (batch_als_train.py:151) —
+    * then RMSE+MAE on both (batch_als_train.py:169-189). One metrics
+    * row; rows-only check.
+    */
+  val m03AlsEval: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      val Array(train, test) = ratings(s, dir).randomSplit(Array(0.8, 0.2), seed = 42L)
+      val model = alsModel(s, dir)
+      val trainPred = model.transform(train).cache()
+      val testPred = model.transform(test).cache()
+      def m(df: DataFrame, metric: String): Double =
+        new RegressionEvaluator().setMetricName(metric)
+          .setLabelCol("rating").setPredictionCol("prediction").evaluate(df)
+      Seq((m(trainPred, "rmse"), m(trainPred, "mae"), m(testPred, "rmse"), m(testPred, "mae")))
+        .toDF("train_rmse", "train_mae", "test_rmse", "test_mae")
+    },
+    oracle = None)
+
+  /** M1/M6 StringIndexer with alphabetAsc — sklearn LabelEncoder parity
+    * (SURVEY.md §7.4 risk 2). Alphabetical ordering makes the mapping
+    * deterministic and SQL-expressible: index = dense_rank - 1.
+    */
+  val m04StringIndexer: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val idx = new StringIndexer().setInputCol("c_mktsegment")
+        .setOutputCol("seg_idx").setStringOrderType("alphabetAsc")
+        .fit(c)
+      idx.transform(c)
+        .select(col("c_mktsegment"), col("seg_idx").cast("long").as("seg_idx"))
+        .distinct()
+        .orderBy(col("seg_idx"))
+    },
+    oracle = Some("""
+      SELECT c_mktsegment,
+             dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS seg_idx
+      FROM (SELECT DISTINCT c_mktsegment FROM customer) t
+      ORDER BY seg_idx"""))
+
+  /** M7/M8 gradient-boosted binary classifier: predict "returned"
+    * (l_returnflag = 'R') from line-level features; report AUC +
+    * logloss + accuracy@0.6 — the reference's metric triple
+    * (train_module.py:345-369). Rows-only check (tree ensembles are
+    * partitioning-sensitive); the ScalaTest asserts AUC > 0.5.
+    */
+  val m05GbtEval: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      val df = Tables.lineitem(s, dir)
+        .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+        .select(col("label"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_linenumber"))
+      val feats = new VectorAssembler()
+        .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_linenumber"))
+        .setOutputCol("features")
+      val Array(train, valid) = feats.transform(df)
+        .select("label", "features").randomSplit(Array(0.8, 0.2), seed = 42L)
+      val model = new GBTClassifier()
+        .setMaxIter(10).setMaxDepth(4).setStepSize(0.05).setSeed(42L)
+        .fit(train.cache())
+      val scored = model.transform(valid)
+        .withColumn("p",
+          element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+        .cache()
+      val auc = new BinaryClassificationEvaluator()
+        .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
+        .evaluate(scored)
+      // logloss as a plain aggregation (SURVEY.md §2.10 UDF note (a)):
+      // clamp p away from {0,1} exactly like sklearn's log_loss eps.
+      val eps = 1e-15
+      val Row0 = scored.agg(
+        (-avg(col("label") * log(greatest(least(col("p"), lit(1 - eps)), lit(eps))) +
+          (lit(1.0) - col("label")) *
+            log(greatest(least(lit(1.0) - col("p"), lit(1 - eps)), lit(eps)))))
+          .as("logloss"),
+        avg(when((col("p") >= 0.6) === (col("label") === 1.0), 1.0).otherwise(0.0))
+          .as("accuracy"))
+        .head()
+      Seq((auc, Row0.getDouble(0), Row0.getDouble(1)))
+        .toDF("valid_auc", "valid_logloss", "valid_accuracy_at_06")
+    },
+    oracle = None)
+
+  /** M12 confusion matrix of a deterministic rule-based classifier
+    * (predict 'returned' when discount > 0.05) — real counts, fully
+    * oracle-checked. One small-key shuffle.
+    */
+  val m06ConfusionMatrix: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("label", when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .withColumn("pred", when(col("l_discount") > 0.05, 1L).otherwise(0L))
+        .groupBy(col("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred")),
+    oracle = Some("""
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+             CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS pred,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY 1, 2 ORDER BY label, pred"""))
+
+  /** M12 ROC curve points for the same rule family (score = discount):
+    * TPR/FPR at each distinct threshold via cumulative window sums —
+    * the distributed formulation of sklearn's roc_curve (sort once,
+    * no per-threshold pass).
+    */
+  val m07RocPoints: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("label", when(col("l_returnflag") === "R", 1L).otherwise(0L))
+      val byScore = li.groupBy(col("l_discount").as("thr"))
+        .agg(sum(col("label")).as("pos"),
+          sum(lit(1L) - col("label")).as("neg"))
+      val w = Window.orderBy(col("thr").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = li.agg(sum(col("label")).as("tot_pos"),
+        sum(lit(1L) - col("label")).as("tot_neg"))
+      byScore
+        .withColumn("cum_pos", sum(col("pos")).over(w))
+        .withColumn("cum_neg", sum(col("neg")).over(w))
+        .crossJoin(tot)
+        .select(col("thr"),
+          round(col("cum_pos").cast("double") / col("tot_pos"), 6).as("tpr"),
+          round(col("cum_neg").cast("double") / col("tot_neg"), 6).as("fpr"))
+        .orderBy(col("thr").desc)
+    },
+    oracle = Some("""
+      WITH l AS (SELECT l_discount AS thr,
+                        CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+                 FROM lineitem),
+      g AS (SELECT thr, sum(label) AS pos, sum(1 - label) AS neg
+            FROM l GROUP BY thr),
+      t AS (SELECT sum(label) AS tot_pos, sum(1 - label) AS tot_neg FROM l)
+      SELECT thr,
+             round(sum(pos) OVER (ORDER BY thr DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / tot_pos, 6) AS tpr,
+             round(sum(neg) OVER (ORDER BY thr DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / tot_neg, 6) AS fpr
+      FROM g, t
+      ORDER BY thr DESC"""))
+
+  /** M10 knowledge base, sub-op "success profile" is q08; sub-op
+    * "co-occurrence" is q14; sub-op "popularity top-k" is q09 — see
+    * Catalog. M11 ID-universe export: distinct users and items with a
+    * stable role tag (the reference's ids_mapping.json,
+    * train_module.py:427-442).
+    */
+  val m08IdUniverse: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val u = Tables.orders(s, dir).select(col("o_custkey").as("id"))
+        .distinct().withColumn("role", lit("user"))
+      val i = Tables.lineitem(s, dir).select(col("l_partkey").as("id"))
+        .distinct().withColumn("role", lit("item"))
+      u.unionByName(i).orderBy(col("role"), col("id"))
+    },
+    oracle = Some("""
+      SELECT id, role FROM (
+        SELECT DISTINCT o_custkey AS id, 'user' AS role FROM orders
+        UNION ALL
+        SELECT DISTINCT l_partkey AS id, 'item' AS role FROM lineitem)
+      ORDER BY role, id"""))
+
+  val all: Map[String, QuerySpec] = Map(
+    "m01_als_user_factors" -> m01AlsUserFactors,
+    "m02_als_recommendations" -> m02AlsRecommendations,
+    "m03_als_eval" -> m03AlsEval,
+    "m04_string_indexer" -> m04StringIndexer,
+    "m05_gbt_eval" -> m05GbtEval,
+    "m06_confusion_matrix" -> m06ConfusionMatrix,
+    "m07_roc_points" -> m07RocPoints,
+    "m08_id_universe" -> m08IdUniverse,
+  )
+}

@@ -596,14 +596,16 @@ object Catalog {
       FROM orders GROUP BY 1 ORDER BY tier"""))
 
   /** F15 lenient numeric parse (int(float(x)) with bad→NULL,
-    * etl/load_users_from_minio.py:43-49): regexp extract + null-safe cast.
+    * etl/load_users_from_minio.py:43-49): regexp extract + try_cast.
+    * Spark 4 runs ANSI mode by default, where plain cast THROWS on
+    * malformed strings — try_cast is the null-on-failure contract.
     */
   val q32LenientParse: QuerySpec = QuerySpec(
     fn = (s, dir) =>
       Tables.customer(s, dir)
         .select(
           col("c_custkey"),
-          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("bigint").as("name_num"),
+          expr("try_cast(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)").as("name_num"),
           col("c_acctbal").cast("int").as("acctbal_int"))
         .orderBy(col("c_custkey")),
     oracle = Some("""
@@ -671,5 +673,5 @@ object Catalog {
     "q31_price_tiers" -> q31PriceTiers,
     "q32_lenient_parse" -> q32LenientParse,
     "q33_logloss_baseline" -> q33LoglossBaseline,
-  ) ++ PipelineCatalog.all
+  ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 }

