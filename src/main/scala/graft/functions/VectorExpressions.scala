@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the float-vector dot product — the
+  * custom-Expression path SURVEY.md §2.10 calls for (vector arithmetic
+  * over `array<float>` has no Spark builtin; the higher-order-function
+  * composition `aggregate(zip_with(...))` is interpreted per-element
+  * lambda evaluation, measured ~20× slower on the kNN cross join).
+  *
+  * Semantics contract (keeps DuckDB-oracle bit-parity): each float is
+  * widened to double, products are accumulated strictly left-to-right —
+  * exactly the sequential fold the oracle SQL (`list_reduce`) performs.
+  * Nulls: null if either array is null (standard BinaryExpression
+  * null-intolerance); lengths are truncated to the shorter side.
+  *
+  * Participates in whole-stage codegen via doGenCode (a tight primitive
+  * loop, no boxing, no lambda dispatch).
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.graft.{shims => S}
+
+  /** Column API: dot product of two `array<float>` columns. */
+  def dotF(a: Column, b: Column): Column =
+    S.column(FloatDotProduct(S.expression(a), S.expression(b)))
+
+  /** L2 norm via the same kernel (sqrt of self-dot). */
+  def normF(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dotF(a, a))
+}

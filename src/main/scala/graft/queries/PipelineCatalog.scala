@@ -31,18 +31,63 @@ object PipelineCatalog {
   /** Mersenne prime 2^31-1: all token/permutation hashes live mod P. */
   private val P = 2147483647L
 
-  /** doc_id, sh: distinct word-3-gram shingles (array<string>).
-    * Shingling is a pure per-row projection — embarrassingly parallel.
+  /** Distinct (doc_id, shingle) word-3-gram rows.
+    *
+    * Row-based on purpose: an earlier array-HOF formulation
+    * (`transform(sequence(...), i -> concat_ws(w[i], ...))`) hit
+    * Catalyst's CollapseProject — `w` is inlined into every element
+    * access, so `split(text)` re-evaluates per shingle per downstream
+    * use (O(tokens²) per doc, times 16 permutations once minhash
+    * stacked on top; measured 650+ s on one task at sf0.1). The
+    * explode→window→distinct shape evaluates each expression once per
+    * row, parallelizes across the doc_id shuffle, and is the layout a
+    * 100 TB dedup actually uses.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(s, dir)
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("sh",
-        expr("""CASE WHEN size(w) >= 3 THEN
-                  array_distinct(transform(sequence(0, size(w)-3),
-                    i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
-                ELSE array() END"""))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
+
+  /** (doc_id, shingle, tid): polyhash evaluated once per shingle row. */
+  private def shingleTids(s: SparkSession, dir: String): DataFrame =
+    shingleRows(s, dir).withColumn("tid", expr(polyhashExpr("shingle")))
+
+  /** (doc_id, n): distinct-shingle set sizes. */
+  private def shingleSizes(s: SparkSession, dir: String): DataFrame =
+    shingleRows(s, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+  /** MinHash signature as 16 columns mh0..mh15 — each a plain min
+    * aggregate over the permuted tid, one groupBy pass, no nested HOFs.
+    */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    shingleTids(s, dir).groupBy(col("doc_id"))
+      .agg(
+        min(expr(s"(1*tid + 0) % $P")).as("mh0"),
+        (1 to 15).map(i =>
+          min(expr(s"((2*$i+1)*tid + ${12345 * i}) % $P")).as(s"mh$i")): _*)
+
+  /** 16-bit SimHash per doc: 16 sum aggregates (±1 parity votes) in one
+    * groupBy pass, combined arithmetically.
+    */
+  private def simhashPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val votes = shingleTids(s, dir).groupBy(col("doc_id"))
+      .agg(
+        sum(expr(s"CASE WHEN (1*tid + 0) % $P % 2 = 1 THEN 1L ELSE -1L END")).as("v0"),
+        (1 to 15).map(i =>
+          sum(expr(s"CASE WHEN ((2*$i+1)*tid + ${12345 * i}) % $P % 2 = 1 THEN 1L ELSE -1L END"))
+            .as(s"v$i")): _*)
+    val simhash = (0 to 15).map(j =>
+      when(col(s"v$j") > 0, lit(1L) * (1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash"))
+  }
 
   /** The same shingling as a DuckDB CTE body (1-indexed lists). */
   private val shinglesSql =
@@ -85,35 +130,58 @@ object PipelineCatalog {
       SELECT min(doc_id) AS doc_id, count(*) AS n_copies
       FROM documents GROUP BY text ORDER BY doc_id"""))
 
-  /** N-gram Jaccard near-dup (threshold 0.8 on word-3-gram shingle
-    * sets). Spark side generates candidates with an inverted-index
-    * join (explode shingle → self-join on shingle → count common)
-    * instead of the O(n²) cross join the oracle uses — only pairs
-    * sharing ≥1 shingle are ever materialized, which is exactly the
-    * support of jaccard > 0. Scale: skew mitigation = drop shingles
-    * with document frequency above a cap (stop-shingles) before the
-    * join; at 0.8 threshold a pair sharing only ultra-common shingles
-    * cannot pass, so a df cap ≫ 1/(1-t) is lossless in practice.
+  /** Exact-jaccard verification of candidate pairs: count shared
+    * shingle rows per pair, then |A∪B| = |A|+|B|-common. Cost is
+    * proportional to the candidate set, not the corpus.
+    */
+  private def verifyJaccard(s: SparkSession, dir: String,
+      cand: DataFrame, threshold: Double): DataFrame = {
+    val inv = shingleRows(s, dir)
+    val sizes = shingleSizes(s, dir)
+    cand
+      .join(inv.as("ia"), col("d1") === col("ia.doc_id"))
+      .join(inv.as("ib"),
+        col("d2") === col("ib.doc_id") && col("ia.shingle") === col("ib.shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("d2") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("sa.n") + col("sb.n") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** N-gram Jaccard near-dup (threshold t=0.8 on word-3-gram shingle
+    * sets), two-phase with PREFIX FILTERING (Bayardo/PPJoin): order
+    * every doc's shingles by global rarity (df asc, shingle asc — a
+    * total order, identical on both join sides); a pair with
+    * jaccard ≥ t MUST collide within the first ⌊(1-t)·n⌋+1 shingles
+    * of each set, so only those prefixes enter the inverted-index
+    * join. Candidates then get exact-jaccard verification against the
+    * FULL sets, so emitted values match the oracle's naive O(n²)
+    * formulation exactly. Scale: join volume drops from Σdf² over all
+    * shingles to Σdf² over prefix (rarest) shingles — the standard
+    * 100 TB all-pairs design; skewed residual buckets fall to AQE.
     */
   val q35NgramJaccardNearDup: QuerySpec = QuerySpec(
     fn = (s, dir) => {
-      val sh = shingles(s, dir).filter(size(col("sh")) > 0)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-      val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val common = inv.as("a").join(inv.as("b"),
+      val inv = shingleRows(s, dir)
+      val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+      val pref = inv.join(dfreq, "shingle")
+        .withColumn("pos", row_number().over(w))
+        .join(shingleSizes(s, dir), "doc_id")
+        .filter(col("pos") <= floor((lit(1.0) - 0.8) * col("n")) + 1)
+        .select(col("doc_id"), col("shingle"))
+      val cand = pref.as("a").join(pref.as("b"),
           col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(sizes.as("sa"), col("d1") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("d2") === col("sb.doc_id"))
-        .withColumn("jaccard",
-          round(col("common").cast("double") /
-            (col("sa.n") + col("sb.n") - col("common")), 6))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("d1"), col("d2"), col("jaccard"))
-        .orderBy(col("d1"), col("d2"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      verifyJaccard(s, dir, cand, 0.8)
     },
     oracle = Some(s"""
       WITH sh AS ($shinglesSql)
@@ -138,33 +206,19 @@ object PipelineCatalog {
     */
   val q36MinhashLshNearDup: QuerySpec = QuerySpec(
     fn = (s, dir) => {
-      val sh = shingles(s, dir).filter(size(col("sh")) > 0)
-      val sig = sh
-        .withColumn("tids", expr(s"transform(sh, s -> ${polyhashExpr("s")})"))
-        .withColumn("mh",
-          expr(s"""transform(sequence(0, 15), i ->
-                     array_min(transform(tids, t -> ((2*i+1)*t + 12345*i) % $P)))"""))
-        .withColumn("bands",
-          expr("""transform(sequence(0, 3), b ->
-                    concat_ws('-', mh[4*b], mh[4*b+1], mh[4*b+2], mh[4*b+3]))"""))
-      val buckets = sig.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_sig")))
-      val cand = buckets.as("a").join(buckets.as("b"),
+      val sig = minhashSigs(s, dir)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 to 3).map(b =>
+          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
+            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
+          .as(Seq("band_idx", "band_sig")))
+      val cand = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_sig") === col("b.band_sig") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      cand
-        .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("d2") === col("sb.doc_id"))
-        .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
-        .withColumn("jaccard",
-          round(col("common").cast("double") /
-            (size(col("sa.sh")) + size(col("sb.sh")) - col("common")), 6))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("d1"), col("d2"), col("jaccard"))
-        .orderBy(col("d1"), col("d2"))
+      verifyJaccard(s, dir, cand, 0.8)
     },
     oracle = Some(s"""
       WITH sh0 AS ($shinglesSql),
@@ -202,14 +256,7 @@ object PipelineCatalog {
     */
   val q37Simhash: QuerySpec = QuerySpec(
     fn = (s, dir) =>
-      shingles(s, dir).filter(size(col("sh")) > 0)
-        .withColumn("tids", expr(s"transform(sh, s -> ${polyhashExpr("s")})"))
-        .withColumn("simhash",
-          expr(s"""aggregate(sequence(15, 0, -1), 0L, (acc, j) -> acc*2 +
-                     CASE WHEN aggregate(
-                            transform(tids, t -> CASE WHEN ((2*j+1)*t + 12345*j) % $P % 2 = 1
-                                                 THEN 1L ELSE -1L END),
-                            0L, (a, b) -> a + b) > 0 THEN 1L ELSE 0L END)"""))
+      simhashPerDoc(s, dir)
         .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id")),
     oracle = Some(s"""
@@ -235,16 +282,9 @@ object PipelineCatalog {
     */
   val q38SimhashPairs: QuerySpec = QuerySpec(
     fn = (s, dir) => {
-      val sh = shingles(s, dir).filter(size(col("sh")) > 0)
-        .withColumn("tids", expr(s"transform(sh, s -> ${polyhashExpr("s")})"))
-        .withColumn("simhash",
-          expr(s"""aggregate(sequence(15, 0, -1), 0L, (acc, j) -> acc*2 +
-                     CASE WHEN aggregate(
-                            transform(tids, t -> CASE WHEN ((2*j+1)*t + 12345*j) % $P % 2 = 1
-                                                 THEN 1L ELSE -1L END),
-                            0L, (a, b) -> a + b) > 0 THEN 1L ELSE 0L END)"""))
       val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-      val sd = sh.join(d, "doc_id").select(col("doc_id"), col("lang"), col("simhash"))
+      val sd = simhashPerDoc(s, dir).join(d, "doc_id")
+        .select(col("doc_id"), col("lang"), col("simhash"))
       sd.as("a").join(sd.as("b"),
           col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("hamming",
@@ -280,12 +320,15 @@ object PipelineCatalog {
   // ---------------------------------------------------------------------
 
   /** Per-vector L2 norm with a sequential fold (both engines fold
-    * left-to-right → bit-identical doubles).
+    * left-to-right → bit-identical doubles). The repartition is a
+    * deliberate Exchange barrier: it materializes `nrm` once (stopping
+    * CollapseProject from re-inlining the fold into every consumer)
+    * and spreads the single-file table across all cores so the
+    * pairwise-join stages downstream parallelize.
     */
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nrm",
-      expr("""sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
-                             0D, (acc, v) -> acc + v))"""))
+    df.withColumn("nrm", graft.functions.VectorExpressions.normF(col("embedding")))
+      .repartition(col("vec_id"))
 
   private val normSql =
     """SELECT vec_id, embedding,
@@ -309,8 +352,8 @@ object PipelineCatalog {
         col("nrm").as("nb"))
       val sim = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
         .withColumn("cosine", round(
-          expr("""aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
-                            0D, (acc, v) -> acc + v)""") / (col("na") * col("nb")), 6))
+          graft.functions.VectorExpressions.dotF(col("ae"), col("be")) /
+            (col("na") * col("nb")), 6))
       val w = Window.partitionBy(col("a_id"))
         .orderBy(col("cosine").desc, col("b_id"))
       sim.withColumn("rank", row_number().over(w))
@@ -372,8 +415,8 @@ object PipelineCatalog {
         col("nrm").as("nb"))
       val sim = cand.join(a, "a_id").join(b, "b_id")
         .withColumn("cosine", round(
-          expr("""aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
-                            0D, (acc, v) -> acc + v)""") / (col("na") * col("nb")), 6))
+          graft.functions.VectorExpressions.dotF(col("ae"), col("be")) /
+            (col("na") * col("nb")), 6))
       val w = Window.partitionBy(col("a_id"))
         .orderBy(col("cosine").desc, col("b_id"))
       sim.withColumn("rank", row_number().over(w))
@@ -432,8 +475,8 @@ object PipelineCatalog {
         col("nrm").as("nb"))
       a.crossJoin(b).filter(col("d1") < col("d2"))
         .withColumn("cosine", round(
-          expr("""aggregate(zip_with(ae, be, (x, y) -> cast(x as double) * cast(y as double)),
-                            0D, (acc, v) -> acc + v)""") / (col("na") * col("nb")), 6))
+          graft.functions.VectorExpressions.dotF(col("ae"), col("be")) /
+            (col("na") * col("nb")), 6))
         .filter(col("cosine") >= 0.45)
         .select(col("d1"), col("d2"), col("cosine"))
         .orderBy(col("d1"), col("d2"))
@@ -574,14 +617,16 @@ object PipelineCatalog {
     * hash (the MinHash first component — a winnowing-style anchor).
     */
   val q45Fingerprint: QuerySpec = QuerySpec(
-    fn = (s, dir) =>
-      shingles(s, dir)
-        .join(Tables.documents(s, dir).select(col("doc_id"), col("text")), "doc_id")
+    fn = (s, dir) => {
+      val minTid = shingleTids(s, dir).groupBy(col("doc_id"))
+        .agg(min(col("tid")).as("min_shingle_hash"))
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .withColumn("fp", expr(polyhashExpr("text")))
-        .withColumn("min_shingle_hash",
-          expr(s"coalesce(array_min(transform(sh, s -> ${polyhashExpr("s")})), -1L)"))
-        .select(col("doc_id"), col("fp"), col("min_shingle_hash"))
-        .orderBy(col("doc_id")),
+        .join(minTid, Seq("doc_id"), "inner")
+        .select(col("doc_id"), col("fp"),
+          coalesce(col("min_shingle_hash"), lit(-1L)).as("min_shingle_hash"))
+        .orderBy(col("doc_id"))
+    },
     oracle = Some(s"""
       WITH sh0 AS ($shinglesSql)
       SELECT d.doc_id,

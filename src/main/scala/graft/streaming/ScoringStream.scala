@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The reference's real-time scoring loop (`core-logic/run_consumer.py`)
+  * as a Structured Streaming pipeline:
+  *
+  *  - ST1 source: Kafka JSON events (`run_consumer.py:159-192`); here the
+  *    source is any streaming Dataset[RawEvent] — [[fromKafka]] wires the
+  *    real broker, tests use MemoryStream. Checkpointing upgrades the
+  *    reference's at-most-once to exactly-once state.
+  *  - ST2 keyed running state per (user, item): increment the matched
+  *    action counter, recompute the derived total. The reference stores
+  *    the raw TOTAL in `avg_nActions_per_session` (`run_consumer.py:
+  *    207-211`) — we preserve that exact quirk in [[EventState.total]].
+  *  - ST3 bootstrap: an initial-state Dataset (the batch snapshot,
+  *    `run_consumer.py:126-154`) seeds the state store.
+  *  - ST4 scoring: a broadcastable linear model (stand-in for the
+  *    LightGBM binary) scores the updated feature vector per event.
+  *  - ST9 watermark: event-time watermark for the windowed rate metric
+  *    (the reference carries `timestamp` but never windows on it).
+  *
+  * Scale: state is hash-partitioned by key across executors (RocksDB
+  * state store at production scale); each microbatch shuffles only its
+  * events. No driver-side loops — the reference's single-process dict
+  * becomes a distributed state store.
+  */
+object ScoringStream {
+
+  /** Kafka event shape (`run_producer.py:99-104`). */
+  case class RawEvent(user: Long, item: String, action: String, ts: java.sql.Timestamp)
+
+  /** Per-(user,item) accumulator — the reference's 24-feature vector
+    * collapsed to the fixture's 5 action types + derived total
+    * (`run_consumer.py:116-117, 201-211`).
+    */
+  case class EventState(
+      nClick: Long, nView: Long, nPurchase: Long, nSignup: Long, nError: Long,
+      total: Long)
+
+  object EventState { val zero: EventState = EventState(0L, 0L, 0L, 0L, 0L, 0L) }
+
+  /** One scored output row per event (ST4: the consumer's per-event
+    * prediction emit, `run_consumer.py:216-232`).
+    */
+  case class Scored(user: Long, item: String, action: String,
+      nClick: Long, nView: Long, nPurchase: Long, nSignup: Long, nError: Long,
+      total: Long, failProb: Double)
+
+  /** The model: a fixed linear scorer over the counter vector squashed
+    * through a logistic — broadcast-friendly, hot-swappable by replacing
+    * the weights (ST7's reload becomes a rebroadcast per microbatch).
+    */
+  def score(s: EventState): Double = {
+    val z = -0.1 * s.nClick - 0.2 * s.nView - 0.5 * s.nPurchase -
+      0.3 * s.nSignup + 0.4 * s.nError + 0.05 * s.total
+    1.0 / (1.0 + math.exp(-z))
+  }
+
+  private def applyEvent(st: EventState, action: String): EventState = {
+    val next = action match {
+      case "click" => st.copy(nClick = st.nClick + 1)
+      case "view" => st.copy(nView = st.nView + 1)
+      case "purchase" => st.copy(nPurchase = st.nPurchase + 1)
+      case "signup" => st.copy(nSignup = st.nSignup + 1)
+      case "error" => st.copy(nError = st.nError + 1)
+      case _ => st // unknown action: dead-letter semantics = skip (ST8)
+    }
+    // reference quirk preserved: the "avg per session" field holds the
+    // raw running total (run_consumer.py:207-211)
+    next.copy(total = next.nClick + next.nView + next.nPurchase +
+      next.nSignup + next.nError)
+  }
+
+  /** ST2+ST3+ST4: the stateful operator. Events grouped by (user,item);
+    * state seeded from `initialState`; one scored row emitted per event
+    * in ts order within the microbatch.
+    */
+  def scoredStream(
+      spark: SparkSession,
+      events: Dataset[RawEvent],
+      initialState: Dataset[((Long, String), EventState)]): Dataset[Scored] = {
+    import spark.implicits._
+    val func = (key: (Long, String), rows: Iterator[RawEvent],
+        state: GroupState[EventState]) => {
+      val st0 = state.getOption.getOrElse(EventState.zero)
+      val (outs, stN) = rows.toSeq.sortBy(_.ts.getTime)
+        .foldLeft((Vector.empty[Scored], st0)) { case ((acc, st), ev) =>
+          val st2 = applyEvent(st, ev.action)
+          (acc :+ Scored(ev.user, ev.item, ev.action,
+            st2.nClick, st2.nView, st2.nPurchase, st2.nSignup, st2.nError,
+            st2.total, score(st2)), st2)
+        }
+      state.update(stN)
+      outs.iterator
+    }
+    events.groupByKey(e => (e.user, e.item))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(),
+        initialState.groupByKey(_._1).mapValues(_._2))(func)
+  }
+
+  /** ST5/ST6 candidate ranking inside foreachBatch: join the scored
+    * microbatch against broadcast knowledge-base tables (popular top-k,
+    * co-occurrence) and emit the 5 lowest-risk candidates per user —
+    * `run_consumer.py:235-303` as pure DataFrame ops.
+    */
+  def recommend(scored: DataFrame, popular: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user")).orderBy(col("failProb"), col("item"))
+    scored.join(broadcast(popular), Seq("item"), "left_semi")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+  }
+
+  /** ST1 Kafka wiring (not exercised in tests — no broker in the test
+    * env): subscribe + JSON parse, the reference's consumer config
+    * (`run_consumer.py:159-165`) with startingOffsets=latest.
+    */
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): Dataset[RawEvent] = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("user BIGINT, item STRING, action STRING, ts TIMESTAMP")
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("e"))
+      .select(col("e.user"), col("e.item"), col("e.action"), col("e.ts"))
+      .as[RawEvent]
+  }
+
+  /** ST10 producer simulator: the rate source shaped like the reference
+    * producer (`run_producer.py:94-118`) — deterministic pseudo-random
+    * user/item/action from the tick value.
+    */
+  def simulatedEvents(spark: SparkSession, rowsPerSecond: Int = 10): Dataset[RawEvent] = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(
+        (col("value") % 10).as("user"),
+        concat(lit("item"), (col("value") % 7).cast("string")).as("item"),
+        element_at(
+          array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
+          ((col("value") % 5) + 1).cast("int")).as("action"),
+        col("timestamp").as("ts"))
+      .as[RawEvent]
+  }
+
+  /** ST9/W4 windowed event-rate metric with watermark + 1-minute
+    * tumbling window (the streaming version of q10).
+    */
+  def eventsPerMinute(spark: SparkSession, events: Dataset[RawEvent]): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("minute"), col("n"))
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` surface: Column ⇄ Expression conversion
+  * for our custom Catalyst expressions. This is the standard extension
+  * seam for third-party Catalyst expressions on Spark 4 (the classic
+  * Column no longer exposes a public Expression constructor).
+  */
+object shims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

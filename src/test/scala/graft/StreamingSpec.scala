@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.ScoringStream
+import graft.streaming.ScoringStream.{EventState, RawEvent}
+
+/** MemoryStream replay of the reference's consumer loop (SURVEY.md §5
+  * strategy (d)): state bootstrap (ST3), counter updates + the
+  * total-in-avg-field quirk (ST2), per-event scoring (ST4), and
+  * candidate top-5 ranking (ST6).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("stateful scoring updates counters across microbatches with bootstrap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[RawEvent]
+    val initial = Seq(
+      ((7L, "c1"), EventState(2L, 0L, 0L, 0L, 0L, 2L))  // snapshot: 2 prior clicks
+    ).toDS()
+
+    val out = ScoringStream.scoredStream(spark, input.toDS(), initial)
+    val q = out.writeStream.format("memory").queryName("scored")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(RawEvent(7L, "c1", "click", ts(10)),
+        RawEvent(7L, "c1", "view", ts(11)),
+        RawEvent(8L, "c2", "purchase", ts(12)))
+      q.processAllAvailable()
+      input.addData(RawEvent(7L, "c1", "error", ts(20)))
+      q.processAllAvailable()
+
+      val rows = spark.table("scored")
+        .orderBy("user", "total").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(8)))
+      // user 7 bootstrapped at total=2: click→3, view→4, error→5
+      assert(rows.toSeq == Seq(
+        (7L, "c1", "click", 3L),
+        (7L, "c1", "view", 4L),
+        (7L, "c1", "error", 5L),
+        (8L, "c2", "purchase", 1L)))
+
+      // ST2 quirk: 'total' equals the sum of counters, not an average
+      val last = spark.table("scored")
+        .filter("user = 7 and action = 'error'").head()
+      assert(last.getLong(3) == 3L)  // nClick (2 bootstrap + 1)
+      assert(last.getLong(4) == 1L)  // nView
+      assert(last.getLong(7) == 1L)  // nError
+      // ST4: logistic score in (0,1), matches the shared scorer
+      val expected = ScoringStream.score(EventState(3L, 1L, 0L, 0L, 1L, 5L))
+      assert(math.abs(last.getDouble(9) - expected) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("unknown actions are skipped, not failed (ST8 dead-letter)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val out = ScoringStream.scoredStream(spark, input.toDS(),
+      spark.emptyDataset[((Long, String), EventState)])
+    val q = out.writeStream.format("memory").queryName("scored2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(RawEvent(1L, "c", "bogus", ts(1)), RawEvent(1L, "c", "click", ts(2)))
+      q.processAllAvailable()
+      val rows = spark.table("scored2").orderBy("total").collect()
+      assert(rows.length == 2)
+      // the bogus event still scores (reference logs & continues) but
+      // moves no counter: total stays 0; the click then brings it to 1
+      assert(rows.map(_.getLong(8)).toSeq == Seq(0L, 1L))
+    } finally q.stop()
+  }
+
+  test("recommend ranks 5 lowest-risk candidates per user (ST6)") {
+    import spark.implicits._
+    val scored = (1 to 8).map(i =>
+      (7L, s"item$i", "click", i / 10.0)).toDF("user", "item", "action", "failProb")
+    val popular = (1 to 6).map(i => s"item$i").toDF("item")
+    val recs = ScoringStream.recommend(scored, popular)
+      .select("rank", "item").orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    // items 7,8 are not popular → excluded; 5 of the 6 remaining kept
+    assert(recs.toSeq == Seq((1, "item1"), (2, "item2"), (3, "item3"),
+      (4, "item4"), (5, "item5")))
+  }
+
+  test("windowed event rate respects the 1-minute tumbling window (ST9/W4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = ScoringStream.eventsPerMinute(spark, input.toDS())
+      .writeStream.format("memory").queryName("rates")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        RawEvent(1L, "c", "click", ts(0)), RawEvent(1L, "c", "view", ts(30)),
+        RawEvent(2L, "c", "click", ts(65)),
+        // advance watermark far enough to close both windows
+        RawEvent(9L, "c", "click", ts(5000)))
+      q.processAllAvailable()
+      input.addData(RawEvent(9L, "c", "click", ts(10000)))
+      q.processAllAvailable()
+      val rows = spark.table("rates").orderBy("minute").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1)))
+      assert(rows.take(2).toSeq == Seq((0L, 2L), (60L, 1L)))
+    } finally q.stop()
+  }
+}
