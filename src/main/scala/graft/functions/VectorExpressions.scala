@@ -70,8 +70,69 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd polynomial rolling hash over an ASCII string:
+  * `acc = (acc*31 + byte) % (2^31-1)` left-to-right — byte-for-byte the
+  * fold the DuckDB oracle computes with
+  * `list_reduce(string_split_regex(s,''), ascii, ...)`. ASCII-only by
+  * contract (for multi-byte codepoints ascii() and the byte loop
+  * diverge; fixture text is ASCII). Replaces an interpreted
+  * `aggregate(transform(split(s,'')))` HOF chain that dominated the
+  * minhash pipeline (per-char lambda dispatch on millions of rows).
+  */
+case class AsciiPolyHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private final val P = 2147483647L
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_polyhash expects string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xffL)) % P
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AsciiPolyHash.hash($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiPolyHash =
+    copy(child = newChild)
+}
+
+object AsciiPolyHash {
+  /** Shared kernel for both interpreted and generated paths. */
+  def hash(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xffL)) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.graft.{shims => S}
+
+  /** Column API: ASCII polynomial rolling hash of a string column. */
+  def polyHash(c: Column): Column =
+    S.column(AsciiPolyHash(S.expression(c)))
 
   /** Column API: dot product of two `array<float>` columns. */
   def dotF(a: Column, b: Column): Column =

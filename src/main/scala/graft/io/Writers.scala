@@ -1,0 +1,78 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources/sinks from SURVEY.md §2.1 that are engine code rather than
+  * catalog queries.
+  */
+object Writers {
+
+  /** S4/S17: insert-if-absent upsert — the reference's
+    * `INSERT ... ON CONFLICT (pk) DO NOTHING` (first-writer-wins,
+    * `etl/load_users_from_minio.py:93-97`) as a pure DataFrame
+    * combinator: dedupe the incoming batch to one deterministic
+    * representative per key (smallest by `orderCols`), then append
+    * only keys absent from the existing table (left_anti).
+    *
+    * Idempotent: applying the same batch twice is a no-op — the spec
+    * asserts it. Scale: one shuffle on the key for the window dedup +
+    * one join (broadcast when the incoming side is small); on a
+    * lakehouse table this maps 1:1 to MERGE INTO WHEN NOT MATCHED.
+    */
+  def upsertNothing(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val deduped = incoming
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    existing.unionByName(deduped.join(existing, keys, "left_anti"))
+  }
+
+  /** S2: lenient CSV scan — explicit schema, PERMISSIVE mode, corrupt
+    * rows quarantined in `_corrupt_record` instead of failing the job
+    * (the reference's per-row try/except skip,
+    * `etl/load_interactions_from_minio.py:95-119`).
+    */
+  def lenientCsv(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
+  /** S5: partitioned JDBC scan options — the reference reads the whole
+    * fact table through ONE partition (`batch_als_train.py:116-117`),
+    * a scalability bug; this is the parallel-scan configuration that
+    * fixes it (numPartitions range-splits on the watermark column).
+    * Returned as the option map so tests can pin it without a live DB.
+    */
+  def partitionedJdbcOptions(url: String, table: String, partitionCol: String,
+      lower: Long, upper: Long, numPartitions: Int): Map[String, String] =
+    Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "partitionColumn" -> partitionCol,
+      "lowerBound" -> lower.toString,
+      "upperBound" -> upper.toString,
+      "numPartitions" -> numPartitions.toString,
+      "fetchsize" -> "10000",
+      "pushDownPredicate" -> "true")
+
+  /** S17/W1: append-only model registry + "active model" view — the
+    * reference flips `is_active` with a two-statement transaction
+    * (`train_module.py:106-157`); the scalable design is append-only
+    * writes with the active row derived by a window (latest
+    * created_at per model_name wins). No transaction needed.
+    */
+  def activeModels(registry: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("model_name"))
+      .orderBy(col("created_at").desc)
+    registry.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -43,21 +43,35 @@ object PipelineCatalog {
     * row, parallelizes across the doc_id shuffle, and is the layout a
     * 100 TB dedup actually uses.
     */
-  private def shingleRows(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
-  }
+  private val shingleRowCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** (doc_id, shingle, tid): polyhash evaluated once per shingle row. */
+  private def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowCache.getOrElseUpdate(dir, {
+      // The repartition is a deliberate Exchange barrier: it
+      // materializes the token array once, so the shingle transform
+      // reads `w` as an attribute (CollapseProject cannot cross an
+      // Exchange and re-inline split(text) per element — the O(n²)
+      // trap), and it spreads docs across all cores. array_distinct
+      // per doc replaces a corpus-wide distinct shuffle; explode then
+      // yields the inverted-index rows every dedup consumer joins on.
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(CASE WHEN size(w) >= 3 THEN
+               transform(sequence(0, size(w)-3),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+             ELSE array() END)""")).as("shingle"))
+        // several dedup queries fan out over this table 2-3 times each;
+        // persist once per fixture dir (bounded: ~260k rows at sf0.1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** (doc_id, shingle, tid): codegen polyhash, once per shingle row. */
   private def shingleTids(s: SparkSession, dir: String): DataFrame =
-    shingleRows(s, dir).withColumn("tid", expr(polyhashExpr("shingle")))
+    shingleRows(s, dir).withColumn("tid",
+      graft.functions.VectorExpressions.polyHash(col("shingle")))
 
   /** (doc_id, n): distinct-shingle set sizes. */
   private def shingleSizes(s: SparkSession, dir: String): DataFrame =
@@ -328,7 +342,10 @@ object PipelineCatalog {
     */
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", graft.functions.VectorExpressions.normF(col("embedding")))
-      .repartition(col("vec_id"))
+      // explicit partition count: the pairwise-join stage downstream
+      // must fan out across all cores even when AQE would coalesce the
+      // (tiny-bytes, compute-heavy) shuffle into one partition
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
 
   private val normSql =
     """SELECT vec_id, embedding,
@@ -621,7 +638,7 @@ object PipelineCatalog {
       val minTid = shingleTids(s, dir).groupBy(col("doc_id"))
         .agg(min(col("tid")).as("min_shingle_hash"))
       Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .withColumn("fp", expr(polyhashExpr("text")))
+        .withColumn("fp", graft.functions.VectorExpressions.polyHash(col("text")))
         .join(minTid, Seq("doc_id"), "inner")
         .select(col("doc_id"), col("fp"),
           coalesce(col("min_shingle_hash"), lit(-1L)).as("min_shingle_hash"))

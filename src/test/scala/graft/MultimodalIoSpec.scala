@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Writers
+import graft.multimodal.BinaryPipeline
+
+/** Multimodal binary plumbing + io writers. */
+class MultimodalIoSpec extends SparkSpec {
+
+  test("decodeFrames produces the frame contract from binary payloads") {
+    val media = BinaryPipeline.mediaFromDocuments(spark, sf0001)
+    val frames = BinaryPipeline.decodeFrames(media,
+      new BinaryPipeline.StubDecoder(frameStride = 64, featDim = 8))
+    assert(frames.schema == BinaryPipeline.frameSchema)
+    val n = frames.count()
+    assert(n > 500, s"expected multiple frames per doc, got $n") // multi-frame docs exist
+    // deterministic: same payload → same features
+    val f0 = frames.filter("media_id = 0 and frame_idx = 0")
+      .select("features").head().getSeq[Float](0)
+    val f0again = BinaryPipeline.decodeFrames(media,
+      new BinaryPipeline.StubDecoder(64, 8))
+      .filter("media_id = 0 and frame_idx = 0")
+      .select("features").head().getSeq[Float](0)
+    assert(f0 == f0again)
+    assert(f0.forall(v => v >= -0.5f && v <= 0.5f))
+  }
+
+  test("frame sampling and feature resize keep the plan per-row") {
+    val media = BinaryPipeline.mediaFromDocuments(spark, sf0001)
+    val frames = BinaryPipeline.decodeFrames(media,
+      new BinaryPipeline.StubDecoder(32, 16)).cache()
+    val sampled = BinaryPipeline.sampleFrames(frames, 2)
+    assert(sampled.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    val resized = BinaryPipeline.resizeFeatures(sampled, 4)
+    val row = resized.select("features").head().getSeq[Float](0)
+    assert(row.length == 4)
+    // average-pool of 16 dims into 4 buckets of 4
+    val orig = sampled.select("features").head().getSeq[Float](0)
+    val expect0 = orig.take(4).map(_.toDouble).sum / 4.0
+    assert(math.abs(row(0) - expect0) < 1e-6)
+  }
+
+  test("upsertNothing is first-writer-wins and idempotent (S4)") {
+    import spark.implicits._
+    val tbl = Seq((1L, "keep")).toDF("id", "v")
+    val batch = Seq((1L, "CLOBBER"), (2L, "b2"), (2L, "a-first")).toDF("id", "v")
+    val once = Writers.upsertNothing(tbl, batch, Seq("id"), Seq("v"))
+    val twice = Writers.upsertNothing(once, batch, Seq("id"), Seq("v"))
+    val out = twice.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "keep"), (2L, "a-first")))
+  }
+
+  test("lenientCsv quarantines malformed rows instead of failing (S2)") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "in.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id,val"); w.println("1,10"); w.println("bad_row_no_comma_val,xx")
+    w.println("2,20"); w.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("val", LongType)))
+    val df = Writers.lenientCsv(spark, schema, f.getAbsolutePath).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("id").isNotNull).count() == 2)
+  }
+
+  test("activeModels derives the latest row per model (S17/W1)") {
+    import spark.implicits._
+    val reg = Seq(
+      ("als", 1L, 0.8), ("als", 3L, 0.9), ("gbt", 2L, 0.7),
+    ).toDF("model_name", "created_at", "auc")
+    val act = Writers.activeModels(reg).orderBy("model_name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(act.toSeq == Seq(("als", 3L), ("gbt", 2L)))
+  }
+
+  test("partitioned JDBC options fix the reference's single-partition scan (S5)") {
+    val opts = Writers.partitionedJdbcOptions(
+      "jdbc:postgresql://host/db", "interactions", "event_ts", 0L, 1000000L, 32)
+    assert(opts("numPartitions") == "32" && opts("partitionColumn") == "event_ts")
+  }
+}
