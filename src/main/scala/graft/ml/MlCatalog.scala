@@ -262,6 +262,18 @@ object MlCatalog {
         SELECT DISTINCT l_partkey AS id, 'item' AS role FROM lineitem)
       ORDER BY role, id"""))
 
+  /** S16 Spark ML model persistence (`batch_als_train.py:196-207`):
+    * save with overwrite, reload, factor-for-factor parity.
+    */
+  def saveAndReloadAls(s: SparkSession, dir: String, path: String): Boolean = {
+    val m = alsModel(s, dir)
+    m.write.overwrite().save(path)
+    val loaded = ALSModel.load(path)
+    val a = m.userFactors.orderBy("id").collect().map(_.toString)
+    val b = loaded.userFactors.orderBy("id").collect().map(_.toString)
+    a.sameElements(b)
+  }
+
   val all: Map[String, QuerySpec] = Map(
     "m01_als_user_factors" -> m01AlsUserFactors,
     "m02_als_recommendations" -> m02AlsRecommendations,

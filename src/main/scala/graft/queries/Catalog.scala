@@ -635,6 +635,19 @@ object Catalog {
              round(avg(y), 6) AS base_rate
       FROM l, r"""))
 
+  /** A2 scale path: HyperLogLog approximate distinct beside the exact
+    * count (SURVEY.md §2.4 A2 — "at 100 TB offer approx_count_distinct
+    * as the fast path"). No oracle: HLL sketch values are
+    * engine-specific; the spec asserts the 2% rsd contract instead.
+    */
+  val q48ApproxDistinct: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+    oracle = None)
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -673,5 +686,6 @@ object Catalog {
     "q31_price_tiers" -> q31PriceTiers,
     "q32_lenient_parse" -> q32LenientParse,
     "q33_logloss_baseline" -> q33LoglossBaseline,
+    "q48_approx_distinct" -> q48ApproxDistinct,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 }

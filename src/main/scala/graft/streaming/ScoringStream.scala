@@ -159,4 +159,51 @@ object ScoringStream {
       .groupBy(window(col("ts"), "1 minute"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("minute"), col("n"))
+
+  /** S8 Kafka producer sink (`run_producer.py:79-106`): JSON-encode the
+    * whole row into `value`. Wiring-only here (no broker in the test
+    * env); exactly-once via the checkpoint.
+    */
+  def toKafka(df: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.selectExpr("to_json(struct(*)) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** S12 append-only event log (`run_consumer.py:195-196`): one CSV
+    * append sink per microbatch.
+    */
+  def eventLogSink(events: Dataset[RawEvent], path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[RawEvent] =
+    events.writeStream.format("csv")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
+  /** S13 last-recommendation JSON snapshot (`run_consumer.py:348-360`)
+    * + ST7 hot model reload (`run_consumer.py:40-76`): foreachBatch
+    * gives a per-microbatch driver hook — `reload` polls the model
+    * registry/artifact mtime (the reference's 10 s CHECK_INTERVAL is
+    * the trigger interval here) and swaps the broadcast scorer before
+    * the batch writes its snapshot. Zero-downtime: in-flight batches
+    * finish on the old model.
+    */
+  def snapshotSink(scored: DataFrame, outDir: String, checkpoint: String,
+      reload: () => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    scored.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        reload()
+        batch.write.mode("overwrite").json(s"$outDir/latest")
+      }
+
+  /** ST11 bounded run (`recsys_pipeline.py:24`: `timeout 600 ...`):
+    * run the query for at most `millis`, then stop cleanly.
+    */
+  def runFor(q: org.apache.spark.sql.streaming.StreamingQuery, millis: Long): Unit = {
+    q.awaitTermination(millis)
+    if (q.isActive) q.stop()
+  }
 }

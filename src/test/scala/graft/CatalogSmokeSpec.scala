@@ -34,12 +34,20 @@ class CatalogSmokeSpec extends SparkSpec {
   }
 
   test("oracle SQL exists for every SQL-expressible query") {
-    // every no-oracle entry must be an ML/partitioning-dependent op
+    // no-oracle entries must be partitioning- or sketch-dependent ops
+    val allowed = Set("q48_approx_distinct") // HLL sketch: engine-specific
     val noOracle = Catalog.all.collect {
       case (n, s) if s.oracle.isEmpty => n
     }.toSet
-    assert(noOracle.forall(_.startsWith("m")),
+    assert(noOracle.forall(n => n.startsWith("m") || allowed(n)),
       s"non-ML queries missing oracles: $noOracle")
+  }
+
+  test("HLL approx distinct honors the 2% rsd contract (A2 scale path)") {
+    val r = Catalog.all("q48_approx_distinct").fn(spark, sf0001).head()
+    val exact = r.getLong(0).toDouble
+    assert(math.abs(r.getLong(1) - exact) / exact < 0.06,
+      s"approx ${r.getLong(1)} too far from exact $exact")
   }
 
   test("flagship entry returns rows (driver smoke)") {
