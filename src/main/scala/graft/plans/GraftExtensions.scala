@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{AsciiPolyHash, FloatDotProduct}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions so `spark.sql` users get them
+  * without the Scala Column API —
+  *
+  *   spark.sql("SELECT graft_dot(a.embedding, b.embedding) ...")
+  *   spark.sql("SELECT graft_polyhash(text) ...")
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or by calling [[GraftExtensions.register]] on a live session.
+  *
+  * No custom Rule/SparkStrategy is injected on purpose: the engine's
+  * whole relational surface lowers to stock Catalyst operators
+  * (SURVEY.md §4 — Catalyst already performs every rewrite this
+  * workload can use; our extensions are scalar-expression-level only).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotFn)
+    ext.injectFunction(GraftExtensions.polyhashFn)
+  }
+}
+
+object GraftExtensions {
+  private type FnDesc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val dotFn: FnDesc = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_dot(array<float>, array<float>)")
+      FloatDotProduct(args(0), args(1))
+    })
+
+  val polyhashFn: FnDesc = (
+    FunctionIdentifier("graft_polyhash"),
+    new ExpressionInfo(classOf[AsciiPolyHash].getName, "graft_polyhash"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_polyhash(string)")
+      AsciiPolyHash(args(0))
+    })
+
+  /** Register on an already-built session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(dotFn, polyhashFn).foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.shims.registerFunction(spark, id, info, builder)
+    }
+}

@@ -59,7 +59,7 @@ object ScoringStream {
     1.0 / (1.0 + math.exp(-z))
   }
 
-  private def applyEvent(st: EventState, action: String): EventState = {
+  private[streaming] def applyEvent(st: EventState, action: String): EventState = {
     val next = action match {
       case "click" => st.copy(nClick = st.nClick + 1)
       case "view" => st.copy(nView = st.nView + 1)

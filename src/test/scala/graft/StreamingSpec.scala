@@ -78,6 +78,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState processor matches flatMapGroupsWithState outputs (ST2, Spark-4 path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.ScoringProcessor.configureRocksDb(spark)
+    try {
+      val input = MemoryStream[RawEvent]
+      val initial = Seq(
+        ((7L, "c1"), EventState(2L, 0L, 0L, 0L, 0L, 2L))).toDS()
+      val out = graft.streaming.ScoringProcessor.scoredStreamTws(spark, input.toDS(), initial)
+      val q = out.writeStream.format("memory").queryName("scored_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(RawEvent(7L, "c1", "click", ts(10)),
+          RawEvent(7L, "c1", "view", ts(11)),
+          RawEvent(8L, "c2", "purchase", ts(12)))
+        q.processAllAvailable()
+        val rows = spark.table("scored_tws")
+          .orderBy("user", "total").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(8)))
+        // identical expectations to the flatMapGroupsWithState spec
+        assert(rows.toSeq == Seq(
+          (7L, "c1", "click", 3L),
+          (7L, "c1", "view", 4L),
+          (8L, "c2", "purchase", 1L)))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("recommend ranks 5 lowest-risk candidates per user (ST6)") {
     import spark.implicits._
     val scored = (1 to 8).map(i =>
