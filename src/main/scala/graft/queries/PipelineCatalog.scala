@@ -557,6 +557,56 @@ object PipelineCatalog {
              greatest(c_de, c_en, c_es, c_fr, c_zh) AS score
       FROM t ORDER BY doc_id"""))
 
+  /** Language-ID, char-n-gram variant: per-language reference profiles
+    * over 6 character bigrams; doc is scored by the dot product of its
+    * bigram-frequency vector with each profile (counts via the
+    * substring-erasure identity `(len(s)-len(replace(s,bg,'')))/2` —
+    * engine-portable, shuffle-free). Complements q42's marker-word
+    * heuristic with the classic n-gram-profile method (Cavnar-Trenkle
+    * shape).
+    */
+  val q49LangIdNgram: QuerySpec = {
+    val bigrams = Seq("ta", "qu", "er", "st", "ow", "in")
+    // per-language profile weights over those bigrams (fixed literals)
+    val profiles = Seq(
+      "de" -> Seq(1.0, 0.2, 3.5, 2.2, 0.5, 1.0),
+      "en" -> Seq(1.4, 0.5, 3.0, 1.7, 1.2, 1.5),
+      "es" -> Seq(1.2, 1.5, 3.1, 1.8, 0.3, 1.1),
+      "fr" -> Seq(1.1, 1.8, 3.3, 1.6, 0.4, 1.2),
+      "zh" -> Seq(1.2, 0.4, 3.0, 2.4, 0.8, 1.0))
+    def cntExpr(bg: String) = s"(length(text) - length(replace(text, '$bg', ''))) / 2"
+    def scoreExpr(ws: Seq[Double]) =
+      bigrams.zip(ws).map { case (bg, w) => s"$w * ${cntExpr(bg)}" }
+        .mkString("round((", " + ", ") / length(text), 6)")
+    QuerySpec(
+      fn = (s, dir) => {
+        val scored = profiles.foldLeft(Tables.documents(s, dir)) {
+          case (d, (lang, ws)) => d.withColumn(s"s_$lang", expr(scoreExpr(ws)))
+        }
+        val mx = greatest(profiles.map { case (l, _) => col(s"s_$l") }: _*)
+        scored
+          .withColumn("pred_lang",
+            profiles.init.foldRight(lit(profiles.last._1)) { case ((l, _), els) =>
+              when(col(s"s_$l") === mx, l).otherwise(els)
+            })
+          .select(col("doc_id"), col("pred_lang"),
+            round(mx, 6).as("score"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val scores = profiles.map { case (l, ws) => s"${scoreExpr(ws)} AS s_$l" }
+          .mkString(", ")
+        val mx = profiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val pred = profiles.init.foldRight(s"'${profiles.last._1}'") {
+          case ((l, _), els) => s"CASE WHEN s_$l = $mx THEN '$l' ELSE $els END"
+        }
+        s"""
+        WITH t AS (SELECT doc_id, $scores FROM documents)
+        SELECT doc_id, $pred AS pred_lang, round($mx, 6) AS score
+        FROM t ORDER BY doc_id"""
+      })
+  }
+
   /** Quality scoring: token count, mean token length, stopword ratio →
     * bounded composite score + tier. Per-row map, shuffle-free.
     */
@@ -745,6 +795,7 @@ object PipelineCatalog {
     "q40_embedding_lsh_ann" -> q40EmbeddingLshAnn,
     "q41_embedding_neardup" -> q41EmbeddingNearDup,
     "q42_lang_id" -> q42LangId,
+    "q49_lang_id_ngram" -> q49LangIdNgram,
     "q43_quality_score" -> q43QualityScore,
     "q44_token_stats" -> q44TokenStats,
     "q45_fingerprint" -> q45Fingerprint,
