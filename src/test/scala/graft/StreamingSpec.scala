@@ -120,6 +120,27 @@ class StreamingSpec extends SparkSpec {
       (4, "item4"), (5, "item5")))
   }
 
+  test("snapshot sink invokes the hot-reload hook per microbatch (ST7/S13)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val out = ScoringStream.scoredStream(spark, input.toDS(),
+      spark.emptyDataset[((Long, String), EventState)])
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val reloads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = ScoringStream.snapshotSink(out.toDF(), s"$dir/out", s"$dir/ckpt",
+      () => { reloads.incrementAndGet(); () }).start()
+    try {
+      input.addData(RawEvent(1L, "c", "click", ts(1)))
+      q.processAllAvailable()
+      input.addData(RawEvent(1L, "c", "view", ts(2)))
+      q.processAllAvailable()
+      assert(reloads.get() >= 2, s"reload hook ran ${reloads.get()} times")
+      val snap = spark.read.json(s"$dir/out/latest")
+      assert(snap.count() == 1) // overwrite semantics: only the last batch
+    } finally q.stop()
+  }
+
   test("windowed event rate respects the 1-minute tumbling window (ST9/W4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
