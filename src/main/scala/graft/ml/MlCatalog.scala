@@ -262,6 +262,62 @@ object MlCatalog {
         SELECT DISTINCT l_partkey AS id, 'item' AS role FROM lineitem)
       ORDER BY role, id"""))
 
+  /** IVF approximate nearest neighbor — the second scale path beside
+    * hyperplane-LSH (q40): a k-means coarse quantizer (spark.ml,
+    * seeded) builds 16 inverted lists (each vector indexed under its
+    * nearest centroid); a query probes its nprobe=2 nearest lists and
+    * runs exact cosine top-3 inside them — the standard IVF
+    * search. At 100 TB: raise k so each list fits an executor, raise
+    * nprobe for recall, and the probe join stays a centroid-broadcast
+    * + list-bucket shuffle. Rows-only check (k-means centers are
+    * partitioning-dependent); recall vs the exact pairs is spec'd.
+    */
+  val m09IvfAnn: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import graft.functions.VectorExpressions.{dotF, normF}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("features", array_to_vector(col("embedding")))
+        .withColumn("nrm", normF(col("embedding")))
+        .cache()
+      val km = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("list_id")
+        .fit(e)
+      // inverted lists: each vector indexed under its nearest centroid
+      val indexed = km.transform(e)
+        .select(col("vec_id").as("b_id"), col("embedding").as("be"),
+          col("nrm").as("nb"), col("list_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("list_id"))
+      // query side: probe the 2 nearest centroids (multi-probe)
+      val centers = km.clusterCenters.zipWithIndex
+        .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq
+        .toDF("list_id", "center")
+      val wProbe = Window.partitionBy(col("a_id")).orderBy(col("dist2"), col("list_id"))
+      val probes = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+          col("nrm").as("na"))
+        .crossJoin(broadcast(centers))
+        .withColumn("dist2",
+          col("na") * col("na") - lit(2.0) * dotF(col("ae"), col("center")) +
+            dotF(col("center"), col("center")))
+        .withColumn("probe_rank", row_number().over(wProbe))
+        .filter(col("probe_rank") <= 2)
+        .select(col("a_id"), col("ae"), col("na"), col("list_id"))
+      val sim = probes.join(indexed, "list_id")
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("cosine",
+          round(dotF(col("ae"), col("be")) / (col("na") * col("nb")), 6))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cosine").desc, col("b_id"))
+      sim.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("a_id").as("vec_id"), col("rank"),
+          col("b_id").as("neighbor"), col("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    oracle = None)
+
   /** S16 Spark ML model persistence (`batch_als_train.py:196-207`):
     * save with overwrite, reload, factor-for-factor parity.
     */
@@ -283,5 +339,6 @@ object MlCatalog {
     "m06_confusion_matrix" -> m06ConfusionMatrix,
     "m07_roc_points" -> m07RocPoints,
     "m08_id_universe" -> m08IdUniverse,
+    "m09_ivf_ann" -> m09IvfAnn,
   )
 }

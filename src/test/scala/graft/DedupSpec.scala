@@ -50,6 +50,18 @@ class DedupSpec extends SparkSpec {
       s"ANN recall too low: $hit/${planted.length}")
   }
 
+  test("IVF ANN finds nearly all planted embedding near-dups (coarse quantizer)") {
+    val planted = PipelineCatalog.q41EmbeddingNearDup.fn(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = graft.ml.MlCatalog.all("m09_ivf_ann").fn(spark, sf001)
+      .select("vec_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = planted.count { case (a, b) => ivf((a, b)) || ivf((b, a)) }
+    // near-identical vectors land in the same k-means cell virtually
+    // always — IVF recall on planted pairs should beat hyperplane LSH
+    assert(hit >= planted.length * 2 / 3, s"IVF recall $hit/${planted.length}")
+  }
+
   test("simhash is invariant to shingle order (set semantics)") {
     import spark.implicits._
     // same shingle multiset, different doc text ordering of repeated
