@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew controls (SURVEY.md §2 scale notes: "salting for
+  * skew"). AQE's skew-join splitting handles most runtime skew; these
+  * are the semantic-level tools for when the *keys themselves* are
+  * pathological (one key = 10% of a 100 TB table).
+  */
+object Skew {
+
+  /** Two-stage salted aggregation: spread each group over `salts`
+    * sub-groups for the partial aggregate, then combine partials.
+    * Correct for any commutative re-aggregable pair (sum/sum,
+    * count→sum, min/min, max/max). The hot key's rows now hash to
+    * `salts` different reducers instead of one.
+    *
+    * @param partials  stage-1 aggregates over the salted key
+    * @param combines  stage-2 re-aggregation of the stage-1 columns
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
+      partials: Seq[Column], combines: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(combines.head, combines.tail: _*)
+
+  /** Salted broadcast-side replication join: for a skewed fact joining
+    * a small dim, salt the fact key with `salts` variants and explode
+    * the dim to all variants — every fact row of the hot key lands on
+    * a different partition, each still finding its dim row. (With a
+    * broadcast dim Spark needs no salt; this is the pattern for when
+    * the dim is too big to broadcast but small enough to replicate
+    * `salts`×.)
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}
