@@ -785,6 +785,69 @@ object PipelineCatalog {
       FROM t GROUP BY user_id ORDER BY user_id"""),
     headline = true)
 
+  /** The full training-corpus curation pass as ONE dataflow — what the
+    * individual operators exist for: exact dedup (keep min doc_id per
+    * text) → near-dup removal (drop the larger id of every 0.8-jaccard
+    * pair, via the q35 prefix-filtered candidates) → quality gate
+    * (q43's composite ≥ 0.55) → language filter (en). Emits the
+    * retained corpus with its quality score. Every stage is the
+    * already-verified operator; the oracle recomposes them naively.
+    * Scale: this is the canonical multi-stage pipeline — each arrow is
+    * one shuffle-bounded stage, nothing materializes on the driver.
+    */
+  val q50CorpusCuration: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val reps = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val nearDupLosers = q35NgramJaccardNearDup.fn(s, dir)
+        .select(col("d2").as("doc_id")).distinct()
+      val quality = docs
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_tok", size(col("w")).cast("long"))
+        .withColumn("avg_tok_len",
+          expr("aggregate(transform(w, t -> cast(length(t) as bigint)), 0L, (a, b) -> a + b)")
+            .cast("double") / col("n_tok"))
+        .withColumn("stop_ratio",
+          expr("size(filter(w, t -> t IN ('the','a')))").cast("double") / col("n_tok"))
+        .withColumn("quality_score", round(
+          lit(0.4) * least(col("n_tok") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(col("avg_tok_len") / 6.0, lit(1.0)), 6))
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+      quality
+        .join(reps, Seq("doc_id"), "left_semi")
+        .join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .filter(col("quality_score") >= 0.55 && col("lang") === "en")
+        .select(col("doc_id"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($shinglesSql),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+      q AS (
+        SELECT doc_id, lang,
+               round(0.4 * least(len(w) / 100.0, 1.0)
+                 + 0.3 * (1.0 - len(list_filter(w, x -> x IN ('the','a'))) * 1.0 / len(w))
+                 + 0.3 * least(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)
+                     * 1.0 / len(w) / 6.0, 1.0), 6) AS quality_score
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+      SELECT q.doc_id, q.quality_score
+      FROM q
+      JOIN reps ON q.doc_id = reps.doc_id
+      WHERE q.doc_id NOT IN (SELECT d2 FROM pairs)
+        AND q.quality_score >= 0.55 AND q.lang = 'en'
+      ORDER BY q.doc_id"""),
+    headline = true)
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
@@ -801,5 +864,6 @@ object PipelineCatalog {
     "q45_fingerprint" -> q45Fingerprint,
     "q46_multimodal_binary" -> q46MultimodalBinary,
     "q47_user_sessions" -> q47UserSessions,
+    "q50_corpus_curation" -> q50CorpusCuration,
   )
 }
