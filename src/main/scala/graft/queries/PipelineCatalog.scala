@@ -109,14 +109,11 @@ object PipelineCatalog {
          i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""
 
-  /** Char-level polynomial rolling hash (acc*31+ascii mod P) — the
-    * engine-portable token hash; Spark `aggregate` and DuckDB
-    * `list_reduce` fold identically left-to-right.
+  /** Char-level polynomial rolling hash (acc*31+ascii mod P) as DuckDB
+    * SQL — the oracle-side replica of the codegen
+    * [[graft.functions.AsciiPolyHash]] (both fold left-to-right over
+    * the same byte stream).
     */
-  private def polyhashExpr(in: String): String =
-    s"""aggregate(transform(split($in, ''), c -> cast(ascii(c) as bigint)),
-                  0L, (acc, x) -> (acc*31 + x) % $P)"""
-
   private def polyhashSql(in: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split_regex($in, ''), c -> CAST(ascii(c) AS BIGINT))),

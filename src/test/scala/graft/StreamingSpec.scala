@@ -141,6 +141,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-log sink appends CSV per microbatch (S12)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val dir = java.nio.file.Files.createTempDirectory("graft_log").toString
+    val q = ScoringStream.eventLogSink(input.toDS(), s"$dir/log", s"$dir/ckpt").start()
+    try {
+      input.addData(RawEvent(1L, "c", "click", ts(1)))
+      q.processAllAvailable()
+      input.addData(RawEvent(2L, "c", "view", ts(2)))
+      q.processAllAvailable()
+      val back = spark.read.schema("user LONG, item STRING, action STRING, ts TIMESTAMP")
+        .csv(s"$dir/log")
+      assert(back.count() == 2) // both batches appended, none overwritten
+    } finally q.stop()
+  }
+
   test("windowed event rate respects the 1-minute tumbling window (ST9/W4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
