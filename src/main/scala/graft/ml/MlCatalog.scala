@@ -52,14 +52,16 @@ object MlCatalog {
       .select(col("user").cast("int"), col("item").cast("int"), col("rating"))
   }
 
-  /** One ALS model per fixture dir per JVM — Verify runs several ALS
-    * queries back-to-back and must not retrain for each.
+  /** One ALS model per (session, fixture dir) — Verify runs several ALS
+    * queries back-to-back and must not retrain for each; keying on the
+    * session keeps the cache from serving a model whose SparkContext
+    * has been stopped.
     */
   private val alsCache =
-    scala.collection.concurrent.TrieMap.empty[String, ALSModel]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ALSModel]
 
   private def alsModel(s: SparkSession, dir: String): ALSModel =
-    alsCache.getOrElseUpdate(dir, {
+    alsCache.getOrElseUpdate((s, dir), {
       // Reference hyperparams (batch_als_train.py:154-165) scaled for
       // the fixture size: rank 50→16, maxIter 10→5; same implicit/
       // nonnegative/coldStart semantics, same seed discipline.
@@ -98,14 +100,22 @@ object MlCatalog {
 
   /** M3/M4 train/test evaluation: randomSplit(0.8/0.2, seed 42) —
     * the reference's exact split contract (batch_als_train.py:151) —
-    * then RMSE+MAE on both (batch_als_train.py:169-189). One metrics
-    * row; rows-only check.
+    * then RMSE+MAE on both (batch_als_train.py:169-189). The model is
+    * fit on the TRAIN split only (the cached full-data model would
+    * contaminate the held-out metrics). One metrics row; rows-only
+    * check.
     */
   val m03AlsEval: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       import s.implicits._
       val Array(train, test) = ratings(s, dir).randomSplit(Array(0.8, 0.2), seed = 42L)
-      val model = alsModel(s, dir)
+      val model = new ALS()
+        .setRank(16).setMaxIter(5).setRegParam(0.01)
+        .setImplicitPrefs(true).setNonnegative(true)
+        .setColdStartStrategy("drop")
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setSeed(42L)
+        .fit(train.cache())
       val trainPred = model.transform(train).cache()
       val testPred = model.transform(test).cache()
       def m(df: DataFrame, metric: String): Double =

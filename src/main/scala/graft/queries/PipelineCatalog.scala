@@ -43,11 +43,14 @@ object PipelineCatalog {
     * row, parallelizes across the doc_id shuffle, and is the layout a
     * 100 TB dedup actually uses.
     */
+  // keyed by session too: a persisted DataFrame is bound to the
+  // SparkContext that built it — after spark.stop()+rebuild in the same
+  // JVM a dir-only key would hand back a corpse
   private val shingleRowCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shingleRowCache.getOrElseUpdate(dir, {
+    shingleRowCache.getOrElseUpdate((s, dir), {
       // The repartition is a deliberate Exchange barrier: it
       // materializes the token array once, so the shingle transform
       // reads `w` as an attribute (CollapseProject cannot cross an
@@ -604,23 +607,31 @@ object PipelineCatalog {
       })
   }
 
+  /** Shared quality-scoring columns (used by q43 and the q50 curation
+    * gate — one definition so the two can never drift): n_tok,
+    * avg_tok_len, stop_ratio, quality_score (0.4·len + 0.3·signal +
+    * 0.3·word-length composite, bounded, rounded to 6).
+    */
+  private def qualityScored(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("avg_tok_len",
+        expr("aggregate(transform(w, t -> cast(length(t) as bigint)), 0L, (a, b) -> a + b)")
+          .cast("double") / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr("size(filter(w, t -> t IN ('the','a')))").cast("double") / col("n_tok"))
+      .withColumn("quality_score", round(
+        lit(0.4) * least(col("n_tok") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("avg_tok_len") / 6.0, lit(1.0)), 6))
+
   /** Quality scoring: token count, mean token length, stopword ratio →
     * bounded composite score + tier. Per-row map, shuffle-free.
     */
   val q43QualityScore: QuerySpec = QuerySpec(
     fn = (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("n_tok", size(col("w")).cast("long"))
-        .withColumn("avg_tok_len",
-          expr("aggregate(transform(w, t -> cast(length(t) as bigint)), 0L, (a, b) -> a + b)")
-            .cast("double") / col("n_tok"))
-        .withColumn("stop_ratio",
-          expr("size(filter(w, t -> t IN ('the','a')))").cast("double") / col("n_tok"))
-        .withColumn("quality_score", round(
-          lit(0.4) * least(col("n_tok") / 100.0, lit(1.0)) +
-            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-            lit(0.3) * least(col("avg_tok_len") / 6.0, lit(1.0)), 6))
+      qualityScored(Tables.documents(s, dir))
         .withColumn("tier",
           when(col("quality_score") >= 0.7, "high")
             .when(col("quality_score") >= 0.5, "mid")
@@ -684,9 +695,11 @@ object PipelineCatalog {
     fn = (s, dir) => {
       val minTid = shingleTids(s, dir).groupBy(col("doc_id"))
         .agg(min(col("tid")).as("min_shingle_hash"))
+      // left join: a doc with <3 tokens has no shingle rows but must
+      // still fingerprint (oracle keeps every doc; min hash -> -1)
       Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .withColumn("fp", graft.functions.VectorExpressions.polyHash(col("text")))
-        .join(minTid, Seq("doc_id"), "inner")
+        .join(minTid, Seq("doc_id"), "left")
         .select(col("doc_id"), col("fp"),
           coalesce(col("min_shingle_hash"), lit(-1L)).as("min_shingle_hash"))
         .orderBy(col("doc_id"))
@@ -800,18 +813,7 @@ object PipelineCatalog {
         .select(col("doc_id"))
       val nearDupLosers = q35NgramJaccardNearDup.fn(s, dir)
         .select(col("d2").as("doc_id")).distinct()
-      val quality = docs
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("n_tok", size(col("w")).cast("long"))
-        .withColumn("avg_tok_len",
-          expr("aggregate(transform(w, t -> cast(length(t) as bigint)), 0L, (a, b) -> a + b)")
-            .cast("double") / col("n_tok"))
-        .withColumn("stop_ratio",
-          expr("size(filter(w, t -> t IN ('the','a')))").cast("double") / col("n_tok"))
-        .withColumn("quality_score", round(
-          lit(0.4) * least(col("n_tok") / 100.0, lit(1.0)) +
-            lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-            lit(0.3) * least(col("avg_tok_len") / 6.0, lit(1.0)), 6))
+      val quality = qualityScored(docs)
         .select(col("doc_id"), col("lang"), col("quality_score"))
       quality
         .join(reps, Seq("doc_id"), "left_semi")

@@ -32,14 +32,8 @@ class ScoringProcessor
 
   override def handleInputRows(key: (Long, String), rows: Iterator[RawEvent],
       timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Scored] = {
-    val st0 = Option(state.get()).getOrElse(EventState.zero)
-    val (outs, stN) = rows.toSeq.sortBy(_.ts.getTime)
-      .foldLeft((Vector.empty[Scored], st0)) { case ((acc, st), ev) =>
-        val st2 = ScoringStream.applyEvent(st, ev.action)
-        (acc :+ Scored(ev.user, ev.item, ev.action,
-          st2.nClick, st2.nView, st2.nPurchase, st2.nSignup, st2.nError,
-          st2.total, ScoringStream.score(st2)), st2)
-      }
+    val (outs, stN) = ScoringStream.processGroup(
+      Option(state.get()).getOrElse(EventState.zero), rows)
     state.update(stN)
     outs.iterator
   }

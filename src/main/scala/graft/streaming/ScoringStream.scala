@@ -74,6 +74,21 @@ object ScoringStream {
       next.nSignup + next.nError)
   }
 
+  /** The per-group event fold shared by BOTH stateful APIs (ts-sorted,
+    * counter update, score emit) — one definition so the
+    * flatMapGroupsWithState and transformWithState paths can never
+    * drift.
+    */
+  private[streaming] def processGroup(st0: EventState,
+      rows: Iterator[RawEvent]): (Vector[Scored], EventState) =
+    rows.toSeq.sortBy(_.ts.getTime)
+      .foldLeft((Vector.empty[Scored], st0)) { case ((acc, st), ev) =>
+        val st2 = applyEvent(st, ev.action)
+        (acc :+ Scored(ev.user, ev.item, ev.action,
+          st2.nClick, st2.nView, st2.nPurchase, st2.nSignup, st2.nError,
+          st2.total, score(st2)), st2)
+      }
+
   /** ST2+ST3+ST4: the stateful operator. Events grouped by (user,item);
     * state seeded from `initialState`; one scored row emitted per event
     * in ts order within the microbatch.
@@ -85,14 +100,7 @@ object ScoringStream {
     import spark.implicits._
     val func = (key: (Long, String), rows: Iterator[RawEvent],
         state: GroupState[EventState]) => {
-      val st0 = state.getOption.getOrElse(EventState.zero)
-      val (outs, stN) = rows.toSeq.sortBy(_.ts.getTime)
-        .foldLeft((Vector.empty[Scored], st0)) { case ((acc, st), ev) =>
-          val st2 = applyEvent(st, ev.action)
-          (acc :+ Scored(ev.user, ev.item, ev.action,
-            st2.nClick, st2.nView, st2.nPurchase, st2.nSignup, st2.nError,
-            st2.total, score(st2)), st2)
-        }
+      val (outs, stN) = processGroup(state.getOption.getOrElse(EventState.zero), rows)
       state.update(stN)
       outs.iterator
     }

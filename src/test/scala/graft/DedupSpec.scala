@@ -62,17 +62,10 @@ class DedupSpec extends SparkSpec {
     assert(hit >= planted.length * 2 / 3, s"IVF recall $hit/${planted.length}")
   }
 
-  test("simhash is invariant to shingle order (set semantics)") {
-    import spark.implicits._
-    // same shingle multiset, different doc text ordering of repeated
-    // 3-gram windows → identical signature
-    val base = "a b c d e a b c d e"
-    val df = Seq((1L, base)).toDF("doc_id", "text")
-    df.createOrReplaceTempView("documents_tmp")
+  test("simhash is deterministic across executions") {
     val sig = PipelineCatalog.q37Simhash
-    // run twice → deterministic
     val r1 = sig.fn(spark, sf001).collect()
     val r2 = sig.fn(spark, sf001).collect()
-    assert(r1.sameElements(r2))
+    assert(r1.nonEmpty && r1.sameElements(r2))
   }
 }

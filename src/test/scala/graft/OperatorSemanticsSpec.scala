@@ -23,16 +23,10 @@ class OperatorSemanticsSpec extends SparkSpec {
     import spark.implicits._
     val existing = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val incoming = Seq((2L, "CHANGED"), (3L, "z"), (3L, "z2")).toDF("id", "v")
-    // dedup incoming on pk (deterministic representative = min v),
-    // then insert-if-absent via left_anti — the reference's ON
-    // CONFLICT DO NOTHING (etl/load_users_from_minio.py:93-97).
+    // the production operator itself, not a local re-implementation
     def upsert(tbl: org.apache.spark.sql.DataFrame,
-               in: org.apache.spark.sql.DataFrame) = {
-      val w = Window.partitionBy(col("id")).orderBy(col("v"))
-      val dd = in.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-      tbl.unionByName(dd.join(tbl, Seq("id"), "left_anti"))
-    }
+               in: org.apache.spark.sql.DataFrame) =
+      graft.io.Writers.upsertNothing(tbl, in, Seq("id"), Seq("v"))
     val once = upsert(existing, incoming)
     val twice = upsert(once, incoming)
     val rows = twice.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))

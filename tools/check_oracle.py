@@ -3,7 +3,8 @@
 
 Reads the Verify output dir (parquet per query + oracle_sql.json), runs each
 oracle SQL in DuckDB over the same fixture tables, and compares: row count,
-column names, and values (exact for non-floats, tolerance report for floats).
+column names, and values (exact equality; float diffs are reported with
+their magnitude to aid debugging, but any mismatch fails).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
@@ -15,12 +16,6 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-
-
-def norm(v):
-    if isinstance(v, float):
-        return v
-    return v
 
 
 def main(sf_dir, out_dir):
