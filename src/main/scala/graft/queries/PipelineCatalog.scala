@@ -847,6 +847,43 @@ object PipelineCatalog {
       ORDER BY q.doc_id"""),
     headline = true)
 
+  /** As-of join (the brief's canonical "operator Spark lacks"):
+    * for every purchase, the most recent prior-or-concurrent click by
+    * the same user. Implemented by COMPOSITION (preference (a) of the
+    * custom-operator ladder): a carry-forward window —
+    * `last(when(click, ts), ignoreNulls).over(user ordered by time)` —
+    * turns the as-of lookup into one partition-local sweep with ZERO
+    * joins; the naive formulation (theta-join + per-row argmax) is
+    * O(clicks × purchases) per user. Scale: one shuffle on user_id,
+    * then linear per partition — the same shape at 100 TB.
+    */
+  val q51AsofJoin: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("last_click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+          col("last_click_ts"),
+          round(col("ts").cast("double") -
+            col("last_click_ts").cast("double"), 6).as("gap_sec"))
+        .orderBy(col("event_id"))
+    },
+    oracle = Some("""
+      SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
+             round(epoch(ts) - epoch(last_click_ts), 6) AS gap_sec
+      FROM (SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+            FROM events) t
+      WHERE event_type = 'purchase'
+      ORDER BY event_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
@@ -864,5 +901,6 @@ object PipelineCatalog {
     "q46_multimodal_binary" -> q46MultimodalBinary,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
+    "q51_asof_join" -> q51AsofJoin,
   )
 }
