@@ -884,6 +884,44 @@ object PipelineCatalog {
       WHERE event_type = 'purchase'
       ORDER BY event_id"""))
 
+  /** Range join (interval containment), bucketed: events within one
+    * hour after each signup by the same user. A naive theta join is
+    * O(signups × events) per user; bucketing time into 1-hour bins and
+    * equi-joining on (user, bin) — each signup probing its own bin and
+    * the next — restores an equi-join the planner can hash-partition,
+    * with the residual range predicate as a cheap post-filter. The
+    * standard distributed range-join shape (bin size = range width →
+    * exactly 2 probes per row).
+    */
+  val q52RangeJoin: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = Tables.events(s, dir)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("s_id"), col("user_id"),
+          col("ts").as("s_ts"),
+          floor(col("ts").cast("double") / 3600.0).cast("long").as("b"))
+        .withColumn("probe_b", explode(array(col("b"), col("b") + 1)))
+      val probes = e.select(col("user_id"), col("ts"),
+        floor(col("ts").cast("double") / 3600.0).cast("long").as("probe_b"))
+      val counts = signups.join(probes, Seq("user_id", "probe_b"))
+        .filter(col("ts") > col("s_ts") &&
+          col("ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("s_id")).agg(count(lit(1)).as("n_follow"))
+      signups.select(col("s_id"), col("user_id"), col("s_ts")).distinct()
+        .join(counts, Seq("s_id"), "left")
+        .select(col("s_id"), col("user_id"), col("s_ts"),
+          coalesce(col("n_follow"), lit(0L)).as("n_follow"))
+        .orderBy(col("s_id"))
+    },
+    oracle = Some("""
+      SELECT s.event_id AS s_id, s.user_id, s.ts AS s_ts,
+             CAST((SELECT count(*) FROM events e
+                   WHERE e.user_id = s.user_id
+                     AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR) AS BIGINT) AS n_follow
+      FROM events s
+      WHERE s.event_type = 'signup'
+      ORDER BY s_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
@@ -902,5 +940,6 @@ object PipelineCatalog {
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
+    "q52_range_join" -> q52RangeJoin,
   )
 }
