@@ -648,6 +648,58 @@ object Catalog {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
     oracle = None)
 
+  /** Hierarchical rollup totals (beyond the reference's flat GROUP BYs
+    * — the multi-grain aggregation a reporting layer needs). Scale:
+    * one Expand + hash-agg, grouping-id shuffles with the keys.
+    */
+  val q53Rollup: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    oracle = Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n, round(sum(o_totalprice), 4) AS total
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
+
+  /** Pivot: order counts per month × status (the dashboard's matrix
+    * view shape). Spark `.pivot` with explicit values keeps the plan a
+    * single pass; the oracle spells the same CASE columns.
+    */
+  val q54Pivot: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy").as("y"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy(col("y")),
+    oracle = Some("""
+      SELECT strftime(o_orderdate, '%Y') AS y,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+             CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      FROM orders GROUP BY 1 ORDER BY y"""))
+
+  /** Lateral explode (generator/UDTF surface): global token frequency
+    * top-20 over documents — one explode, one hash-agg, TakeOrdered.
+    */
+  val q55ExplodeTokens: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20),
+    oracle = Some("""
+      SELECT tok, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -687,5 +739,8 @@ object Catalog {
     "q32_lenient_parse" -> q32LenientParse,
     "q33_logloss_baseline" -> q33LoglossBaseline,
     "q48_approx_distinct" -> q48ApproxDistinct,
+    "q53_rollup" -> q53Rollup,
+    "q54_pivot" -> q54Pivot,
+    "q55_explode_tokens" -> q55ExplodeTokens,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 }
