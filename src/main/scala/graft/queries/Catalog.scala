@@ -655,20 +655,28 @@ object Catalog {
   val q53Rollup: QuerySpec = QuerySpec(
     fn = (s, dir) =>
       Tables.orders(s, dir)
+        // decimal accumulation: the grand-total row sums the whole
+        // table, where double addition order (Spark partials vs
+        // DuckDB) could flip the rounded last digit; exact decimal
+        // arithmetic is order-independent
+        .withColumn("p", col("o_totalprice").cast("decimal(18,2)"))
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).cast("double").as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first),
     oracle = Some("""
-      SELECT o_orderstatus, o_orderpriority,
-             count(*) AS n, round(sum(o_totalprice), 4) AS total
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
 
-  /** Pivot: order counts per month × status (the dashboard's matrix
-    * view shape). Spark `.pivot` with explicit values keeps the plan a
-    * single pass; the oracle spells the same CASE columns.
+  /** Pivot: order counts per YEAR × status (the dashboard's matrix
+    * view shape, at year grain so the matrix stays small — q29 holds
+    * the month-grain rollup). Spark `.pivot` with explicit values
+    * keeps the plan a single pass; the oracle spells the same CASE
+    * columns.
     */
   val q54Pivot: QuerySpec = QuerySpec(
     fn = (s, dir) =>

@@ -896,18 +896,22 @@ object PipelineCatalog {
   val q52RangeJoin: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val e = Tables.events(s, dir)
-      val signups = e.filter(col("event_type") === "signup")
+      // base stays un-exploded: one output row per signup EVENT ROW,
+      // exactly like the oracle (a distinct() over exploded rows would
+      // collapse duplicate event_ids and cost an extra shuffle)
+      val base = e.filter(col("event_type") === "signup")
         .select(col("event_id").as("s_id"), col("user_id"),
           col("ts").as("s_ts"),
           floor(col("ts").cast("double") / 3600.0).cast("long").as("b"))
+      val probedSignups = base
         .withColumn("probe_b", explode(array(col("b"), col("b") + 1)))
       val probes = e.select(col("user_id"), col("ts"),
         floor(col("ts").cast("double") / 3600.0).cast("long").as("probe_b"))
-      val counts = signups.join(probes, Seq("user_id", "probe_b"))
+      val counts = probedSignups.join(probes, Seq("user_id", "probe_b"))
         .filter(col("ts") > col("s_ts") &&
           col("ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
         .groupBy(col("s_id")).agg(count(lit(1)).as("n_follow"))
-      signups.select(col("s_id"), col("user_id"), col("s_ts")).distinct()
+      base.select(col("s_id"), col("user_id"), col("s_ts"))
         .join(counts, Seq("s_id"), "left")
         .select(col("s_id"), col("user_id"), col("s_ts"),
           coalesce(col("n_follow"), lit(0L)).as("n_follow"))
