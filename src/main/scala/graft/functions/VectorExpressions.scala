@@ -70,6 +70,60 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Mixed-precision dot product: `array<float>` × `array<double>` —
+  * the hyperplane-projection kernel (embeddings stay float at rest,
+  * plane coefficients are exact doubles). Same contract as
+  * [[FloatDotProduct]]: widen-then-multiply, strict left-to-right
+  * accumulation, codegen'd primitive loop.
+  */
+case class FloatDoubleDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_dot_fd expects (array<float>, array<double>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $x.getFloat($i)) * $y.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDoubleDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd polynomial rolling hash over an ASCII string:
   * `acc = (acc*31 + byte) % (2^31-1)` left-to-right — byte-for-byte the
   * fold the DuckDB oracle computes with
@@ -133,6 +187,10 @@ object VectorExpressions {
   /** Column API: ASCII polynomial rolling hash of a string column. */
   def polyHash(c: Column): Column =
     S.column(AsciiPolyHash(S.expression(c)))
+
+  /** Dot of a float-array column against a double-array column. */
+  def dotFD(a: Column, b: Column): Column =
+    S.column(FloatDoubleDotProduct(S.expression(a), S.expression(b)))
 
   /** Column API: dot product of two `array<float>` columns. */
   def dotF(a: Column, b: Column): Column =

@@ -410,15 +410,23 @@ object PipelineCatalog {
     */
   val q40EmbeddingLshAnn: QuerySpec = QuerySpec(
     fn = (s, dir) => {
+      // plane coefficients precomputed on the driver with the EXACT
+      // arithmetic the oracle replays (two LCG rounds mod P, then
+      // v/P - 0.5 in doubles); projected via the codegen mixed-
+      // precision dot kernel instead of 2048 interpreted lambda
+      // evaluations per row
+      def plane(g: Long): Seq[Double] = (1 to 64).map { d =>
+        val h1 = ((g * 64 + d) * 1103515245L + 12345L) % P
+        val h2 = (h1 * 1103515245L + 12345L) % P
+        h2.toDouble / P.toDouble - 0.5
+      }
+      def bucketCol(t: Int) = Seq(3, 2, 1, 0).foldLeft(lit(0L)) { (acc, j) =>
+        acc * lit(2L) + when(
+          graft.functions.VectorExpressions.dotFD(col("embedding"),
+            typedLit(plane(t.toLong * 4 + j))) >= 0d, lit(1L)).otherwise(lit(0L))
+      }
       val e = withNorm(Tables.embeddings(s, dir))
-        .withColumn("buckets",
-          expr(s"""transform(sequence(0, 7), t ->
-                     aggregate(sequence(3, 0, -1), 0L, (acc, j) -> acc*2 +
-                       CASE WHEN aggregate(transform(sequence(1, 64), d ->
-                              cast(element_at(embedding, cast(d as int)) as double) *
-                              (cast(((((cast(t as bigint)*4 + j)*64 + d) * 1103515245 + 12345) % $P * 1103515245 + 12345) % $P as double)
-                                 / $P.0 - 0.5)),
-                              0D, (acc2, v) -> acc2 + v) >= 0D THEN 1L ELSE 0L END))"""))
+        .withColumn("buckets", array((0 to 7).map(bucketCol): _*))
       val tb = e.select(col("vec_id"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
       val cand = tb.as("x").join(tb.as("y"),

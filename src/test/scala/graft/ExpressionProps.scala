@@ -45,6 +45,19 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == expected // bit-exact, not approximate: same fold order
     }
 
+  property("mixed-precision dot equals the left-to-right widen-multiply fold") =
+    Prop.forAll(floatArray, Gen.listOfN(8, Gen.choose(-1.0, 1.0))) { (a, b) =>
+      val la = Literal(new GenericArrayData(a.toArray), ArrayType(FloatType))
+      val lb = Literal(new GenericArrayData(b.toArray),
+        ArrayType(org.apache.spark.sql.types.DoubleType))
+      val got = graft.functions.FloatDoubleDotProduct(la, lb)
+        .eval(null).asInstanceOf[Double]
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y
+      }
+      got == expected
+    }
+
   property("dot product is symmetric") =
     Prop.forAll(floatArray, floatArray) { (a, b) =>
       val lit = (xs: List[Float]) =>
