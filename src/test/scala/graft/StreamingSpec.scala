@@ -107,6 +107,40 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("both stateful APIs produce identical outputs over a multi-batch sequence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic pseudo-random event tape across 3 microbatches
+    val actions = Vector("click", "view", "purchase", "signup", "error", "bogus")
+    val tape = (1 to 120).map { i =>
+      RawEvent(i % 7L, s"item${i % 5}", actions((i * 2654435761L % 6).toInt), ts(i))
+    }
+    val batches = tape.grouped(40).toSeq
+    def runWith(name: String,
+        f: (org.apache.spark.sql.Dataset[RawEvent]) => org.apache.spark.sql.Dataset[ScoringStream.Scored]) = {
+      val in = MemoryStream[RawEvent]
+      val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        spark.table(name).orderBy("user", "item", "total", "action").collect()
+          .map(_.toString).toSeq
+      } finally q.stop()
+    }
+    val viaFmgws = runWith("par_fmgws", ds =>
+      ScoringStream.scoredStream(spark, ds,
+        spark.emptyDataset[((Long, String), EventState)]))
+    graft.streaming.ScoringProcessor.configureRocksDb(spark)
+    try {
+      val viaTws = runWith("par_tws", ds =>
+        graft.streaming.ScoringProcessor.scoredStreamTws(spark, ds,
+          spark.emptyDataset[((Long, String), EventState)]))
+      assert(viaFmgws.size == tape.size)
+      assert(viaFmgws == viaTws)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("recommend ranks 5 lowest-risk candidates per user (ST6)") {
     import spark.implicits._
     val scored = (1 to 8).map(i =>
