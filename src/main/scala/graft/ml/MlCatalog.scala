@@ -300,17 +300,23 @@ object MlCatalog {
         .select(col("vec_id").as("b_id"), col("embedding").as("be"),
           col("nrm").as("nb"), col("list_id"))
         .repartition(s.sparkContext.defaultParallelism, col("list_id"))
-      // query side: probe the 2 nearest centroids (multi-probe)
+      // query side: probe the 2 nearest centroids (multi-probe);
+      // centers stay exact doubles (mixed-precision kernel), with
+      // their squared norms precomputed on the driver
       val centers = km.clusterCenters.zipWithIndex
-        .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq
-        .toDF("list_id", "center")
+        .map { case (v, i) =>
+          val arr = v.toArray
+          (i, arr, arr.map(x => x * x).sum)
+        }.toSeq
+        .toDF("list_id", "center", "c2")
       val wProbe = Window.partitionBy(col("a_id")).orderBy(col("dist2"), col("list_id"))
       val probes = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
           col("nrm").as("na"))
         .crossJoin(broadcast(centers))
         .withColumn("dist2",
-          col("na") * col("na") - lit(2.0) * dotF(col("ae"), col("center")) +
-            dotF(col("center"), col("center")))
+          col("na") * col("na") -
+            lit(2.0) * graft.functions.VectorExpressions.dotFD(col("ae"), col("center")) +
+            col("c2"))
         .withColumn("probe_rank", row_number().over(wProbe))
         .filter(col("probe_rank") <= 2)
         .select(col("a_id"), col("ae"), col("na"), col("list_id"))
