@@ -708,6 +708,29 @@ object Catalog {
       FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20"""))
 
+  /** Exact percentiles per group (median/p90) — Spark `percentile` and
+    * DuckDB `quantile_cont` share the continuous-interpolation
+    * definition. Scale: exact percentile sorts within the aggregation
+    * buffer; at 100 TB the interactive path is `approx_percentile`
+    * (KLL/GK sketch) — same query shape, engine-specific values (like
+    * q48's HLL).
+    */
+  val q56Percentiles: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")),
+    oracle = Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -750,5 +773,6 @@ object Catalog {
     "q53_rollup" -> q53Rollup,
     "q54_pivot" -> q54Pivot,
     "q55_explode_tokens" -> q55ExplodeTokens,
+    "q56_percentiles" -> q56Percentiles,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 }
