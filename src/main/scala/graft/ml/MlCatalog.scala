@@ -60,17 +60,25 @@ object MlCatalog {
   private val alsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), ALSModel]
 
+  /** ALS estimator with the REFERENCE's hyperparameters as the default
+    * contract (batch_als_train.py:154-165: rank 50, maxIter 10,
+    * regParam 0.01, implicit prefs, nonnegative, coldStart drop,
+    * seeded); callers may override rank/maxIter for fixture-sized
+    * training runs.
+    */
+  def alsEstimator(rank: Int = 50, maxIter: Int = 10): ALS =
+    new ALS()
+      .setRank(rank).setMaxIter(maxIter).setRegParam(0.01)
+      .setImplicitPrefs(true).setNonnegative(true)
+      .setColdStartStrategy("drop")
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setSeed(42L)
+
   private def alsModel(s: SparkSession, dir: String): ALSModel =
     alsCache.getOrElseUpdate((s, dir), {
-      // Reference hyperparams (batch_als_train.py:154-165) scaled for
-      // the fixture size: rank 50→16, maxIter 10→5; same implicit/
-      // nonnegative/coldStart semantics, same seed discipline.
-      new ALS()
-        .setRank(16).setMaxIter(5).setRegParam(0.01)
-        .setImplicitPrefs(true).setNonnegative(true)
-        .setColdStartStrategy("drop")
-        .setUserCol("user").setItemCol("item").setRatingCol("rating")
-        .setSeed(42L)
+      // fixture-scaled override: rank 50→16, maxIter 10→5 (the sf≤0.1
+      // ratings table is far below the reference's interaction volume)
+      alsEstimator(rank = 16, maxIter = 5)
         .fit(ratings(s, dir).cache())
     })
 
@@ -93,8 +101,11 @@ object MlCatalog {
   val m02AlsRecommendations: QuerySpec = QuerySpec(
     fn = (s, dir) =>
       alsModel(s, dir).recommendForAllUsers(5)
+        // JSON-encode the item list (same sink shape as m01): the
+        // harness's rows-only check needs flat sortable scalars, and
+        // the reference exports recommendation lists as JSON too
         .select(col("user").as("user_id"),
-          expr("transform(recommendations, r -> r.item)").as("items"))
+          to_json(expr("transform(recommendations, r -> r.item)")).as("items"))
         .orderBy(col("user_id")),
     oracle = None)
 
@@ -109,13 +120,7 @@ object MlCatalog {
     fn = (s, dir) => {
       import s.implicits._
       val Array(train, test) = ratings(s, dir).randomSplit(Array(0.8, 0.2), seed = 42L)
-      val model = new ALS()
-        .setRank(16).setMaxIter(5).setRegParam(0.01)
-        .setImplicitPrefs(true).setNonnegative(true)
-        .setColdStartStrategy("drop")
-        .setUserCol("user").setItemCol("item").setRatingCol("rating")
-        .setSeed(42L)
-        .fit(train.cache())
+      val model = alsEstimator(rank = 16, maxIter = 5).fit(train.cache())
       val trainPred = model.transform(train).cache()
       val testPred = model.transform(test).cache()
       def m(df: DataFrame, metric: String): Double =
