@@ -49,15 +49,12 @@ object ScoringStream {
       nClick: Long, nView: Long, nPurchase: Long, nSignup: Long, nError: Long,
       total: Long, failProb: Double)
 
-  /** The model: a fixed linear scorer over the counter vector squashed
-    * through a logistic — broadcast-friendly, hot-swappable by replacing
-    * the weights (ST7's reload becomes a rebroadcast per microbatch).
+  /** The in-stream scorer: [[LinearModel.default]] over the counter
+    * vector (ST4). The trained/hot-swapped path lives in
+    * [[Recommender.recommendSink]], which re-scores each microbatch
+    * with the [[ModelWatcher]]'s current weights as plan literals.
     */
-  def score(s: EventState): Double = {
-    val z = -0.1 * s.nClick - 0.2 * s.nView - 0.5 * s.nPurchase -
-      0.3 * s.nSignup + 0.4 * s.nError + 0.05 * s.total
-    1.0 / (1.0 + math.exp(-z))
-  }
+  def score(s: EventState): Double = LinearModel.default.score(s)
 
   private[streaming] def applyEvent(st: EventState, action: String): EventState = {
     val next = action match {
@@ -110,10 +107,10 @@ object ScoringStream {
         initialState.groupByKey(_._1).mapValues(_._2))(func)
   }
 
-  /** ST5/ST6 candidate ranking inside foreachBatch: join the scored
-    * microbatch against broadcast knowledge-base tables (popular top-k,
-    * co-occurrence) and emit the 5 lowest-risk candidates per user —
-    * `run_consumer.py:235-303` as pure DataFrame ops.
+  /** Minimal ST6 ranking helper (popular-set semi-join + top-5); the
+    * FULL reference semantics — failed-retry ∪ co-occurrence ∪ popular
+    * fallback candidate generation with 0.3/0.7 profile blending
+    * (`run_consumer.py:235-303`) — live in [[Recommender.recommend]].
     */
   def recommend(scored: DataFrame, popular: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
