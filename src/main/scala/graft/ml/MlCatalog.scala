@@ -362,4 +362,8 @@ object MlCatalog {
     "m08_id_universe" -> m08IdUniverse,
     "m09_ivf_ann" -> m09IvfAnn,
   )
+
+  /** Forget this session's trained ALS models (bench repetitions). */
+  def clearCaches(s: SparkSession): Unit =
+    alsCache.keys.filter(_._1 eq s).foreach(alsCache.remove)
 }

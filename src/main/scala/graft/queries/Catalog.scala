@@ -731,6 +731,35 @@ object Catalog {
              count(*) AS n
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** O8 stratified split (reference `train_module.py:314-315`,
+    * sklearn `stratify=y`): exact per-stratum 80/20 via
+    * [[graft.operators.Sampling.stratifiedSplit]] — every 5th row by
+    * key rank within each status stratum is "test". Emits per-(stratum,
+    * half) counts so the oracle checks the ratio invariant exactly.
+    * The Bernoulli-fractions variant (`df.stat.sampleBy`) is spec-only
+    * (engine-specific RNG, no cross-engine oracle possible).
+    */
+  val q58StratifiedSplit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val (train, test) = graft.operators.Sampling.stratifiedSplit(
+        Tables.orders(s, dir), "o_orderstatus", "o_orderkey", 5)
+      train.withColumn("split", lit("train"))
+        .unionByName(test.withColumn("split", lit("test")))
+        .groupBy(col("o_orderstatus"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("split"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT o_orderstatus,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders)
+      SELECT o_orderstatus,
+             CASE WHEN rn % 5 = 0 THEN 'test' ELSE 'train' END AS split,
+             count(*) AS n
+      FROM t GROUP BY 1, 2 ORDER BY o_orderstatus, split"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -774,5 +803,14 @@ object Catalog {
     "q54_pivot" -> q54Pivot,
     "q55_explode_tokens" -> q55ExplodeTokens,
     "q56_percentiles" -> q56Percentiles,
+    "q58_stratified_split" -> q58StratifiedSplit,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
+
+  /** Drop every session-keyed shared intermediate (persisted DFs,
+    * trained models) so a repeated run re-pays the full compute.
+    */
+  def clearCaches(s: org.apache.spark.sql.SparkSession): Unit = {
+    PipelineCatalog.clearCaches(s)
+    graft.ml.MlCatalog.clearCaches(s)
+  }
 }

@@ -1059,4 +1059,16 @@ object PipelineCatalog {
     "q51_asof_join" -> q51AsofJoin,
     "q52_range_join" -> q52RangeJoin,
   )
+
+  /** Drop this session's persisted shared intermediates (shingle rows,
+    * verified near-dup pairs, LSH-scored pairs). Bench repetitions call
+    * this between reps so every rep pays the full pipeline cost —
+    * otherwise rep 2+ of q35/q40/q50/q57 would time a cache hit.
+    */
+  def clearCaches(s: SparkSession): Unit =
+    Seq(shingleRowCache, nearDupPairCache, lshScoredCache).foreach { c =>
+      c.keys.filter(_._1 eq s).foreach { k =>
+        c.remove(k).foreach(_.unpersist(blocking = true))
+      }
+    }
 }
