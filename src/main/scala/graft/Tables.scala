@@ -34,6 +34,12 @@ object Tables {
     * `timestamp_micros(ns/1000)` is lossless and matches DuckDB exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Set lazily rather than at session build: the correctness driver
+    // constructs its own SparkSession before calling SparkEntry.queries,
+    // so this loader is the only hook we control. Idempotent, and no
+    // other conf value is ever correct for this fixture (a check-first
+    // guard can't work — conf.getOption reports the DEFAULT, so "unset"
+    // is indistinguishable from an explicit false).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.functions.{col, expr}

@@ -21,7 +21,11 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], salts: Int,
       partials: Seq[Column], combines: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    // salt from ROW CONTENT, not partition/row position: a task retry
+    // re-derives the same salt, so stage-1 partials are stable under
+    // speculative execution. Exact duplicate rows share a salt — fine
+    // for re-aggregable partials, they just co-locate.
+    df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
       .groupBy(keyCols.map(col): _*)
@@ -37,7 +41,7 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(salts)))
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
