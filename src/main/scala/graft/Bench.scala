@@ -28,9 +28,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val selected =
-      if (sys.env.get("BENCH_ALL").contains("1")) queries.Catalog.all
-      else queries.Catalog.all.filter(_._2.headline)
+    val selected = sys.env.get("BENCH_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        queries.Catalog.all.filter(q => keep(q._1))
+      case None =>
+        if (sys.env.get("BENCH_ALL").contains("1")) queries.Catalog.all
+        else queries.Catalog.all.filter(_._2.headline)
+    }
     // stable order; one warm-up of the smallest table read so JVM/codegen
     // startup lands outside the first measured query
     Tables.region(spark, sfDir).count()

@@ -190,9 +190,12 @@ object PipelineCatalog {
   private def ngramNearDupPairs(s: SparkSession, dir: String): DataFrame =
     nearDupPairCache.getOrElseUpdate((s, dir), {
       val inv = shingleRows(s, dir)
-      val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      // df as a count-over-window on the SAME shingle exchange the rows
+      // need anyway — one shuffle of the index instead of the
+      // aggregate-then-join-back shape (which exchanged inv twice)
+      val wDf = Window.partitionBy(col("shingle"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-      val pref = inv.join(dfreq, "shingle")
+      val pref = inv.withColumn("df", count(lit(1)).over(wDf))
         .withColumn("pos", row_number().over(w))
         .join(shingleSizes(s, dir), "doc_id")
         // prefix bound ⌊(1-t)·n⌋+1 for t=0.8 in EXACT integer math:
@@ -200,6 +203,12 @@ object PipelineCatalog {
         // 0.19999…96, so every n divisible by 5 got a one-short prefix
         // and jaccard-exactly-0.8 pairs could miss candidacy
         .filter(col("pos") <= expr("n div 5") + 1)
+        // a df=1 shingle exists in exactly one doc — it can't collide in
+        // the self-join. Rarity-ordered prefixes are MOSTLY df=1 rows
+        // (that's what makes prefix filtering effective), so dropping
+        // them after prefix selection shrinks the join input sharply
+        // without touching the pigeonhole guarantee.
+        .filter(col("df") > 1)
         .select(col("doc_id"), col("shingle"))
       val cand = pref.as("a").join(pref.as("b"),
           col("a.shingle") === col("b.shingle") &&
