@@ -809,6 +809,82 @@ object PipelineCatalog {
                    len(string_split(text, ' ')), 6) AS ttr
       FROM documents ORDER BY doc_id"""))
 
+  /** Token-distribution quality signals: distinct-token count, the
+    * dominant token and its count (degenerate/spammy docs have one
+    * token swamping the distribution), and Shannon entropy of the
+    * unigram distribution — H = ln(n) − (Σ c·ln c)/n, so one grouped
+    * pass computes it from integer counts. The float fold runs
+    * SEQUENTIALLY over token-sorted counts on BOTH engines (repo
+    * invariant: no partial-agg-order-dependent double sums), so the
+    * rounded value can't drift. Scale: token explode → one shuffle by
+    * (doc, tok), then one by doc; no corpus-wide state.
+    */
+  val q59TokenEntropy: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      c.groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_cnt"),
+          // argmax with deterministic ties: lexicographic struct min =
+          // (highest count, then smallest token)
+          min(struct((-col("c")).as("nc"), col("tok"))).getField("tok").as("top_tok"),
+          sort_array(collect_list(struct(col("tok"), col("c")))).as("arr"))
+        .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+          col("top_cnt"), col("top_tok"),
+          round(log(col("n_tok")) -
+            expr("aggregate(arr, 0D, (a, p) -> a + p.c * ln(p.c))") / col("n_tok"),
+            6).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      c2 AS (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mc FROM c)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tok,
+             count(*) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_cnt,
+             min(CASE WHEN c = mc THEN tok END) AS top_tok,
+             round(ln(sum(c)) -
+               list_reduce(list_prepend(0.0,
+                 list_transform(list(c ORDER BY tok), x -> x * ln(x))),
+                 (a, b) -> a + b) / sum(c), 6) AS entropy
+      FROM c2 GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** N-gram novelty: per doc, how many of its distinct 3-gram shingles
+    * are corpus-UNIQUE (df=1) vs shared. The training-data signal for
+    * boilerplate (low novelty = heavy template overlap) and the exact
+    * complement of the near-dup candidate space. Integer outputs only —
+    * the novelty RATIO is a small-denominator rational, exactly the
+    * round(x,6) midpoint class the q49 fix eliminated, so the contract
+    * emits the numerator/denominator pair. Scale: rides the persisted
+    * inverted index + the same one-exchange window-df as q35.
+    */
+  val q60NgramNovelty: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val wDf = Window.partitionBy(col("shingle"))
+      shingleRows(s, dir)
+        .withColumn("df", count(lit(1)).over(wDf))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($shinglesSql),
+      ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      df AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
+      SELECT e.doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      FROM ex e JOIN df d USING (shingle)
+      GROUP BY e.doc_id ORDER BY doc_id"""))
+
   /** Document fingerprinting: whole-text rolling hash + min shingle
     * hash (the MinHash first component — a winnowing-style anchor).
     */
@@ -1061,6 +1137,8 @@ object PipelineCatalog {
     "q49_lang_id_ngram" -> q49LangIdNgram,
     "q43_quality_score" -> q43QualityScore,
     "q44_token_stats" -> q44TokenStats,
+    "q59_token_entropy" -> q59TokenEntropy,
+    "q60_ngram_novelty" -> q60NgramNovelty,
     "q45_fingerprint" -> q45Fingerprint,
     "q46_multimodal_binary" -> q46MultimodalBinary,
     "q47_user_sessions" -> q47UserSessions,
