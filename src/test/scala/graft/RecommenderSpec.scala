@@ -159,6 +159,58 @@ class RecommenderSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("consumer loop end-to-end: bootstrap + event tape → counters → ranked snapshot (ST2-ST7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.ScoringStream
+    import graft.streaming.ScoringStream.EventState
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    // KB: user 7 failed cF (retake candidate with history), passed cP
+    // (never recommended), cold item via co-occurrence with "cur"
+    val k = kb(
+      hist = Seq(
+        histRow(7L, "cF", (1, 0, 0, 0, 2), 1),
+        histRow(7L, "cP", (9, 9, 1, 0, 0), 0)),
+      pairs = Seq(("cur", "cNew", 10L), ("cur", "cP", 8L)),
+      popular = Seq.empty)
+    // stateful scoring stream bootstrapped from a snapshot (ST3), its
+    // scored output feeding the recommender sink (ST5/ST6/S13)
+    val input = MemoryStream[RawEvent]
+    val scored = ScoringStream.scoredStream(spark, input.toDS(),
+      Seq(((7L, "cur"), EventState(1L, 0L, 0L, 0L, 0L, 1L))).toDS())
+    val watcher = new ModelWatcher(spark, s"$dir/no_model") // stays on default
+    val q = Recommender.recommendSink(scored.toDF(), k, watcher,
+      s"$dir/out", s"$dir/ckpt").start()
+    try {
+      input.addData(
+        RawEvent(7L, "cur", "click", new Timestamp(1000L)),
+        RawEvent(7L, "cur", "error", new Timestamp(2000L)))
+      q.processAllAvailable()
+      val snap = spark.read.json(s"$dir/out/latest")
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(r.fieldIndex("rank")), r.getString(r.fieldIndex("cand")),
+          r.getDouble(r.fieldIndex("failProb")), r.getBoolean(r.fieldIndex("isRetake"))))
+      val m = LinearModel.default
+      def sig(cl: Double, v: Double, p: Double, sg: Double, er: Double, t: Double) = {
+        val z = m.wClick * cl + m.wView * v + m.wPurchase * p +
+          m.wSignup * sg + m.wError * er + m.wTotal * t + m.bias
+        1.0 / (1.0 + math.exp(-z))
+      }
+      // candidates: cF (failed retry, has history → 30/70 blend) and
+      // cNew (co-occurring, cold → pure profile); cP passed → excluded
+      val pF = sig(0.3 * 1 + 0.7 * 10, 0.7 * 8, 0.7 * 2, 0.7 * 1,
+        0.3 * 2 + 0.7 * 0.5, 0.3 * 3 + 0.7 * 21.5)
+      val pNew = sig(10.0, 8.0, 2.0, 1.0, 0.5, 21.5)
+      val expected = Seq(("cF", pF, true), ("cNew", pNew, false))
+        .sortBy(x => (x._2, x._1)).zipWithIndex
+        .map { case ((c, p, rt), i) => (i + 1L, c, p, rt) }
+      assert(snap.length == 2)
+      snap.zip(expected).foreach { case ((r1, c1, p1, t1), (r2, c2, p2, t2)) =>
+        assert(r1 == r2 && c1 == c2 && t1 == t2 && math.abs(p1 - p2) < 1e-9)
+      }
+    } finally q.stop()
+  }
+
   test("trained weights round-trip the registry and score the stream (ST4/M9)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_train").toString
     val m = ModelRegistry.trainFromEvents(spark, "/root/testdata/sf0.001")
