@@ -731,6 +731,24 @@ object Catalog {
              count(*) AS n
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** A2-scale companion to q56: APPROX percentiles via the GK/KLL-style
+    * sketch (`approx_percentile`), the interactive path at 100 TB where
+    * exact per-group sorts don't fit. Sketch values are
+    * engine/partition-order specific → rows-only (like q48's HLL); the
+    * CatalogSmokeSpec asserts the approx stays within the accuracy
+    * contract of the exact q56 values.
+    */
+  val q61ApproxPercentiles: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(o_totalprice, 0.9, 10000)").as("ap90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")),
+    oracle = None)
+
   /** O8 stratified split (reference `train_module.py:314-315`,
     * sklearn `stratify=y`): exact per-stratum 80/20 via
     * [[graft.operators.Sampling.stratifiedSplit]] — every 5th row by
@@ -804,6 +822,7 @@ object Catalog {
     "q55_explode_tokens" -> q55ExplodeTokens,
     "q56_percentiles" -> q56Percentiles,
     "q58_stratified_split" -> q58StratifiedSplit,
+    "q61_approx_percentiles" -> q61ApproxPercentiles,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

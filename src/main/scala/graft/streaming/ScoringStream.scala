@@ -156,6 +156,18 @@ object ScoringStream {
       .as[RawEvent]
   }
 
+  /** Streaming exact dedup: watermarked `dropDuplicates` over the
+    * event identity — the stream-side twin of q34 and the ingest guard
+    * a training-data pipeline puts in front of its event log (at-least-
+    * once sources re-deliver). State is keyed by the id columns and
+    * EXPIRES at the watermark, so state size is bounded by the
+    * out-of-orderness window, not the stream length — the only
+    * formulation that survives an unbounded 100 TB/day stream.
+    */
+  def dedupStream(events: Dataset[RawEvent], watermark: String): Dataset[RawEvent] =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user", "item", "action", "ts")
+
   /** ST9/W4 windowed event-rate metric with watermark + 1-minute
     * tumbling window (the streaming version of q10).
     */

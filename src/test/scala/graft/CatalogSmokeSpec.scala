@@ -35,7 +35,8 @@ class CatalogSmokeSpec extends SparkSpec {
 
   test("oracle SQL exists for every SQL-expressible query") {
     // no-oracle entries must be partitioning- or sketch-dependent ops
-    val allowed = Set("q48_approx_distinct") // HLL sketch: engine-specific
+    // sketches: engine-specific values (accuracy asserted below)
+    val allowed = Set("q48_approx_distinct", "q61_approx_percentiles")
     val noOracle = Catalog.all.collect {
       case (n, s) if s.oracle.isEmpty => n
     }.toSet
@@ -48,6 +49,16 @@ class CatalogSmokeSpec extends SparkSpec {
     val exact = r.getLong(0).toDouble
     assert(math.abs(r.getLong(1) - exact) / exact < 0.06,
       s"approx ${r.getLong(1)} too far from exact $exact")
+  }
+
+  test("approx percentiles stay within 1% of the exact q56 values (A2 scale path)") {
+    val exact = Catalog.all("q56_percentiles").fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Catalog.all("q61_approx_percentiles").fn(spark, sf0001).collect().foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.01)
+      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.01)
+    }
   }
 
   test("flagship entry returns rows (driver smoke)") {

@@ -192,6 +192,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch redeliveries within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = ScoringStream.dedupStream(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val e = RawEvent(1L, "c", "click", ts(100))
+      input.addData(e, e) // duplicate within a batch
+      q.processAllAvailable()
+      input.addData(e, RawEvent(1L, "c", "view", ts(101))) // redelivery across batches
+      q.processAllAvailable()
+      val rows = spark.table("deduped").collect()
+      assert(rows.length == 2) // one click, one view — redeliveries gone
+      assert(rows.map(_.getString(2)).sorted.toSeq == Seq("click", "view"))
+    } finally q.stop()
+  }
+
   test("windowed event rate respects the 1-minute tumbling window (ST9/W4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
