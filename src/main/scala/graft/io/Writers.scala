@@ -75,4 +75,26 @@ object Writers {
     registry.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** O11 artifact housekeeping: keep the newest `keep` version
+    * directories under `versionsDir` (lexicographic name order — the
+    * reference names versions `yyyyMMdd_HHmmss`, so lexicographic =
+    * chronological; `train_module.py:185-200`), delete the rest.
+    * Hadoop FS API so the same code prunes local dirs and object-store
+    * prefixes. Returns the deleted version names, newest-first survivors
+    * excluded; missing dir = nothing to do (reference's try/except).
+    */
+  def pruneVersions(spark: SparkSession, versionsDir: String, keep: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(versionsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val versions = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath).sortBy(_.getName)(Ordering[String].reverse)
+      versions.drop(keep).map { old =>
+        fs.delete(old, true)
+        old.getName
+      }.toSeq
+    }
+  }
 }

@@ -30,6 +30,16 @@ object KafkaBatch {
     (json(end => math.max(0L, end - lastN)), json(identity))
   }
 
+  /** A12: total message count across a topic's partitions — the
+    * dashboard's "events in topic" stat (`dashboard/app.py:380-411`,
+    * Σ latest − earliest per partition). Pure offset arithmetic;
+    * introspection supplies the maps.
+    */
+  def offsetSpan(earliest: Map[Int, Long], latest: Map[Int, Long]): Long =
+    latest.map { case (p, end) =>
+      math.max(0L, end - earliest.getOrElse(p, 0L))
+    }.sum
+
   /** Bounded batch read over an explicit offset window, JSON-parsed to
     * the event schema (same shape as `ScoringStream.fromKafka`).
     */

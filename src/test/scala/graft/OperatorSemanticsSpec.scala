@@ -88,6 +88,21 @@ class OperatorSemanticsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
 
+  test("version pruning keeps the newest N artifact dirs (O11)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ver").toString
+    Seq("20240101_000000", "20240102_000000", "20240103_000000", "20240104_000000")
+      .foreach(v => java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, v)))
+    val deleted = graft.io.Writers.pruneVersions(spark, root, keep = 2)
+    // lexicographic = chronological for the reference's version names
+    assert(deleted.sorted == Seq("20240101_000000", "20240102_000000"))
+    val left = new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+    assert(left == Seq("20240103_000000", "20240104_000000"))
+    // idempotent + missing-dir tolerant
+    assert(graft.io.Writers.pruneVersions(spark, root, keep = 2).isEmpty)
+    assert(graft.io.Writers.pruneVersions(spark, s"$root/nope", 2).isEmpty)
+  }
+
   test("parquet scan pushes filters and prunes columns (§4)") {
     val df = Tables.lineitem(spark, sf0001)
       .filter(col("l_returnflag") === "N")

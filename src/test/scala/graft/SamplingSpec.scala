@@ -53,4 +53,11 @@ class SamplingSpec extends SparkSpec {
     assert(start == """{"events":{"0":90,"1":0,"2":0}}""")
     assert(end == """{"events":{"0":100,"1":3,"2":0}}""")
   }
+
+  test("offset span sums per-partition message counts, clamped (A12)") {
+    assert(KafkaBatch.offsetSpan(
+      Map(0 -> 10L, 1 -> 0L), Map(0 -> 100L, 1 -> 3L, 2 -> 7L)) == 100L)
+    // compacted partition where earliest > latest contributes 0
+    assert(KafkaBatch.offsetSpan(Map(0 -> 5L), Map(0 -> 2L)) == 0L)
+  }
 }
