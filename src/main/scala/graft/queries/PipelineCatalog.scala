@@ -233,6 +233,45 @@ object PipelineCatalog {
       ORDER BY d1, d2"""),
     headline = true)
 
+  /** Near-dup CLUSTERING: connected components over the verified
+    * 0.8-jaccard pair graph, each doc labeled with the min doc_id of
+    * its component — the canonical final step of a corpus dedup
+    * (transitive groups collapse to one representative; pairwise
+    * "drop d2" under-merges chains). Implemented as distributed
+    * min-label propagation: each round joins labels across edges and
+    * takes the per-node min; rounds = graph diameter (near-dup
+    * components are shallow — dup clusters are cliques or short
+    * chains). Each iteration persists its labels and unpersists the
+    * previous so lineage stays flat. Scale: this is the simple
+    * label-propagation CC; at 100 TB swap in the large-star/small-star
+    * alternation (Kiveris et al.) — same per-round join shape, fewer
+    * rounds on high-diameter graphs. The oracle replays reachability
+    * with a recursive CTE.
+    */
+  val q62DedupComponents: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      graft.operators.Components
+        .connectedComponents(ngramNearDupPairs(s, dir).select(col("d1"), col("d2")))
+        .select(col("node").as("doc_id"), col("lbl").as("rep_id"))
+        .orderBy(col("doc_id")),
+    oracle = Some(s"""
+      WITH RECURSIVE sh AS ($shinglesSql),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs),
+      reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src)
+      SELECT node AS doc_id, min(lbl) AS rep_id
+      FROM reach GROUP BY node ORDER BY doc_id"""))
+
   /** MinHash + LSH near-dup: 16 affine permutations mod P over polyhashed
     * shingles → 4 bands × 4 rows → band-bucket self-join for candidates →
     * exact-jaccard verify at 0.8. This is the full distributed
@@ -1127,6 +1166,7 @@ object PipelineCatalog {
     "q34_exact_dedup" -> q34ExactDedup,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
+    "q62_dedup_components" -> q62DedupComponents,
     "q37_simhash" -> q37Simhash,
     "q38_simhash_pairs" -> q38SimhashPairs,
     "q39_embedding_knn" -> q39EmbeddingKnn,
