@@ -657,6 +657,57 @@ object PipelineCatalog {
       ORDER BY d1, d2"""),
     headline = true)
 
+  /** Int8 embedding quantization: per-vector max-abs scale →
+    * q_i = floor(x_i/scale·127 + 0.5) ∈ [−127, 127], plus the exact
+    * max reconstruction error — the storage/bandwidth op a 100 TB
+    * embedding corpus applies before ANN serving (4× smaller, dot
+    * products in integer SIMD). Shuffle-free per-row map. Parity note:
+    * everything here is IEEE double arithmetic in a fixed order plus
+    * floor — no round(x, n) anywhere — so Spark and DuckDB produce
+    * bit-identical doubles and the raw values hash-compare safely.
+    */
+  val q63EmbeddingQuantize: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("scale", expr(
+          """aggregate(embedding, CAST(0.0 AS DOUBLE),
+               (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"""))
+        .withColumn("q", expr(
+          """CASE WHEN scale = 0.0 THEN transform(embedding, x -> 0)
+             ELSE transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT))
+             END"""))
+        .select(
+          col("vec_id"), col("scale"),
+          array_join(col("q"), ",").as("q_str"),
+          expr(
+            """CASE WHEN scale = 0.0 THEN 0.0
+               ELSE aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) ->
+                 greatest(a, abs(CAST(x AS DOUBLE) -
+                   floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) * scale / 127.0)))
+               END""").as("max_err"))
+        .orderBy(col("vec_id")),
+    oracle = Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               list_reduce(list_prepend(0.0,
+                 list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                 (a, b) -> greatest(a, b)) AS scale
+        FROM embeddings)
+      SELECT vec_id, scale,
+             array_to_string(CASE WHEN scale = 0.0
+               THEN list_transform(embedding, x -> 0)
+               ELSE list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS INT))
+               END, ',') AS q_str,
+             CASE WHEN scale = 0.0 THEN 0.0
+               ELSE list_reduce(list_prepend(0.0,
+                 list_transform(embedding, x -> abs(CAST(x AS DOUBLE) -
+                   floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) * scale / 127.0))),
+                 (a, b) -> greatest(a, b))
+               END AS max_err
+      FROM e ORDER BY vec_id"""))
+
   // ---------------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------------
@@ -1173,6 +1224,7 @@ object PipelineCatalog {
     "q40_embedding_lsh_ann" -> q40EmbeddingLshAnn,
     "q41_embedding_neardup" -> q41EmbeddingNearDup,
     "q57_embedding_neardup_ann" -> q57EmbeddingNearDupAnn,
+    "q63_embedding_quantize" -> q63EmbeddingQuantize,
     "q42_lang_id" -> q42LangId,
     "q49_lang_id_ngram" -> q49LangIdNgram,
     "q43_quality_score" -> q43QualityScore,
