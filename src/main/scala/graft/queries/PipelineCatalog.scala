@@ -706,7 +706,8 @@ object PipelineCatalog {
                    floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) * scale / 127.0))),
                  (a, b) -> greatest(a, b))
                END AS max_err
-      FROM e ORDER BY vec_id"""))
+      FROM e ORDER BY vec_id"""),
+    headline = true)
 
   // ---------------------------------------------------------------------
   // Text analysis
