@@ -124,16 +124,29 @@ object ScoringStream {
     * env): subscribe + JSON parse, the reference's consumer config
     * (`run_consumer.py:159-165`) with startingOffsets=latest.
     */
-  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): Dataset[RawEvent] = {
+  def fromKafka(spark: SparkSession, bootstrap: String, topic: String): Dataset[RawEvent] =
+    parseEvents(spark,
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load())
+
+  /** JSON value → typed events, with ST8 dead-letter at the parse
+    * boundary: malformed JSON (or missing fields) yields nulls, and a
+    * null into the case class's primitive Long would fail the encoder
+    * and kill the query — drop the row instead, the reference's
+    * log-and-continue semantics (`run_consumer.py:369-375`). Works on
+    * any frame with a `value` column (Kafka stream or batch).
+    */
+  def parseEvents(spark: SparkSession, raw: DataFrame): Dataset[RawEvent] = {
     import spark.implicits._
     val schema = org.apache.spark.sql.types.StructType
       .fromDDL("user BIGINT, item STRING, action STRING, ts TIMESTAMP")
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "latest")
-      .load()
+    raw
       .select(from_json(col("value").cast("string"), schema).as("e"))
+      .filter(col("e.user").isNotNull && col("e.item").isNotNull &&
+        col("e.action").isNotNull && col("e.ts").isNotNull)
       .select(col("e.user"), col("e.item"), col("e.action"), col("e.ts"))
       .as[RawEvent]
   }

@@ -192,6 +192,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event parsing dead-letters malformed and partial JSON instead of failing (ST8/S9)") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"user": 7, "item": "c1", "action": "click", "ts": "2024-01-01T00:00:01Z"}""",
+      """not json at all""",
+      """{"user": 8, "action": "view"}""", // missing item/ts
+      """{"user": null, "item": "c2", "action": "view", "ts": "2024-01-01T00:00:02Z"}"""
+    ).toDF("value")
+    val parsed = ScoringStream.parseEvents(spark, raw).collect()
+    // only the complete event survives; nothing throws
+    assert(parsed.length == 1)
+    assert(parsed.head.user == 7L && parsed.head.item == "c1")
+  }
+
   test("streaming dedup drops cross-batch redeliveries within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
