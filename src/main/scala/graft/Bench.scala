@@ -56,13 +56,17 @@ object Bench {
       }
     }
     def median(v: Vector[Double]): Double = v.sorted.apply(v.size / 2)
+    // a query that failed in ANY rep is null — a partial median next to
+    // an errors entry would read as both failed and timed
+    def goodTimes(k: String): Option[Vector[Double]] =
+      if (failed(k)) None else times.get(k).filter(_.nonEmpty)
     val qs = names.map { case (k, _) =>
-      times.get(k).filter(_.nonEmpty) match {
+      goodTimes(k) match {
         case Some(v) => "\"" + k + f"\":${median(v)}%.3f"
         case None => "\"" + k + "\":null"
       }
     }.mkString("{", ",", "}")
-    val total = names.flatMap { case (k, _) => times.get(k).filter(_.nonEmpty).map(median) }.sum
+    val total = names.flatMap { case (k, _) => goodTimes(k).map(median) }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

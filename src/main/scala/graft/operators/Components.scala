@@ -46,6 +46,7 @@ object Components {
         val changed = next.as("n")
           .join(labels.as("o"), col("n.node") === col("o.node"))
           .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels.unpersist() // previous round's checkpoint blocks
         labels = next
         converged = changed == 0
         round += 1

@@ -23,8 +23,12 @@ object Skew {
       partials: Seq[Column], combines: Seq[Column]): DataFrame =
     // salt from ROW CONTENT, not partition/row position: a task retry
     // re-derives the same salt, so stage-1 partials are stable under
-    // speculative execution. Exact duplicate rows share a salt — fine
-    // for re-aggregable partials, they just co-locate.
+    // speculative execution. Exact duplicate rows share a salt, but
+    // map-side partial aggregation collapses them to one row per input
+    // partition before the shuffle, so a duplicate-heavy hot key still
+    // can't recreate the straggler. (saltedJoin below has no such
+    // combine — if a hot key's rows are byte-identical there, add a
+    // distinguishing column before salting.)
     df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)

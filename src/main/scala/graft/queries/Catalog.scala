@@ -827,9 +827,13 @@ object Catalog {
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
     * trained models) so a repeated run re-pays the full compute.
+    * `catalog.clearCache()` sweeps the CacheManager too — anonymous
+    * `.cache()` calls inside query bodies (ALS ratings, eval splits)
+    * would otherwise plan-match across bench reps and skip the read.
     */
   def clearCaches(s: org.apache.spark.sql.SparkSession): Unit = {
     PipelineCatalog.clearCaches(s)
     graft.ml.MlCatalog.clearCaches(s)
+    s.catalog.clearCache()
   }
 }

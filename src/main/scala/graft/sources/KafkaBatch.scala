@@ -18,16 +18,20 @@ object KafkaBatch {
 
   /** Per-partition offset-range JSON for a tail-N read. `endOffsets`
     * comes from broker introspection (the reference's seek_to_end);
-    * each partition starts at max(0, end - lastN) — the reference
-    * rewinds each partition by the same N (`dashboard/app.py:997`).
-    * Returns (startingOffsets, endingOffsets) option values.
+    * each partition starts at end − lastN, clamped to the partition's
+    * EARLIEST retained offset — clamping only at 0 would hand Spark an
+    * out-of-range start on any retention-trimmed topic and the batch
+    * read would abort with a data-loss error (the reference's seek
+    * degrades gracefully; so must we). Returns (startingOffsets,
+    * endingOffsets) option values.
     */
   def tailOffsetsJson(topic: String, endOffsets: Map[Int, Long],
-      lastN: Long): (String, String) = {
-    def json(f: Long => Long) = endOffsets.toSeq.sortBy(_._1)
-      .map { case (p, end) => s""""$p":${f(end)}""" }
+      lastN: Long, earliestOffsets: Map[Int, Long] = Map.empty): (String, String) = {
+    def json(f: (Int, Long) => Long) = endOffsets.toSeq.sortBy(_._1)
+      .map { case (p, end) => s""""$p":${f(p, end)}""" }
       .mkString(s"""{"$topic":{""", ",", "}}")
-    (json(end => math.max(0L, end - lastN)), json(identity))
+    (json((p, end) => math.max(earliestOffsets.getOrElse(p, 0L), end - lastN)),
+      json((_, end) => end))
   }
 
   /** A12: total message count across a topic's partitions — the
@@ -40,27 +44,26 @@ object KafkaBatch {
       math.max(0L, end - earliest.getOrElse(p, 0L))
     }.sum
 
-  /** Bounded batch read over an explicit offset window, JSON-parsed to
-    * the event schema (same shape as `ScoringStream.fromKafka`).
+  /** Bounded batch read over an explicit offset window; parsing (and
+    * its ST8 dead-letter null-filter) is shared with the streaming
+    * consumer via [[graft.streaming.ScoringStream.parseEvents]] — one
+    * schema, one drop rule, no drift between the two read paths.
     */
   def boundedRead(spark: SparkSession, bootstrap: String, topic: String,
-      startingOffsets: String, endingOffsets: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType
-      .fromDDL("user BIGINT, item STRING, action STRING, ts TIMESTAMP")
-    spark.read.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("endingOffsets", endingOffsets)
-      .load()
-      .select(from_json(col("value").cast("string"), schema).as("e"))
-      .select(col("e.user"), col("e.item"), col("e.action"), col("e.ts"))
-  }
+      startingOffsets: String, endingOffsets: String): DataFrame =
+    graft.streaming.ScoringStream.parseEvents(spark,
+      spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .option("endingOffsets", endingOffsets)
+        .load()).toDF()
 
   /** The dashboard's tail-N: offsets math + bounded read. */
   def tailRead(spark: SparkSession, bootstrap: String, topic: String,
-      endOffsets: Map[Int, Long], lastN: Long): DataFrame = {
-    val (start, end) = tailOffsetsJson(topic, endOffsets, lastN)
+      endOffsets: Map[Int, Long], lastN: Long,
+      earliestOffsets: Map[Int, Long] = Map.empty): DataFrame = {
+    val (start, end) = tailOffsetsJson(topic, endOffsets, lastN, earliestOffsets)
     boundedRead(spark, bootstrap, topic, start, end)
   }
 }

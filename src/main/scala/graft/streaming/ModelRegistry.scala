@@ -114,14 +114,17 @@ final class ModelWatcher(spark: SparkSession, path: String,
     initial: LinearModel = LinearModel.default) {
 
   @volatile private var model: LinearModel = initial
-  @volatile private var lastMtime: Long = 0L
+  @volatile private var lastFingerprint: (Long, Long, Int) = (0L, 0L, 0)
   @volatile private var reloadCount: Int = 0
 
   def current: LinearModel = model
   def reloads: Int = reloadCount
 
-  /** Check mtime; reload + swap when the artifact is newer. Returns
-    * true when a swap happened. Missing/unreadable artifacts keep the
+  /** Check the artifact fingerprint (max mtime, total length, file
+    * count — not mtime alone: a rewrite landing within the same
+    * filesystem timestamp tick would be invisible to a strict
+    * mtime comparison); reload + swap when it changes. Returns true
+    * when a swap happened. Missing/unreadable artifacts keep the
     * current model (the reference's try/except keep-going semantics).
     */
   def poll(): Boolean =
@@ -130,15 +133,14 @@ final class ModelWatcher(spark: SparkSession, path: String,
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) false
       else {
-        // parquet dirs: newest mtime across the dir and its files
         val st = fs.getFileStatus(p)
-        val mtime =
-          if (st.isDirectory)
-            (st.getModificationTime +: fs.listStatus(p).map(_.getModificationTime).toSeq).max
-          else st.getModificationTime
-        if (mtime > lastMtime) {
+        val parts =
+          if (st.isDirectory) st +: fs.listStatus(p).toSeq else Seq(st)
+        val fp = (parts.map(_.getModificationTime).max,
+          parts.map(_.getLen).sum, parts.length)
+        if (fp != lastFingerprint) {
           model = ModelRegistry.read(spark, path)
-          lastMtime = mtime
+          lastFingerprint = fp
           reloadCount += 1
           true
         } else false

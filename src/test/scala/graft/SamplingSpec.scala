@@ -54,6 +54,15 @@ class SamplingSpec extends SparkSpec {
     assert(end == """{"events":{"0":100,"1":3,"2":0}}""")
   }
 
+  test("tail-read start clamps at the earliest RETAINED offset, not 0 (S10)") {
+    // retention trimmed partition 0 up to offset 500: start must not
+    // fall below it or the batch read aborts with a data-loss error
+    val (start, _) = KafkaBatch.tailOffsetsJson("events",
+      Map(0 -> 1000L, 1 -> 50L), lastN = 10000L,
+      earliestOffsets = Map(0 -> 500L))
+    assert(start == """{"events":{"0":500,"1":0}}""")
+  }
+
   test("offset span sums per-partition message counts, clamped (A12)") {
     assert(KafkaBatch.offsetSpan(
       Map(0 -> 10L, 1 -> 0L), Map(0 -> 100L, 1 -> 3L, 2 -> 7L)) == 100L)
