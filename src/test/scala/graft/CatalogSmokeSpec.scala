@@ -29,6 +29,7 @@ class CatalogSmokeSpec extends SparkSpec {
     assert(counts("q01_pricing_summary") == 6L)
     assert(counts("q34_exact_dedup") == 500L)   // documents table is sf-invariant
     assert(counts("q37_simhash") == 500L)
+    assert(counts("q62_dedup_components") == 45L) // docs in 0.8-jaccard pairs
     assert(counts("m04_string_indexer") == 5L)  // 5 market segments
     assert(counts("m06_confusion_matrix") == 4L)
   }
