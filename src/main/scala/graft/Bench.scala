@@ -9,10 +9,23 @@ import org.apache.spark.sql.SparkSession
   * let Catalyst prune every column the count doesn't need and
   * undermeasure projection-heavy queries.
   *
-  * De-noising: the suite runs BENCH_REPS times (default 3) and each
+  * De-noising: one FULL untimed warm-up pass runs the whole selected
+  * suite first (HotSpot JIT + codegen compilation land there, not in
+  * the first timed rep — round-3 driver runs showed 3-9× rep-1
+  * inflation on the dedup family from cold-JVM cost alone), caches are
+  * cleared, then the suite runs BENCH_REPS times (default 3) and each
   * query reports its MEDIAN; session-keyed caches (shared near-dup /
   * LSH pair sets, ALS models) are cleared between reps so every rep
-  * pays full compute — medians measure the pipeline, not a cache hit.
+  * pays full compute — medians measure the pipeline, not HotSpot and
+  * not a cache hit.
+  *
+  * Attribution note: WITHIN a rep, caches are shared — the first
+  * consumer of a shared pipeline (q35 for the verified-pair set, q40
+  * for the LSH candidate set) pays its build cost and q50/q57/q62 then
+  * time a cache hit. Per-query numbers are therefore suite-relative,
+  * not standalone; the emitted JSON carries the shared groups under
+  * "shared_cache_groups" so a BENCH_ONLY subset is read correctly.
+  *
   * A query that throws is reported as null in `queries` and listed in
   * `errors` instead of contributing a near-zero time to the total.
   */
@@ -36,14 +49,23 @@ object Bench {
         if (sys.env.get("BENCH_ALL").contains("1")) queries.Catalog.all
         else queries.Catalog.all.filter(_._2.headline)
     }
-    // stable order; one warm-up of the smallest table read so JVM/codegen
-    // startup lands outside the first measured query
-    Tables.region(spark, sfDir).count()
     val names = selected.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // full untimed warm-up pass: every selected query runs once so JIT +
+    // codegen compilation is paid before any timed rep (a failure here is
+    // logged but not recorded — the timed reps classify it)
+    names.foreach { case (name, spec) =>
+      val t0 = System.nanoTime()
+      try spec.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name FAILED: $e") }
+      System.err.println(f"[bench] warmup $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     for (rep <- 1 to reps) {
-      if (rep > 1) queries.Catalog.clearCaches(spark)
+      queries.Catalog.clearCaches(spark)
+      // nudge the ContextCleaner so dereferenced model/checkpoint blocks
+      // from the previous pass are actually freed before timing resumes
+      System.gc()
       names.foreach { case (name, spec) =>
         val t0 = System.nanoTime()
         val ok =
@@ -68,7 +90,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = names.flatMap { case (k, _) => goodTimes(k).map(median) }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
+    // within-rep shared caches: the FIRST member listed pays the build
+    // cost, later members time a cache hit (see scaladoc)
+    val shared = """{"verified_pairs":["q35_ngram_jaccard_neardup","q50_corpus_curation","q62_dedup_components"],"lsh_candidates":["q40_embedding_lsh_ann","q57_embedding_neardup_ann"]}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"warmup":true,"shared_cache_groups":$shared,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,6 +11,35 @@ import org.apache.spark.sql.SparkSession
   * catalog change.
   */
 object Explain {
+  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+
+  /** NOTE: every catalog query deliberately ENDS in a total ORDER BY —
+    * the oracle hash-compare requires a deterministic row order — so an
+    * un-limited range-partitioned sort at the plan ROOT (possibly under
+    * a Limit/Project presentation chain) is the expected presentation
+    * layer, not a smell. The flag fires only when a GLOBAL sort feeds
+    * further operators (a mid-plan global sort: re-ordered data that a
+    * downstream shuffle will destroy — pure wasted exchange at scale).
+    *
+    * The root sort is identified structurally — root node a Sort, or a
+    * Sort reached through only Limit/Project wrappers — NOT by "a
+    * GlobalLimit exists somewhere in the plan" (a query with a mid-plan
+    * global sort AND an unrelated limit would previously be
+    * under-counted).
+    */
+  private[graft] def midPlanGlobalSort(optimized: LogicalPlan): Boolean = {
+    @annotation.tailrec
+    def rootSortChain(p: LogicalPlan): Boolean = p match {
+      case s: Sort => s.global
+      case g: GlobalLimit => rootSortChain(g.child)
+      case l: LocalLimit => rootSortChain(l.child)
+      case pr: Project => rootSortChain(pr.child)
+      case _ => false
+    }
+    val globalSorts = optimized.collect { case s: Sort if s.global => s }.size
+    globalSorts > (if (rootSortChain(optimized)) 1 else 0)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_plans"
@@ -27,25 +56,10 @@ object Explain {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
-        // NOTE: every catalog query deliberately ENDS in a total ORDER
-        // BY — the oracle hash-compare requires a deterministic row
-        // order — so an un-limited range-partitioned sort at the plan
-        // ROOT is the expected presentation layer, not a smell. The
-        // GlobalSortNoLimit flag therefore only fires when such a sort
-        // feeds further operators (a mid-plan global sort).
-        val rootIsSort = df.queryExecution.optimizedPlan match {
-          case _: org.apache.spark.sql.catalyst.plans.logical.Sort => true
-          case p => p.collectFirst {
-            case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
-          }.isDefined
-        }
-        val midPlanGlobalSort = df.queryExecution.optimizedPlan.collect {
-          case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
-        }.size > (if (rootIsSort) 1 else 0)
         val smells = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-          "MidPlanGlobalSort" -> midPlanGlobalSort,
+          "MidPlanGlobalSort" -> midPlanGlobalSort(df.queryExecution.optimizedPlan),
         ).collect { case (s, true) => s }
         println(s"[plan] $name ${if (smells.isEmpty) "ok" else smells.mkString(",")}")
       } catch {

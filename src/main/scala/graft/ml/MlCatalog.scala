@@ -78,9 +78,27 @@ object MlCatalog {
     alsCache.getOrElseUpdate((s, dir), {
       // fixture-scaled override: rank 50→16, maxIter 10→5 (the sf≤0.1
       // ratings table is far below the reference's interaction volume)
-      alsEstimator(rank = 16, maxIter = 5)
-        .fit(ratings(s, dir).cache())
+      val r = ratings(s, dir).cache()
+      try alsEstimator(rank = 16, maxIter = 5).fit(r)
+      finally r.unpersist() // fit is eager; only the model's factors live on
     })
+
+  /** Runs `body`, then unpersists every RDD it left persisted — both
+    * explicit `.cache()`s and estimator-internal persists (ALS final
+    * factors, GBT node-id caches). The queries wrapped here return a
+    * SMALL LOCAL result (a one-row metrics DF) that no longer references
+    * the cached inputs, so dropping them is safe; without this, each
+    * Verify/Bench pass leaked the training splits into executor memory
+    * (at 100 TB that is real cache pressure, not hygiene).
+    */
+  private def scopedCaches[T](s: SparkSession)(body: => T): T = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally {
+      val after = s.sparkContext.getPersistentRDDs
+      (after.keySet -- before).foreach(id => after(id).unpersist(blocking = false))
+    }
+  }
 
   /** M5 factor export (batch_als_train.py:217-234): id + JSON-encoded
     * factor vector, the reference's exact sink shape (to_json of the
@@ -119,15 +137,17 @@ object MlCatalog {
   val m03AlsEval: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       import s.implicits._
-      val Array(train, test) = ratings(s, dir).randomSplit(Array(0.8, 0.2), seed = 42L)
-      val model = alsEstimator(rank = 16, maxIter = 5).fit(train.cache())
-      val trainPred = model.transform(train).cache()
-      val testPred = model.transform(test).cache()
-      def m(df: DataFrame, metric: String): Double =
-        new RegressionEvaluator().setMetricName(metric)
-          .setLabelCol("rating").setPredictionCol("prediction").evaluate(df)
-      Seq((m(trainPred, "rmse"), m(trainPred, "mae"), m(testPred, "rmse"), m(testPred, "mae")))
-        .toDF("train_rmse", "train_mae", "test_rmse", "test_mae")
+      scopedCaches(s) {
+        val Array(train, test) = ratings(s, dir).randomSplit(Array(0.8, 0.2), seed = 42L)
+        val model = alsEstimator(rank = 16, maxIter = 5).fit(train.cache())
+        val trainPred = model.transform(train).cache()
+        val testPred = model.transform(test).cache()
+        def m(df: DataFrame, metric: String): Double =
+          new RegressionEvaluator().setMetricName(metric)
+            .setLabelCol("rating").setPredictionCol("prediction").evaluate(df)
+        Seq((m(trainPred, "rmse"), m(trainPred, "mae"), m(testPred, "rmse"), m(testPred, "mae")))
+          .toDF("train_rmse", "train_mae", "test_rmse", "test_mae")
+      }
     },
     oracle = None)
 
@@ -153,49 +173,75 @@ object MlCatalog {
       ORDER BY seg_idx"""))
 
   /** M7/M8 gradient-boosted binary classifier: predict "returned"
-    * (l_returnflag = 'R') from line-level features; report AUC +
-    * logloss + accuracy@0.6 — the reference's metric triple
-    * (train_module.py:345-369). Rows-only check (tree ensembles are
-    * partitioning-sensitive); the ScalaTest asserts AUC > 0.5.
+    * (l_returnflag = 'R') from 5 numeric line-level features PLUS the
+    * indexed part-brand categorical — the reference's per-item
+    * categorical signal (train_module.py:313-338, `course_id_int`
+    * categorical at :333); report AUC + logloss + accuracy@0.6 — the
+    * reference's metric triple (train_module.py:345-369). Rows-only
+    * check (tree ensembles are partitioning-sensitive); the ScalaTest
+    * asserts AUC > 0.5 and categorical-AUC ≥ numeric-only-AUC.
     */
   val m05GbtEval: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       import s.implicits._
-      val df = Tables.lineitem(s, dir)
-        .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
-        .select(col("label"), col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"), col("l_linenumber"))
-      val feats = new VectorAssembler()
-        .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount",
-          "l_tax", "l_linenumber"))
-        .setOutputCol("features")
-      val Array(train, valid) = feats.transform(df)
-        .select("label", "features").randomSplit(Array(0.8, 0.2), seed = 42L)
-      val model = new GBTClassifier()
-        .setMaxIter(10).setMaxDepth(4).setStepSize(0.05).setSeed(42L)
-        .fit(train.cache())
-      val scored = model.transform(valid)
-        .withColumn("p",
-          element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
-        .cache()
-      val auc = new BinaryClassificationEvaluator()
-        .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
-        .evaluate(scored)
-      // logloss as a plain aggregation (SURVEY.md §2.10 UDF note (a)):
-      // clamp p away from {0,1} exactly like sklearn's log_loss eps.
-      val eps = 1e-15
-      val Row0 = scored.agg(
-        (-avg(col("label") * log(greatest(least(col("p"), lit(1 - eps)), lit(eps))) +
-          (lit(1.0) - col("label")) *
-            log(greatest(least(lit(1.0) - col("p"), lit(1 - eps)), lit(eps)))))
-          .as("logloss"),
-        avg(when((col("p") >= 0.6) === (col("label") === 1.0), 1.0).otherwise(0.0))
-          .as("accuracy"))
-        .head()
-      Seq((auc, Row0.getDouble(0), Row0.getDouble(1)))
-        .toDF("valid_auc", "valid_logloss", "valid_accuracy_at_06")
+      scopedCaches(s) {
+        val (auc, logloss, accuracy) = gbtMetrics(s, dir, categorical = true)
+        Seq((auc, logloss, accuracy))
+          .toDF("valid_auc", "valid_logloss", "valid_accuracy_at_06")
+      }
     },
     oracle = None)
+
+  /** Shared GBT train/eval body for m05 and its spec. `categorical`
+    * toggles the reference's categorical item feature
+    * (train_module.py:313-338 trains LightGBM with `course_id_int`
+    * categorical at :333): the part brand reached through the q12-style
+    * lineitem ⟕ part join, StringIndexer'd with alphabetAsc (M6 parity)
+    * — a genuine per-item signal next to the 5 numeric line-level
+    * features. GBTClassifier has no native categorical channel, so the
+    * indexed value enters the assembler as an ordinal split feature,
+    * the standard spark.ml encoding for low-cardinality categoricals.
+    */
+  private[graft] def gbtMetrics(s: SparkSession, dir: String,
+      categorical: Boolean): (Double, Double, Double) = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+    val withBrand = li
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val indexed = new StringIndexer().setInputCol("p_brand")
+      .setOutputCol("brand_idx").setStringOrderType("alphabetAsc")
+      .fit(withBrand).transform(withBrand)
+    val numericCols = Array("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_linenumber")
+    val feats = new VectorAssembler()
+      .setInputCols(if (categorical) numericCols :+ "brand_idx" else numericCols)
+      .setOutputCol("features")
+    val Array(train, valid) = feats.transform(indexed)
+      .select("label", "features").randomSplit(Array(0.8, 0.2), seed = 42L)
+    val model = new GBTClassifier()
+      .setMaxIter(10).setMaxDepth(4).setStepSize(0.05).setSeed(42L)
+      .fit(train.cache())
+    val scored = model.transform(valid)
+      .withColumn("p",
+        element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
+      .cache()
+    val auc = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
+      .evaluate(scored)
+    // logloss as a plain aggregation (SURVEY.md §2.10 UDF note (a)):
+    // clamp p away from {0,1} exactly like sklearn's log_loss eps.
+    val eps = 1e-15
+    val Row0 = scored.agg(
+      (-avg(col("label") * log(greatest(least(col("p"), lit(1 - eps)), lit(eps))) +
+        (lit(1.0) - col("label")) *
+          log(greatest(least(lit(1.0) - col("p"), lit(1 - eps)), lit(eps)))))
+        .as("logloss"),
+      avg(when((col("p") >= 0.6) === (col("label") === 1.0), 1.0).otherwise(0.0))
+        .as("accuracy"))
+      .head()
+    (auc, Row0.getDouble(0), Row0.getDouble(1))
+  }
 
   /** M12 confusion matrix of a deterministic rule-based classifier
     * (predict 'returned' when discount > 0.05) — real counts, fully

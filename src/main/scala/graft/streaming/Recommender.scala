@@ -73,15 +73,21 @@ object Recommender {
         lit(0).as("pri"))
 
     // 2. co-occurrence: top-50 pairs involving the current item, both
-    // directions, minus already-passed (run_consumer.py:245-250)
-    val top50 = broadcast(kb.pairCounts
-      .orderBy(col("cnt").desc, col("i1"), col("i2")).limit(50))
-    val cooc = ev.join(top50, col("cur") === col("i1") || col("cur") === col("i2"))
-      .select(col("user"), col("cur"),
-        when(col("cur") === col("i1"), col("i2")).otherwise(col("i1")).as("cand"))
+    // directions, minus already-passed (run_consumer.py:245-250).
+    // Symmetrize the pair table FIRST and equi-join on `cur`: the
+    // OR-predicate formulation (cur === i1 || cur === i2) has no
+    // single equi-key, so Catalyst plans BroadcastNestedLoopJoin —
+    // bounded here by the top-50 cut, but the union-of-directions
+    // form stays hash-joinable for a pair table of any size.
+    val top50 = kb.pairCounts
+      .orderBy(col("cnt").desc, col("i1"), col("i2")).limit(50)
+    val bothDirs = broadcast(
+      top50.select(col("i1").as("cur"), col("i2").as("cand"))
+        .unionByName(top50.select(col("i2").as("cur"), col("i1").as("cand"))))
+    val cooc = ev.join(bothDirs, "cur")
       .filter(col("cand") =!= col("cur"))
       .join(passed, Seq("user", "cand"), "left_anti")
-      .withColumn("pri", lit(1))
+      .select(col("user"), col("cur"), col("cand"), lit(1).as("pri"))
 
     // distinct candidates so far, keeping the strongest source
     val base = fromFailed.unionByName(cooc)
@@ -97,6 +103,9 @@ object Recommender {
     val needFill = ev.join(baseCnt, Seq("user", "cur"), "left")
       .na.fill(0L, Seq("n")).filter(col("n") < 5)
     val popW = Window.partitionBy(col("user"), col("cur")).orderBy(col("popRank"))
+    // deliberate BroadcastNestedLoopJoin: a fan-out of the top-k popular
+    // cut against every under-filled key has no equi-key by nature; the
+    // broadcast side is a bounded top-k, so the plan stays safe at scale
     val fromPopular = needFill.join(broadcast(kb.popular))
       .filter(col("item") =!= col("cur"))
       .select(col("user"), col("cur"), col("item").as("cand"),

@@ -1,0 +1,31 @@
+package graft
+
+import graft.ml.MlCatalog
+
+/** M7/M8 GBT contract (reference train_module.py:313-369) and the
+  * cache-hygiene guarantee the ML queries now carry: a Verify-style
+  * pass must not leak persisted training splits into executor memory.
+  */
+class MlSpec extends SparkSpec {
+
+  test("GBT classifier beats chance and the categorical item feature does not hurt (M7/M8)") {
+    val (aucCat, logloss, acc) = MlCatalog.gbtMetrics(spark, sf0001, categorical = true)
+    val (aucNum, _, _) = MlCatalog.gbtMetrics(spark, sf0001, categorical = false)
+    assert(aucCat > 0.5, s"categorical-feature AUC $aucCat not better than chance")
+    assert(logloss > 0.0 && acc > 0.0 && acc <= 1.0)
+    // the reference's per-item categorical (train_module.py:333) is the
+    // signal that drives its per-course predictions; with it the model
+    // must do at least as well as the numeric-only ablation
+    assert(aucCat >= aucNum,
+      s"categorical AUC $aucCat below numeric-only AUC $aucNum")
+  }
+
+  test("m03/m05 leave no persisted RDDs behind (scoped caches, VERDICT r3 #7)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    MlCatalog.all("m03_als_eval").fn(spark, sf0001).collect()
+    MlCatalog.all("m05_gbt_eval").fn(spark, sf0001).collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
+  }
+}

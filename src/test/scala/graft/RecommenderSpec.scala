@@ -77,6 +77,26 @@ class RecommenderSpec extends SparkSpec {
     assert(byUser(9L) == (1 to 15).map(i => f"f$i%02d"))
   }
 
+  test("candidate co-occurrence join stays hash-joinable (no BroadcastNestedLoopJoin)") {
+    import spark.implicits._
+    // the OR-predicate form (cur === i1 || cur === i2) had no equi-key
+    // and planned BNLJ; the symmetrized union form must hash-join so the
+    // plan survives a pair table of any size (VERDICT r3 #6)
+    val k = kb(
+      hist = Seq(histRow(7L, "cF1", (1, 0, 0, 0, 2), 1)),
+      pairs = Seq(("cur", "cooc1", 10L), ("cooc2", "cur", 8L)),
+      popular = Seq("p1", "p2"))
+    val ev = Seq((7L, "cur")).toDF("user", "item")
+    val plan = Recommender.candidates(ev, k).queryExecution.executedPlan.toString
+    // the co-occurrence lookup must be an equi-join on `cur`
+    assert(plan.contains("BroadcastHashJoin [cur"), s"no hash join on cur:\n$plan")
+    // the only nested-loop join left is the popular-fallback fan-out
+    // (needFill × top-k populars) — a deliberate bounded broadcast with
+    // no equi-key; its condition references `item`, never the pair table
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("item")), s"unexpected BNLJ:\n${bnlj.mkString("\n")}")
+  }
+
   test("30/70 blending for retake candidates, pure profile for cold ones (ST6)") {
     import spark.implicits._
     val k = kb(
