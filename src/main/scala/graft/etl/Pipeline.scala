@@ -20,6 +20,42 @@ import graft.operators.CoOccurrence
   */
 object Pipeline {
 
+  /** Stage 0 precondition — the reference DAG's `check_data_freshness`
+    * task (`airflow/dags/recsys_pipeline.py:175-212`): count the
+    * interactions fact, FAIL the run when it is empty, and report how
+    * many rows arrived in the trailing 24 h. The reference only reports
+    * the recent count (its hard gate is total==0); `requireRecent=true`
+    * upgrades the 24 h check from reported to enforced for feeds where
+    * training on stale data must abort. `now` defaults to the fact's
+    * own max timestamp — the fixtures are static, and the reference's
+    * NOW() is only meaningful against a live feed (same anchored-max
+    * determinization as q30).
+    *
+    * Cost: one global aggregation (count+max, map-side combined to one
+    * row) + one filtered count — no shuffle of the fact itself; with a
+    * partition-pruned timestamp layout the recent count touches only
+    * the trailing day's partitions.
+    *
+    * @return (totalRows, recentRows)
+    */
+  def checkDataFreshness(interactions: DataFrame, tsCol: String = "ts",
+      now: Option[java.sql.Timestamp] = None,
+      requireRecent: Boolean = false): (Long, Long) = {
+    val head = interactions
+      .agg(count(lit(1)).as("n"), max(col(tsCol)).as("max_ts")).head()
+    val total = head.getLong(0)
+    if (total == 0)
+      throw new IllegalStateException(
+        "No data in interactions table. Skipping retraining.")
+    val anchor = now.getOrElse(head.getTimestamp(1))
+    val recent = interactions
+      .filter(col(tsCol) > lit(anchor) - expr("INTERVAL 24 HOURS")).count()
+    if (requireRecent && recent == 0)
+      throw new IllegalStateException(
+        s"No interactions newer than 24h before $anchor. Skipping retraining.")
+    (total, recent)
+  }
+
   /** Stage 1 (S4): ingest with first-writer-wins upsert semantics. */
   def ingest(existing: DataFrame, incoming: DataFrame, pk: Seq[String]): DataFrame =
     Writers.upsertNothing(existing, incoming, pk, incoming.columns.toSeq.diff(pk))
@@ -63,6 +99,7 @@ object Pipeline {
   /** Full run, fixture-driven. Returns the artifact dir listing. */
   def run(spark: SparkSession, dir: String, outDir: String): Seq[String] = {
     import spark.implicits._
+    checkDataFreshness(Tables.events(spark, dir))
     knowledgeBase(spark, dir, outDir)
     trainAndExport(spark, dir, outDir)
     val empty = Seq.empty[(String, Long, Double)]

@@ -397,6 +397,105 @@ object MlCatalog {
     a.sameElements(b)
   }
 
+  /** S17 on the reference's FULL registry row: a deterministic synthetic
+    * `model_training_history` with the 21-column shape of
+    * `sql/init.sql:55-77` (metrics, JSON `hyperparameters`,
+    * `training_duration_seconds`, `data_snapshot_timestamp`,
+    * `is_active`, `notes`), derived arithmetically from the `nation`
+    * fixture — 25 training runs alternating the reference's two model
+    * names — so a DuckDB oracle can replay it row-for-row. Every float
+    * is an integer-division double (one identical IEEE op on both
+    * engines ⇒ bit-equal by construction, no rounding needed).
+    * `is_active` is left to the consumer: it is DERIVED state (the W1
+    * latest-per-model window), not stored state — see q64.
+    */
+  def modelTrainingHistory(s: SparkSession, dir: String): DataFrame = {
+    val k = col("n_nationkey").cast("int")
+    Tables.nation(s, dir)
+      .select(
+        (k + 1).as("id"),
+        when(k % 2 === 0, "spark_als").otherwise("lgbm_dropout").as("model_name"),
+        concat(lit("20240101_"), lpad(k.cast("string"), 6, "0")).as("model_version"),
+        (lit(1000) + k * 37).as("training_samples"),
+        (lit(250) + k * 9).as("validation_samples"),
+        ((lit(700) + (k * 7) % 100).cast("double") / 1000.0).as("train_auc"),
+        ((lit(650) + (k * 13) % 100).cast("double") / 1000.0).as("valid_auc"),
+        ((lit(300) + (k * 11) % 80).cast("double") / 1000.0).as("train_logloss"),
+        ((lit(350) + (k * 17) % 80).cast("double") / 1000.0).as("valid_logloss"),
+        ((lit(800) + (k * 3) % 50).cast("double") / 1000.0).as("train_accuracy"),
+        ((lit(780) + (k * 5) % 50).cast("double") / 1000.0).as("valid_accuracy"),
+        lit(6).as("num_features"),
+        (lit(50) + k).as("num_courses"),
+        lit(1500).as("num_users"),
+        to_json(struct((lit(16) + (k % 3) * 8).as("rank"),
+          lit(5).as("max_iter"), lit(42).as("seed"))).as("hyperparameters"),
+        (lit(60) + k * 3).cast("double").as("training_duration_seconds"),
+        expr("timestampadd(HOUR, n_nationkey, TIMESTAMP'2024-01-01 00:00:00')")
+          .as("data_snapshot_timestamp"),
+        expr("timestampadd(HOUR, n_nationkey, TIMESTAMP'2024-01-01 12:00:00')")
+          .as("created_at"),
+        concat(lit("run "), (k + 1).cast("string")).as("notes"))
+      .withColumn("artifact_path",
+        concat(lit("/models/"), col("model_name"), lit("/"), col("model_version")))
+  }
+
+  /** W1 + W2 over the real registry shape: flag the active model per
+    * model_name (latest created_at — exactly what
+    * [[graft.io.Writers.activeModels]] selects) and the run-over-run
+    * validation-AUC drift (the reference dashboard's retraining-history
+    * view, `dashboard/app.py` model history panel). One shuffle on
+    * model_name; both windows share it. Raw double drift: the
+    * subtraction of two bit-equal doubles is itself bit-equal.
+    */
+  val q64ModelRegistry: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val wActive = Window.partitionBy(col("model_name")).orderBy(col("created_at").desc)
+      val wLag = Window.partitionBy(col("model_name")).orderBy(col("created_at"))
+      modelTrainingHistory(s, dir)
+        .withColumn("is_active", row_number().over(wActive) === 1)
+        .withColumn("auc_drift",
+          col("valid_auc") - lag(col("valid_auc"), 1).over(wLag))
+        .orderBy(col("model_name"), col("created_at"))
+    },
+    oracle = Some("""
+      WITH r AS (
+        SELECT n_nationkey + 1 AS id,
+               CASE WHEN n_nationkey % 2 = 0 THEN 'spark_als'
+                    ELSE 'lgbm_dropout' END AS model_name,
+               '20240101_' || lpad(CAST(n_nationkey AS VARCHAR), 6, '0') AS model_version,
+               1000 + n_nationkey * 37 AS training_samples,
+               250 + n_nationkey * 9 AS validation_samples,
+               CAST(700 + (n_nationkey * 7) % 100 AS DOUBLE) / 1000.0 AS train_auc,
+               CAST(650 + (n_nationkey * 13) % 100 AS DOUBLE) / 1000.0 AS valid_auc,
+               CAST(300 + (n_nationkey * 11) % 80 AS DOUBLE) / 1000.0 AS train_logloss,
+               CAST(350 + (n_nationkey * 17) % 80 AS DOUBLE) / 1000.0 AS valid_logloss,
+               CAST(800 + (n_nationkey * 3) % 50 AS DOUBLE) / 1000.0 AS train_accuracy,
+               CAST(780 + (n_nationkey * 5) % 50 AS DOUBLE) / 1000.0 AS valid_accuracy,
+               6 AS num_features,
+               50 + n_nationkey AS num_courses,
+               1500 AS num_users,
+               '{"rank":' || CAST(16 + (n_nationkey % 3) * 8 AS VARCHAR) ||
+                 ',"max_iter":5,"seed":42}' AS hyperparameters,
+               CAST(60 + n_nationkey * 3 AS DOUBLE) AS training_duration_seconds,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (n_nationkey) HOUR
+                 AS data_snapshot_timestamp,
+               TIMESTAMP '2024-01-01 12:00:00' + INTERVAL (n_nationkey) HOUR
+                 AS created_at,
+               'run ' || CAST(n_nationkey + 1 AS VARCHAR) AS notes,
+               '/models/' ||
+                 CASE WHEN n_nationkey % 2 = 0 THEN 'spark_als'
+                      ELSE 'lgbm_dropout' END ||
+                 '/20240101_' || lpad(CAST(n_nationkey AS VARCHAR), 6, '0')
+                 AS artifact_path
+        FROM nation)
+      SELECT *,
+             row_number() OVER (PARTITION BY model_name ORDER BY created_at DESC) = 1
+               AS is_active,
+             valid_auc - lag(valid_auc) OVER (PARTITION BY model_name ORDER BY created_at)
+               AS auc_drift
+      FROM r
+      ORDER BY model_name, created_at"""))
+
   val all: Map[String, QuerySpec] = Map(
     "m01_als_user_factors" -> m01AlsUserFactors,
     "m02_als_recommendations" -> m02AlsRecommendations,
@@ -407,6 +506,7 @@ object MlCatalog {
     "m07_roc_points" -> m07RocPoints,
     "m08_id_universe" -> m08IdUniverse,
     "m09_ivf_ann" -> m09IvfAnn,
+    "q64_model_registry" -> q64ModelRegistry,
   )
 
   /** Forget this session's trained ALS models (bench repetitions). */

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Writers
+
+/** S3/S5/S6 live JDBC round-trip over embedded Apache Derby (ships in
+  * /opt/spark/jars for the Hive metastore — no broker/Postgres in this
+  * sandbox, but the JDBC codepath itself is fully exercisable): batched
+  * write, plain read, and the partitioned parallel scan built from
+  * [[Writers.partitionedJdbcOptions]] (the fix for the reference's
+  * single-partition fact read, `batch_als_train.py:116-117`).
+  */
+class JdbcSpec extends SparkSpec {
+
+  private lazy val dbUrl = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby").toString
+    s"jdbc:derby:$dir/db;create=true"
+  }
+  private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  test("batched JDBC write + read round-trip (S3/S6)") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"name_$i", i * 3 % 7)).toDF("id", "name", "grp")
+    df.write.format("jdbc")
+      .option("url", dbUrl).option("driver", driver)
+      .option("dbtable", "people")
+      // S3: the reference inserts in batches of 5000
+      // (etl/load_users_from_minio.py:22); Spark's JDBC sink batches
+      // through the same knob
+      .option("batchsize", "5000")
+      .mode("overwrite").save()
+    val back = spark.read.format("jdbc")
+      .option("url", dbUrl).option("driver", driver)
+      .option("dbtable", "people").load()
+    assert(back.count() == 100)
+    assert(back.agg(sum("id")).head().getLong(0) == 5050L)
+  }
+
+  test("partitioned JDBC scan splits the read across partitions (S5)") {
+    val opts = Writers.partitionedJdbcOptions(
+      dbUrl, "people", "id", lower = 1L, upper = 100L, numPartitions = 4)
+    val scan = spark.read.format("jdbc")
+      .options(opts).option("driver", driver).load()
+    // the scan plans one task per range split, not one total
+    assert(scan.rdd.getNumPartitions == 4)
+    assert(scan.count() == 100)
+    // predicate pushdown reaches the JDBC source (pushDownPredicate on)
+    val filtered = scan.filter(col("grp") === 0)
+    assert(filtered.count() > 0 && filtered.count() < 100)
+  }
+
+  test("JDBC query scan reads a derived query, not a table (S7)") {
+    val agg = spark.read.format("jdbc")
+      .option("url", dbUrl).option("driver", driver)
+      // Derby folds unquoted identifiers to uppercase; Spark created
+      // the columns quoted-lowercase, so the pushed query must quote
+      .option("query", "SELECT \"grp\", COUNT(*) AS n FROM people GROUP BY \"grp\"")
+      .load()
+    assert(agg.count() == 7)
+    assert(agg.agg(sum("n")).head().getLong(0) == 100L)
+  }
+}

@@ -20,6 +20,22 @@ class MlSpec extends SparkSpec {
       s"categorical AUC $aucCat below numeric-only AUC $aucNum")
   }
 
+  test("activeModels selects the latest run per model on the full registry row (S17/W1)") {
+    val reg = MlCatalog.modelTrainingHistory(spark, sf0001)
+    // the reference's full init.sql:55-77 shape: 21 columns, of which
+    // is_active is DERIVED state (the W1 window) — 20 stored + 1 derived
+    assert(reg.columns.length == 20 && !reg.columns.contains("is_active"))
+    val q64 = MlCatalog.q64ModelRegistry.fn(spark, sf0001)
+    assert(q64.columns.contains("is_active") && q64.columns.contains("auc_drift"))
+    val active = graft.io.Writers.activeModels(reg)
+      .select("model_name", "model_version").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // 25 runs, even nationkey → spark_als (latest k=24), odd → lgbm (k=23)
+    assert(active == Map(
+      "spark_als" -> "20240101_000024",
+      "lgbm_dropout" -> "20240101_000023"))
+  }
+
   test("m03/m05 leave no persisted RDDs behind (scoped caches, VERDICT r3 #7)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
