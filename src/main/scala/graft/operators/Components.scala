@@ -4,20 +4,34 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Distributed connected components by min-label propagation — the
-  * dedup-clustering primitive (collapse transitive near-dup pairs to
-  * one representative per group). Each round: push every node's label
-  * across its edges, keep the per-node min; converged when no label
-  * changes. Rounds = graph diameter; near-dup graphs are shallow
-  * (cliques/short chains), so 2-4 rounds in practice. Per-round state
-  * is persisted and the previous round unpersisted, so lineage stays
-  * flat no matter how many rounds run. At 100 TB swap the round body
-  * for the large-star/small-star alternation (same join shape,
-  * logarithmic round count on adversarial diameters).
+/** Distributed connected components — the dedup-clustering primitive
+  * (collapse transitive near-dup pairs to one representative per
+  * group). Two algorithms:
+  *
+  *  - [[connectedComponents]]: min-label propagation. Rounds = graph
+  *    diameter; near-dup graphs are shallow (cliques/short chains), so
+  *    2-4 rounds in practice — the default for the catalog's q62.
+  *  - [[connectedComponentsStar]]: the large-star/small-star
+  *    alternation (Kiveris et al., "Connected Components in MapReduce
+  *    and Beyond", SoCC'14) — logarithmic round count on adversarial
+  *    diameters (long chains), same labels. The 100 TB swap-in when
+  *    the pair graph's diameter is not known to be shallow.
   */
 object Components {
 
-  /** @param pairs undirected edges as two columns `d1`, `d2`
+  /** Eagerly free a `localCheckpoint(true)`d round: `Dataset.unpersist`
+    * does NOT reach checkpoint blocks (they bypass the CacheManager),
+    * so unpersist the materialized RDD itself; otherwise every round's
+    * blocks linger until the ContextCleaner GCs the old reference.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.shims.checkpointedRdd(df)
+      .foreach(_.unpersist(blocking = false))
+
+  /** Min-label propagation. Each round: push every node's label across
+    * its edges, keep the per-node min; converged when no label changes.
+    *
+    * @param pairs undirected edges as two columns `d1`, `d2`
     * @return (node, label) — label = min node id of the component
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
@@ -46,7 +60,7 @@ object Components {
         val changed = next.as("n")
           .join(labels.as("o"), col("n.node") === col("o.node"))
           .filter(col("n.lbl") =!= col("o.lbl")).count()
-        labels.unpersist() // previous round's checkpoint blocks
+        freeCheckpoint(labels) // previous round's checkpoint blocks
         labels = next
         converged = changed == 0
         round += 1
@@ -54,5 +68,74 @@ object Components {
       require(converged, s"label propagation did not converge in $round rounds")
       labels
     } finally edges.unpersist()
+  }
+
+  /** Large-star/small-star alternation. Edges are kept canonically
+    * oriented (u > v). Per round:
+    *
+    *  - large-star: for every node u, connect each strictly LARGER
+    *    neighbor to m(u) = min(Γ(u) ∪ {u}) — works on the symmetrized
+    *    neighborhood;
+    *  - small-star: for every node u over its smaller neighbors,
+    *    connect each of them (and u) to the minimum.
+    *
+    * Both halves are one groupBy + one join on the same key — the same
+    * shuffle shape as a propagation round — but the edge set contracts
+    * toward stars, so convergence takes O(log d) rounds instead of d.
+    * Fixed point: every edge connects a node directly to its component
+    * minimum.
+    *
+    * @param pairs undirected edges as two columns `d1`, `d2`
+    * @return ((node, lbl) labels — identical to [[connectedComponents]]
+    *         on the same input — and the number of rounds taken)
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 30)
+      : (DataFrame, Int) = {
+    // canonical orientation u > v, self-loops dropped
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: canonical
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonically oriented: every neighbor v of u satisfies v < u
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = e.join(m, "u")
+      joined.select(col("v").as("u"), col("m").as("v")) // {v, m}
+        .unionByName(joined.select(col("u"), col("m").as("v")).distinct()) // {u, m}
+    }
+
+    var edges = canon(pairs.select(col("d1").as("u"), col("d2").as("v")))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val ls = canon(largeStar(edges)).localCheckpoint(true)
+      val next = canon(smallStar(ls)).localCheckpoint(true)
+      freeCheckpoint(ls)
+      // fixed point = identical canonical edge sets (both are distinct)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      freeCheckpoint(edges)
+      edges = next
+      round += 1
+    }
+    require(converged, s"star contraction did not converge in $round rounds")
+    // at the fixed point every edge is (node → component min); roots
+    // appear only on the v side and label themselves
+    val labels = edges.select(col("u").as("node"), col("v").as("lbl"))
+      .unionByName(edges.select(col("v").as("node"), col("v").as("lbl")))
+      .distinct()
+    (labels, round)
   }
 }

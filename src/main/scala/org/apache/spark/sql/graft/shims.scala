@@ -20,4 +20,17 @@ object shims {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** The materialized RDD behind a `localCheckpoint(true)`d Dataset.
+    * `Dataset.unpersist` is a no-op for checkpoint blocks (they are not
+    * registered with the CacheManager), so eager per-round freeing in
+    * iterative loops must unpersist THIS RDD directly; without it the
+    * blocks linger until the ContextCleaner happens to GC the reference.
+    */
+  def checkpointedRdd(df: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
 }

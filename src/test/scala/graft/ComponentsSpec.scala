@@ -38,4 +38,34 @@ class ComponentsSpec extends SparkSpec {
     val b = cc(Seq((1L, 7L), (3L, 5L), (3L, 7L)))
     assert(a == b && a.values.toSet == Set(1L))
   }
+
+  private def ccStar(pairs: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val (labels, rounds) =
+      Components.connectedComponentsStar(pairs.toDF("d1", "d2"))
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("star contraction labels random graphs identically to propagation") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 10
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong + 1
+        val b = rnd.nextInt(n).toLong + 1
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      assert(ccStar(edges)._1 == cc(edges), s"trial $trial diverged")
+    }
+  }
+
+  test("star contraction needs O(log d) rounds on a 1000-node path") {
+    // diameter 999: min-propagation would need ~999 rounds; the
+    // large-star/small-star alternation contracts in logarithmic rounds
+    val path = (1L until 1000L).map(i => (i, i + 1))
+    val (labels, rounds) = ccStar(path)
+    assert(labels.keySet == (1L to 1000L).toSet)
+    assert(labels.values.toSet == Set(1L))
+    assert(rounds <= 15, s"expected logarithmic convergence, took $rounds")
+  }
 }
