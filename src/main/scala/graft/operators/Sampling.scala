@@ -32,12 +32,18 @@ object Sampling {
 
   /** Exact-ratio stratified split: every k-th row (by `orderCol` rank)
     * within each stratum goes to the second return (the 1/k "test"
-    * half). Deterministic: same inputs → same split, task retries
-    * agree.
+    * half). Deterministic — same inputs → same split, task retries
+    * agree — PROVIDED the ordering is total within each stratum:
+    * either `orderCol` is unique per stratum (a key) or `tiebreakCols`
+    * extend it to uniqueness. Under ties with no tiebreak the per-
+    * stratum COUNTS are still exact but row MEMBERSHIP of the halves
+    * can differ across runs/engines (row_number assigns tied rows
+    * arbitrarily).
     */
   def stratifiedSplit(df: DataFrame, strataCol: String, orderCol: String,
-      k: Int): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+      k: Int, tiebreakCols: String*): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy((col(orderCol) +: tiebreakCols.map(col)): _*)
     val marked = df.withColumn("__rn", row_number().over(w))
       .withColumn("__test", (col("__rn") % k) === 0)
     (marked.filter(!col("__test")).drop("__rn", "__test"),

@@ -27,8 +27,7 @@ object Skew {
     // map-side partial aggregation collapses them to one row per input
     // partition before the shuffle, so a duplicate-heavy hot key still
     // can't recreate the straggler. (saltedJoin below has no such
-    // combine — if a hot key's rows are byte-identical there, add a
-    // distinguishing column before salting.)
+    // combine — pass its distinctCols for duplicate-heavy hot keys.)
     df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
@@ -42,10 +41,27 @@ object Skew {
     * broadcast dim Spark needs no salt; this is the pattern for when
     * the dim is too big to broadcast but small enough to replicate
     * `salts`×.)
+    *
+    * The salt derives from row content (retry-stable), so spreading
+    * requires the salt basis to DISTINGUISH a hot key's rows: pass
+    * `distinctCols` naming columns that vary across them (an id, a
+    * timestamp). The all-columns default spreads only when full rows
+    * differ — byte-identical duplicates of a hot key collapse to one
+    * salt, and unlike [[saltedAgg]] there is no map-side combine to
+    * absorb them, so the straggler returns. Map-typed columns can't
+    * be hashed (rejected eagerly here; Spark would fail at analysis).
     */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+      distinctCols: Seq[String] = Nil): DataFrame = {
+    val basis = if (distinctCols.nonEmpty) key +: distinctCols
+                else fact.columns.toSeq
+    val mapTyped = basis.filter(c => fact.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.MapType])
+    require(mapTyped.isEmpty,
+      s"saltedJoin salt basis has unhashable map-typed columns " +
+        s"${mapTyped.mkString(", ")}; pass distinctCols excluding them")
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      pmod(hash(basis.map(col): _*), lit(salts)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")

@@ -907,8 +907,16 @@ object PipelineCatalog {
     * pass computes it from integer counts. The float fold runs
     * SEQUENTIALLY over token-sorted counts on BOTH engines (repo
     * invariant: no partial-agg-order-dependent double sums), so the
-    * rounded value can't drift. Scale: token explode → one shuffle by
-    * (doc, tok), then one by doc; no corpus-wide state.
+    * pre-round doubles agree. Residual risk, accepted and known: the
+    * value passes through ln() before round(x,6), so this is the
+    * decimal-midpoint class the q49 fix removed elsewhere — Spark
+    * rounds the exact binary value HALF_UP via BigDecimal, DuckDB
+    * rounds in double space, and an unlucky entropy could land on a
+    * diverging midpoint at some other scale factor. Integer sufficient
+    * statistics can't express Σ c·ln c, so the contract keeps round()
+    * and relies on the sweep (validated green at sf0.001/0.01/0.1).
+    * Scale: token explode → one shuffle by (doc, tok), then one by
+    * doc; no corpus-wide state.
     */
   val q59TokenEntropy: QuerySpec = QuerySpec(
     fn = (s, dir) => {

@@ -47,6 +47,23 @@ class SamplingSpec extends SparkSpec {
       .sameElements(test2.collect().map(_.getInt(0)).sorted))
   }
 
+  test("stratifiedSplit membership is reproducible under ties given a tiebreak") {
+    import spark.implicits._
+    // orderCol ("grp") is heavily tied within each stratum: without a
+    // tiebreak, row_number may assign tied rows differently per run;
+    // with the id tiebreak the ordering is total and membership pins
+    val df = (1 to 600).map(i => (i, i % 3, if (i % 2 == 0) "E" else "O"))
+      .toDF("id", "grp", "label")
+      .repartition(8) // shuffle so input order isn't accidentally stable
+    val runs = (1 to 3).map { _ =>
+      val (_, test) = Sampling.stratifiedSplit(df, "label", "grp", 5, "id")
+      test.collect().map(_.getInt(0)).sorted.toSeq
+    }
+    assert(runs.distinct.size == 1, "tiebroken membership must not vary")
+    // counts stay exact either way: 300 per stratum -> 60 test rows
+    assert(runs.head.size == 120)
+  }
+
   test("tail-read offset JSON rewinds each partition by N, clamped at 0 (S10)") {
     val (start, end) = KafkaBatch.tailOffsetsJson("events",
       Map(0 -> 100L, 1 -> 3L, 2 -> 0L), lastN = 10L)

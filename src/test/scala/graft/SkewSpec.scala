@@ -35,6 +35,37 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("saltedJoin spreads byte-identical hot-key rows via distinctCols") {
+    import spark.implicits._
+    // every hot-key row is byte-identical: the all-columns salt basis
+    // collapses them to ONE salt; a distinguishing id restores spread
+    val dupFact = (1 to 4000).map(i => (7L, "same_payload")).toDF("k", "v")
+      .withColumn("row_id", monotonically_increasing_id())
+    val dim = Seq((7L, "hot")).toDF("k", "name")
+    val collapsed = Skew.saltedJoin(dupFact.drop("row_id"), dim, "k", salts = 8)
+    val spread = Skew.saltedJoin(dupFact, dim, "k", salts = 8,
+      distinctCols = Seq("row_id"))
+    assert(collapsed.count() == 4000L && spread.count() == 4000L)
+    val saltsUsed = dupFact
+      .withColumn("__salt", pmod(hash(col("k"), col("row_id")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(saltsUsed > 1, "distinct ids must hash to multiple salts")
+  }
+
+  test("saltedJoin rejects map-typed salt basis eagerly") {
+    import spark.implicits._
+    val withMap = Seq((7L, Map("a" -> 1))).toDF("k", "m")
+    val dim = Seq((7L, "hot")).toDF("k", "name")
+    val err = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(withMap, dim, "k", salts = 4)
+    }
+    assert(err.getMessage.contains("map-typed"))
+    // excluding the map column via distinctCols works
+    val ok = Skew.saltedJoin(withMap, dim, "k", salts = 4,
+      distinctCols = Seq("k"))
+    assert(ok.count() == 1L)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
