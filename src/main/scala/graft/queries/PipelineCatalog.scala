@@ -1222,8 +1222,268 @@ object PipelineCatalog {
       WHERE s.event_type = 'signup'
       ORDER BY s_id"""))
 
+  // ---------------------------------------------------------------------
+  // Incremental curation (batch-vs-corpus dedup, decontamination,
+  // repetition quality) — the operations a CONTINUOUSLY-FED training
+  // corpus needs beyond one-shot dedup.
+  // ---------------------------------------------------------------------
+
+  /** Incremental dedup: a NEW BATCH of documents (doc_id % 5 == 0 as the
+    * deterministic stand-in for "today's crawl") is checked against the
+    * EXISTING corpus (the rest) for exact and 0.8-jaccard near
+    * duplicates; only clean docs are kept. This is the production shape
+    * of dedup at 100 TB: the corpus's prefix inverted index is
+    * maintained incrementally, and each day's batch probes it — join
+    * volume ∝ batch size, never corpus². Here both sides' prefixes come
+    * from the shared shingle index; the asymmetric join (batch probe ×
+    * corpus index) replaces q35's self-join. A batch↔corpus pair with
+    * jaccard ≥ t must collide within both prefixes (same pigeonhole as
+    * q35), and candidates get full exact-jaccard verification.
+    */
+  val q65IncrementalDedup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val isBatch = col("doc_id") % 5 === 0
+      val inv = shingleRows(s, dir)
+      // same rarity-ordered prefix rows as q35 (df window shares the
+      // shingle exchange; exact integer bound; df=1 rows can't collide)
+      val wDf = Window.partitionBy(col("shingle"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+      val pref = inv.withColumn("df", count(lit(1)).over(wDf))
+        .withColumn("pos", row_number().over(w))
+        .join(shingleSizes(s, dir), "doc_id")
+        .filter(col("pos") <= expr("n div 5") + 1)
+        .filter(col("df") > 1)
+        .select(col("doc_id"), col("shingle"))
+      val cand = pref.filter(isBatch).as("a")
+        .join(pref.filter(!isBatch).as("b"), col("a.shingle") === col("b.shingle"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val near = verifyJaccard(s, dir, cand, 0.8)
+        .groupBy(col("d1")).agg(count(lit(1)).as("n_near"))
+        .withColumnRenamed("d1", "nd")
+      val docs = Tables.documents(s, dir)
+      val exact = docs.filter(isBatch).as("x")
+        .join(docs.filter(!isBatch).as("y"), col("x.text") === col("y.text"))
+        .groupBy(col("x.doc_id")).agg(count(lit(1)).as("n_exact"))
+        .select(col("doc_id").as("ed"), col("n_exact"))
+      docs.filter(isBatch).select(col("doc_id"))
+        .join(near, col("doc_id") === col("nd"), "left")
+        .join(exact, col("doc_id") === col("ed"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near_dup"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact_dup"),
+          (coalesce(col("n_near"), lit(0L)) + coalesce(col("n_exact"), lit(0L)) === 0)
+            .cast("bigint").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($shinglesSql),
+      near AS (
+        SELECT a.doc_id AS d1, CAST(count(*) AS BIGINT) AS n_near
+        FROM sh a JOIN sh b
+          ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         AND len(a.sh) > 0 AND len(b.sh) > 0
+         AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        GROUP BY 1),
+      ex AS (
+        SELECT x.doc_id AS ed, CAST(count(*) AS BIGINT) AS n_exact
+        FROM documents x JOIN documents y
+          ON x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0 AND x.text = y.text
+        GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near_dup,
+             CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact_dup,
+             CAST(CASE WHEN coalesce(near.n_near, 0) + coalesce(ex.n_exact, 0) = 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM documents d
+      LEFT JOIN near ON d.doc_id = near.d1
+      LEFT JOIN ex ON d.doc_id = ex.ed
+      WHERE d.doc_id % 5 = 0
+      ORDER BY doc_id"""))
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    * per-doc repetition signals — total tokens, most-frequent-token
+    * count, tokens covered by duplicated unigrams, and the same for
+    * word-2-grams. Emitted as exact integer sufficient statistics
+    * (numerators over n_tok) per the no-rounded-rationals contract;
+    * callers derive the Gopher fractions (e.g. drop if
+    * top_tok_cnt/n_tok > 0.2). Single scan: unigram and bigram rows are
+    * tagged and unioned per doc BEFORE one (doc,kind,gram) count and one
+    * per-doc rollup — one scan and one shuffle chain instead of two
+    * parallel pipelines. Scale: per-doc grams only (no corpus-wide
+    * state); the (doc,kind,gram) shuffle is bounded by token count.
+    */
+  val q66RepetitionStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      // Exchange barrier before the HOFs (CollapseProject invariant):
+      // materialize the token array once, then derive tagged gram rows
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val grams = toks.select(col("doc_id"), explode(expr(
+        """concat(
+             transform(w, t -> named_struct('k', 1, 'g', t)),
+             CASE WHEN size(w) >= 2 THEN
+               transform(sequence(0, size(w)-2),
+                 i -> named_struct('k', 2, 'g', concat_ws(' ', w[i], w[i+1])))
+             ELSE array() END)""")).as("kg"))
+        .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+      grams.groupBy(col("doc_id"), col("k"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("k") === 1, col("c"))).as("n_tok"),
+          max(when(col("k") === 1, col("c"))).as("top_tok_cnt"),
+          coalesce(sum(when(col("k") === 1 && col("c") >= 2, col("c"))), lit(0L))
+            .as("dup_tok_cnt"),
+          coalesce(max(when(col("k") === 2, col("c"))), lit(0L)).as("top_bigram_cnt"),
+          coalesce(sum(when(col("k") === 2 && col("c") >= 2, col("c"))), lit(0L))
+            .as("dup_bigram_cnt"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      uni AS (SELECT doc_id, unnest(w) AS g FROM toks),
+      ucnt AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+      big AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)), i -> w[i]||' '||w[i+1])) AS g
+              FROM toks),
+      bcnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+      u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+                   CAST(max(c) AS BIGINT) AS top_tok_cnt,
+                   CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_tok_cnt
+            FROM ucnt GROUP BY 1),
+      b AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_cnt,
+                   CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_bigram_cnt
+            FROM bcnt GROUP BY 1)
+      SELECT u.doc_id, n_tok, top_tok_cnt, dup_tok_cnt,
+             CAST(coalesce(b.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+             CAST(coalesce(b.dup_bigram_cnt, 0) AS BIGINT) AS dup_bigram_cnt
+      FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+      ORDER BY u.doc_id"""))
+
+  /** Benchmark decontamination by n-gram overlap (the public GPT-3 /
+    * PaLM appendix method): a held-out benchmark set (doc_id % 7 == 3 as
+    * the deterministic stand-in) contributes its distinct word-3-gram
+    * shingles; every training doc counts how many of its own distinct
+    * shingles appear anywhere in the benchmark set and is flagged at
+    * >= 5 overlapping grams. Scale: benchmark sets are tiny relative to
+    * the corpus, so the benchmark gram set is BROADCAST — the training
+    * side streams map-side with no shuffle of the corpus; the per-doc
+    * count is one bounded aggregation.
+    */
+  val q67Decontamination: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val inv = shingleRows(s, dir)
+      val bench = inv.filter(col("doc_id") % 7 === 3)
+        .select(col("shingle")).distinct()
+      val overlap = inv.filter(col("doc_id") % 7 =!= 3)
+        .join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"))
+        .join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)) >= 5).cast("bigint").as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($shinglesSql),
+      bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 3),
+      tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 7 <> 3),
+      ov AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM tr JOIN bench ON tr.g = bench.g GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(CASE WHEN coalesce(ov.n_overlap, 0) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+               AS contaminated
+      FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+      WHERE d.doc_id % 7 <> 3
+      ORDER BY d.doc_id"""))
+
+  /** Domain-mixing quota sampling: each source (stand-in for a crawl
+    * domain / data source) gets a fixed token budget; docs are ranked
+    * inside their source by a deterministic integer priority
+    * (n_chars desc, doc_id asc — a total order) and kept while the
+    * running token total fits the budget. This is the data-mixing step
+    * of corpus assembly (per-source quotas prevent one domain from
+    * dominating the mix). Scale: one window partitioned by source —
+    * thousands of domains parallelize across the shuffle; a single
+    * giant domain is handled by splitting its budget across salted
+    * sub-partitions and re-merging (documented, not needed at fixture
+    * scale). All outputs are exact integers.
+    */
+  val q68DomainMixQuota: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val t = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"), col("n_chars"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"),
+          (col("cum_tok") <= 2000).cast("bigint").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, source,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, n_chars
+                 FROM documents)
+      SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+             CAST(CASE WHEN sum(n_tok) OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 2000
+                  THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM t ORDER BY doc_id"""))
+
+  /** Sequence packing, concat-and-chunk (the standard LLM pretraining
+    * layout): per language, documents are concatenated in doc_id order
+    * and the token stream is cut into fixed 512-token training
+    * sequences; each doc reports its start offset and the range of
+    * sequence ids it lands in (docs may straddle chunk boundaries —
+    * that IS the semantics). Pure integer arithmetic over one
+    * per-lang running-sum window. Scale: packing is embarrassingly
+    * parallel across the partition key (lang here; shard key in
+    * production — offsets never need to be global across shards).
+    */
+  val q69SequencePacking: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val t = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("start_off"),
+          (col("start_off") / 512).cast("bigint").as("first_seq"),
+          ((col("start_off") + col("n_tok") - 1) / 512).cast("bigint").as("last_seq"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, lang,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      o AS (SELECT doc_id, lang, n_tok,
+                   CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                     AS start_off
+            FROM t)
+      SELECT doc_id, lang, n_tok, start_off,
+             CAST(start_off // 512 AS BIGINT) AS first_seq,
+             CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS last_seq
+      FROM o ORDER BY doc_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
+    "q65_incremental_dedup" -> q65IncrementalDedup,
+    "q68_domain_mix_quota" -> q68DomainMixQuota,
+    "q69_sequence_packing" -> q69SequencePacking,
+    "q66_repetition_stats" -> q66RepetitionStats,
+    "q67_decontamination" -> q67Decontamination,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
     "q62_dedup_components" -> q62DedupComponents,
