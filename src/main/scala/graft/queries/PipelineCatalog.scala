@@ -1477,6 +1477,160 @@ object PipelineCatalog {
              CAST((start_off + n_tok - 1) // 512 AS BIGINT) AS last_seq
       FROM o ORDER BY doc_id"""))
 
+  /** Vocabulary construction (tokenizer prep): corpus-wide token counts
+    * plus document frequency, cut to the top-50 by a deterministic
+    * total order (count desc, token asc). The classic word-count shape:
+    * partial aggregation absorbs per-partition repeats map-side, so the
+    * (tok) shuffle carries one row per distinct token per task; the
+    * top-50 cut plans as TakeOrderedAndProject (no global sort). The
+    * rank window runs AFTER the 50-row cut — a single bounded partition
+    * by construction, not a corpus-wide global window. Scale: at 100 TB
+    * the distinct-token domain (~millions) still fits one shuffle; the
+    * doc-frequency count rides the same exchange.
+    */
+  val q70VocabTopK: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("doc_freq"))
+      counts.orderBy(col("cnt").desc, col("tok")).limit(50)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("tok")))
+            .cast("bigint"))
+        .select(col("rnk"), col("tok"), col("cnt"), col("doc_freq"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM t GROUP BY 1),
+      r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk,
+                   tok, cnt, doc_freq
+            FROM c)
+      SELECT rnk, tok, cnt, doc_freq FROM r WHERE rnk <= 50 ORDER BY rnk"""))
+
+  /** Vocabulary coverage / OOV-rate (tokenizer fit check): per document,
+    * how many tokens fall inside the q70 top-50 vocabulary and how many
+    * are out-of-vocabulary — the signal that decides whether a tokenizer
+    * or vocab cut fits a corpus slice. Exact integer outputs. Scale: the
+    * vocabulary is small by construction (top-K), so it is BROADCAST and
+    * the corpus streams map-side — the only shuffle is the per-doc
+    * rollup (same asymmetric shape as q67's decontamination probe).
+    */
+  val q71VocabCoverage: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(50)
+        .select(col("tok"), lit(1L).as("iv"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          coalesce(sum(col("iv")), lit(0L)).as("n_vocab_tok"))
+        .select(col("doc_id"), col("n_tok"), col("n_vocab_tok"),
+          (col("n_tok") - col("n_vocab_tok")).as("n_oov"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+      v AS (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 50)
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(count(v.tok) AS BIGINT) AS n_vocab_tok,
+             CAST(count(*) - count(v.tok) AS BIGINT) AS n_oov
+      FROM t LEFT JOIN v ON t.tok = v.tok
+      GROUP BY 1 ORDER BY t.doc_id"""))
+
+  /** BPE merge-candidate statistics (tokenizer training, the public
+    * Sennrich et al. 2016 algorithm's inner loop): corpus-wide counts of
+    * adjacent within-word character pairs — the quantity BPE maximizes
+    * to pick its next merge — cut to the top-20 by (count desc, pair
+    * asc). One explode chain (word → guarded pair array; empty for
+    * 1-char words so sequence() never runs descending), then the same
+    * map-side-combined count + bounded TakeOrdered cut as q70. Scale:
+    * the pair domain is at most |alphabet|², tiny; the word explode is
+    * the only volume and it shuffles once.
+    */
+  val q72BpePairStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val pairs = words.select(explode(expr(
+        """CASE WHEN length(w) >= 2 THEN
+             transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))
+           ELSE array() END""")).as("pair"))
+      pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
+            .cast("bigint"))
+        .select(col("rnk"), col("pair"), col("cnt"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      p AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+            FROM w WHERE len(w) >= 2),
+      c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1),
+      r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk,
+                   pair, cnt
+            FROM c)
+      SELECT rnk, pair, cnt FROM r WHERE rnk <= 20 ORDER BY rnk"""))
+
+  /** Length-outlier trimming by EXACT per-language percentiles: docs
+    * outside the [p05, p95] token-length band of their language are
+    * flagged (the classic curation step that drops truncated fragments
+    * and runaway concatenations). Percentiles use the nearest-rank
+    * method on a deterministic total order (n_tok, doc_id), so every
+    * output is an exact integer — no approx_percentile, whose sketch
+    * would never hash-match across engines. Scale: one sort-based
+    * window per language (thousands of langs parallelize the shuffle);
+    * the per-lang bounds table is tiny and broadcast back. The count
+    * window rides the SAME (lang) exchange as the rank window — no
+    * second shuffle.
+    */
+  val q73LengthPercentileTrim: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val t = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tok"))
+      val wRank = Window.partitionBy(col("lang")).orderBy(col("n_tok"), col("doc_id"))
+      val r = t
+        .withColumn("rn", row_number().over(wRank).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .withColumn("r05", greatest(expr("(n * 5 + 99) div 100"), lit(1L)))
+        .withColumn("r95", greatest(expr("(n * 95 + 99) div 100"), lit(1L)))
+      val bounds = r.groupBy(col("lang")).agg(
+        max(when(col("rn") === col("r05"), col("n_tok"))).as("p05"),
+        max(when(col("rn") === col("r95"), col("n_tok"))).as("p95"))
+      t.join(broadcast(bounds), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("p05"), col("p95"),
+          (col("n_tok") >= col("p05") && col("n_tok") <= col("p95"))
+            .cast("bigint").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, lang,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      r AS (SELECT doc_id, lang, n_tok,
+                   row_number() OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM t),
+      b AS (SELECT lang,
+                   CAST(max(CASE WHEN rn = greatest((n * 5 + 99) // 100, 1)
+                            THEN n_tok END) AS BIGINT) AS p05,
+                   CAST(max(CASE WHEN rn = greatest((n * 95 + 99) // 100, 1)
+                            THEN n_tok END) AS BIGINT) AS p95
+            FROM r GROUP BY 1)
+      SELECT t.doc_id, t.lang, t.n_tok, b.p05, b.p95,
+             CAST(CASE WHEN t.n_tok >= b.p05 AND t.n_tok <= b.p95
+                  THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM t JOIN b ON t.lang = b.lang
+      ORDER BY t.doc_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q65_incremental_dedup" -> q65IncrementalDedup,
@@ -1484,6 +1638,10 @@ object PipelineCatalog {
     "q69_sequence_packing" -> q69SequencePacking,
     "q66_repetition_stats" -> q66RepetitionStats,
     "q67_decontamination" -> q67Decontamination,
+    "q70_vocab_topk" -> q70VocabTopK,
+    "q71_vocab_coverage" -> q71VocabCoverage,
+    "q72_bpe_pair_stats" -> q72BpePairStats,
+    "q73_length_percentile_trim" -> q73LengthPercentileTrim,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
     "q62_dedup_components" -> q62DedupComponents,
