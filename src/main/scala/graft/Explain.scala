@@ -17,9 +17,16 @@ object Explain {
     * the oracle hash-compare requires a deterministic row order — so an
     * un-limited range-partitioned sort at the plan ROOT (possibly under
     * a Limit/Project presentation chain) is the expected presentation
-    * layer, not a smell. The flag fires only when a GLOBAL sort feeds
-    * further operators (a mid-plan global sort: re-ordered data that a
-    * downstream shuffle will destroy — pure wasted exchange at scale).
+    * layer, not a smell. Likewise a global Sort DIRECTLY under a
+    * LocalLimit — anywhere in the plan — is a top-k SELECTION, not a
+    * wasted reorder: Spark plans `Limit(Sort)` as TakeOrderedAndProject
+    * (per-partition top-k + bounded merge, no range-partitioned
+    * exchange), so a mid-plan sorted-limit feeding further operators
+    * (e.g. a top-K vocab cut feeding a broadcast join) is scale-safe.
+    *
+    * The flag fires only on a BARE global sort feeding further
+    * operators: re-ordered data a downstream shuffle will destroy —
+    * pure wasted exchange at scale.
     *
     * The root sort is identified structurally — root node a Sort, or a
     * Sort reached through only Limit/Project wrappers — NOT by "a
@@ -29,15 +36,32 @@ object Explain {
     */
   private[graft] def midPlanGlobalSort(optimized: LogicalPlan): Boolean = {
     @annotation.tailrec
-    def rootSortChain(p: LogicalPlan): Boolean = p match {
-      case s: Sort => s.global
-      case g: GlobalLimit => rootSortChain(g.child)
-      case l: LocalLimit => rootSortChain(l.child)
-      case pr: Project => rootSortChain(pr.child)
-      case _ => false
+    def rootSort(p: LogicalPlan): Option[Sort] = p match {
+      case s: Sort if s.global => Some(s)
+      case g: GlobalLimit => rootSort(g.child)
+      case l: LocalLimit => rootSort(l.child)
+      case pr: Project => rootSort(pr.child)
+      case _ => None
     }
-    val globalSorts = optimized.collect { case s: Sort if s.global => s }.size
-    globalSorts > (if (rootSortChain(optimized)) 1 else 0)
+    // Reference-identity exemption set: structural equality would let one
+    // exempt sort mask a second, structurally identical, bare one.
+    // Limit over a (possibly Project-wrapped) global sort — the exact
+    // shapes SpecialLimits plans as TakeOrderedAndProject.
+    @annotation.tailrec
+    def sortUnderProjects(p: LogicalPlan): Option[Sort] = p match {
+      case s: Sort if s.global => Some(s)
+      case pr: Project => sortUnderProjects(pr.child)
+      case _ => None
+    }
+    val exempt = scala.collection.mutable.ArrayBuffer.empty[Sort]
+    optimized.foreach {
+      case LocalLimit(_, child) => sortUnderProjects(child).foreach(exempt += _)
+      case _ => ()
+    }
+    rootSort(optimized).foreach(exempt += _)
+    optimized
+      .collect { case s: Sort if s.global => s }
+      .exists(s => !exempt.exists(_ eq s))
   }
 
   def main(args: Array[String]): Unit = {
