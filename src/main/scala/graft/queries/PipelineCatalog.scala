@@ -1300,7 +1300,8 @@ object PipelineCatalog {
       LEFT JOIN near ON d.doc_id = near.d1
       LEFT JOIN ex ON d.doc_id = ex.ed
       WHERE d.doc_id % 5 = 0
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    headline = true)
 
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
     * per-doc repetition signals — total tokens, most-frequent-token
@@ -1361,7 +1362,8 @@ object PipelineCatalog {
              CAST(coalesce(b.top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
              CAST(coalesce(b.dup_bigram_cnt, 0) AS BIGINT) AS dup_bigram_cnt
       FROM u LEFT JOIN b ON u.doc_id = b.doc_id
-      ORDER BY u.doc_id"""))
+      ORDER BY u.doc_id"""),
+    headline = true)
 
   /** Benchmark decontamination by n-gram overlap (the public GPT-3 /
     * PaLM appendix method): a held-out benchmark set (doc_id % 7 == 3 as
