@@ -187,15 +187,27 @@ object PipelineCatalog {
   private val nearDupPairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def ngramNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    nearDupPairCache.getOrElseUpdate((s, dir), {
+  // Rarity-ordered PPJoin prefix rows, shared by every prefix-filter
+  // consumer (q35's self-join AND q65's asymmetric batch-vs-corpus
+  // probe — without the cache each of q65's two filter branches
+  // re-ran the whole double-window chain). Bounded: a subset of the
+  // already-persisted shingle rows.
+  private val prefixRowCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** (doc_id, shingle) restricted to each doc's rarity-ordered PPJoin
+    * prefix for t=0.8. A pair with jaccard ≥ t MUST collide inside both
+    * prefixes (pigeonhole), so joins over these rows lose no candidate.
+    */
+  private def prefixRows(s: SparkSession, dir: String): DataFrame =
+    prefixRowCache.getOrElseUpdate((s, dir), {
       val inv = shingleRows(s, dir)
       // df as a count-over-window on the SAME shingle exchange the rows
       // need anyway — one shuffle of the index instead of the
       // aggregate-then-join-back shape (which exchanged inv twice)
       val wDf = Window.partitionBy(col("shingle"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-      val pref = inv.withColumn("df", count(lit(1)).over(wDf))
+      inv.withColumn("df", count(lit(1)).over(wDf))
         .withColumn("pos", row_number().over(w))
         .join(shingleSizes(s, dir), "doc_id")
         // prefix bound ⌊(1-t)·n⌋+1 for t=0.8 in EXACT integer math:
@@ -210,6 +222,12 @@ object PipelineCatalog {
         // without touching the pigeonhole guarantee.
         .filter(col("df") > 1)
         .select(col("doc_id"), col("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def ngramNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    nearDupPairCache.getOrElseUpdate((s, dir), {
+      val pref = prefixRows(s, dir)
       val cand = pref.as("a").join(pref.as("b"),
           col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -1243,17 +1261,10 @@ object PipelineCatalog {
   val q65IncrementalDedup: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val isBatch = col("doc_id") % 5 === 0
-      val inv = shingleRows(s, dir)
-      // same rarity-ordered prefix rows as q35 (df window shares the
-      // shingle exchange; exact integer bound; df=1 rows can't collide)
-      val wDf = Window.partitionBy(col("shingle"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-      val pref = inv.withColumn("df", count(lit(1)).over(wDf))
-        .withColumn("pos", row_number().over(w))
-        .join(shingleSizes(s, dir), "doc_id")
-        .filter(col("pos") <= expr("n div 5") + 1)
-        .filter(col("df") > 1)
-        .select(col("doc_id"), col("shingle"))
+      // shared rarity-ordered prefix rows (same cached table q35's
+      // self-join consumes; both filter branches below read the cache
+      // instead of re-running the double-window chain)
+      val pref = prefixRows(s, dir)
       val cand = pref.filter(isBatch).as("a")
         .join(pref.filter(!isBatch).as("b"), col("a.shingle") === col("b.shingle"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -1674,7 +1685,7 @@ object PipelineCatalog {
     * otherwise rep 2+ of q35/q40/q50/q57 would time a cache hit.
     */
   def clearCaches(s: SparkSession): Unit =
-    Seq(shingleRowCache, nearDupPairCache, lshScoredCache).foreach { c =>
+    Seq(shingleRowCache, prefixRowCache, nearDupPairCache, lshScoredCache).foreach { c =>
       c.keys.filter(_._1 eq s).foreach { k =>
         c.remove(k).foreach(_.unpersist(blocking = true))
       }
