@@ -1644,6 +1644,62 @@ object PipelineCatalog {
       FROM t JOIN b ON t.lang = b.lang
       ORDER BY t.doc_id"""))
 
+  /** Exact SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" class, public): count each
+    * doc's 8-token windows that also appear verbatim in ANOTHER
+    * document — repeated passages inside otherwise-distinct docs, which
+    * whole-doc (q34) and set-jaccard (q35) dedup both miss. Cross-doc
+    * duplication is detected as min(doc_id) != max(doc_id) over a
+    * window partitioned by the 8-gram — ONE shuffle on the gram, no
+    * aggregate-then-join-back second pass. Scale: shuffle volume is the
+    * window explode; at 100 TB ship a 128-bit content hash of each
+    * window instead of the raw string (collision-free in practice) and
+    * the same plan holds; within-doc repeats are deliberately NOT
+    * flagged (min=max), matching the cross-doc contract.
+    */
+  val q74SubstringDedup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      // Exchange barrier before the HOF (CollapseProject invariant)
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val win = toks.filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"))
+          .as("g"))
+      val wg = Window.partitionBy(col("g"))
+      val perDoc = win
+        .withColumn("dup",
+          (min(col("doc_id")).over(wg) =!= max(col("doc_id")).over(wg))
+            .cast("bigint"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_win"), sum(col("dup")).as("n_dup_win"))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_win"), lit(0L)).as("n_win"),
+          coalesce(col("n_dup_win"), lit(0L)).as("n_dup_win"),
+          (coalesce(col("n_dup_win"), lit(0L)) === 0).cast("bigint").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      win AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(w) - 6),
+                       i -> array_to_string(w[i:i+7], ' '))) AS g
+              FROM t WHERE len(w) >= 8),
+      d AS (SELECT g FROM win GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+      p AS (SELECT win.doc_id, CAST(count(*) AS BIGINT) AS n_win,
+                   CAST(count(d.g) AS BIGINT) AS n_dup_win
+            FROM win LEFT JOIN d ON win.g = d.g GROUP BY 1)
+      SELECT doc.doc_id,
+             CAST(coalesce(p.n_win, 0) AS BIGINT) AS n_win,
+             CAST(coalesce(p.n_dup_win, 0) AS BIGINT) AS n_dup_win,
+             CAST(CASE WHEN coalesce(p.n_dup_win, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS kept
+      FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id
+      ORDER BY doc.doc_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q65_incremental_dedup" -> q65IncrementalDedup,
@@ -1655,6 +1711,7 @@ object PipelineCatalog {
     "q71_vocab_coverage" -> q71VocabCoverage,
     "q72_bpe_pair_stats" -> q72BpePairStats,
     "q73_length_percentile_trim" -> q73LengthPercentileTrim,
+    "q74_substring_dedup" -> q74SubstringDedup,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
     "q62_dedup_components" -> q62DedupComponents,
