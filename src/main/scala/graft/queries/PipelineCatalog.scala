@@ -1698,7 +1698,8 @@ object PipelineCatalog {
              CAST(CASE WHEN coalesce(p.n_dup_win, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
                AS kept
       FROM documents doc LEFT JOIN p ON doc.doc_id = p.doc_id
-      ORDER BY doc.doc_id"""))
+      ORDER BY doc.doc_id"""),
+    headline = true)
 
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
