@@ -1701,6 +1701,59 @@ object PipelineCatalog {
       ORDER BY doc.doc_id"""),
     headline = true)
 
+  /** Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005,
+    * public): the BOUNDED-MEMORY path for corpus-wide frequent tokens —
+    * q70's exact top-K needs a shuffle proportional to the distinct
+    * vocabulary; the CMS keeps d×w = 4×512 integer counters regardless
+    * of vocabulary size. Hash functions are FIXED affine permutations
+    * of the codegen polyhash mod P mod w, so the whole sketch is
+    * deterministic and the DuckDB oracle replays the identical
+    * arithmetic end-to-end (same pattern as q36's minhash oracle).
+    * Output: top-20 tokens by (estimate desc, tok), each with its CMS
+    * estimate and true count — the one-sided guarantee est ≥ cnt is
+    * visible in every row. Implementation detail: counters are built
+    * from per-distinct-token counts (weight = cnt) rather than
+    * re-exploding the token stream 4× — identical sums, one bounded
+    * (i, bucket) shuffle. At 100 TB the counter table is 2k rows and
+    * the estimate join is a broadcast.
+    */
+  val q75CmsHeavyHitters: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val tokCnt = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("tid", graft.functions.VectorExpressions.polyHash(col("tok")))
+      val rows = tokCnt.select(col("tok"), col("cnt"),
+        posexplode(array((0 to 3).map(i =>
+          expr(s"((${2 * i + 1} * tid + ${12345 * i}) % $P) % 512")): _*)))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "b")
+      val counters = rows.groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("c"))
+      rows.join(broadcast(counters), Seq("i", "b"))
+        .groupBy(col("tok"), col("cnt")).agg(min(col("c")).as("est"))
+        .orderBy(col("est").desc, col("tok")).limit(20)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("est").desc, col("tok")))
+            .cast("bigint"))
+        .select(col("rnk"), col("tok"), col("est"), col("cnt"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some(s"""
+      WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+                    ${polyhashSql("tok")} AS tid
+             FROM t GROUP BY tok),
+      r AS (SELECT tok, cnt, i,
+                   (((2*i + 1) * tid + 12345*i) % $P) % 512 AS b
+            FROM tc, (SELECT unnest([0,1,2,3]) AS i)),
+      ctr AS (SELECT i, b, CAST(sum(cnt) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+      e AS (SELECT r.tok, r.cnt, CAST(min(ctr.c) AS BIGINT) AS est
+            FROM r JOIN ctr ON r.i = ctr.i AND r.b = ctr.b
+            GROUP BY 1, 2),
+      rk AS (SELECT CAST(row_number() OVER (ORDER BY est DESC, tok) AS BIGINT) AS rnk,
+                    tok, est, cnt
+             FROM e)
+      SELECT rnk, tok, est, cnt FROM rk WHERE rnk <= 20 ORDER BY rnk"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q65_incremental_dedup" -> q65IncrementalDedup,
@@ -1713,6 +1766,7 @@ object PipelineCatalog {
     "q72_bpe_pair_stats" -> q72BpePairStats,
     "q73_length_percentile_trim" -> q73LengthPercentileTrim,
     "q74_substring_dedup" -> q74SubstringDedup,
+    "q75_cms_heavy_hitters" -> q75CmsHeavyHitters,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
     "q62_dedup_components" -> q62DedupComponents,
