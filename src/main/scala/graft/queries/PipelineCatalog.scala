@@ -145,8 +145,14 @@ object PipelineCatalog {
       FROM documents GROUP BY text ORDER BY doc_id"""))
 
   /** Exact-jaccard verification of candidate pairs: count shared
-    * shingle rows per pair, then |A∪B| = |A|+|B|-common. Cost is
-    * proportional to the candidate set, not the corpus.
+    * shingle rows per pair, then |A∪B| = |A|+|B|-common. Output volume
+    * is proportional to the candidate set (both joins are inner on the
+    * pair ids); the index shuffles once per join side. At 100 TB, if
+    * the candidate set is tiny relative to the corpus, MATERIALIZE the
+    * candidates first and left-semi-filter the index by candidate ids
+    * before these joins — measured here, re-deriving the candidate
+    * plan for the filter costs more than the saved shuffle at bench
+    * scale, so the direct form is kept.
     */
   private def verifyJaccard(s: SparkSession, dir: String,
       cand: DataFrame, threshold: Double): DataFrame = {
