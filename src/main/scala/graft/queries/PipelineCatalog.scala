@@ -1760,6 +1760,41 @@ object PipelineCatalog {
              FROM e)
       SELECT rnk, tok, est, cnt FROM rk WHERE rnk <= 20 ORDER BY rnk"""))
 
+  /** TF-IDF-style distinctive terms: top-3 tokens per document ranked
+    * by (tf desc, df asc, tok asc) — term frequency up, document
+    * frequency down, the exact integer total order underlying TF-IDF
+    * without the float idf (the no-rounded-rationals contract: callers
+    * wanting the real tf·ln(N/df) get tf and df and compute it).
+    * Scale: one (doc,tok) shuffle for tf, one (tok) shuffle for df
+    * joined back on the token key, one per-doc rank window — df rides
+    * a vocab-sized table, never corpus², and the window partitions by
+    * doc so it parallelizes fully.
+    */
+  val q76TfidfTopTerms: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df"), col("tok"))
+      tf.join(df, Seq("tok"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      r AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+                   CAST(row_number() OVER (PARTITION BY tf.doc_id
+                        ORDER BY tf.tf DESC, df.df, tf.tok) AS BIGINT) AS rnk
+            FROM tf JOIN df ON tf.tok = df.tok)
+      SELECT doc_id, rnk, tok, tf, df FROM r WHERE rnk <= 3
+      ORDER BY doc_id, rnk"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q65_incremental_dedup" -> q65IncrementalDedup,
@@ -1773,6 +1808,7 @@ object PipelineCatalog {
     "q73_length_percentile_trim" -> q73LengthPercentileTrim,
     "q74_substring_dedup" -> q74SubstringDedup,
     "q75_cms_heavy_hitters" -> q75CmsHeavyHitters,
+    "q76_tfidf_topterms" -> q76TfidfTopTerms,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
     "q62_dedup_components" -> q62DedupComponents,
