@@ -1795,6 +1795,54 @@ object PipelineCatalog {
       SELECT doc_id, rnk, tok, tf, df FROM r WHERE rnk <= 3
       ORDER BY doc_id, rnk"""))
 
+  /** Corpus-mixture allocation by largest remainder (Hamilton
+    * apportionment — the deterministic integer way to split a fixed
+    * sampling budget across sources proportionally, with Σ alloc equal
+    * to the budget EXACTLY; naive rounding under- or over-shoots).
+    * base_s = ⌊B·n_s/N⌋, then the ⌊⌋ losses are handed out one each to
+    * the sources with the largest remainders (ties broken by source
+    * asc — a total order). Scale: the per-source rollup is the only
+    * corpus-sized shuffle; allocation then runs on a sources-sized
+    * table (thousands of rows at 100 TB), where the single-partition
+    * rank window and the one-row total cross join are bounded by the
+    * source count, not the corpus.
+    */
+  val q77MixtureAllocation: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val B = 1000L
+      val bySource = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = bySource.agg(sum(col("n_docs")).as("total"))
+      val based = bySource.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($B * n_docs) div total"))
+        .withColumn("rem", expr(s"($B * n_docs) % total"))
+      val wRank = Window.orderBy(col("rem").desc, col("source"))
+      val wAll = Window.partitionBy(lit(1))
+      based
+        .withColumn("rnk", row_number().over(wRank).cast("bigint"))
+        .withColumn("leftover", lit(B) - sum(col("base")).over(wAll))
+        .select(col("source"), col("n_docs"), col("base"), col("rem"),
+          (col("base") + (col("rnk") <= col("leftover")).cast("bigint"))
+            .as("alloc"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM g),
+      b AS (SELECT source, n_docs,
+                   CAST((1000 * n_docs) // total AS BIGINT) AS base,
+                   CAST((1000 * n_docs) % total AS BIGINT) AS rem
+            FROM g, t),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+                        AS rnk,
+                   CAST(1000 - sum(base) OVER () AS BIGINT) AS leftover
+            FROM b)
+      SELECT source, n_docs, base, rem,
+             CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+      FROM r ORDER BY source"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q65_incremental_dedup" -> q65IncrementalDedup,
@@ -1809,6 +1857,7 @@ object PipelineCatalog {
     "q74_substring_dedup" -> q74SubstringDedup,
     "q75_cms_heavy_hitters" -> q75CmsHeavyHitters,
     "q76_tfidf_topterms" -> q76TfidfTopTerms,
+    "q77_mixture_allocation" -> q77MixtureAllocation,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
     "q62_dedup_components" -> q62DedupComponents,
