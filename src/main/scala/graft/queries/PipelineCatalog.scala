@@ -1843,6 +1843,72 @@ object PipelineCatalog {
                AS alloc
       FROM r ORDER BY source"""))
 
+  /** Strict-order funnel analysis (signup → view → click → purchase):
+    * each stage's timestamp is the user's earliest matching event
+    * STRICTLY AFTER the previous stage — the standard product-analytics
+    * funnel, where out-of-order events don't count. Four conditional-min
+    * aggregates chained by joins, all keyed on user_id. Physical shape
+    * (see docs/plans/q78_funnel.txt): each stage scans ONLY its own
+    * event-type slice (the type filter pushes to the scan), shuffles
+    * that slice once for its groupBy, and the small per-stage result
+    * tables broadcast into the next stage — so an event row shuffles at
+    * most once per stage it participates in, never the whole corpus per
+    * stage. At 100 TB, stage tables outgrow the broadcast threshold and
+    * AQE falls back to sort-merge joins that REUSE the user_id hash
+    * partitioning across stages. Output is per-user stage flags + depth
+    * (integers; timestamps stay engine-internal).
+    */
+  val q78Funnel: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      def stage(prev: DataFrame, prevCol: String, evType: String, out: String) =
+        ev.filter(col("event_type") === evType)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+      val t1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = stage(t1, "t1", "view", "t2")
+      val t3 = stage(t2, "t2", "click", "t3")
+      val t4 = stage(t3, "t3", "purchase", "t4")
+      ev.select(col("user_id")).distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .join(t4, Seq("user_id"), "left")
+        .select(col("user_id"),
+          col("t1").isNotNull.cast("bigint").as("s1"),
+          col("t2").isNotNull.cast("bigint").as("s2"),
+          col("t3").isNotNull.cast("bigint").as("s3"),
+          col("t4").isNotNull.cast("bigint").as("s4"))
+        .withColumn("depth", col("s1") + col("s2") + col("s3") + col("s4"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH ev AS (SELECT user_id, event_type, ts FROM events),
+      t1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+             WHERE event_type = 'signup' GROUP BY 1),
+      t2 AS (SELECT ev.user_id, min(ev.ts) AS t2 FROM ev JOIN t1 USING (user_id)
+             WHERE ev.event_type = 'view' AND ev.ts > t1.t1 GROUP BY 1),
+      t3 AS (SELECT ev.user_id, min(ev.ts) AS t3 FROM ev JOIN t2 USING (user_id)
+             WHERE ev.event_type = 'click' AND ev.ts > t2.t2 GROUP BY 1),
+      t4 AS (SELECT ev.user_id, min(ev.ts) AS t4 FROM ev JOIN t3 USING (user_id)
+             WHERE ev.event_type = 'purchase' AND ev.ts > t3.t3 GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM ev)
+      SELECT u.user_id,
+             CAST(CASE WHEN t1.t1 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS s1,
+             CAST(CASE WHEN t2.t2 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS s2,
+             CAST(CASE WHEN t3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS s3,
+             CAST(CASE WHEN t4.t4 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS s4,
+             CAST((CASE WHEN t1.t1 IS NULL THEN 0 ELSE 1 END) +
+                  (CASE WHEN t2.t2 IS NULL THEN 0 ELSE 1 END) +
+                  (CASE WHEN t3.t3 IS NULL THEN 0 ELSE 1 END) +
+                  (CASE WHEN t4.t4 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+      FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+             LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id)
+      ORDER BY u.user_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q65_incremental_dedup" -> q65IncrementalDedup,
@@ -1858,6 +1924,7 @@ object PipelineCatalog {
     "q75_cms_heavy_hitters" -> q75CmsHeavyHitters,
     "q76_tfidf_topterms" -> q76TfidfTopTerms,
     "q77_mixture_allocation" -> q77MixtureAllocation,
+    "q78_funnel" -> q78Funnel,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
     "q62_dedup_components" -> q62DedupComponents,
