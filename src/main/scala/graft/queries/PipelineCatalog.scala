@@ -1909,6 +1909,55 @@ object PipelineCatalog {
              LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id)
       ORDER BY u.user_id"""))
 
+  /** Cohort retention: users grouped by EPOCH-ANCHORED signup week
+    * (day-number div 7 — deliberately not date_trunc('week'), whose
+    * week-start convention is an engine-semantics trap), then for each
+    * week offset ≥ 0, how many of the cohort were active (any event)
+    * in that week. All integer arithmetic on day diffs from
+    * 1970-01-01. Scale: one (user) rollup for signup week, one
+    * distinct over (user, week) activity — both corpus-shuffles on
+    * real keys; the retention join is cohort×activity on user_id and
+    * the output is cohorts × offsets, tiny.
+    */
+  val q79RetentionCohorts: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          (datediff(to_date(col("ts")), lit("1970-01-01")).cast("bigint") / 7)
+            .cast("bigint").as("wk"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val nCohort = cohort.groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("n_cohort"))
+      val act = ev.select(col("user_id"), col("wk")).distinct()
+      cohort.join(act, "user_id")
+        .filter(col("wk") >= col("cohort_wk"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(nCohort), "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"), col("n_cohort"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    },
+    oracle = Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                              AS BIGINT) AS wk
+                  FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev
+                 WHERE event_type = 'signup' GROUP BY 1),
+      nc AS (SELECT cohort_wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+             FROM cohort GROUP BY 1),
+      act AS (SELECT DISTINCT user_id, wk FROM ev),
+      r AS (SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+                   CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_active
+            FROM cohort c JOIN act a ON c.user_id = a.user_id
+            WHERE a.wk >= c.cohort_wk
+            GROUP BY 1, 2)
+      SELECT r.cohort_wk, CAST(r.week_offset AS BIGINT) AS week_offset,
+             r.n_active, nc.n_cohort
+      FROM r JOIN nc ON r.cohort_wk = nc.cohort_wk
+      ORDER BY r.cohort_wk, r.week_offset"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q65_incremental_dedup" -> q65IncrementalDedup,
@@ -1925,6 +1974,7 @@ object PipelineCatalog {
     "q76_tfidf_topterms" -> q76TfidfTopTerms,
     "q77_mixture_allocation" -> q77MixtureAllocation,
     "q78_funnel" -> q78Funnel,
+    "q79_retention_cohorts" -> q79RetentionCohorts,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
     "q62_dedup_components" -> q62DedupComponents,
