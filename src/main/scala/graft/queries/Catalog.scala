@@ -778,6 +778,137 @@ object Catalog {
              count(*) AS n
       FROM t GROUP BY 1, 2 ORDER BY o_orderstatus, split"""))
 
+  /** CUBE / grouping-sets: revenue at all four grains of
+    * (status, year) in ONE pass — the multi-grain rollup a dashboard
+    * materializes instead of issuing four separate aggregations.
+    * Revenue is summed in integer CENTS so the cross-engine compare is
+    * exact regardless of per-group addition order (a float sum over
+    * 150k+ rows accumulates order-dependent ulps past any fixed
+    * rounding). Scale: Spark expands CUBE into a 4× row replication
+    * before ONE hash-agg shuffle on a tiny key domain; partial
+    * aggregation collapses each grain map-side.
+    */
+  val q81CubeRevenue: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          year(col("o_orderdate")).cast("bigint").as("yr"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .cube(col("o_orderstatus"), col("yr"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("revenue_cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("yr"), lit(-1L)).as("yr"),
+          col("n"), col("revenue_cents"))
+        .orderBy(col("status"), col("yr")),
+    oracle = Some("""
+      WITH t AS (SELECT o_orderstatus,
+                        CAST(year(o_orderdate) AS BIGINT) AS yr,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             CAST(coalesce(yr, -1) AS BIGINT) AS yr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM t GROUP BY CUBE (o_orderstatus, yr)
+      ORDER BY status, yr"""))
+
+  /** Integer-exact spike detection: per-minute event counts flagged
+    * when more than two population standard deviations above the mean.
+    * The z-score test is cross-multiplied into pure BIGINT arithmetic —
+    * `c > S/n + 2·sqrt((nQ−S²)/n²)  ⟺  nc−S > 0 ∧ (nc−S)² > 4(nQ−S²)`
+    * — so there is no sqrt, no float, and the oracle matches bit-for-
+    * bit. Scale: the minute rollup is one map-side-combined shuffle on
+    * a bounded key domain; the 1-row global stats broadcast back. At
+    * 100 TB the BIGINT products bound the usable range (n·Q < 2^63);
+    * swap to DECIMAL(38,0) past ~10^9 events/minute-grain.
+    */
+  val q82AnomalyMinutes: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val perMin = Tables.events(s, dir)
+        .select(floor(col("ts").cast("double") / 60.0).cast("bigint").as("minute_id"))
+        .groupBy(col("minute_id")).agg(count(lit(1)).as("c"))
+      val stats = perMin.agg(
+        count(lit(1)).as("n_minutes"),
+        sum(col("c")).as("s_tot"),
+        sum(col("c") * col("c")).as("q_tot"))
+      val dev = col("n_minutes") * col("c") - col("s_tot")
+      perMin.crossJoin(broadcast(stats))
+        .select(col("minute_id"), col("c"), col("n_minutes"),
+          (dev > 0 && dev * dev > lit(4L) * (col("n_minutes") * col("q_tot") - col("s_tot") * col("s_tot")))
+            .cast("bigint").as("is_spike"))
+        .orderBy(col("minute_id"))
+    },
+    oracle = Some("""
+      WITH m AS (SELECT CAST(floor(epoch(ts) / 60.0) AS BIGINT) AS minute_id,
+                        CAST(count(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_minutes,
+                   CAST(sum(c) AS BIGINT) AS s_tot,
+                   CAST(sum(c * c) AS BIGINT) AS q_tot
+            FROM m)
+      SELECT m.minute_id, m.c, g.n_minutes,
+             CAST(CASE WHEN g.n_minutes * m.c - g.s_tot > 0
+                        AND (g.n_minutes * m.c - g.s_tot) * (g.n_minutes * m.c - g.s_tot)
+                            > 4 * (g.n_minutes * g.q_tot - g.s_tot * g.s_tot)
+                       THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+      FROM m, g ORDER BY m.minute_id"""))
+
+  /** Z-order (Morton) data layout — [[graft.operators.ZOrder]]: bucket
+    * orders on (customer, price) and interleave the bucket bits so ONE
+    * clustering key localizes BOTH dimensions (min/max file stats then
+    * prune scans filtered on either column — the lakehouse data-skipping
+    * layout a plain sort can't give). The query emits the per-row Morton
+    * code; the oracle replays the identical unrolled shift/mask
+    * arithmetic via [[graft.operators.ZOrder.zValueSql]]. The layout
+    * half (range-shuffle + local sort → disjoint per-file z-ranges) is
+    * `ZOrder.layoutByZ`, asserted by ZOrderSpec. Scale: codegen integer
+    * projection, zero shuffles here; the rewrite job is one range
+    * shuffle.
+    */
+  val q83ZOrderLayout: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 256).as("xb"),
+          least(expr("CAST(floor(o_totalprice / 2500.0) AS BIGINT)"), lit(255L)).as("yb"))
+        .withColumn("z_value",
+          graft.operators.ZOrder.zValue(col("xb"), col("yb"), 8))
+        .orderBy(col("z_value"), col("o_orderkey")),
+    oracle = Some(s"""
+      WITH t AS (SELECT o_orderkey,
+                        o_custkey % 256 AS xb,
+                        least(CAST(floor(o_totalprice / 2500.0) AS BIGINT), 255) AS yb
+                 FROM orders)
+      SELECT o_orderkey, xb, yb,
+             ${graft.operators.ZOrder.zValueSql("xb", "yb", 8)} AS z_value
+      FROM t ORDER BY z_value, o_orderkey"""))
+
+  /** Equi-width histogram of order totals: bucket id by floor division
+    * (single IEEE divide + floor — bit-equal cross-engine by
+    * construction), per-bucket count and raw min/max (untouched parquet
+    * doubles, no arithmetic). The profiling primitive every optimizer /
+    * data-quality layer runs first. Scale: map-side-combined hash agg
+    * on a bounded bucket domain — the shuffle carries one row per
+    * bucket per task.
+    */
+  val q84PriceHistogram: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .select(expr("CAST(floor(o_totalprice / 25000.0) AS BIGINT)").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket")),
+    oracle = Some("""
+      SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             min(o_totalprice) AS lo,
+             max(o_totalprice) AS hi
+      FROM orders GROUP BY 1 ORDER BY bucket"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -823,6 +954,10 @@ object Catalog {
     "q56_percentiles" -> q56Percentiles,
     "q58_stratified_split" -> q58StratifiedSplit,
     "q61_approx_percentiles" -> q61ApproxPercentiles,
+    "q81_cube_revenue" -> q81CubeRevenue,
+    "q82_anomaly_minutes" -> q82AnomalyMinutes,
+    "q83_zorder_layout" -> q83ZOrderLayout,
+    "q84_price_histogram" -> q84PriceHistogram,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -1958,8 +1958,71 @@ object PipelineCatalog {
       FROM r JOIN nc ON r.cohort_wk = nc.cohort_wk
       ORDER BY r.cohort_wk, r.week_offset"""))
 
+  /** Bigram collocation statistics (PMI sufficient stats): the top-20
+    * adjacent token pairs with their pair count, each side's unigram
+    * count, and the corpus bigram total — exactly the integers
+    * `PMI = log(n_pair·N / (n_w1·n_w2))` needs, emitted raw so the
+    * cross-engine compare stays integer-exact (no transcendentals).
+    * Physical shape: token arrays materialize behind the same Exchange
+    * barrier shingleRows uses (CollapseProject must NOT re-inline
+    * split(text) per element — the O(n²) trap), the bigram count is a
+    * map-side-combined hash agg, and the unigram join happens AFTER the
+    * top-20 cut — the 20-row side broadcasts into the vocab-sized count
+    * table, never the reverse. Scale: two word-count-shaped shuffles,
+    * one TakeOrdered cut; the enrich joins touch 20 rows.
+    */
+  val q80BigramCollocations: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bigrams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(expr(
+          """CASE WHEN size(w) >= 2 THEN
+               transform(sequence(0, size(w)-2),
+                 i -> named_struct('w1', w[i], 'w2', w[i+1]))
+             ELSE array() END""")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val pairCnt = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_pair"))
+      val top = pairCnt
+        .orderBy(col("n_pair").desc, col("w1"), col("w2")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n_pair").desc, col("w1"), col("w2"))).cast("bigint"))
+      val tot = pairCnt.agg(sum(col("n_pair")).as("n_bigrams"))
+      val uni = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val enriched1 = uni.select(col("tok").as("w1"), col("cnt").as("n_w1"))
+        .join(broadcast(top), "w1")
+      uni.select(col("tok").as("w2"), col("cnt").as("n_w2"))
+        .join(broadcast(enriched1), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("rnk"), col("w1"), col("w2"), col("n_pair"),
+          col("n_w1"), col("n_w2"), col("n_bigrams"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+      b AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i]))   AS w1,
+                   unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+            FROM d WHERE len(w) >= 2),
+      pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM b GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_bigrams FROM pc),
+      uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             GROUP BY 1),
+      r AS (SELECT CAST(row_number() OVER (ORDER BY n_pair DESC, w1, w2) AS BIGINT) AS rnk,
+                   w1, w2, n_pair
+            FROM pc ORDER BY n_pair DESC, w1, w2 LIMIT 20)
+      SELECT r.rnk, r.w1, r.w2, r.n_pair,
+             u1.cnt AS n_w1, u2.cnt AS n_w2, tot.n_bigrams
+      FROM r JOIN uc u1 ON r.w1 = u1.tok
+             JOIN uc u2 ON r.w2 = u2.tok, tot
+      ORDER BY r.rnk"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
+    "q80_bigram_collocations" -> q80BigramCollocations,
     "q65_incremental_dedup" -> q65IncrementalDedup,
     "q68_domain_mix_quota" -> q68DomainMixQuota,
     "q69_sequence_packing" -> q69SequencePacking,
