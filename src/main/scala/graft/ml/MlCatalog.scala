@@ -496,6 +496,61 @@ object MlCatalog {
       FROM r
       ORDER BY model_name, created_at"""))
 
+  /** SemDeDup (Abbas et al. 2023, public method): semantic dedup that
+    * clusters embeddings with k-means, then tests cosine near-duplicity
+    * ONLY within clusters — the O(n²/k) curation shape used on web-scale
+    * corpora where even LSH banding is too coarse. Recall is boosted the
+    * standard multi-probe way: every vector is indexed under its 2
+    * nearest centroids, and a pair is tested if the two vectors share
+    * ANY list (boundary-straddling near-dups still meet). Pairs emit
+    * with the same 0.45-cosine/round-6 contract as the exact q41, so
+    * MlSpec can measure precision (must be 1.0 — every pair is
+    * re-verified exactly) and recall against the q41 truth set.
+    * Rows-only: k-means centers are partitioning-dependent, no
+    * cross-engine oracle possible. Scale: centroid table broadcasts,
+    * vectors shuffle once on list_id, per-list pair generation is
+    * O(Σ list²) — k grows with corpus so lists stay executor-sized.
+    */
+  val m10SemDedup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import graft.functions.VectorExpressions.{dotF, dotFD, normF}
+      val e = Tables.embeddings(s, dir)
+        .withColumn("features", array_to_vector(col("embedding")))
+        .withColumn("nrm", normF(col("embedding")))
+      val km = new KMeans().setK(8).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("c0")
+        .fit(e)
+      val centers = km.clusterCenters.zipWithIndex
+        .map { case (v, i) =>
+          val arr = v.toArray
+          (i, arr, arr.map(x => x * x).sum)
+        }.toSeq.toDF("list_id", "center", "c2")
+      // multi-probe assignment: every vector under its 2 nearest centroids
+      val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("list_id"))
+      val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"))
+        .crossJoin(broadcast(centers))
+        .withColumn("dist2",
+          col("nrm") * col("nrm") - lit(2.0) * dotFD(col("embedding"), col("center")) + col("c2"))
+        .withColumn("pr", row_number().over(wProbe))
+        .filter(col("pr") <= 2)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+        .repartition(s.sparkContext.defaultParallelism, col("list_id"))
+      val a = assigned.select(col("list_id"), col("vec_id").as("d1"),
+        col("embedding").as("ae"), col("nrm").as("na"))
+      val b = assigned.select(col("list_id"), col("vec_id").as("d2"),
+        col("embedding").as("be"), col("nrm").as("nb"))
+      a.join(b, "list_id").filter(col("d1") < col("d2"))
+        .withColumn("cosine",
+          round(dotF(col("ae"), col("be")) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= 0.45)
+        .select(col("d1"), col("d2"), col("cosine")).distinct()
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = None)
+
   val all: Map[String, QuerySpec] = Map(
     "m01_als_user_factors" -> m01AlsUserFactors,
     "m02_als_recommendations" -> m02AlsRecommendations,
@@ -506,6 +561,7 @@ object MlCatalog {
     "m07_roc_points" -> m07RocPoints,
     "m08_id_universe" -> m08IdUniverse,
     "m09_ivf_ann" -> m09IvfAnn,
+    "m10_semdedup" -> m10SemDedup,
     "q64_model_registry" -> q64ModelRegistry,
   )
 

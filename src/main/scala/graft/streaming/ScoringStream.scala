@@ -181,6 +181,51 @@ object ScoringStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user", "item", "action", "ts")
 
+  /** Stream-stream conversion attribution: each purchase joined to the
+    * clicks on the same (user, item) in the preceding `horizon`. Both
+    * sides carry watermarks and the join predicate time-bounds the
+    * match, so Spark expires click state at watermark+horizon and
+    * purchase state at the watermark — the ONLY stream-stream join
+    * shape whose buffered state stays bounded on an unbounded stream
+    * (an unconstrained join would buffer both streams forever). Inner
+    * join: matches emit as soon as both rows arrive, no window-close
+    * wait. Scale: state is keyed on (user, item) — the same hash
+    * partitioning both inputs shuffle on once.
+    */
+  def attributionJoin(events: Dataset[RawEvent],
+      horizon: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("action") === "click")
+      .select(col("user").as("c_user"), col("item").as("c_item"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val buys = events.filter(col("action") === "purchase")
+      .select(col("user").as("p_user"), col("item").as("p_item"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(buys,
+      col("c_user") === col("p_user") && col("c_item") === col("p_item") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user"), col("c_item").as("item"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Native session windows — the streaming twin of q47's 30-minute-gap
+    * sessions using the built-in `session_window` (gap-merged, grows
+    * while events keep arriving, finalized once the watermark passes
+    * the gap). Append mode emits only CLOSED sessions, so downstream
+    * consumers never see a session twice. Scale: state is one window
+    * per live (user, session); the watermark bounds it by recency, not
+    * stream length.
+    */
+  def sessionCounts(events: Dataset[RawEvent], gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** ST9/W4 windowed event-rate metric with watermark + 1-minute
     * tumbling window (the streaming version of q10).
     */

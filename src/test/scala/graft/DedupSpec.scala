@@ -62,6 +62,20 @@ class DedupSpec extends SparkSpec {
     assert(hit >= planted.length * 2 / 3, s"IVF recall $hit/${planted.length}")
   }
 
+  test("SemDeDup finds the q41 truth pairs at perfect precision (cluster-scoped dedup)") {
+    val truth = PipelineCatalog.q41EmbeddingNearDup.fn(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = graft.ml.MlCatalog.all("m10_semdedup").fn(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixtures should contain planted embedding near-dups")
+    // every emitted pair is exactly re-verified at the same threshold +
+    // rounding, so precision must be 1.0 (within-cluster ⊆ all-pairs)
+    assert(sem.subsetOf(truth), s"false positives: ${sem -- truth}")
+    // near-dup vectors share a 2-probe k-means cell virtually always
+    val hit = truth.count(sem)
+    assert(hit >= truth.size * 2 / 3, s"SemDeDup recall $hit/${truth.size}")
+  }
+
   test("simhash is deterministic across executions") {
     val sig = PipelineCatalog.q37Simhash
     val r1 = sig.fn(spark, sf001).collect()

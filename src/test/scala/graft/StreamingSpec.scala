@@ -225,6 +225,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches purchases to in-horizon clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = ScoringStream.attributionJoin(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        RawEvent(1L, "cA", "click", ts(100)),
+        RawEvent(2L, "cB", "click", ts(100)))
+      q.processAllAvailable()
+      input.addData(
+        RawEvent(1L, "cA", "purchase", ts(400)),   // in horizon → match
+        RawEvent(2L, "cB", "purchase", ts(100 + 601)), // past 10 min → no match
+        RawEvent(3L, "cC", "purchase", ts(450)))   // no prior click → no match
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((1L, "cA")))
+    } finally q.stop()
+  }
+
+  test("native session windows merge gap-bounded events and close at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = ScoringStream.sessionCounts(input.toDS(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        RawEvent(1L, "c", "click", ts(0)), RawEvent(1L, "c", "view", ts(60)),
+        RawEvent(1L, "c", "click", ts(60 + 1900)), // > 30 min gap → new session
+        RawEvent(2L, "c", "click", ts(30)))
+      q.processAllAvailable()
+      // far-future event advances the watermark past every open session
+      input.addData(RawEvent(9L, "c", "click", ts(100000)))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(rows(1L) == Seq(1L, 2L)) // two sessions: 2 events, then 1
+      assert(rows(2L) == Seq(1L))
+    } finally q.stop()
+  }
+
   test("windowed event rate respects the 1-minute tumbling window (ST9/W4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
