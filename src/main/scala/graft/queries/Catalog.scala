@@ -909,6 +909,66 @@ object Catalog {
              max(o_totalprice) AS hi
       FROM orders GROUP BY 1 ORDER BY bucket"""))
 
+  /** PageRank (5 fixed iterations) over the part co-occurrence graph —
+    * graph centrality beyond q62's connected components. All arithmetic
+    * is scaled-integer (rank mass in millionths, damping 0.85 as
+    * 850000/1000000, integer division at a FIXED op order), so the
+    * DuckDB oracle replays the five iterations bit-for-bit as five
+    * chained CTEs — no float drift, no convergence epsilon. Scale: each
+    * iteration is one edges⋈ranks hash join on src plus one groupBy on
+    * dst — the standard Pregel-style message pass; the vertex table
+    * shuffles, never the adjacency²; at 10^9 vertices move the rank
+    * mass to DECIMAL(38,0) before the ×850000 product.
+    */
+  val q85PageRank: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val po = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = po.as("a").join(po.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("v"), col("deg"))
+      var ranks = deg.select(col("v"), lit(1000000L).as("pr"))
+      for (_ <- 1 to 5) {
+        val share = ranks.join(deg, "v")
+          .select(col("v").as("src"),
+            expr("(850000 * (pr div deg)) div 1000000").as("contrib"))
+        ranks = edges.join(share, "src")
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+          .select(col("dst").as("v"), (lit(150000L) + col("s")).as("pr"))
+      }
+      ranks.join(deg, "v")
+        .orderBy(col("pr").desc, col("v")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("pr").desc, col("v"))).cast("bigint"))
+        .select(col("rnk"), col("v").as("part"), col("pr").as("pagerank"), col("deg"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some {
+      val iters = (1 to 5).map { k =>
+        s"""c$k AS (SELECT e.dst AS v,
+                     CAST(sum((850000 * (r.pr // d.deg)) // 1000000) AS BIGINT) AS s
+              FROM edges e JOIN r${k - 1} r ON e.src = r.v JOIN deg d ON e.src = d.v
+              GROUP BY 1),
+      r$k AS (SELECT v, CAST(150000 + s AS BIGINT) AS pr FROM c$k)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+                FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+      deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+      r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS pr FROM deg),
+      $iters,
+      rk AS (SELECT CAST(row_number() OVER (ORDER BY r5.pr DESC, r5.v) AS BIGINT) AS rnk,
+                    r5.v AS part, r5.pr AS pagerank, deg.deg AS deg
+             FROM r5 JOIN deg ON r5.v = deg.v)
+      SELECT rnk, part, pagerank, deg FROM rk WHERE rnk <= 20 ORDER BY rnk"""
+    })
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -958,6 +1018,7 @@ object Catalog {
     "q82_anomaly_minutes" -> q82AnomalyMinutes,
     "q83_zorder_layout" -> q83ZOrderLayout,
     "q84_price_histogram" -> q84PriceHistogram,
+    "q85_pagerank" -> q85PageRank,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

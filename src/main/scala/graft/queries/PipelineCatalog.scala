@@ -2020,9 +2020,79 @@ object PipelineCatalog {
              JOIN uc u2 ON r.w2 = u2.tok, tot
       ORDER BY r.rnk"""))
 
+  /** Bloom-filter decontamination probe — q67's semantics through a
+    * CONSTANT-memory filter: the benchmark shingle set compresses into
+    * k=3 hash positions over m=65536 slots (≤ m·k bit-position rows no
+    * matter how many benchmark grams exist), and a corpus gram is
+    * "possibly contaminated" iff all 3 of its positions are set. This
+    * is the 100 TB shape: q67 broadcasts the benchmark gram SET (grows
+    * with the benchmark), the Bloom variant broadcasts a bounded bits
+    * table. One-sided error by construction — the query emits the
+    * per-doc Bloom hit count NEXT TO the exact overlap count so the
+    * false-positive overhead is visible (`n_bloom >= n_exact` always;
+    * no false negatives). All hashes are the same affine-polyhash
+    * family as q75, so the oracle replays them exactly.
+    */
+  val q86BloomDecontamination: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val inv = shingleTids(s, dir)
+      // k=3 positions of the row's `tid` column over m=65536 slots
+      def positions = posexplode(array(
+        (0 to 2).map(i => expr(s"((${2 * i + 1} * tid + ${12345 * i}) % $P) % 65536")): _*))
+      val bits = inv.filter(col("doc_id") % 7 === 3)
+        .select(col("tid")).distinct()
+        .select(positions)
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "b")
+        .distinct()
+      val probeRows = inv.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), col("shingle"), positions)
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "b")
+      val bloom = probeRows.join(broadcast(bits), Seq("i", "b"))
+        .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("k_hit"))
+        .filter(col("k_hit") === 3)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+      val bench = inv.filter(col("doc_id") % 7 === 3)
+        .select(col("shingle")).distinct()
+      val exact = inv.filter(col("doc_id") % 7 =!= 3)
+        .join(broadcast(bench), "shingle")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+      Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"))
+        .join(bloom, Seq("doc_id"), "left")
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($shinglesSql),
+      bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 3),
+      bt AS (SELECT ${polyhashSql("g")} AS tid FROM bg),
+      bits AS (SELECT DISTINCT i, ((2*i + 1) * tid + 12345*i) % $P % 65536 AS b
+               FROM bt, (SELECT unnest([0, 1, 2]) AS i)),
+      tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 7 <> 3),
+      trh AS (SELECT doc_id, g, ${polyhashSql("g")} AS tid FROM tr),
+      pr AS (SELECT doc_id, g, i, ((2*i + 1) * tid + 12345*i) % $P % 65536 AS b
+             FROM trh, (SELECT unnest([0, 1, 2]) AS i)),
+      hit AS (SELECT doc_id, g FROM pr JOIN bits USING (i, b)
+              GROUP BY doc_id, g HAVING count(*) = 3),
+      nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom FROM hit GROUP BY 1),
+      ne AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM tr JOIN bg ON tr.g = bg.g GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(nb.n_bloom, 0) AS BIGINT) AS n_bloom,
+             CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact
+      FROM documents d
+      LEFT JOIN nb ON d.doc_id = nb.doc_id
+      LEFT JOIN ne ON d.doc_id = ne.doc_id
+      WHERE d.doc_id % 7 <> 3
+      ORDER BY d.doc_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
+    "q86_bloom_decontamination" -> q86BloomDecontamination,
     "q65_incremental_dedup" -> q65IncrementalDedup,
     "q68_domain_mix_quota" -> q68DomainMixQuota,
     "q69_sequence_packing" -> q69SequencePacking,
