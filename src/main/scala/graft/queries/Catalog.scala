@@ -969,6 +969,82 @@ object Catalog {
       SELECT rnk, part, pagerank, deg FROM rk WHERE rnk <= 20 ORDER BY rnk"""
     })
 
+  /** EWMA trend of daily order volume — the time-series smoothing
+    * primitive (monitoring dashboards, demand forecasting baselines)
+    * with α=1/4 as EXACT integer arithmetic: rank mass in millionths,
+    * `e_t = (c_t·10^6 + 3·e_{t-1}) div 4`, seeded at `e_1 = c_1·10^6`.
+    * An EWMA is inherently sequential, so the fold runs as one
+    * `aggregate` HOF over the day-ordered array — and the DuckDB oracle
+    * replays it as a recursive CTE, truncating division and all. Scale:
+    * the DISTRIBUTED work is the per-day count (map-side-combined
+    * shuffle over the raw corpus); the fold input is calendar-bounded
+    * (365 rows/year regardless of data volume), so one task folding it
+    * is O(days), never O(rows).
+    */
+  val q87EwmaDailyOrders: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("bigint").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("ds"))
+        .select(explode(expr(
+          """aggregate(ds,
+               CAST(array() AS ARRAY<STRUCT<day: BIGINT, c: BIGINT, e: BIGINT>>),
+               (acc, x) -> array_append(acc, named_struct(
+                 'day', x.day, 'c', x.c,
+                 'e', CASE WHEN size(acc) = 0 THEN x.c * 1000000
+                           ELSE (x.c * 1000000 + 3 * element_at(acc, -1).e) div 4
+                      END)))""")).as("r"))
+        .select(col("r.day").as("day"), col("r.c").as("c"),
+          col("r.e").as("ewma_millionths"))
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1),
+      d2 AS (SELECT day, c, row_number() OVER (ORDER BY day) AS rn FROM daily),
+      f AS (
+        SELECT rn, day, c, CAST(c * 1000000 AS BIGINT) AS e FROM d2 WHERE rn = 1
+        UNION ALL
+        SELECT d2.rn, d2.day, d2.c,
+               CAST((d2.c * 1000000 + 3 * f.e) // 4 AS BIGINT)
+        FROM d2 JOIN f ON d2.rn = f.rn + 1)
+      SELECT day, c, e AS ewma_millionths FROM f ORDER BY day"""))
+
+  /** Chi-square contingency sufficient statistics over (lang, source):
+    * per cell the observed count plus its row/column marginals and the
+    * grand total — the exact integers of `χ² = Σ (o−rc/n)²/(rc/n)`,
+    * emitted raw (the no-rounded-rationals contract; callers compute
+    * the float statistic). The independence test every data-quality /
+    * drift layer runs on categorical columns. Scale: one hash-agg on
+    * the (lang, source) cell domain; marginals are windows over the
+    * CELL table (bounded by the category product), never a second
+    * corpus pass.
+    */
+  val q88ChiSquareContingency: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      cells
+        .withColumn("row_tot", sum(col("o")).over(Window.partitionBy(col("lang"))))
+        .withColumn("col_tot", sum(col("o")).over(Window.partitionBy(col("source"))))
+        .withColumn("n", sum(col("o")).over(Window.partitionBy(lit(1))))
+        .orderBy(col("lang"), col("source"))
+    },
+    oracle = Some("""
+      WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                     FROM documents GROUP BY 1, 2)
+      SELECT lang, source, o,
+             CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT)   AS row_tot,
+             CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS col_tot,
+             CAST(sum(o) OVER () AS BIGINT)                    AS n
+      FROM cells ORDER BY lang, source"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1019,6 +1095,8 @@ object Catalog {
     "q83_zorder_layout" -> q83ZOrderLayout,
     "q84_price_histogram" -> q84PriceHistogram,
     "q85_pagerank" -> q85PageRank,
+    "q87_ewma_daily_orders" -> q87EwmaDailyOrders,
+    "q88_chisq_contingency" -> q88ChiSquareContingency,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
