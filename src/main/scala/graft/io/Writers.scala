@@ -76,6 +76,43 @@ object Writers {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Dynamic partition overwrite — replace ONLY the partitions present
+    * in `batch`, leaving every other partition of the table untouched
+    * (the daily-ingest pattern: rewriting one day must not truncate the
+    * table, which is exactly what static overwrite mode does). Session
+    * conf `partitionOverwriteMode=dynamic` is set per-write via the
+    * writer option so the session default stays untouched. Scale: the
+    * write only shuffles the incoming batch; untouched partitions are
+    * never read.
+    */
+  def overwritePartitions(batch: DataFrame, partitionCols: Seq[String],
+      path: String): Unit =
+    batch.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(bytes / targetBytes)` files (≥1), sized from the FS-reported
+    * footprint. The maintenance job every streaming ingest needs —
+    * thousands of per-microbatch files destroy scan parallelism math
+    * and NameNode/liststatus budgets. Returns the output file count.
+    * Scale: one coalesce (no shuffle) when shrinking file count; the
+    * read parallelism of the rewrite is still the ORIGINAL file count,
+    * so the job itself stays parallel.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).coalesce(n).write.mode("overwrite").parquet(outDir)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    fs.listStatus(out).count(f => f.getPath.getName.endsWith(".parquet"))
+  }
+
   /** O11 artifact housekeeping: keep the newest `keep` version
     * directories under `versionsDir` (lexicographic name order — the
     * reference names versions `yyyyMMdd_HHmmss`, so lexicographic =

@@ -1189,6 +1189,96 @@ object Catalog {
         FROM events)
       ORDER BY check_name"""))
 
+  /** CDC MERGE semantics (the lakehouse `MERGE INTO base USING changes`)
+    * as pure DataFrame algebra: a deterministic changeset derived from
+    * the orders table (key%10=0 → DELETE, key%10∈{1,2} → UPDATE price
+    * +1000, key%10=3 → INSERT under a shifted key) applied in one pass —
+    * left join carries the change onto its base row (update wins via
+    * coalesce, delete filters), inserts union in. Prices in integer
+    * cents. Scale: ONE shuffle join on the merge key (at real scale the
+    * changeset is small → broadcast + dynamic file pruning rewrites
+    * only touched files); the insert branch is a second scan of the
+    * changeset only.
+    */
+  val q91CdcMerge: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey").as("key"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val changes = base
+        .filter(col("key") % 10 <= 3)
+        .select(col("key"), col("cents"),
+          when(col("key") % 10 === 0, "D")
+            .when(col("key") % 10 <= 2, "U")
+            .otherwise("I").as("op"))
+      val upserts = changes.filter(col("op") =!= "I")
+        .select(col("key"), col("op"), (col("cents") + 100000L).as("new_cents"))
+      val merged = base.join(upserts, Seq("key"), "left")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("key"), coalesce(col("new_cents"), col("cents")).as("cents"))
+      val inserts = changes.filter(col("op") === "I")
+        .select((col("key") + 10000000L).as("key"), col("cents"))
+      merged.unionByName(inserts).orderBy(col("key"))
+    },
+    oracle = Some("""
+      WITH base AS (SELECT o_orderkey AS key,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+      changes AS (SELECT key, cents,
+                         CASE WHEN key % 10 = 0 THEN 'D'
+                              WHEN key % 10 <= 2 THEN 'U'
+                              ELSE 'I' END AS op
+                  FROM base WHERE key % 10 <= 3),
+      upserts AS (SELECT key, op, cents + 100000 AS new_cents
+                  FROM changes WHERE op <> 'I'),
+      merged AS (SELECT b.key,
+                        CAST(coalesce(u.new_cents, b.cents) AS BIGINT) AS cents
+                 FROM base b LEFT JOIN upserts u ON b.key = u.key
+                 WHERE u.op IS NULL OR u.op <> 'D')
+      SELECT key, cents FROM merged
+      UNION ALL
+      SELECT CAST(key + 10000000 AS BIGINT), CAST(cents AS BIGINT)
+      FROM changes WHERE op = 'I'
+      ORDER BY key"""))
+
+  /** SCD Type-2 dimension build: each customer's orders become
+    * validity-interval versions — `valid_from` the order day,
+    * `valid_to` the NEXT version's day (exclusive; null = open),
+    * `is_current` on the last. The standard slowly-changing-dimension
+    * construction, one `lead` window per key. All integer day numbers.
+    * Scale: a single (custkey) shuffle; the window is per-key and
+    * parallelizes across the exchange.
+    */
+  val q92Scd2Versions: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("bigint").as("day"))
+        .withColumn("version", row_number().over(w).cast("bigint"))
+        .withColumn("valid_to_day", lead(col("day"), 1).over(w))
+        .select(col("o_custkey"), col("version"), col("o_orderkey"),
+          col("day").as("valid_from_day"), col("valid_to_day"),
+          col("valid_to_day").isNull.cast("bigint").as("is_current"))
+        .orderBy(col("o_custkey"), col("version"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT o_custkey, o_orderkey,
+                        CAST(date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+                 FROM orders),
+      v AS (SELECT o_custkey,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   o_orderkey, day AS valid_from_day,
+                   lead(day) OVER w AS valid_to_day
+            FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey))
+      SELECT o_custkey, version, o_orderkey, valid_from_day,
+             CAST(valid_to_day AS BIGINT) AS valid_to_day,
+             CAST(CASE WHEN valid_to_day IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+      FROM v ORDER BY o_custkey, version"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1243,6 +1333,8 @@ object Catalog {
     "q88_chisq_contingency" -> q88ChiSquareContingency,
     "q89_fuzzy_name_match" -> q89FuzzyNameMatch,
     "q90_data_quality_audit" -> q90DataQualityAudit,
+    "q91_cdc_merge" -> q91CdcMerge,
+    "q92_scd2_versions" -> q92Scd2Versions,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

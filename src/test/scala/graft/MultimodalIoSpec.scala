@@ -78,6 +78,38 @@ class MultimodalIoSpec extends SparkSpec {
     assert(act.toSeq == Seq(("als", 3L), ("gbt", 2L)))
   }
 
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dpo").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "pt")
+      .write.mode("overwrite").partitionBy("pt").parquet(dir)
+    // rewrite ONLY partition b with new content
+    graft.io.Writers.overwritePartitions(
+      Seq((20L, "b")).toDF("id", "pt"), Seq("pt"), dir)
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // a and c untouched, b replaced — static overwrite would have
+    // truncated the whole table down to just partition b
+    assert(got == Set((1L, "a"), (20L, "b"), (3L, "c")))
+  }
+
+  test("compact rewrites a many-file directory into the byte-targeted file count") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("cin").toString
+    val out = java.nio.file.Files.createTempDirectory("cout").toString
+    // 64 tiny files (one per partition)
+    (1 to 1024).toDF("v").repartition(64).write.mode("overwrite").parquet(in)
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val after = graft.io.Writers.compact(spark, in, out, targetBytes = 1L << 30)
+    assert(after == 1) // everything fits one 1 GiB-target file
+    // content preserved
+    assert(spark.read.parquet(out).as[Int].collect().sorted.sameElements(1 to 1024))
+  }
+
   test("partitioned JDBC options fix the reference's single-partition scan (S5)") {
     val opts = Writers.partitionedJdbcOptions(
       "jdbc:postgresql://host/db", "interactions", "event_ts", 0L, 1000000L, 32)
