@@ -882,7 +882,8 @@ object Catalog {
                  FROM orders)
       SELECT o_orderkey, xb, yb,
              ${graft.operators.ZOrder.zValueSql("xb", "yb", 8)} AS z_value
-      FROM t ORDER BY z_value, o_orderkey"""))
+      FROM t ORDER BY z_value, o_orderkey"""),
+    headline = true)
 
   /** Equi-width histogram of order totals: bucket id by floor division
     * (single IEEE divide + floor — bit-equal cross-engine by
@@ -927,8 +928,20 @@ object Catalog {
       val pairs = po.as("a").join(po.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      // Materialize the adjacency ONCE (localCheckpoint): the 5
+      // iterations then scan fixed blocks instead of re-running the
+      // self-join, and each iteration broadcasts the vertex-sized rank
+      // table into a map-side join on src — no edge shuffle on the
+      // join side (measured 6.1 → 3.9 s at sf0.1; a persist-based
+      // partitioning-reuse variant was SLOWER because AQE hides cached
+      // outputPartitioning and the columnar cache write costs more
+      // than the saved exchange). At 100 TB checkpoint to reliable
+      // storage and swap broadcast for a shuffle join once ranks
+      // outgrow the threshold.
       val edges = pairs.unionByName(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(s.sparkContext.defaultParallelism, col("dst"))
+        .localCheckpoint(true)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("v"), col("deg"))
       var ranks = deg.select(col("v"), lit(1000000L).as("pr"))
@@ -936,7 +949,7 @@ object Catalog {
         val share = ranks.join(deg, "v")
           .select(col("v").as("src"),
             expr("(850000 * (pr div deg)) div 1000000").as("contrib"))
-        ranks = edges.join(share, "src")
+        ranks = edges.join(broadcast(share), "src")
           .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
           .select(col("dst").as("v"), (lit(150000L) + col("s")).as("pr"))
       }
@@ -967,7 +980,8 @@ object Catalog {
                     r5.v AS part, r5.pr AS pagerank, deg.deg AS deg
              FROM r5 JOIN deg ON r5.v = deg.v)
       SELECT rnk, part, pagerank, deg FROM rk WHERE rnk <= 20 ORDER BY rnk"""
-    })
+    },
+    headline = true)
 
   /** EWMA trend of daily order volume — the time-series smoothing
     * primitive (monitoring dashboards, demand forecasting baselines)
@@ -1279,6 +1293,49 @@ object Catalog {
                AS is_current
       FROM v ORDER BY o_custkey, version"""))
 
+  /** Gini concentration of order value per status — the inequality
+    * measure a marketplace / data-mix monitor tracks — as EXACT integer
+    * sufficient statistics: with per-status ranks i over cents x_i,
+    * `gini = (2·Σi·x_i − (n+1)·Σx_i) / (n·Σx_i)`; the query emits the
+    * integer numerator and denominator (the no-rounded-rationals
+    * contract — q49/q60 precedent). Scale: one (status) shuffle; the
+    * rank window and both sums ride the same exchange; thousands of
+    * groups parallelize it.
+    */
+  val q93GiniOrderValue: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("rk") * col("cents")).as("weighted_sum"))
+        .select(col("o_orderstatus"), col("n"), col("sum_cents"),
+          (lit(2L) * col("weighted_sum") - (col("n") + 1L) * col("sum_cents"))
+            .as("gini_num"),
+          (col("n") * col("sum_cents")).as("gini_den"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT o_orderstatus, o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      r AS (SELECT o_orderstatus, cents,
+                   CAST(row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY cents, o_orderkey) AS BIGINT) AS rk
+            FROM t)
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             CAST(2 * sum(rk * cents) - (count(*) + 1) * sum(cents) AS BIGINT)
+               AS gini_num,
+             CAST(count(*) * sum(cents) AS BIGINT) AS gini_den
+      FROM r GROUP BY 1 ORDER BY o_orderstatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1335,6 +1392,7 @@ object Catalog {
     "q90_data_quality_audit" -> q90DataQualityAudit,
     "q91_cdc_merge" -> q91CdcMerge,
     "q92_scd2_versions" -> q92Scd2Versions,
+    "q93_gini_order_value" -> q93GiniOrderValue,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -2087,7 +2087,8 @@ object PipelineCatalog {
       LEFT JOIN nb ON d.doc_id = nb.doc_id
       LEFT JOIN ne ON d.doc_id = ne.doc_id
       WHERE d.doc_id % 7 <> 3
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""),
+    headline = true)
 
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
