@@ -1061,15 +1061,20 @@ object Catalog {
 
   /** Fuzzy string join: distinct part names within Levenshtein distance
     * ≤ 2, candidates generated by a character-bigram inverted index
-    * with the q-gram count bound (`shared ≥ max(len)−1−q·d = max(len)−5`
-    * for q=2, d=2) — the standard lossless prefilter that avoids the
-    * all-pairs edit-distance cross join. On fixtures the filter passes
-    * 189 of 2016 pairs and misses none. Both engines implement unit-cost
-    * Wagner-Fischer `levenshtein`, so the verified distance is
-    * integer-exact. Scale: the inverted index shuffles once on the
-    * bigram key; ultra-common grams are the skew knob (df-prune them
-    * exactly as q35's PPJoin prefix does); verification touches only
-    * survivors.
+    * with the MULTISET q-gram count bound — with per-string gram counts
+    * c_a/c_b, `Σ min(c_a, c_b) ≥ max(len)−1−q·d = max(len)−5` for q=2,
+    * d=2 (Gravano et al. 1999 lemma: one edit destroys at most q grams
+    * of the multiset). Multiset counting matters: a DISTINCT-gram
+    * variant undercounts repetitive strings ("aaaaaaaa" has ONE
+    * distinct bigram) and silently drops true matches —
+    * FuzzyBoundProps property-tests this bound against a reference DP
+    * over adversarially repetitive alphabets. On fixtures the filter
+    * passes 189 of 2016 pairs and misses none. Both engines implement
+    * unit-cost Wagner-Fischer `levenshtein`, so the verified distance
+    * is integer-exact. Scale: the inverted index shuffles once on the
+    * (gram) key carrying per-string counts; ultra-common grams are the
+    * skew knob (df-prune them exactly as q35's PPJoin prefix does);
+    * verification touches only survivors.
     */
   val q89FuzzyNameMatch: QuerySpec = QuerySpec(
     fn = (s, dir) => {
@@ -1077,13 +1082,14 @@ object Catalog {
         .repartition(s.sparkContext.defaultParallelism, col("nm"))
       val grams = names.select(col("nm"), explode(expr(
         """CASE WHEN length(nm) >= 2 THEN
-             array_distinct(transform(sequence(1, length(nm) - 1),
-               i -> substring(nm, i, 2)))
+             transform(sequence(1, length(nm) - 1),
+               i -> substring(nm, i, 2))
            ELSE array() END""")).as("bg"))
+        .groupBy(col("nm"), col("bg")).agg(count(lit(1)).as("c"))
       val cand = grams.as("a").join(grams.as("b"),
           col("a.bg") === col("b.bg") && col("a.nm") < col("b.nm"))
         .groupBy(col("a.nm").as("n1"), col("b.nm").as("n2"))
-        .agg(count(lit(1)).as("shared"))
+        .agg(sum(least(col("a.c"), col("b.c"))).as("shared"))
         .filter(col("shared") >=
           (greatest(length(col("n1")), length(col("n2"))) - 5).cast("bigint"))
       cand.withColumn("dist", levenshtein(col("n1"), col("n2")).cast("bigint"))
@@ -1093,13 +1099,15 @@ object Catalog {
     },
     oracle = Some("""
       WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
-      g AS (SELECT nm, unnest(list_distinct(list_transform(range(1, len(nm)),
-                   i -> substr(nm, i, 2)))) AS bg
+      g AS (SELECT nm, unnest(list_transform(range(1, len(nm)),
+                   i -> substr(nm, i, 2))) AS bg
             FROM n WHERE len(nm) >= 2),
-      cand AS (SELECT a.nm AS n1, b.nm AS n2, CAST(count(*) AS BIGINT) AS shared
-               FROM g a JOIN g b ON a.bg = b.bg AND a.nm < b.nm
+      gc AS (SELECT nm, bg, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+      cand AS (SELECT a.nm AS n1, b.nm AS n2,
+                      CAST(sum(least(a.c, b.c)) AS BIGINT) AS shared
+               FROM gc a JOIN gc b ON a.bg = b.bg AND a.nm < b.nm
                GROUP BY 1, 2
-               HAVING count(*) >= greatest(len(a.nm), len(b.nm)) - 5)
+               HAVING sum(least(a.c, b.c)) >= greatest(len(a.nm), len(b.nm)) - 5)
       SELECT n1, n2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist, shared
       FROM cand WHERE levenshtein(n1, n2) <= 2
       ORDER BY n1, n2"""))
