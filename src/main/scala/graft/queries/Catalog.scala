@@ -1345,6 +1345,258 @@ object Catalog {
       FROM r GROUP BY 1 ORDER BY o_orderstatus"""))
 
   // ---------------------------------------------------------------------
+  // Graph / similarity / sequence analytics (beyond-reference surface)
+  // ---------------------------------------------------------------------
+
+  /** Distinct undirected co-purchase edges (u < v) over the part
+    * co-occurrence graph — q94/q95 fan out over this table several
+    * times each, so it is computed once per (session, fixture) and
+    * persisted; [[clearCaches]] drops it. Bounded: one edge row per
+    * distinct part pair that ever shared an order (~85k at sf0.01).
+    */
+  private val coEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def coEdges(s: SparkSession, dir: String): DataFrame =
+    coEdgeCache.getOrElseUpdate((s, dir), {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Triangle count + wedge count of the co-purchase graph (the global
+    * clustering coefficient's exact integer sufficient statistics:
+    * transitivity = 3·tri/wedge). Spark side runs the DEGREE-ORDERED
+    * orientation (Suri & Vassilvitskii 2011): each edge points from its
+    * lower-(degree, id) endpoint, so every out-degree is O(√m) whatever
+    * hub skew the raw graph has, and wedge enumeration — the quadratic
+    * step — is bounded by O(m^{3/2}) instead of Σ d². The oracle counts
+    * the same triangles via the independent id-ordered 3-way self-join,
+    * so the compare crosses two genuinely different algorithms. Scale:
+    * wedges stream through one equi-join + one semi-join; nothing is
+    * collected; the edge table is the session-cached [[coEdges]].
+    */
+  val q94TriangleCount: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = coEdges(s, dir)
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      // orient u→v iff (d(u), u) < (d(v), v); u < v already, so the id
+      // tiebreak keeps the u→v direction on equal degrees
+      val du = deg.select(col("x").as("u"), col("d").as("du"))
+      val dv = deg.select(col("x").as("v"), col("d").as("dv"))
+      val oriented = e.join(du, "u").join(dv, "v").select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"))
+      // out-neighbor pairs of a common center close a triangle iff the
+      // (id-ordered) third side is an edge; wedge rows keep their
+      // multiplicity — one surviving row per (center, side) = per triangle
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").as("u"), col("e2.dst").as("v"))
+      val tri = wedges.join(e, Seq("u", "v"), "left_semi")
+        .agg(count(lit(1)).as("tri_cnt"))
+      val edgeCnt = e.agg(count(lit(1)).as("edge_cnt"))
+      val wedgeCnt = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("wedge_cnt"))
+      edgeCnt.crossJoin(wedgeCnt).crossJoin(tri)
+        .select(col("edge_cnt"), col("wedge_cnt"), col("tri_cnt"))
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+              GROUP BY x)
+      SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS edge_cnt,
+             CAST((SELECT sum((d * (d - 1)) // 2) FROM deg) AS BIGINT)
+               AS wedge_cnt,
+             CAST((SELECT count(*) FROM e e1
+                   JOIN e e2 ON e2.u = e1.v
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+               AS tri_cnt"""))
+
+  /** Item-item "customers also bought" similarity — the recsys core the
+    * reference approximates with raw co-occurrence counts
+    * (core-logic/train_module.py:397-413) — upgraded to exact Jaccard
+    * over order sets, top-3 neighbors per item. The fraction
+    * |A∩B| / |A∪B| is ranked via its floor-scaled integer
+    * (10⁶·co) div (n1+n2−co) with (co desc, p2) tiebreaks, so the
+    * total order is engine-exact (no float compare anywhere); the raw
+    * (co, n1, n2) rationals ship alongside. Scale: co-counts bound by
+    * the q14 distinct pre-pass; the rank window parallelizes per item;
+    * nothing quadratic in the catalog — only observed pairs are scored.
+    */
+  val q95ItemSimilarity: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val co = op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("co"))
+      val sym = co.unionAll(
+        co.select(col("p2").as("p1"), col("p1").as("p2"), col("co")))
+      val scored = sym
+        .join(cnt.select(col("l_partkey").as("p1"), col("n").as("n1")), "p1")
+        .join(cnt.select(col("l_partkey").as("p2"), col("n").as("n2")), "p2")
+        .withColumn("jscore", expr("(1000000 * co) div (n1 + n2 - co)"))
+      val w = Window.partitionBy(col("p1"))
+        .orderBy(col("jscore").desc, col("co").desc, col("p2"))
+      scored.withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("p1"), col("p2"), col("co"), col("n1"), col("n2"),
+          col("jscore"), col("rk"))
+        .orderBy(col("p1"), col("rk"))
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+              FROM op GROUP BY 1),
+      co AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                    CAST(count(*) AS BIGINT) AS co
+             FROM op a JOIN op b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+      sym AS (SELECT p1, p2, co FROM co
+              UNION ALL SELECT p2, p1, co FROM co),
+      sc AS (SELECT s.p1, s.p2, s.co, ca.n AS n1, cb.n AS n2,
+                    (1000000 * s.co) // (ca.n + cb.n - s.co) AS jscore
+             FROM sym s
+             JOIN cnt ca ON ca.l_partkey = s.p1
+             JOIN cnt cb ON cb.l_partkey = s.p2),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY p1
+                 ORDER BY jscore DESC, co DESC, p2) AS BIGINT) AS rk
+            FROM sc)
+      SELECT p1, p2, co, n1, n2, jscore, rk FROM r
+      WHERE rk <= 3 ORDER BY p1, rk"""))
+
+  /** First-order Markov transition counts over per-user event sequences
+    * (the session-model statistic behind next-action recommendation):
+    * lag(event_type) within (user, time) order, then the global
+    * (prev → next) contingency row with its per-prev total — the row
+    * probability as an exact rational cnt/prev_total. Scale: one
+    * user_id shuffle for the lag window; the transition matrix is
+    * |event_types|² rows, so the second shuffle and the windowed total
+    * are on a constant-size table.
+    */
+  val q96EventTransitions: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("prev_total",
+          sum(col("cnt")).over(Window.partitionBy(col("prev_type"))))
+        .orderBy(col("prev_type"), col("event_type"))
+    },
+    oracle = Some("""
+      WITH seq AS (SELECT user_id, event_type,
+                          lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_type
+                   FROM events),
+      c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, event_type, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT)
+               AS prev_total
+      FROM c ORDER BY prev_type, event_type"""))
+
+  /** O-family ntile surface: account-balance deciles within each market
+    * segment (integer cents, total (cents, custkey) order so bucket
+    * assignment is engine-exact — both engines use the standard
+    * first-(n mod k)-buckets-get-the-extra-row fill). Scale: the window
+    * partitions by segment, so the sort parallelizes across segments;
+    * a single-key global ntile at 100 TB would instead cut on
+    * broadcast nearest-rank quantile bounds (the q73 shape).
+    */
+  val q97BalanceDeciles: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("cents"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .withColumn("decile", ntile(10).over(w).cast("bigint"))
+        .groupBy(col("c_mktsegment"), col("decile"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"))
+        .orderBy(col("c_mktsegment"), col("decile"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT c_mktsegment, c_custkey,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer),
+      d AS (SELECT c_mktsegment, cents,
+                   CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+                        ORDER BY cents, c_custkey) AS BIGINT) AS decile
+            FROM t)
+      SELECT c_mktsegment, decile, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(min(cents) AS BIGINT) AS lo_cents,
+             CAST(max(cents) AS BIGINT) AS hi_cents
+      FROM d GROUP BY 1, 2 ORDER BY c_mktsegment, decile"""))
+
+  /** Lag-k autocorrelation sufficient statistics of daily order volume
+    * (k = 1..7): for each lag, the paired sums (Σxy, Σx, Σy, Σx², Σy²,
+    * n) over days where both t and t−k exist — everything Pearson r_k
+    * needs, all exact integers. Formulated as an EQUI-join: each day row
+    * is exploded into its 7 (k, day+k) probes and hash-joined back on
+    * day, so no range/nested-loop join appears anywhere. Scale: the
+    * join runs on the per-day rollup (|days| rows, ~2.5k here), not on
+    * raw orders — aggregate first, then self-join the rollup.
+    */
+  val q98DailyAutocorr: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val shifted = daily
+        .select(explode(expr("sequence(1, 7)")).as("k0"), col("day"), col("x"))
+        .select(col("k0").cast("bigint").as("k"),
+          (col("day") + col("k0")).as("day"), col("x").as("xl"))
+      daily.join(shifted, "day")
+        .select(col("k"), col("x").as("xt"), col("xl"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("xt") * col("xl")).as("sum_xy"),
+          sum(col("xt")).as("sum_x"), sum(col("xl")).as("sum_y"),
+          sum(col("xt") * col("xt")).as("sum_xx"),
+          sum(col("xl") * col("xl")).as("sum_yy"))
+        .orderBy(col("k"))
+    },
+    oracle = Some("""
+      WITH daily AS (SELECT CAST(datediff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                            CAST(count(*) AS BIGINT) AS x
+                     FROM orders GROUP BY 1),
+      shifted AS (SELECT CAST(ks.k AS BIGINT) AS k, day + ks.k AS day,
+                         x AS xl
+                  FROM daily, (SELECT unnest(generate_series(1, 7)) AS k) ks),
+      j AS (SELECT s.k, d.x AS xt, s.xl
+            FROM daily d JOIN shifted s ON d.day = s.day)
+      SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(xt * xl) AS BIGINT) AS sum_xy,
+             CAST(sum(xt) AS BIGINT) AS sum_x,
+             CAST(sum(xl) AS BIGINT) AS sum_y,
+             CAST(sum(xt * xt) AS BIGINT) AS sum_xx,
+             CAST(sum(xl * xl) AS BIGINT) AS sum_yy
+      FROM j GROUP BY k ORDER BY k"""))
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -1401,6 +1653,11 @@ object Catalog {
     "q91_cdc_merge" -> q91CdcMerge,
     "q92_scd2_versions" -> q92Scd2Versions,
     "q93_gini_order_value" -> q93GiniOrderValue,
+    "q94_triangle_count" -> q94TriangleCount,
+    "q95_item_similarity" -> q95ItemSimilarity,
+    "q96_event_transitions" -> q96EventTransitions,
+    "q97_balance_deciles" -> q97BalanceDeciles,
+    "q98_daily_autocorr" -> q98DailyAutocorr,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
@@ -1410,6 +1667,9 @@ object Catalog {
     * would otherwise plan-match across bench reps and skip the read.
     */
   def clearCaches(s: org.apache.spark.sql.SparkSession): Unit = {
+    coEdgeCache.keys.filter(_._1 eq s).foreach { k =>
+      coEdgeCache.remove(k).foreach(_.unpersist(blocking = true))
+    }
     PipelineCatalog.clearCaches(s)
     graft.ml.MlCatalog.clearCaches(s)
     s.catalog.clearCache()
