@@ -1379,7 +1379,10 @@ object Catalog {
     * the same triangles via the independent id-ordered 3-way self-join,
     * so the compare crosses two genuinely different algorithms. Scale:
     * wedges stream through one equi-join + one semi-join; nothing is
-    * collected; the edge table is the session-cached [[coEdges]].
+    * collected; the edge table is the session-cached [[coEdges]]. The
+    * BroadcastNestedLoopJoin in this plan is the final crossJoin of
+    * three ONE-ROW aggregates (the q30/q33 documented class), not a
+    * data-sized nested loop.
     */
   val q94TriangleCount: QuerySpec = QuerySpec(
     fn = (s, dir) => {
