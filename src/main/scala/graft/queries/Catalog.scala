@@ -1599,6 +1599,210 @@ object Catalog {
              CAST(sum(xl * xl) AS BIGINT) AS sum_yy
       FROM j GROUP BY k ORDER BY k"""))
 
+  /** Regional supply-chain revenue — the classic snowflake rollup
+    * (lineitem → supplier → nation → region, the TPC-H Q5 join shape)
+    * and the catalog's deepest dim chain. Scale: all three dims are
+    * broadcast, so the fact table crosses the wire exactly once — for
+    * the tiny (region, nation) aggregation; Catalyst folds the three
+    * BroadcastHashJoins into one codegen stage over the scan.
+    * countDistinct adds the expand-based two-phase distinct on the same
+    * shuffle. Float sum ships under the q12 contract (round 4 absorbs
+    * the ~1e-7 double-sum reassociation noise).
+    */
+  val q99RegionalRevenue: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = broadcast(Tables.supplier(s, dir))
+      val nat = broadcast(Tables.nation(s, dir))
+      val reg = broadcast(Tables.region(s, dir))
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    oracle = Some("""
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             count(*) AS n_items,
+             CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""))
+
+  /** Regex extraction surface (F-family): parse the numeric id out of
+    * the supplier name with a capture group, fold it per nation next to
+    * a sign-split balance count. try_cast keeps the parse ANSI-lenient
+    * (CLAUDE.md contract); the `[0-9]+` / capture-group subset used is
+    * dialect-identical between Java regex and RE2. Scale: per-row
+    * regexp in codegen; nation dim broadcast; tiny group-by.
+    */
+  val q100SupplierIdParse: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val sup = Tables.supplier(s, dir)
+      val nat = broadcast(Tables.nation(s, dir))
+      sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          expr("try_cast(regexp_extract(s_name, 'Supplier#([0-9]+)', 1) AS BIGINT)")
+            .as("sid"),
+          col("s_acctbal"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("sid")).as("sum_parsed_id"),
+          sum(when(col("s_acctbal") < 0, 1L).otherwise(0L)).as("n_negative_bal"))
+        .orderBy(col("n_name"))
+    },
+    oracle = Some("""
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(TRY_CAST(regexp_extract(s_name, 'Supplier#([0-9]+)', 1)
+                      AS BIGINT)) AS BIGINT) AS sum_parsed_id,
+             CAST(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** §2.7 multiplicity-aware set ops: INTERSECT ALL (min of the two
+    * multiplicities) and EXCEPT ALL (clamped difference) between the
+    * order-priority multisets of open vs finished orders, folded to
+    * (value, count) rows. Scale: both ops are one hash shuffle on the
+    * value — Spark plans them as aggregate+generate over per-side
+    * counts, never a sort.
+    */
+  val q101PriorityMultiset: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority").as("pri"))
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderpriority").as("pri"))
+      val inter = a.intersectAll(b).groupBy(col("pri"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("intersect_all").as("op"), col("pri"), col("cnt"))
+      val diff = a.exceptAll(b).groupBy(col("pri"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit("except_all").as("op"), col("pri"), col("cnt"))
+      inter.unionAll(diff).orderBy(col("op"), col("pri"))
+    },
+    oracle = Some("""
+      WITH a AS (SELECT o_orderpriority AS pri FROM orders
+                 WHERE o_orderstatus = 'O'),
+      b AS (SELECT o_orderpriority AS pri FROM orders
+            WHERE o_orderstatus = 'F'),
+      ia AS (SELECT pri FROM a INTERSECT ALL SELECT pri FROM b),
+      ea AS (SELECT pri FROM a EXCEPT ALL SELECT pri FROM b)
+      SELECT * FROM (
+        SELECT 'intersect_all' AS op, pri, CAST(count(*) AS BIGINT) AS cnt
+        FROM ia GROUP BY pri
+        UNION ALL
+        SELECT 'except_all' AS op, pri, CAST(count(*) AS BIGINT) AS cnt
+        FROM ea GROUP BY pri)
+      ORDER BY op, pri"""))
+
+  /** W-family frame surface: first_value / nth_value(2) / last_value
+    * over the full unbounded frame in (date, orderkey) order — the
+    * customer's earliest, second and latest order value in one window
+    * pass, one row per customer via the rn=1 cut on the same exchange.
+    * Scale: one custkey shuffle; both windows ride it.
+    */
+  val q102OrderValueFrames: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val order = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"), col("o_orderkey"))
+      val frame = order
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint").as("day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("first_cents", first(col("cents")).over(frame))
+        .withColumn("second_cents", nth_value(col("cents"), 2).over(frame))
+        .withColumn("last_cents", last(col("cents")).over(frame))
+        .withColumn("rn", row_number().over(order))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("first_cents"), col("second_cents"),
+          col("last_cents"))
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT o_custkey, o_orderkey,
+                        CAST(datediff('day', DATE '1970-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      w AS (SELECT o_custkey,
+                   first_value(cents) OVER win AS first_cents,
+                   nth_value(cents, 2) OVER win AS second_cents,
+                   last_value(cents) OVER win AS last_cents,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY day, o_orderkey) AS rn
+            FROM t
+            WINDOW win AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT o_custkey, first_cents, second_cents, last_cents
+      FROM w WHERE rn = 1 ORDER BY o_custkey"""))
+
+  /** Robust location/spread per status: EXACT nearest-rank (lower)
+    * median of order cents and the median absolute deviation around it
+    * — no approx sketch, no float. Both medians are "the row ranked
+    * (n+1) div 2 in a total order", so the oracle replays the identical
+    * selection; deviation ties are broken by orderkey. Scale: two rank
+    * windows on the (status) shuffle + one broadcast join of the 3-row
+    * median table back onto the facts.
+    */
+  val q103RobustStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val cents = Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val w1 = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      val grp = Window.partitionBy(col("o_orderstatus"))
+      val med = cents
+        .withColumn("rn", row_number().over(w1).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(grp))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("o_orderstatus"), col("n"), col("cents").as("med_cents"))
+      val w2 = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("adev"), col("o_orderkey"))
+      cents.join(broadcast(med), "o_orderstatus")
+        .withColumn("adev", abs(col("cents") - col("med_cents")))
+        .withColumn("rn", row_number().over(w2).cast("bigint"))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("o_orderstatus"), col("n"), col("med_cents"),
+          col("adev").as("mad_cents"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT o_orderstatus, o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+                     AS n
+            FROM t),
+      med AS (SELECT o_orderstatus, n, cents AS med_cents FROM r
+              WHERE rn = (n + 1) // 2),
+      d AS (SELECT t.o_orderstatus, m.n, m.med_cents,
+                   abs(t.cents - m.med_cents) AS adev, t.o_orderkey
+            FROM t JOIN med m ON t.o_orderstatus = m.o_orderstatus),
+      r2 AS (SELECT *, CAST(row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY adev, o_orderkey) AS BIGINT) AS rn
+             FROM d)
+      SELECT o_orderstatus, n, med_cents, adev AS mad_cents
+      FROM r2 WHERE rn = (n + 1) // 2
+      ORDER BY o_orderstatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1661,6 +1865,11 @@ object Catalog {
     "q96_event_transitions" -> q96EventTransitions,
     "q97_balance_deciles" -> q97BalanceDeciles,
     "q98_daily_autocorr" -> q98DailyAutocorr,
+    "q99_regional_revenue" -> q99RegionalRevenue,
+    "q100_supplier_id_parse" -> q100SupplierIdParse,
+    "q101_priority_multiset" -> q101PriorityMultiset,
+    "q102_order_value_frames" -> q102OrderValueFrames,
+    "q103_robust_stats" -> q103RobustStats,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
