@@ -17,15 +17,19 @@ import graft.functions.{AsciiPolyHash, FloatDotProduct}
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
   * or by calling [[GraftExtensions.register]] on a live session.
   *
-  * No custom Rule/SparkStrategy is injected on purpose: the engine's
-  * whole relational surface lowers to stock Catalyst operators
-  * (SURVEY.md §4 — Catalyst already performs every rewrite this
-  * workload can use; our extensions are scalar-expression-level only).
+  * One semantics-preserving optimizer rule is injected —
+  * [[LevenshteinBandRule]], which rewrites bounded `levenshtein`
+  * predicates to the banded-DP thresholded kernel behind a free
+  * length-band prefilter. No SparkStrategy / physical operator is
+  * injected on purpose: the engine's whole relational surface lowers
+  * to stock Catalyst operators (SURVEY.md §4 — Catalyst already
+  * performs every other rewrite this workload can use).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFn)
     ext.injectFunction(GraftExtensions.polyhashFn)
+    ext.injectOptimizerRule(_ => LevenshteinBandRule)
   }
 }
 
@@ -49,9 +53,17 @@ object GraftExtensions {
       AsciiPolyHash(args(0))
     })
 
-  /** Register on an already-built session (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register on an already-built session (tests, REPL). Functions go
+    * through the function registry; the optimizer rule rides
+    * `experimental.extraOptimizations` (the live-session injection
+    * point — `spark.sql.extensions` only applies at session build).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(dotFn, polyhashFn).foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.shims.registerFunction(spark, id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(LevenshteinBandRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevenshteinBandRule
+  }
 }

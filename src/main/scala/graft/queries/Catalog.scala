@@ -1803,6 +1803,39 @@ object Catalog {
       FROM r2 WHERE rn = (n + 1) // 2
       ORDER BY o_orderstatus"""))
 
+  /** Fuzzy self-match written the way a PLAIN-SQL user writes it —
+    * `levenshtein(a, b) <= 1` straight in the join condition, no manual
+    * prefilter — relying on [[graft.plans.LevenshteinBandRule]] (active
+    * on the session via GraftExtensions.register) to rewrite the
+    * predicate to the banded O(k·n) kernel behind a length-band
+    * short-circuit. Contrast with q89, which hand-builds the tighter
+    * q-gram inverted index; this entry proves the engine makes the
+    * naive formulation safe. The pair loop is still quadratic in
+    * suppliers (dim-sized here); the oracle replays the same predicate
+    * with DuckDB's levenshtein.
+    */
+  val q104FuzzyNameRule: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+      sup.as("x").join(sup.as("y"),
+          col("x.s_suppkey") < col("y.s_suppkey") &&
+            expr("levenshtein(x.s_name, y.s_name) <= 1"))
+        .select(col("x.s_suppkey").as("k1"), col("y.s_suppkey").as("k2"),
+          expr("CAST(levenshtein(x.s_name, y.s_name) AS BIGINT)").as("dist"))
+        .groupBy(col("k1"))
+        .agg(count(lit(1)).as("n_neighbors"), min(col("k2")).as("nearest_k2"))
+        .orderBy(col("k1"))
+    },
+    oracle = Some("""
+      SELECT x.s_suppkey AS k1,
+             CAST(count(*) AS BIGINT) AS n_neighbors,
+             CAST(min(y.s_suppkey) AS BIGINT) AS nearest_k2
+      FROM supplier x JOIN supplier y
+        ON x.s_suppkey < y.s_suppkey
+       AND levenshtein(x.s_name, y.s_name) <= 1
+      GROUP BY x.s_suppkey ORDER BY k1"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1870,6 +1903,7 @@ object Catalog {
     "q101_priority_multiset" -> q101PriorityMultiset,
     "q102_order_value_frames" -> q102OrderValueFrames,
     "q103_robust_stats" -> q103RobustStats,
+    "q104_fuzzy_name_rule" -> q104FuzzyNameRule,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
