@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1480,7 +1480,8 @@ object Catalog {
                  ORDER BY jscore DESC, co DESC, p2) AS BIGINT) AS rk
             FROM sc)
       SELECT p1, p2, co, n1, n2, jscore, rk FROM r
-      WHERE rk <= 3 ORDER BY p1, rk"""))
+      WHERE rk <= 3 ORDER BY p1, rk"""),
+    headline = true)
 
   /** First-order Markov transition counts over per-user event sequences
     * (the session-model statistic behind next-action recommendation):
@@ -1636,7 +1637,8 @@ object Catalog {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name
-      ORDER BY r_name, n_name"""))
+      ORDER BY r_name, n_name"""),
+    headline = true)
 
   /** Regex extraction surface (F-family): parse the numeric id out of
     * the supplier name with a capture group, fold it per nation next to
@@ -1836,6 +1838,44 @@ object Catalog {
        AND levenshtein(x.s_name, y.s_name) <= 1
       GROUP BY x.s_suppkey ORDER BY k1"""))
 
+  /** Bounded-state top-k as a typed Aggregator (see
+    * [[graft.functions.TopKAggregator]]): the five largest order values
+    * per status in one cell, computed with O(k) partial-aggregation
+    * state instead of collect_list's O(|group|) — the version of
+    * "top values per group" that survives a billion-row hot key. The
+    * oracle replays it as window-rank + ordered string_agg; ties are
+    * safe because only the value multiset (not row identity) reaches
+    * the output.
+    */
+  val q105TopKValues: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val topk = udaf(graft.functions.TopKAggregator(5), Encoders.scalaLong)
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("o_orderstatus"))
+        .agg(topk(col("cents")).as("top5_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT o_orderstatus,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      r AS (SELECT o_orderstatus, cents,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                     ORDER BY cents DESC) AS rn
+            FROM t)
+      SELECT r.o_orderstatus,
+             (SELECT string_agg(CAST(cents AS VARCHAR), ','
+                                ORDER BY cents DESC)
+              FROM r r2 WHERE r2.o_orderstatus = r.o_orderstatus
+                AND r2.rn <= 5) AS top5_cents,
+             (SELECT CAST(count(*) AS BIGINT) FROM t
+              WHERE t.o_orderstatus = r.o_orderstatus) AS n
+      FROM r GROUP BY r.o_orderstatus
+      ORDER BY r.o_orderstatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1904,6 +1944,7 @@ object Catalog {
     "q102_order_value_frames" -> q102OrderValueFrames,
     "q103_robust_stats" -> q103RobustStats,
     "q104_fuzzy_name_rule" -> q104FuzzyNameRule,
+    "q105_topk_values" -> q105TopKValues,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
