@@ -1876,6 +1876,38 @@ object Catalog {
       FROM r GROUP BY r.o_orderstatus
       ORDER BY r.o_orderstatus"""))
 
+  /** Hopping (sliding) time windows in BATCH — `window(ts, 10m, 5m)`,
+    * the overlapping-window surface the streaming side already uses,
+    * here over the events fixture: every event lands in exactly
+    * length/slide = 2 epoch-aligned windows. The oracle replays the
+    * same assignment arithmetic (floor-to-slot, plus the shifted slot);
+    * window starts ship as epoch SECONDS so the compare is integer.
+    * Scale: the explode-to-2 fan-out happens map-side before one
+    * (window, type) shuffle — state is the window count table, never
+    * the events.
+    */
+  val q106HoppingWindows: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      Tables.events(s, dir)
+        .select(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"))
+        .groupBy(col("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300
+                   AS slot, event_type
+                 FROM events),
+      w AS (SELECT slot AS win_start, event_type FROM e
+            UNION ALL
+            SELECT slot - 300 AS win_start, event_type FROM e)
+      SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM w GROUP BY win_start, event_type
+      ORDER BY win_start, event_type"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1945,6 +1977,7 @@ object Catalog {
     "q103_robust_stats" -> q103RobustStats,
     "q104_fuzzy_name_rule" -> q104FuzzyNameRule,
     "q105_topk_values" -> q105TopKValues,
+    "q106_hopping_windows" -> q106HoppingWindows,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
