@@ -113,6 +113,23 @@ object Writers {
     fs.listStatus(out).count(f => f.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Schema-evolution read: a parquet directory whose batches were
+    * written with DIFFERENT column sets (the lakehouse "column added
+    * mid-stream" case) reads as the union schema with `mergeSchema`;
+    * rows from pre-evolution batches surface the new columns as null.
+    * `pinned` is the 100 TB path: mergeSchema reads a footer per file
+    * at planning time (a liststatus+footer storm on a large table), so
+    * once the evolved schema is known, pin it — same result, planning
+    * cost independent of file count, and late files with extra unknown
+    * columns are projected away instead of widening the scan.
+    */
+  def readEvolved(spark: SparkSession, path: String,
+      pinned: Option[StructType] = None): DataFrame =
+    pinned match {
+      case Some(schema) => spark.read.schema(schema).parquet(path)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
   /** O11 artifact housekeeping: keep the newest `keep` version
     * directories under `versionsDir` (lexicographic name order — the
     * reference names versions `yyyyMMdd_HHmmss`, so lexicographic =

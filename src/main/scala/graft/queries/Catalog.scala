@@ -1349,10 +1349,12 @@ object Catalog {
   // ---------------------------------------------------------------------
 
   /** Distinct undirected co-purchase edges (u < v) over the part
-    * co-occurrence graph — q94/q95 fan out over this table several
-    * times each, so it is computed once per (session, fixture) and
-    * persisted; [[clearCaches]] drops it. Bounded: one edge row per
-    * distinct part pair that ever shared an order (~85k at sf0.01).
+    * co-occurrence graph — q94 fans out over this table four times
+    * (degrees, orientation, closing-edge probe), so it is computed once
+    * per (session, fixture) and persisted; [[clearCaches]] drops it.
+    * (q95 needs per-pair COUNTS, not the distinct edge set, so it
+    * builds its own aggregate.) Bounded: one edge row per distinct part
+    * pair that ever shared an order (~85k at sf0.01).
     */
   private val coEdgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
