@@ -245,6 +245,19 @@ object ScoringStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("minute"), col("n"))
 
+  /** Hopping-window rate — the streaming twin of batch q106: 10-minute
+    * windows sliding every 5, so every event feeds exactly
+    * length/slide = 2 epoch-aligned windows. Append mode + watermark
+    * means a window row is emitted exactly once, when the watermark
+    * passes its end — overlapping windows don't multiply state beyond
+    * the factor-of-2 window count, and expiry is still watermark-driven.
+    */
+  def eventsPerHop(spark: SparkSession, events: Dataset[RawEvent]): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
   /** S8 Kafka producer sink (`run_producer.py:79-106`): JSON-encode the
     * whole row into `value`. Wiring-only here (no broker in the test
     * env); exactly-once via the checkpoint.

@@ -313,4 +313,27 @@ class StreamingSpec extends SparkSpec {
       assert(rows.take(2).toSeq == Seq((0L, 2L), (60L, 1L)))
     } finally q.stop()
   }
+
+  test("hopping windows count every event in exactly two windows (q106 twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = ScoringStream.eventsPerHop(spark, input.toDS())
+      .writeStream.format("memory").queryName("hops")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // t=360s: inside [0,600) and [300,900); t=660s: [300,900)+[600,1200)
+      input.addData(
+        RawEvent(1L, "c", "click", ts(360)), RawEvent(2L, "c", "view", ts(660)),
+        // watermark driver: closes everything before 9400-600
+        RawEvent(9L, "c", "click", ts(10000)))
+      q.processAllAvailable()
+      input.addData(RawEvent(9L, "c", "click", ts(20000)))
+      q.processAllAvailable()
+      val rows = spark.table("hops").orderBy("win_start").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1)))
+        .filter(_._1 < 1200)
+      assert(rows.toSeq == Seq((0L, 1L), (300L, 2L), (600L, 1L)))
+    } finally q.stop()
+  }
 }
