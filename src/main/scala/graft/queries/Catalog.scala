@@ -1910,6 +1910,89 @@ object Catalog {
       FROM w GROUP BY win_start, event_type
       ORDER BY win_start, event_type"""))
 
+  /** Algebraic re-aggregation — the incremental-view-maintenance
+    * pattern: per-DAY partial aggregates (sum/count/min/max of order
+    * cents) composed into the MONTHLY rollup by re-aggregating the
+    * partials, never re-reading raw orders. sum/count/min/max are the
+    * mergeable algebra (avg reconstructs as sum/count downstream); at
+    * 100 TB this is the difference between an incremental daily job and
+    * a monthly full scan. The oracle replays the same two-level
+    * composition, so the compare proves merge-associativity
+    * cross-engine.
+    */
+  val q107Reaggregation: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          to_date(col("o_orderdate")).as("day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("month"), col("day"))
+        .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"),
+          min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      daily.groupBy(col("month"))
+        .agg(sum(col("s")).as("sum_cents"), sum(col("c")).as("n_orders"),
+          min(col("lo")).as("min_cents"), max(col("hi")).as("max_cents"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("month"))
+    },
+    oracle = Some("""
+      WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                            CAST(o_orderdate AS DATE) AS day,
+                            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS s,
+                            CAST(count(*) AS BIGINT) AS c,
+                            CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS lo,
+                            CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS hi
+                     FROM orders GROUP BY 1, 2)
+      SELECT month, CAST(sum(s) AS BIGINT) AS sum_cents,
+             CAST(sum(c) AS BIGINT) AS n_orders,
+             CAST(min(lo) AS BIGINT) AS min_cents,
+             CAST(max(hi) AS BIGINT) AS max_cents,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY month ORDER BY month"""))
+
+  /** percent_rank / cume_dist as EXACT integer rationals (the
+    * no-rounded-rationals contract): per market segment, each
+    * customer's rank-1 over n-1 (percent_rank) and its
+    * values-≤-current count over n (cume_dist, ties included via the
+    * RANGE frame) — no float division anywhere, so the compare is
+    * integer-exact. Scale: one segment shuffle, all three windows on
+    * the same exchange.
+    */
+  val q108RankRationals: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val bySeg = Window.partitionBy(col("c_mktsegment"))
+      val ordered = bySeg.orderBy(col("cents"))
+      val cume = ordered.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .withColumn("pr_num", (rank().over(ordered) - 1).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(bySeg))
+        .withColumn("cd_num", count(lit(1)).over(cume))
+        .select(col("c_mktsegment"), col("c_custkey"), col("cents"),
+          col("pr_num"), (col("n") - 1L).as("pr_den"), col("cd_num"),
+          col("n").as("cd_den"))
+        .orderBy(col("c_mktsegment"), col("cents"), col("c_custkey"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT c_mktsegment, c_custkey,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                 FROM customer)
+      SELECT c_mktsegment, c_custkey, cents,
+             CAST(rank() OVER w - 1 AS BIGINT) AS pr_num,
+             CAST(count(*) OVER s - 1 AS BIGINT) AS pr_den,
+             CAST(count(*) OVER (PARTITION BY c_mktsegment ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cd_num,
+             CAST(count(*) OVER s AS BIGINT) AS cd_den
+      FROM t
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents),
+             s AS (PARTITION BY c_mktsegment)
+      ORDER BY c_mktsegment, cents, c_custkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1980,6 +2063,8 @@ object Catalog {
     "q104_fuzzy_name_rule" -> q104FuzzyNameRule,
     "q105_topk_values" -> q105TopKValues,
     "q106_hopping_windows" -> q106HoppingWindows,
+    "q107_reaggregation" -> q107Reaggregation,
+    "q108_rank_rationals" -> q108RankRationals,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
