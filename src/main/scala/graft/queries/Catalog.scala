@@ -1993,6 +1993,60 @@ object Catalog {
              s AS (PARTITION BY c_mktsegment)
       ORDER BY c_mktsegment, cents, c_custkey"""))
 
+  /** Grouped ordinary-least-squares trend as exact integer sufficient
+    * statistics: per order status, the daily-revenue-vs-day regression
+    * needs only (n, Σx, Σy, Σxy, Σx²) — slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²), intercept from the means — so the query emits the
+    * slope's integer numerator and denominator (q49/q60 rationals
+    * contract) plus the raw sums. One pass, no iteration, no float:
+    * the single-scan trend fit every monitoring pipeline wants at
+    * 100 TB. x = days since the fixture's 1992-01-01 floor (NOT epoch
+    * 1970 — the smaller x keeps n·Σxy under ~4·10¹⁸ at sf0.1, inside
+    * BIGINT; epoch days would overflow at this scale), y = revenue
+    * cents per (status, day) — aggregated FIRST, so the regression
+    * runs on the |status|×|days| rollup. Past ~10× this revenue
+    * volume, move the products to DECIMAL(38,0) on both engines.
+    */
+  val q109TrendOls: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("bigint").as("x"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("o_orderstatus"), col("x"))
+        .agg(sum(col("cents")).as("y"))
+      daily.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_xx"))
+        .select(col("o_orderstatus"), col("n"), col("sum_x"), col("sum_y"),
+          col("sum_xy"), col("sum_xx"),
+          (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+            .as("slope_num"),
+          (col("n") * col("sum_xx") - col("sum_x") * col("sum_x"))
+            .as("slope_den"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      WITH daily AS (SELECT o_orderstatus,
+                            CAST(datediff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS y
+                     FROM orders GROUP BY 1, 2)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_xx,
+             CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+               AS slope_num,
+             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+               AS slope_den
+      FROM daily GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2065,6 +2119,7 @@ object Catalog {
     "q106_hopping_windows" -> q106HoppingWindows,
     "q107_reaggregation" -> q107Reaggregation,
     "q108_rank_rationals" -> q108RankRationals,
+    "q109_trend_ols" -> q109TrendOls,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
