@@ -2047,6 +2047,51 @@ object Catalog {
                AS slope_den
       FROM daily GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Islands-and-gaps: each user's LONGEST run of consecutive active
+    * days (and how many distinct runs they have) — the classic
+    * "streak" sequence analysis, via the day − dense_rank(day)
+    * constant-key trick: within a user, consecutive days share one
+    * island key, so streaks fall out of a groupBy with no self-join
+    * and no iteration. Distinct from q47's 30-minute gap sessions:
+    * this is calendar-day granularity over unbounded history. Scale:
+    * everything rides one user_id shuffle — distinct days, the rank
+    * window, and both rollups; state per user is its distinct-day
+    * count, never raw events.
+    */
+  val q110ActivityStreaks: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint").as("day"))
+        .distinct()
+      days
+        .withColumn("island", col("day") - dense_rank().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("active_days"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH days AS (SELECT DISTINCT user_id,
+                           CAST(datediff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS BIGINT) AS day
+                    FROM events),
+      isl AS (SELECT user_id, day,
+                     day - CAST(dense_rank() OVER (PARTITION BY user_id
+                       ORDER BY day) AS BIGINT) AS island
+              FROM days),
+      runs AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len
+               FROM isl GROUP BY 1, 2)
+      SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+             CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS active_days
+      FROM runs GROUP BY user_id ORDER BY user_id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2120,6 +2165,7 @@ object Catalog {
     "q107_reaggregation" -> q107Reaggregation,
     "q108_rank_rationals" -> q108RankRationals,
     "q109_trend_ols" -> q109TrendOls,
+    "q110_activity_streaks" -> q110ActivityStreaks,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
