@@ -1350,7 +1350,8 @@ object Catalog {
 
   /** Distinct undirected co-purchase edges (u < v) over the part
     * co-occurrence graph — q94 fans out over this table four times
-    * (degrees, orientation, closing-edge probe), so it is computed once
+    * (degrees, orientation, closing-edge probe) and q111 three times
+    * (degrees + both endpoint lookups), so it is computed once
     * per (session, fixture) and persisted; [[clearCaches]] drops it.
     * (q95 needs per-pair COUNTS, not the distinct edge set, so it
     * builds its own aggregate.) Bounded: one edge row per distinct part
@@ -2092,6 +2093,68 @@ object Catalog {
              CAST(sum(len) AS BIGINT) AS active_days
       FROM runs GROUP BY user_id ORDER BY user_id"""))
 
+  /** Degree structure of the co-purchase graph: the degree HISTOGRAM
+    * (how many parts have degree d — the long-tail shape that decides
+    * every skew strategy in this catalog) plus, on a single summary
+    * row (degree = -1 sentinel), the edge-level sufficient statistics
+    * for degree assortativity: over symmetrized edges, Σd_u, Σd_u·d_v,
+    * Σd_u² and the edge-end count 2m — Pearson's r of (d_u, d_v)
+    * reconstructs from them (q109's rational contract; symmetry makes
+    * the x and y marginals identical, so one set of sums suffices).
+    * Scale: degrees ride the [[coEdges]] cache; the histogram is
+    * |distinct degrees| rows; the edge-stat join is two broadcast-able
+    * degree lookups — nothing quadratic, nothing collected.
+    */
+  val q111DegreeStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = coEdges(s, dir)
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val hist = deg.groupBy(col("d").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("degree"), col("n_nodes"),
+          lit(0L).as("sum_d"), lit(0L).as("sum_dd"), lit(0L).as("sum_d2"))
+      val du = deg.select(col("x").as("u"), col("d").as("du"))
+      val dv = deg.select(col("x").as("v"), col("d").as("dv"))
+      val sym = e.join(du, "u").join(dv, "v")
+        .select(col("du"), col("dv"))
+      val stats = sym
+        .select(col("du").as("a"), col("dv").as("b"))
+        .unionAll(sym.select(col("dv").as("a"), col("du").as("b")))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("a")).as("sum_d"),
+          sum(col("a") * col("b")).as("sum_dd"),
+          sum(col("a") * col("a")).as("sum_d2"))
+        .select(lit(-1L).as("degree"), col("n_nodes"), col("sum_d"),
+          col("sum_dd"), col("sum_d2"))
+      hist.unionAll(stats).orderBy(col("degree"))
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+              GROUP BY x),
+      ends AS (SELECT du.d AS a, dv.d AS b
+               FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+               UNION ALL
+               SELECT dv.d AS a, du.d AS b
+               FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v)
+      SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(0 AS BIGINT) AS sum_d, CAST(0 AS BIGINT) AS sum_dd,
+             CAST(0 AS BIGINT) AS sum_d2
+      FROM deg GROUP BY d
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT) AS degree,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(a) AS BIGINT) AS sum_d,
+             CAST(sum(a * b) AS BIGINT) AS sum_dd,
+             CAST(sum(a * a) AS BIGINT) AS sum_d2
+      FROM ends
+      ORDER BY degree"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2166,6 +2229,7 @@ object Catalog {
     "q108_rank_rationals" -> q108RankRationals,
     "q109_trend_ols" -> q109TrendOls,
     "q110_activity_streaks" -> q110ActivityStreaks,
+    "q111_degree_stats" -> q111DegreeStats,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
