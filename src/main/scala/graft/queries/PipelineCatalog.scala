@@ -257,6 +257,58 @@ object PipelineCatalog {
       ORDER BY d1, d2"""),
     headline = true)
 
+  /** CONTAINMENT near-dup (Broder's asymmetric measure):
+    * C(src→dst) = |S_src ∩ S_dst| / |S_src| ≥ 0.8 — catches the
+    * excerpt/superset duplication symmetric Jaccard structurally
+    * misses (a fully-quoted 100-shingle doc inside a 10k-shingle doc
+    * has jaccard ≈ 0.01 but containment 1.0 — exactly the quote/
+    * boilerplate case a curation pipeline wants). The prefix filter is
+    * ONE-SIDED: if |A∩B| ≥ 0.8·|A| then A has ≤ ⌊|A|/5⌋ shingles
+    * outside B, so ANY ⌊|A|/5⌋+1 of A's shingles — in particular the
+    * shared rarity-ordered prefix rows — must collide with B; the dst
+    * side probes the FULL inverted index (no prefix, no loss). The
+    * df=1 prune stays lossless here too: a df=1 shingle exists in ONE
+    * doc and cannot collide with a different one. Threshold as exact
+    * integers (5·inter ≥ 4·n_src); emitted as raw rationals. Scale:
+    * candidate volume is Σ_g df_prefix(g)·df(g) — prefix rows are
+    * rare-ordered so df_prefix is tiny; verification touches candidate
+    * pairs only; all three inputs are the session-shared caches.
+    */
+  val q112ContainmentNearDup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pref = prefixRows(s, dir)
+      val inv = shingleRows(s, dir)
+      val sizes = shingleSizes(s, dir)
+      val cand = pref.as("a").join(inv.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      cand
+        .join(inv.as("ia"), col("src") === col("ia.doc_id"))
+        .join(inv.as("ib"),
+          col("dst") === col("ib.doc_id") &&
+            col("ia.shingle") === col("ib.shingle"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("src"), col("n").as("n_src")), "src")
+        .join(sizes.select(col("doc_id").as("dst"), col("n").as("n_dst")), "dst")
+        .filter(lit(5L) * col("inter") >= lit(4L) * col("n_src"))
+        .select(col("src"), col("dst"), col("inter"), col("n_src"),
+          col("n_dst"))
+        .orderBy(col("src"), col("dst"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($shinglesSql)
+      SELECT a.doc_id AS src, b.doc_id AS dst,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             CAST(len(a.sh) AS BIGINT) AS n_src,
+             CAST(len(b.sh) AS BIGINT) AS n_dst
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
+      ORDER BY src, dst"""))
+
   /** Near-dup CLUSTERING: connected components over the verified
     * 0.8-jaccard pair graph, each doc labeled with the min doc_id of
     * its component — the canonical final step of a corpus dedup
@@ -2110,6 +2162,7 @@ object PipelineCatalog {
     "q78_funnel" -> q78Funnel,
     "q79_retention_cohorts" -> q79RetentionCohorts,
     "q35_ngram_jaccard_neardup" -> q35NgramJaccardNearDup,
+    "q112_containment_neardup" -> q112ContainmentNearDup,
     "q36_minhash_lsh_neardup" -> q36MinhashLshNearDup,
     "q62_dedup_components" -> q62DedupComponents,
     "q37_simhash" -> q37Simhash,
