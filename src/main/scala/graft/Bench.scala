@@ -92,7 +92,7 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // within-rep shared caches: the FIRST member listed pays the build
     // cost, later members time a cache hit (see scaladoc)
-    val shared = """{"verified_pairs":["q35_ngram_jaccard_neardup","q50_corpus_curation","q62_dedup_components"],"lsh_candidates":["q40_embedding_lsh_ann","q57_embedding_neardup_ann"],"shingle_rows":["q35_ngram_jaccard_neardup","q36_minhash_lsh_neardup","q50_corpus_curation","q62_dedup_components","q65_incremental_dedup","q67_decontamination","q86_bloom_decontamination"]}"""
+    val shared = """{"verified_pairs":["q35_ngram_jaccard_neardup","q50_corpus_curation","q62_dedup_components"],"lsh_candidates":["q40_embedding_lsh_ann","q57_embedding_neardup_ann"],"shingle_rows":["q35_ngram_jaccard_neardup","q36_minhash_lsh_neardup","q50_corpus_curation","q62_dedup_components","q65_incremental_dedup","q67_decontamination","q86_bloom_decontamination","q112_containment_neardup"]}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"warmup":true,"shared_cache_groups":$shared,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2155,6 +2155,55 @@ object Catalog {
       FROM ends
       ORDER BY degree"""))
 
+  /** WEIGHTED median: the smallest price whose cumulative quantity
+    * weight reaches half the group's total — the volume-weighted
+    * location statistic ("half the units ship at or below this price")
+    * that an unweighted median (q103) can't answer. Pure integers: the
+    * 2·cumw ≥ totw crossing test never divides, quantities are
+    * integral in this schema, and the selected value depends only on
+    * the (cents, weight) multiset, not tie order. Scale: one
+    * returnflag shuffle carries the ordering window, the running sum
+    * and the crossing cut; the min-crossing pick is a 1-row-per-group
+    * aggregate.
+    */
+  val q113WeightedMedian: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val rows = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ord = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      val grp = Window.partitionBy(col("l_returnflag"))
+      rows
+        .withColumn("cumw", sum(col("w")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("totw", sum(col("w")).over(grp))
+        .filter(lit(2L) * col("cumw") >= col("totw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("cents")).as("wmed_cents"), max(col("totw")).as("tot_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT l_returnflag,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                        CAST(round(l_quantity) AS BIGINT) AS w,
+                        l_orderkey, l_linenumber
+                 FROM lineitem),
+      r AS (SELECT l_returnflag, cents,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag
+                     ORDER BY cents, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cumw,
+                   CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                     AS totw
+            FROM t)
+      SELECT l_returnflag, CAST(min(cents) AS BIGINT) AS wmed_cents,
+             CAST(max(totw) AS BIGINT) AS tot_qty
+      FROM r WHERE 2 * cumw >= totw
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2230,6 +2279,7 @@ object Catalog {
     "q109_trend_ols" -> q109TrendOls,
     "q110_activity_streaks" -> q110ActivityStreaks,
     "q111_degree_stats" -> q111DegreeStats,
+    "q113_weighted_median" -> q113WeightedMedian,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
