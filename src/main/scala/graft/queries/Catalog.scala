@@ -2204,6 +2204,46 @@ object Catalog {
       FROM r WHERE 2 * cumw >= totw
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Rolling 7-day revenue per status via a NUMERIC RANGE frame —
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the integer day
+    * index, so the frame is value-based (calendar days, gaps and all),
+    * not row-based like q20's running frame: a day with no neighbors
+    * in range aggregates only itself. Emits the rolling sum and the
+    * day count actually present in each frame, all integers. Scale:
+    * runs on the per-(status, day) rollup — aggregate first, window
+    * the rollup (q98's discipline); one status shuffle carries it.
+    */
+  val q114RollingRevenue: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("bigint").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("roll_rev", sum(col("rev")).over(w))
+        .withColumn("days_in_frame", count(lit(1)).over(w))
+        .select(col("o_orderstatus"), col("day"), col("rev"),
+          col("roll_rev"), col("days_in_frame"))
+        .orderBy(col("o_orderstatus"), col("day"))
+    },
+    oracle = Some("""
+      WITH daily AS (SELECT o_orderstatus,
+                            CAST(datediff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              AS BIGINT) AS rev
+                     FROM orders GROUP BY 1, 2)
+      SELECT o_orderstatus, day, rev,
+             CAST(sum(rev) OVER w AS BIGINT) AS roll_rev,
+             CAST(count(*) OVER w AS BIGINT) AS days_in_frame
+      FROM daily
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderstatus, day"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2280,6 +2320,7 @@ object Catalog {
     "q110_activity_streaks" -> q110ActivityStreaks,
     "q111_degree_stats" -> q111DegreeStats,
     "q113_weighted_median" -> q113WeightedMedian,
+    "q114_rolling_revenue" -> q114RollingRevenue,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
