@@ -2244,6 +2244,53 @@ object Catalog {
         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY o_orderstatus, day"""))
 
+  /** Ratio-to-report: each nation's share of its region's gross
+    * revenue and of the grand total, as exact integer rationals —
+    * nation cents beside the region and grand window sums (the
+    * numerator/denominator contract; callers divide). Gross = summed
+    * `round(l_extendedprice·100)` — exact cents, no float product (the
+    * discounted variant would reintroduce the product-rounding
+    * midpoint class, so it ships under q12's float contract instead).
+    * Scale: the two share denominators are window sums OVER THE
+    * 25-ROW ROLLUP, not the facts; dims broadcast as in q99.
+    */
+  val q115RevenueShares: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = broadcast(Tables.supplier(s, dir))
+      val nat = broadcast(Tables.nation(s, dir))
+      val reg = broadcast(Tables.region(s, dir))
+      val rollup = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("nation_cents"))
+      rollup
+        .withColumn("region_cents",
+          sum(col("nation_cents")).over(Window.partitionBy(col("r_name"))))
+        .withColumn("grand_cents",
+          sum(col("nation_cents")).over(
+            Window.partitionBy(lit(1))))
+        .select(col("r_name"), col("n_name"), col("nation_cents"),
+          col("region_cents"), col("grand_cents"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    oracle = Some("""
+      WITH rollup AS (SELECT r_name, n_name,
+                             CAST(sum(CAST(round(l_extendedprice * 100)
+                               AS BIGINT)) AS BIGINT) AS nation_cents
+                      FROM lineitem
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+                      GROUP BY r_name, n_name)
+      SELECT r_name, n_name, nation_cents,
+             CAST(sum(nation_cents) OVER (PARTITION BY r_name) AS BIGINT)
+               AS region_cents,
+             CAST(sum(nation_cents) OVER () AS BIGINT) AS grand_cents
+      FROM rollup ORDER BY r_name, n_name"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2321,6 +2368,7 @@ object Catalog {
     "q111_degree_stats" -> q111DegreeStats,
     "q113_weighted_median" -> q113WeightedMedian,
     "q114_rolling_revenue" -> q114RollingRevenue,
+    "q115_revenue_shares" -> q115RevenueShares,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
