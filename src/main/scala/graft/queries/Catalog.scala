@@ -2291,6 +2291,54 @@ object Catalog {
              CAST(sum(nation_cents) OVER () AS BIGINT) AS grand_cents
       FROM rollup ORDER BY r_name, n_name"""))
 
+  /** Relational DIVISION (for-all semantics): suppliers whose
+    * shipments reach customers in ALL regions — the classic "divide by
+    * the full divisor set" operator, expressed as the scalable
+    * count-distinct formulation: distinct (supplier, region) pairs,
+    * grouped, kept when the reach equals the divisor cardinality
+    * (itself computed, not hard-coded — a one-row broadcast). The
+    * double-NOT-EXISTS textbook form becomes two anti-join passes of
+    * the fact table; the count form is one. Scale: orders/customer/
+    * nation dims broadcast onto lineitem, distinct pre-pass bounds the
+    * pair set at |suppliers|·|regions|, and the division itself runs
+    * on that bounded table.
+    */
+  val q116SupplierDivision: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_orderkey"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val c = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")))
+      val n = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey")))
+      val nRegions = Tables.region(s, dir)
+        .agg(countDistinct(col("r_regionkey")).as("n_regions"))
+      val reach = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .select(col("l_suppkey"), col("n_regionkey")).distinct()
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("regions_reached"))
+      reach.crossJoin(broadcast(nRegions))
+        .filter(col("regions_reached") === col("n_regions"))
+        .select(col("l_suppkey").as("s_suppkey"), col("regions_reached"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some("""
+      WITH reach AS (SELECT DISTINCT l_suppkey, n_regionkey
+                     FROM lineitem
+                     JOIN orders ON l_orderkey = o_orderkey
+                     JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey),
+      agg AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS regions_reached
+              FROM reach GROUP BY 1)
+      SELECT l_suppkey AS s_suppkey, regions_reached
+      FROM agg
+      WHERE regions_reached =
+        (SELECT count(DISTINCT r_regionkey) FROM region)
+      ORDER BY s_suppkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2369,6 +2417,7 @@ object Catalog {
     "q113_weighted_median" -> q113WeightedMedian,
     "q114_rolling_revenue" -> q114RollingRevenue,
     "q115_revenue_shares" -> q115RevenueShares,
+    "q116_supplier_division" -> q116SupplierDivision,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
