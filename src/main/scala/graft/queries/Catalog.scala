@@ -2339,6 +2339,58 @@ object Catalog {
         (SELECT count(DISTINCT r_regionkey) FROM region)
       ORDER BY s_suppkey"""))
 
+  /** Frequent itemset mining, one Apriori level up from q14: part
+    * TRIPLES with support ≥ 2 orders (the fixtures' baskets are small
+    * and diverse — support 3 is empty even at sf0.01, and sf0.1's 10×
+    * part universe is sparse enough that support 2 is empty THERE too;
+    * the gate scale yields 12 triples), built by extending only
+    * FREQUENT PAIRS (the Apriori pruning step — any frequent triple's
+    * sub-pairs are frequent, so candidates = frequent pair ⋈ third
+    * item, never the |parts|³ grid). Support threshold in plain
+    * integers; total (cnt desc, p1, p2, p3) order with a top-20 cut.
+    * Scale: the pair support table is the bound — candidate volume is
+    * Σ over frequent pairs of their orders' basket widths, the
+    * standard distributed Apriori shape; a skewed mega-basket is
+    * already capped by q14's distinct pre-pass discipline.
+    */
+  val q117FrequentTriples: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("ok"),
+          col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      val freqPairs = pairs.groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("pc"))
+        .filter(col("pc") >= 2)
+        .select(col("p1"), col("p2"))
+      val candidates = pairs
+        .join(freqPairs, Seq("p1", "p2"), "left_semi")
+        .join(op.as("c"),
+          col("ok") === col("c.l_orderkey") &&
+            col("p2") < col("c.l_partkey"))
+        .select(col("p1"), col("p2"), col("c.l_partkey").as("p3"))
+      candidates.groupBy(col("p1"), col("p2"), col("p3"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("p1"), col("p2"), col("p3"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+      JOIN op c ON b.l_orderkey = c.l_orderkey
+               AND b.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      ORDER BY cnt DESC, p1, p2, p3
+      LIMIT 20"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2418,6 +2470,7 @@ object Catalog {
     "q114_rolling_revenue" -> q114RollingRevenue,
     "q115_revenue_shares" -> q115RevenueShares,
     "q116_supplier_division" -> q116SupplierDivision,
+    "q117_frequent_triples" -> q117FrequentTriples,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
