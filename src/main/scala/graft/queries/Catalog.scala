@@ -2391,6 +2391,51 @@ object Catalog {
       ORDER BY cnt DESC, p1, p2, p3
       LIMIT 20"""))
 
+  /** FULL OUTER reconciliation — the two-source diff every data
+    * platform runs (which keys exist only left, only right, or both):
+    * per-nation BUILDING-segment customer counts against
+    * negative-balance supplier counts, full-outer-joined on nation
+    * with coalesced counts and a presence class. The only full_outer
+    * in the catalog — J-family completion. Scale: both inputs are
+    * pre-aggregated to ≤|nations| rows before the join, so the
+    * full-outer itself is dim-sized whatever the fact volume; the
+    * presence CASE rides the join projection.
+    */
+  val q118NationReconciliation: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy(col("c_nationkey").cast("bigint").as("ck"))
+        .agg(count(lit(1)).as("n_customers"))
+      val sup = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0)
+        .groupBy(col("s_nationkey").cast("bigint").as("sk"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(sup, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+          when(col("ck").isNotNull && col("sk").isNotNull, "both")
+            .when(col("ck").isNotNull, "customers_only")
+            .otherwise("suppliers_only").as("presence"))
+        .orderBy(col("nationkey"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS ck,
+                        CAST(count(*) AS BIGINT) AS n_customers
+                 FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+      s AS (SELECT CAST(s_nationkey AS BIGINT) AS sk,
+                   CAST(count(*) AS BIGINT) AS n_suppliers
+            FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+      SELECT coalesce(ck, sk) AS nationkey,
+             coalesce(n_customers, 0) AS n_customers,
+             coalesce(n_suppliers, 0) AS n_suppliers,
+             CASE WHEN ck IS NOT NULL AND sk IS NOT NULL THEN 'both'
+                  WHEN ck IS NOT NULL THEN 'customers_only'
+                  ELSE 'suppliers_only' END AS presence
+      FROM c FULL OUTER JOIN s ON ck = sk
+      ORDER BY nationkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2471,6 +2516,7 @@ object Catalog {
     "q115_revenue_shares" -> q115RevenueShares,
     "q116_supplier_division" -> q116SupplierDivision,
     "q117_frequent_triples" -> q117FrequentTriples,
+    "q118_nation_reconciliation" -> q118NationReconciliation,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
