@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample stages run as
   * distributed partition-wise transforms.
   *
-  * The actual codecs are NOT in this environment, so [[StubDecoder]]
-  * is a clearly-marked deterministic fake — but everything Spark-side
-  * (schemas, partitioning, batch iteration shape, output contract) is
-  * real and tested; swapping in a JNI/ffmpeg-backed [[MediaDecoder]]
-  * changes no plan shape.
+  * The METADATA decode is real: [[HeaderDecoder]] parses actual
+  * PNG/JPEG/GIF/BMP container bytes via [[ImageHeaders]] (and the
+  * oracle-checked q119 catalog entry proves the byte-level parse
+  * against independently computed geometry). Only the PIXEL decode
+  * still needs a codec library that is not in this environment —
+  * [[StubDecoder]] stands in for that one stage with a clearly-marked
+  * deterministic fake; swapping in a JNI/ffmpeg-backed
+  * [[MediaDecoder]] changes no plan shape.
   *
   * Scale: decode is the classic CPU-heavy embarrassingly-parallel
   * stage — `repartition(id)` sizes tasks, `mapPartitions` amortizes
@@ -47,8 +50,9 @@ object BinaryPipeline {
     def decode(payload: Array[Byte]): Iterator[(Int, Int, Int, Int, Array[Float])]
   }
 
-  /** STUB — stands in for the real image/audio decode (codec libs are
-    * not installed here). Deterministic: frames and "pixels" derive
+  /** STUB — stands in for the PIXEL decode only (codec libs are not
+    * installed here; header/geometry decode is real — see
+    * [[HeaderDecoder]]). Deterministic: frames and "pixels" derive
     * purely from payload bytes, so tests pin exact outputs. A real
     * implementation decodes `payload` with its codec and runs the
     * same contract.
@@ -61,12 +65,34 @@ object BinaryPipeline {
         (0 until nFrames).iterator.map { f =>
           val off = f * frameStride
           val feats = Array.tabulate(featDim) { d =>
-            // ??? real decode goes here; fake = byte-derived ramp
+            // stands in for per-pixel features; fake = byte-derived ramp
             val b = payload((off + d) % payload.length) & 0xff
             (b.toFloat / 255.0f) - 0.5f
           }
           (f, 64, 64, 3, feats)
         }
+      }
+    }
+  }
+
+  /** REAL header decode: parses the payload's actual PNG/JPEG/GIF/BMP
+    * container bytes ([[ImageHeaders.parse]] — signature dispatch,
+    * per-format endianness, JPEG marker scan, channel maps) and emits
+    * one frame carrying the true (width, height, channels). Features
+    * are the first `featDim` payload bytes normalized to [-0.5, 0.5)
+    * — the pixel statistics remain the codec's job. Unparseable
+    * payloads yield zero rows (a crawler's media column always has
+    * garbage; dropping the row beats killing the task).
+    */
+  class HeaderDecoder(featDim: Int) extends MediaDecoder {
+    override def decode(payload: Array[Byte]): Iterator[(Int, Int, Int, Int, Array[Float])] = {
+      val m = ImageHeaders.parse(payload)
+      if (m == null) Iterator.empty
+      else {
+        val feats = Array.tabulate(featDim) { d =>
+          ((payload(d % payload.length) & 0xff).toFloat / 255.0f) - 0.5f
+        }
+        Iterator.single((0, m.width, m.height, m.channels, feats))
       }
     }
   }

@@ -1115,6 +1115,68 @@ object PipelineCatalog {
              CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) AS n_chunks
       FROM documents ORDER BY doc_id"""))
 
+  /** REAL image-header decode over the binary payload column: the
+    * fixture has no image files, so the query first ASSEMBLES genuine
+    * container bytes per row — a 29-byte PNG signature+IHDR, a JPEG
+    * SOI→APP0→SOF0 marker stream, or a GIF87a-layout logical screen
+    * descriptor, with width/height derived from doc fields — via
+    * codegen hex/unhex, then parses them back with
+    * [[graft.multimodal.ImageHeaders]] (big-endian u32 for PNG,
+    * marker-scan + big-endian u16 for JPEG, LITTLE-endian u16 for GIF,
+    * channels from PNG color type / JPEG component count). The DuckDB
+    * oracle computes the expected geometry directly from the doc
+    * fields, so any parser defect — wrong offset, wrong endianness,
+    * wrong channel map, a marker scan that misses the APP0 skip —
+    * hash-mismatches. Scale: map-only codegen (one expression per
+    * row, no shuffle before the final presentation sort).
+    */
+  val q119ImageHeaderDecode: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(16) + col("doc_id") % 1000).cast("bigint").as("w"),
+          (lit(16) + length(col("text")) % 1000).cast("bigint").as("h"))
+      val whex8 = lpad(hex(col("w")), 8, "0")
+      val hhex8 = lpad(hex(col("h")), 8, "0")
+      val whex4 = lpad(hex(col("w")), 4, "0")
+      val hhex4 = lpad(hex(col("h")), 4, "0")
+      // u16 little-endian = byte-swapped hex pairs
+      def le16(hex4: org.apache.spark.sql.Column) =
+        concat(substring(hex4, 3, 2), substring(hex4, 1, 2))
+      // PNG color type: truecolor (3ch) for even ids, truecolor+alpha
+      // (4ch) for odd — exercises the channel map, not just geometry
+      val pngColor = when(col("doc_id") % 2 === 0, lit("02")).otherwise(lit("06"))
+      val payloadHex = when(col("doc_id") % 3 === 0,
+          // sig | IHDR len=13 | "IHDR" | w u32BE | h u32BE | depth | color | pad
+          concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+            whex8, hhex8, lit("08"), pngColor, lit("000000")))
+        .when(col("doc_id") % 3 === 1,
+          // SOI | APP0(JFIF, 16-byte segment the scanner must skip) |
+          // SOF0 len=17 | precision | h u16BE | w u16BE | ncomp=3
+          concat(lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000" +
+            "FFC0" + "0011" + "08"), hhex4, whex4, lit("03")))
+        .otherwise(
+          // "GIF89a" | w u16LE | h u16LE | flags | bg | aspect
+          concat(lit("474946383961"), le16(whex4), le16(hhex4), lit("F70000")))
+      docs.withColumn("m",
+          graft.multimodal.ImageHeaders.imageMeta(unhex(payloadHex)))
+        .select(col("doc_id"),
+          col("m.fmt").as("fmt"),
+          col("m.width").cast("bigint").as("width"),
+          col("m.height").cast("bigint").as("height"),
+          col("m.channels").cast("bigint").as("channels"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+             CAST(16 + doc_id % 1000 AS BIGINT) AS width,
+             CAST(16 + length(text) % 1000 AS BIGINT) AS height,
+             CAST(CASE WHEN doc_id % 3 = 0
+                       THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
+                       ELSE 3 END AS BIGINT) AS channels
+      FROM documents ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
   // Sessionization (the reference's per-(user,course) accumulator shape,
   // batch formulation of ST2/ST12)
@@ -2180,6 +2242,7 @@ object PipelineCatalog {
     "q60_ngram_novelty" -> q60NgramNovelty,
     "q45_fingerprint" -> q45Fingerprint,
     "q46_multimodal_binary" -> q46MultimodalBinary,
+    "q119_image_header_decode" -> q119ImageHeaderDecode,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
