@@ -30,5 +30,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the default 100-entry codegen class cache thrashes across a
+  // 21-query bench suite (LRU evicts every plan between reps; q85's
+  // 5-iteration loop then re-Janino-compiles each rep — measured 2×
+  // suite-vs-standalone on q85 with heap ruled out); static SQL conf,
+  // must be set before the first SparkSession
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
+  // 24g on the 128 GiB box: at 8g the unified memory pool (~4.6 GiB)
+  // forced the persisted dedup caches, q85's localCheckpoint blocks and
+  // execution memory to contend — the round-4 driver bench showed the
+  // memory-heavy queries (q65/q66/q85) 1.9-2.7× over their anchors
+  // while everything else stayed within noise. Headroom removes the
+  // whole contention class instead of hand-ordering the suite.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -92,8 +92,26 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // within-rep shared caches: the FIRST member listed pays the build
     // cost, later members time a cache hit (see scaladoc)
-    val shared = """{"verified_pairs":["q35_ngram_jaccard_neardup","q50_corpus_curation","q62_dedup_components"],"lsh_candidates":["q40_embedding_lsh_ann","q57_embedding_neardup_ann"],"shingle_rows":["q35_ngram_jaccard_neardup","q36_minhash_lsh_neardup","q50_corpus_curation","q62_dedup_components","q65_incremental_dedup","q67_decontamination","q86_bloom_decontamination","q112_containment_neardup"]}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"warmup":true,"shared_cache_groups":$shared,"errors":$errs,"sf":"$sfDir"}""")
+    val sharedGroups: Seq[(String, Seq[String])] = Seq(
+      "verified_pairs" -> Seq("q35_ngram_jaccard_neardup", "q50_corpus_curation",
+        "q62_dedup_components"),
+      "lsh_candidates" -> Seq("q40_embedding_lsh_ann", "q57_embedding_neardup_ann"),
+      "shingle_rows" -> Seq("q35_ngram_jaccard_neardup", "q36_minhash_lsh_neardup",
+        "q50_corpus_curation", "q62_dedup_components", "q65_incremental_dedup",
+        "q67_decontamination", "q86_bloom_decontamination", "q112_containment_neardup"),
+      "co_edges" -> Seq("q94_triangle_count", "q111_degree_stats"))
+    val shared = sharedGroups.map { case (g, ms) =>
+      "\"" + g + "\":" + ms.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // self-describing anchors: for each group, WHICH selected query
+    // actually paid the build this run (first group member in suite
+    // order — suite order is the sorted `names`, so this is exact, not
+    // the full-catalog assumption the static group list encodes)
+    val inSuite = names.map(_._1).toSet
+    val attribution = sharedGroups.flatMap { case (g, ms) =>
+      ms.sorted.find(inSuite).map(payer => "\"" + g + "\":\"" + payer + "\"")
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Semantics-preserving optimizer rule for bounded fuzzy matching:
   * every `levenshtein(a, b) <= k` (and `<`, `=`) conjunct in a Filter
@@ -43,34 +43,65 @@ object LevenshteinBandRule extends Rule[LogicalPlan] with PredicateHelper {
   private def band(a: Expression, b: Expression, k: Literal): Expression =
     LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k)
 
+  /** Any integral-literal bound that fits in Int, normalized to Int —
+    * `levenshtein(a,b) <= 2L` (the analyzer widens the comparison to
+    * BIGINT) or a cast-wrapped literal must band exactly like the plain
+    * Int form; a silent fall-through here keeps the full O(n·m) DP and
+    * breaks the "naive formulation is safe" guarantee q104 advertises.
+    */
+  private object IntBound {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(ki: Int, IntegerType) => Some(ki)
+      case Literal(kl: Long, LongType) if kl >= Int.MinValue && kl <= Int.MaxValue =>
+        Some(kl.toInt)
+      case Literal(ks: Short, ShortType) => Some(ks.toInt)
+      case Literal(kb: Byte, ByteType) => Some(kb.toInt)
+      case Cast(IntBound(k), dt, _, _) if integral(dt) => Some(k)
+      case _ => None
+    }
+  }
+
+  private def integral(dt: DataType): Boolean =
+    dt == IntegerType || dt == LongType || dt == ShortType || dt == ByteType
+
+  /** An un-thresholded levenshtein call, possibly behind the widening
+    * cast the analyzer inserts when the bound literal is a wider
+    * integral type (value-preserving, so unwrapping is lossless).
+    */
+  private object LevCall {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(a, b, None) => Some((a, b))
+      case Cast(Levenshtein(a, b, None), dt, _, _) if integral(dt) => Some((a, b))
+      case _ => None
+    }
+  }
+
   /** One conjunct → Some(replacement, extra-prefilter) when it is a
     * bounded-levenshtein test on an un-thresholded call.
     */
   private def rewriteOne(e: Expression): Option[(Expression, Expression)] =
     e match {
-      case LessThanOrEqual(Levenshtein(a, b, None), k @ Literal(ki: Int, IntegerType))
-          if ki >= 0 =>
+      case LessThanOrEqual(LevCall(a, b), IntBound(ki)) if ki >= 0 =>
+        val k = Literal(ki)
         Some((GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0)),
           band(a, b, k)))
-      case GreaterThanOrEqual(k @ Literal(ki: Int, IntegerType), Levenshtein(a, b, None))
-          if ki >= 0 =>
+      case GreaterThanOrEqual(IntBound(ki), LevCall(a, b)) if ki >= 0 =>
+        val k = Literal(ki)
         Some((GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0)),
           band(a, b, k)))
-      case LessThan(Levenshtein(a, b, None), Literal(ki: Int, IntegerType))
-          if ki >= 1 =>
+      case LessThan(LevCall(a, b), IntBound(ki)) if ki >= 1 =>
         val k1 = Literal(ki - 1)
         Some((GreaterThanOrEqual(Levenshtein(a, b, Some(k1)), Literal(0)),
           band(a, b, k1)))
-      case GreaterThan(Literal(ki: Int, IntegerType), Levenshtein(a, b, None))
-          if ki >= 1 =>
+      case GreaterThan(IntBound(ki), LevCall(a, b)) if ki >= 1 =>
         val k1 = Literal(ki - 1)
         Some((GreaterThanOrEqual(Levenshtein(a, b, Some(k1)), Literal(0)),
           band(a, b, k1)))
-      case EqualTo(Levenshtein(a, b, None), k @ Literal(ki: Int, IntegerType))
-          if ki >= 0 =>
+      case EqualTo(LevCall(a, b), IntBound(ki)) if ki >= 0 =>
+        val k = Literal(ki)
         Some((EqualTo(Levenshtein(a, b, Some(k)), k), band(a, b, k)))
-      case EqualTo(k @ Literal(ki: Int, IntegerType), Levenshtein(a, b, None))
-          if ki >= 0 =>
+      case EqualTo(IntBound(ki), LevCall(a, b)) if ki >= 0 =>
+        val k = Literal(ki)
         Some((EqualTo(Levenshtein(a, b, Some(k)), k), band(a, b, k)))
       case _ => None
     }

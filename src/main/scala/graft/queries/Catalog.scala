@@ -1490,7 +1490,12 @@ object Catalog {
     * (the session-model statistic behind next-action recommendation):
     * lag(event_type) within (user, time) order, then the global
     * (prev → next) contingency row with its per-prev total — the row
-    * probability as an exact rational cnt/prev_total. Scale: one
+    * probability as an exact rational cnt/prev_total. Engine-identical
+    * ordering: Spark reads events micro-truncated (Tables.events) while
+    * the raw fixture is TIMESTAMP(NANOS), so the oracle orders by the
+    * SAME integer micro key (`epoch_ns(ts) // 1000`) — two events equal
+    * at micro- but distinct at nano-precision would otherwise order
+    * differently across engines and shift transition counts. Scale: one
     * user_id shuffle for the lag window; the transition matrix is
     * |event_types|² rows, so the second shuffle and the windowed total
     * are on a constant-size table.
@@ -1512,7 +1517,7 @@ object Catalog {
     oracle = Some("""
       WITH seq AS (SELECT user_id, event_type,
                           lag(event_type) OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS prev_type
+                            ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_type
                    FROM events),
       c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
             FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)

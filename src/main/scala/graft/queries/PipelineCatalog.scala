@@ -978,21 +978,20 @@ object PipelineCatalog {
 
   /** Token-distribution quality signals: distinct-token count, the
     * dominant token and its count (degenerate/spammy docs have one
-    * token swamping the distribution), and Shannon entropy of the
-    * unigram distribution — H = ln(n) − (Σ c·ln c)/n, so one grouped
-    * pass computes it from integer counts. The float fold runs
-    * SEQUENTIALLY over token-sorted counts on BOTH engines (repo
-    * invariant: no partial-agg-order-dependent double sums), so the
-    * pre-round doubles agree. Residual risk, accepted and known: the
-    * value passes through ln() before round(x,6), so this is the
-    * decimal-midpoint class the q49 fix removed elsewhere — Spark
-    * rounds the exact binary value HALF_UP via BigDecimal, DuckDB
-    * rounds in double space, and an unlucky entropy could land on a
-    * diverging midpoint at some other scale factor. Integer sufficient
-    * statistics can't express Σ c·ln c, so the contract keeps round()
-    * and relies on the sweep (validated green at sf0.001/0.01/0.1).
-    * Scale: token explode → one shuffle by (doc, tok), then one by
-    * doc; no corpus-wide state.
+    * token swamping the distribution), and the EXACT integer
+    * sufficient statistic for Shannon entropy: the sorted multiset of
+    * unigram counts (`count_hist`, ascending, comma-joined).
+    * H = ln(n_tok) − (Σ c·ln c)/n_tok is a pure function of that
+    * multiset, so callers evaluate the transcendental client-side —
+    * OUTSIDE the cross-engine contract. An earlier revision shipped
+    * `round(H, 6)` directly; that is the q63-documented decimal-
+    * midpoint class (Spark rounds the exact binary value HALF_UP via
+    * BigDecimal, DuckDB rounds in double space, and ln() feeds the
+    * midpoint lottery), green on current fixtures but latent at any
+    * new scale factor. Emitting the multiset makes the row
+    * bit-identical by construction at every SF. Scale: token explode →
+    * one shuffle by (doc, tok), then one by doc; the histogram string
+    * is bounded by per-doc distinct tokens, no corpus-wide state.
     */
   val q59TokenEntropy: QuerySpec = QuerySpec(
     fn = (s, dir) => {
@@ -1007,12 +1006,10 @@ object PipelineCatalog {
           // argmax with deterministic ties: lexicographic struct min =
           // (highest count, then smallest token)
           min(struct((-col("c")).as("nc"), col("tok"))).getField("tok").as("top_tok"),
-          sort_array(collect_list(struct(col("tok"), col("c")))).as("arr"))
+          sort_array(collect_list(col("c"))).as("cs"))
         .select(col("doc_id"), col("n_tok"), col("n_distinct"),
           col("top_cnt"), col("top_tok"),
-          round(log(col("n_tok")) -
-            expr("aggregate(arr, 0D, (a, p) -> a + p.c * ln(p.c))") / col("n_tok"),
-            6).as("entropy"))
+          array_join(transform(col("cs"), _.cast("string")), ",").as("count_hist"))
         .orderBy(col("doc_id"))
     },
     oracle = Some("""
@@ -1024,10 +1021,7 @@ object PipelineCatalog {
              count(*) AS n_distinct,
              CAST(max(c) AS BIGINT) AS top_cnt,
              min(CASE WHEN c = mc THEN tok END) AS top_tok,
-             round(ln(sum(c)) -
-               list_reduce(list_prepend(0.0,
-                 list_transform(list(c ORDER BY tok), x -> x * ln(x))),
-                 (a, b) -> a + b) / sum(c), 6) AS entropy
+             array_to_string(list_sort(list(c)), ',') AS count_hist
       FROM c2 GROUP BY doc_id ORDER BY doc_id"""))
 
   /** N-gram novelty: per doc, how many of its distinct 3-gram shingles
@@ -1186,15 +1180,20 @@ object PipelineCatalog {
     * action_* columns, sql/init.sql:14-37) + 30-minute-gap session
     * count (ST12 `unique_session_count`). One shuffle on user_id; the
     * session lag runs inside the per-user window partition.
+    * Engine-identical time arithmetic: both ordering and the 1800 s gap
+    * compare run on the integer micro epoch (`unix_micros` / DuckDB
+    * `epoch_ns // 1000`) — double-seconds subtraction and nano-vs-micro
+    * ordering are the two latent cross-engine divergence points on a
+    * TIMESTAMP(NANOS) fixture (see q96 scaladoc).
     */
   val q47UserSessions: QuerySpec = QuerySpec(
     fn = (s, dir) => {
-      val e = Tables.events(s, dir)
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      e.withColumn("prev_us", lag(col("us"), 1).over(w))
         .withColumn("new_session",
-          when(col("prev_ts").isNull, 1L)
-            .when(col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L)
+          when(col("prev_us").isNull, 1L)
+            .when(col("us") - col("prev_us") > 1800000000L, 1L)
             .otherwise(0L))
         .groupBy(col("user_id"))
         .agg(
@@ -1210,13 +1209,15 @@ object PipelineCatalog {
         .orderBy(col("user_id"))
     },
     oracle = Some("""
-      WITH t AS (
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        epoch_ns(ts) // 1000 AS us FROM events),
+      t AS (
         SELECT user_id, event_type,
-               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
                     THEN 1
-                    WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                    WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
                     THEN 1 ELSE 0 END AS new_session
-        FROM events)
+        FROM e)
       SELECT user_id,
              count(*) AS n_events,
              CAST(sum(new_session) AS BIGINT) AS n_sessions,
@@ -1290,31 +1291,38 @@ object PipelineCatalog {
     * joins; the naive formulation (theta-join + per-row argmax) is
     * O(clicks × purchases) per user. Scale: one shuffle on user_id,
     * then linear per partition — the same shape at 100 TB.
+    * Engine-identical time arithmetic (see q96): ordering, the emitted
+    * timestamps, and the gap all run on the integer micro epoch — the
+    * gap ships as `gap_usec` BIGINT (a double-seconds subtraction of
+    * nano-vs-micro reads is the latent divergence class), and the
+    * oracle truncates its TIMESTAMP(NANOS) outputs to the micro values
+    * Spark's read contract produces.
     */
   val q51AsofJoin: QuerySpec = QuerySpec(
     fn = (s, dir) => {
+      val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .withColumn("last_click_ts",
-          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+      e.withColumn("last_click_us",
+          last(when(col("event_type") === "click", col("us")), ignoreNulls = true)
             .over(w))
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
-          col("last_click_ts"),
-          round(col("ts").cast("double") -
-            col("last_click_ts").cast("double"), 6).as("gap_sec"))
+          timestamp_micros(col("last_click_us")).as("last_click_ts"),
+          (col("us") - col("last_click_us")).as("gap_usec"))
         .orderBy(col("event_id"))
     },
     oracle = Some("""
-      SELECT event_id, user_id, ts AS purchase_ts, last_click_ts,
-             round(epoch(ts) - epoch(last_click_ts), 6) AS gap_sec
-      FROM (SELECT event_id, user_id, ts, event_type,
-                   last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-                     OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
-            FROM events) t
+      SELECT event_id, user_id,
+             make_timestamp(us) AS purchase_ts,
+             make_timestamp(last_click_us) AS last_click_ts,
+             us - last_click_us AS gap_usec
+      FROM (SELECT event_id, user_id, us, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+            FROM (SELECT *, epoch_ns(ts) // 1000 AS us FROM events) raw) t
       WHERE event_type = 'purchase'
       ORDER BY event_id"""))
 

@@ -66,6 +66,19 @@ class LevenshteinRuleSpec extends SparkSpec {
       all.collect { case (i, j, d) if d < 3 => (i, j) }.toSet)
     assert(pairs("levenshtein(x.w, y.w) = 2") ==
       all.collect { case (i, j, d) if d == 2 => (i, j) }.toSet)
+    // BIGINT bound (analyzer widens the comparison through a cast) and
+    // an explicit cast-wrapped bound must band too, with equal results
+    assert(pairs("levenshtein(x.w, y.w) <= 1L") ==
+      all.collect { case (i, j, d) if d <= 1 => (i, j) }.toSet)
+    assert(pairs("levenshtein(x.w, y.w) <= cast(2L as int)") ==
+      all.collect { case (i, j, d) if d <= 2 => (i, j) }.toSet)
+  }
+
+  test("BIGINT literal bound still reaches the banded kernel") {
+    GraftExtensions.register(spark)
+    val df = Tables.supplier(spark, sf0001)
+      .filter(expr("levenshtein(s_name, 'Supplier#000000001') <= 1L"))
+    assert(thresholded(df), df.queryExecution.optimizedPlan.treeString)
   }
 
   test("idempotent: a second application is a no-op") {
