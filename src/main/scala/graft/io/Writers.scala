@@ -32,6 +32,99 @@ object Writers {
     existing.unionByName(deduped.join(existing, keys, "left_anti"))
   }
 
+  /** S4 (JDBC half): TRUE insert-if-absent against a live JDBC table —
+    * the reference's `INSERT ... ON CONFLICT (pk) DO NOTHING`
+    * (`etl/load_users_from_minio.py:93-97`) in the STAGE-THEN-MERGE
+    * shape production JDBC upserts use:
+    *
+    *  1. dedupe the batch to one deterministic representative per key
+    *     (smallest by `orderCols` — same contract as [[upsertNothing]];
+    *     required, because a MERGE source with duplicate keys is
+    *     undefined across engines);
+    *  2. executors bulk-load a session staging table via
+    *     `foreachPartition` — one connection + one prepared INSERT per
+    *     task, `addBatch`/`executeBatch` every `batchSize` rows inside
+    *     a transaction (the distributed form of the reference's
+    *     5,000-row batches);
+    *  3. the driver issues ONE set-based `MERGE INTO ... WHEN NOT
+    *     MATCHED THEN INSERT` from staging and drops the stage.
+    *
+    * Why not per-row MERGE from the tasks: concurrent MERGEs race on
+    * the same absent key (deadlock/duplicate hazard, needs key-
+    * repartitioning to be safe), Derby only accepts base tables as a
+    * MERGE source anyway, and a single set-based statement is the
+    * fastest path on every engine. MERGE syntax is standard (Derby,
+    * Postgres 15+, Oracle, DB2, SQL Server; on Postgres < 15 swap the
+    * one SQL string for INSERT ... ON CONFLICT DO NOTHING).
+    *
+    * Idempotent by construction: a second run of the same batch
+    * matches every key and inserts nothing (JdbcSpec runs it twice
+    * against live Derby and asserts first-writer-wins).
+    */
+  def upsertJdbc(batch: DataFrame, url: String, driver: String, table: String,
+      keys: Seq[String], orderCols: Seq[String], batchSize: Int = 5000): Unit = {
+    val cols = batch.schema.fieldNames.toSeq
+    def q(c: String) = "\"" + c + "\""
+    val stage = table + "_STG_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    def withConn[A](f: java.sql.Connection => A): A = {
+      Class.forName(driver)
+      val conn = java.sql.DriverManager.getConnection(url)
+      try f(conn) finally conn.close()
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val oneRowPerKey = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val insertSql = s"INSERT INTO $stage (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    withConn { conn =>
+      // empty clone of the target: inherits exact column types
+      conn.createStatement().executeUpdate(
+        s"CREATE TABLE $stage AS SELECT ${cols.map(q).mkString(", ")} " +
+          s"FROM $table WITH NO DATA")
+    }
+    try {
+      oneRowPerKey.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          Class.forName(driver)
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(insertSql)
+            var pending = 0
+            while (rows.hasNext) {
+              val r = rows.next()
+              var i = 0
+              while (i < cols.length) {
+                val v = r.get(i)
+                if (v == null) st.setNull(i + 1, java.sql.Types.NULL)
+                else st.setObject(i + 1, v)
+                i += 1
+              }
+              st.addBatch()
+              pending += 1
+              if (pending >= batchSize) { st.executeBatch(); conn.commit(); pending = 0 }
+            }
+            if (pending > 0) { st.executeBatch(); conn.commit() }
+            st.close()
+          } finally conn.close()
+        }
+      }
+      withConn { conn =>
+        val onClause = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        conn.createStatement().executeUpdate(
+          s"""MERGE INTO $table t USING $stage s
+             |ON $onClause
+             |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+             |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin)
+      }
+    } finally withConn { conn =>
+      conn.createStatement().executeUpdate(s"DROP TABLE $stage")
+    }
+  }
+
   /** S2: lenient CSV scan — explicit schema, PERMISSIVE mode, corrupt
     * rows quarantined in `_corrupt_record` instead of failing the job
     * (the reference's per-row try/except skip,

@@ -50,6 +50,35 @@ class JdbcSpec extends SparkSpec {
     assert(filtered.count() > 0 && filtered.count() < 100)
   }
 
+  test("upsertJdbc MERGEs insert-if-absent, idempotent, live on Derby (S4)") {
+    import spark.implicits._
+    val seed = Seq((1L, "keep", 0L)).toDF("id", "name", "grp")
+    seed.write.format("jdbc")
+      .option("url", dbUrl).option("driver", driver)
+      .option("dbtable", "merge_people")
+      .mode("overwrite").save()
+    // batch carries: a clash on an existing key (must NOT clobber), an
+    // in-batch duplicate key (deterministic representative = smallest
+    // name), and fresh keys spread across partitions
+    val batch = (Seq((1L, "CLOBBER", 9L), (2L, "b-second", 1L), (2L, "a-first", 1L)) ++
+      (3L to 40L).map(i => (i, s"n_$i", i % 5))).toDF("id", "name", "grp")
+      .repartition(4)
+    Writers.upsertJdbc(batch, dbUrl, driver, "merge_people",
+      keys = Seq("id"), orderCols = Seq("name"), batchSize = 7)
+    def readBack() = spark.read.format("jdbc")
+      .option("url", dbUrl).option("driver", driver)
+      .option("dbtable", "merge_people").load()
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val once = readBack()
+    assert(once.length == 40)
+    assert(once(0) == (1L, "keep"), "existing row must survive the clash")
+    assert(once(1) == (2L, "a-first"), "in-batch dup resolves to smallest orderCol")
+    // idempotence: the exact same batch again changes nothing
+    Writers.upsertJdbc(batch, dbUrl, driver, "merge_people",
+      keys = Seq("id"), orderCols = Seq("name"), batchSize = 7)
+    assert(readBack().toSeq == once.toSeq)
+  }
+
   test("JDBC query scan reads a derived query, not a table (S7)") {
     val agg = spark.read.format("jdbc")
       .option("url", dbUrl).option("driver", driver)
