@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   * wiring (same status as the S8/S9 producer/consumer); the offset
   * arithmetic — the part the reference implements by seeking — is the
   * pure function [[tailOffsetsJson]], spec-tested.
+  *
+  * Round-5 spike, recorded for the record: an in-JVM fake-broker spec
+  * (embedded KafkaServer / MockProducer, or even instantiating
+  * `format("kafka")` against a stub) is IMPOSSIBLE in this sandbox —
+  * zero `org.apache.kafka.*` classes exist in any of the 287 jars on
+  * the unmanaged classpath (the spark-sql-kafka connector and
+  * kafka-clients are separate artifacts Spark does not bundle), and
+  * dependency resolution is offline/zero-egress. The compile-time
+  * surface above therefore cannot even link a broker stub; coverage
+  * stays at wiring + pure offset arithmetic until a real environment
+  * supplies the connector jars.
   */
 object KafkaBatch {
 
