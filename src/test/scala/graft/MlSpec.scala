@@ -20,6 +20,19 @@ class MlSpec extends SparkSpec {
       s"categorical AUC $aucCat below numeric-only AUC $aucNum")
   }
 
+  test("GBT contract metrics are deterministic and match docs/GBT_CONTRACT.md") {
+    val m1 = MlCatalog.gbtMetrics(spark, sf0001, categorical = true)
+    val m2 = MlCatalog.gbtMetrics(spark, sf0001, categorical = true)
+    // seeded determinism: identical training twice in one session
+    assert(m1 == m2, s"seeded GBT training not reproducible: $m1 vs $m2")
+    // committed-band tie to docs/GBT_CONTRACT.md (guards hyperparameter
+    // drift; band absorbs randomSplit's partitioning sensitivity)
+    val (auc, logloss, acc) = m1
+    assert(math.abs(auc - 0.528431) < 0.05, s"auc $auc drifted from committed 0.528431")
+    assert(math.abs(logloss - 0.648658) < 0.05, s"logloss $logloss drifted from 0.648658")
+    assert(math.abs(acc - 0.647875) < 0.05, s"accuracy $acc drifted from 0.647875")
+  }
+
   test("activeModels selects the latest run per model on the full registry row (S17/W1)") {
     val reg = MlCatalog.modelTrainingHistory(spark, sf0001)
     // the reference's full init.sql:55-77 shape: 21 columns, of which
