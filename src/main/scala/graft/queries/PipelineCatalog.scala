@@ -1171,6 +1171,143 @@ object PipelineCatalog {
                        ELSE 3 END AS BIGINT) AS channels
       FROM documents ORDER BY doc_id"""))
 
+  /** PII detection + redaction — the curation pass every shipped
+    * training corpus runs (emails, phone numbers, IP addresses →
+    * typed placeholders, with per-doc match counts for the removal
+    * audit). The fixture text carries no PII, so the query first
+    * INJECTS a deterministic contact line per row (same concat on
+    * both engines) — every row then exercises all three patterns for
+    * real. Regexes stay in the Java∩RE2 dialect-safe subset (character
+    * classes, bounded repetition, \\d, \\b — same contract as q100);
+    * replacement order is fixed (email → phone → IP) so the engines
+    * rewrite identically; DuckDB needs the explicit 'g' flag to match
+    * Spark's replace-all default. Scale: map-only codegen regex over
+    * the corpus — no shuffle before the presentation sort.
+    */
+  val q120PiiRedaction: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7")).as("text"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .cast("bigint").as("n_email"),
+          size(regexp_extract_all(col("text"), lit(phone), lit(0)))
+            .cast("bigint").as("n_phone"),
+          size(regexp_extract_all(col("text"), lit(ip), lit(0)))
+            .cast("bigint").as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), email, "<EMAIL>"),
+              phone, "<PHONE>"),
+            ip, "<IP>").as("redacted"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+      FROM t ORDER BY doc_id"""))
+
+  /** Sliding-window chunking with overlap (window 64 tokens, stride
+    * 48 → 16-token overlap) — the context-window segmentation step
+    * between curation and tokenization (RAG indexing, long-doc
+    * pretraining). Chunk count is the exact integer
+    * `1 + (max(0, n−17) div 48)` — the greatest(0,·) sits INSIDE the
+    * division because Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors, and a negative numerator would diverge.
+    * Follows the CollapseProject invariant: the token array
+    * materializes behind the repartition Exchange, chunk indexes
+    * explode in the next select, and the per-chunk token count is
+    * derived arithmetically (`least(64, n − 48i)`) rather than by a
+    * second slice. Scale: fan-out is rows × chunks-per-doc with no
+    * corpus-wide state; the explode parallelizes across the doc_id
+    * shuffle.
+    */
+  val q121OverlapChunks: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("n", size(col("w")))
+      toks
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(sequence(lit(0),
+            expr("greatest(0, n - 17) div 48"))).as("i"))
+        .select(col("doc_id"),
+          col("i").cast("bigint").as("chunk_idx"),
+          (col("i") * 48 + 1).cast("bigint").as("start_tok"),
+          least(lit(64), col("n") - col("i") * 48).cast("bigint").as("n_tok_chunk"),
+          concat_ws(" ", slice(col("w"), col("i") * 48 + 1, lit(64))).as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                        len(string_split(text, ' ')) AS n
+                 FROM documents),
+      i AS (SELECT doc_id, w, n,
+                   unnest(range(0, greatest(0, n - 17) // 48 + 1)) AS i
+            FROM t)
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             CAST(i * 48 + 1 AS BIGINT) AS start_tok,
+             CAST(least(64, n - i * 48) AS BIGINT) AS n_tok_chunk,
+             array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+      FROM i ORDER BY doc_id, chunk_idx"""))
+
+  /** Deterministic corpus shuffle — seeded, reproducible, distributed
+    * training-data ordering: each doc's sort key is the arithmetic
+    * polyhash of `"<doc_id>:<seed>"` (cross-engine replayable, unlike
+    * rand(seed) which is engine-private), docs land in `key mod 8`
+    * shards, and the within-shard position is a rank over (key,
+    * doc_id). This is how a 100 TB corpus is shuffled in practice:
+    * NO global sort — the shard assignment is the shuffle partition,
+    * and each shard orders independently (the window partitions by
+    * shard, so the sort parallelizes per shard; re-running with the
+    * same seed reproduces byte-identical epoch order).
+    */
+  val q122DeterministicShuffle: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val key = graft.functions.VectorExpressions.polyHash(
+        concat(col("doc_id").cast("string"), lit(":42")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), key.as("key"))
+        .withColumn("shard", pmod(col("key"), lit(8)).cast("bigint"))
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select(col("doc_id"), col("key"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    oracle = Some(s"""
+      WITH k AS (SELECT doc_id,
+                        ${polyhashSql("CAST(doc_id AS VARCHAR) || ':42'")} AS key
+                 FROM documents),
+      s AS (SELECT doc_id, key, key % 8 AS shard FROM k)
+      SELECT doc_id, key, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+      FROM s ORDER BY shard, pos"""))
+
   // ---------------------------------------------------------------------
   // Sessionization (the reference's per-(user,course) accumulator shape,
   // batch formulation of ST2/ST12)
@@ -2251,6 +2388,9 @@ object PipelineCatalog {
     "q45_fingerprint" -> q45Fingerprint,
     "q46_multimodal_binary" -> q46MultimodalBinary,
     "q119_image_header_decode" -> q119ImageHeaderDecode,
+    "q120_pii_redaction" -> q120PiiRedaction,
+    "q121_overlap_chunks" -> q121OverlapChunks,
+    "q122_deterministic_shuffle" -> q122DeterministicShuffle,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
