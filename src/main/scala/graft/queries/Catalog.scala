@@ -282,27 +282,45 @@ object Catalog {
       LEFT JOIN region ON n_regionkey = r_regionkey
       ORDER BY c_custkey"""))
 
+  /** (p1 < p2, co): part co-occurrence counts over distinct
+    * (order, part) rows — the SHARED kernel of the whole graph/recsys
+    * family: q14 (top pairs), q95 (Jaccard neighbors), q85 (PageRank
+    * adjacency) and, via [[coEdges]], q94/q111. The self-join +
+    * count aggregation ran identically inside each of those queries;
+    * computing it once per (session, fixture) and persisting removes
+    * the suite's largest duplicated stage. Bounded: one row per
+    * observed pair (~85k at sf0.01). Bench declares the sharing under
+    * `shared_cache_groups.co_pairs`; [[clearCaches]] drops it.
+    */
+  private val coPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def coPairCounts(s: SparkSession, dir: String): DataFrame =
+    coPairCache.getOrElseUpdate((s, dir), {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      op.as("a").join(op.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("co"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** J4 self-join co-occurrence (course pairs, train_module.py:397-405):
     * distinct (order, part) → equi-join on order + theta (`<`) dedup →
-    * pair counts → top 50. Scale: the one genuinely skew-sensitive query —
+    * pair counts → top 50, served from the shared [[coPairCounts]]
+    * kernel. Scale: the one genuinely skew-sensitive computation —
     * a power order with k parts makes k² pairs. The distinct pre-pass
     * bounds k, AQE skew-join splits hot partitions; for 100 TB add a
     * per-order pair cap before the join (documented in ops.Dedup).
     */
   val q14PartPairs: QuerySpec = QuerySpec(
-    fn = (s, dir) => {
-      val op = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = op.as("a")
-      val b = op.as("b")
-      a.join(b,
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("cnt"))
+    fn = (s, dir) =>
+      coPairCounts(s, dir)
+        .select(col("p1"), col("p2"), col("co").as("cnt"))
         .orderBy(col("cnt").desc, col("p1"), col("p2"))
-        .limit(50)
-    },
+        .limit(50),
     oracle = Some("""
       WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
       SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
@@ -923,11 +941,10 @@ object Catalog {
     */
   val q85PageRank: QuerySpec = QuerySpec(
     fn = (s, dir) => {
-      val po = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val pairs = po.as("a").join(po.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+      val pairs = coPairCounts(s, dir)
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      // pairs come from the shared coPairCounts kernel (q14/q94/q95/
+      // q111 use the same cache — first consumer pays the self-join).
       // Materialize the adjacency ONCE (localCheckpoint): the 5
       // iterations then scan fixed blocks instead of re-running the
       // self-join, and each iteration broadcasts the vertex-sized rank
@@ -1349,28 +1366,15 @@ object Catalog {
   // ---------------------------------------------------------------------
 
   /** Distinct undirected co-purchase edges (u < v) over the part
-    * co-occurrence graph — q94 fans out over this table four times
+    * co-occurrence graph — the count-free projection of the shared
+    * [[coPairCounts]] cache (each count row IS one distinct pair, so
+    * the projection is exact). q94 fans out over this table four times
     * (degrees, orientation, closing-edge probe) and q111 three times
-    * (degrees + both endpoint lookups), so it is computed once
-    * per (session, fixture) and persisted; [[clearCaches]] drops it.
-    * (q95 needs per-pair COUNTS, not the distinct edge set, so it
-    * builds its own aggregate.) Bounded: one edge row per distinct part
-    * pair that ever shared an order (~85k at sf0.01).
+    * (degrees + both endpoint lookups); every scan is a cached-block
+    * read plus a cheap projection.
     */
-  private val coEdgeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def coEdges(s: SparkSession, dir: String): DataFrame =
-    coEdgeCache.getOrElseUpdate((s, dir), {
-      val op = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      op.as("a").join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    coPairCounts(s, dir).select(col("p1").as("u"), col("p2").as("v"))
 
   /** Triangle count + wedge count of the co-purchase graph (the global
     * clustering coefficient's exact integer sufficient statistics:
@@ -1444,11 +1448,7 @@ object Catalog {
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
-      val co = op.as("a").join(op.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .agg(count(lit(1)).as("co"))
+      val co = coPairCounts(s, dir)
       val sym = co.unionAll(
         co.select(col("p2").as("p1"), col("p1").as("p2"), col("co")))
       val scored = sym
@@ -2531,8 +2531,8 @@ object Catalog {
     * would otherwise plan-match across bench reps and skip the read.
     */
   def clearCaches(s: org.apache.spark.sql.SparkSession): Unit = {
-    coEdgeCache.keys.filter(_._1 eq s).foreach { k =>
-      coEdgeCache.remove(k).foreach(_.unpersist(blocking = true))
+    coPairCache.keys.filter(_._1 eq s).foreach { k =>
+      coPairCache.remove(k).foreach(_.unpersist(blocking = true))
     }
     PipelineCatalog.clearCaches(s)
     graft.ml.MlCatalog.clearCaches(s)
