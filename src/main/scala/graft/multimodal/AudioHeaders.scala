@@ -1,0 +1,156 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real, dependency-free AUDIO-header decode over an opaque `binary`
+  * column — the audio half of the multimodal metadata stage (sibling
+  * of [[ImageHeaders]]; sample decode still needs a codec, container
+  * geometry does not). Parses the actual on-disk layouts:
+  *
+  *  - WAV (RIFF): `RIFF <size u32le> WAVE`, then a chunk scan —
+  *    each chunk is `id(4) | size(u32le) | data` with chunks padded
+  *    to even offsets; the `fmt ` chunk carries audioFormat u16le,
+  *    channels u16le at +2, sampleRate u32le at +4, bitsPerSample
+  *    u16le at +14. The scan must skip unknown chunks (LIST, JUNK,
+  *    bext) — real recorder output rarely leads with `fmt `.
+  *  - AU (Sun/NeXT): `.snd` magic, then BIG-endian u32s — data
+  *    offset at 4, encoding at 12 (1=μ-law 8-bit, 2/3/4/5 = linear
+  *    PCM 8/16/24/32-bit), sample rate at 16, channels at 20.
+  *
+  * One little-endian chunked container and one big-endian flat header
+  * keep both byte orders under oracle check (q123). Malformed or
+  * unrecognized payloads yield null — never throw; at 100 TB a
+  * crawler's media column always carries garbage rows, and a decode
+  * stage that throws kills the task instead of the row.
+  *
+  * Reference scope: multimodal payloads ride beside metadata the same
+  * way the reference stores media URLs beside interaction rows
+  * (`sql/init.sql` course/user tables); here the payload itself is
+  * decoded distributively.
+  */
+object AudioHeaders {
+
+  /** Parsed header geometry. `fmt` ∈ wav|au. */
+  final case class Meta(fmt: String, sampleRate: Int, channels: Int, bitsPerSample: Int)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i + 3).toLong << 24) | (u8(b, i + 2) << 16) | (u8(b, i + 1) << 8) | u8(b, i)
+
+  /** Null on anything unparseable; never throws. */
+  def parse(b: Array[Byte]): Meta = {
+    if (b == null || b.length < 24) return null
+    if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b.length >= 12 && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+      parseWav(b)
+    else if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+      parseAu(b)
+    else null
+  }
+
+  private def parseWav(b: Array[Byte]): Meta = {
+    var i = 12 // past RIFF header
+    while (i + 8 <= b.length) {
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val size = le32(b, i + 4)
+      if (size < 0 || size > Int.MaxValue) return null
+      if (isFmt) {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        val d = i + 8
+        val audioFormat = le16(b, d) // 1 = PCM, 3 = IEEE float, 0xFFFE = extensible
+        val channels = le16(b, d + 2)
+        val rate = le32(b, d + 4)
+        val bits = le16(b, d + 14)
+        if (channels == 0 || rate <= 0 || rate > Int.MaxValue || bits == 0 ||
+          (audioFormat != 1 && audioFormat != 3 && audioFormat != 0xfffe)) return null
+        return Meta("wav", rate.toInt, channels, bits)
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+    }
+    null
+  }
+
+  private def parseAu(b: Array[Byte]): Meta = {
+    val dataOffset = be32(b, 4)
+    val encoding = be32(b, 12)
+    val rate = be32(b, 16)
+    val channels = be32(b, 20)
+    if (dataOffset < 24 || rate <= 0 || rate > Int.MaxValue ||
+      channels <= 0 || channels > 0xffff) return null
+    val bits = encoding match {
+      case 1 => 8  // μ-law
+      case 2 => 8  // linear PCM
+      case 3 => 16
+      case 4 => 24
+      case 5 => 32
+      case _ => return null
+    }
+    Meta("au", rate.toInt, channels.toInt, bits)
+  }
+
+  /** Struct row for the Catalyst expression (shared by interpreted and
+    * generated paths, like [[ImageHeaders.metaRow]]).
+    */
+  def metaRow(b: Array[Byte]): InternalRow = {
+    val m = parse(b)
+    if (m == null) null
+    else new GenericInternalRow(
+      Array[Any](UTF8String.fromString(m.fmt), m.sampleRate, m.channels, m.bitsPerSample))
+  }
+
+  val metaType: StructType = StructType(Seq(
+    StructField("fmt", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false)))
+
+  /** Column API: parse a binary column's audio header into a struct
+    * `(fmt, sample_rate, channels, bits_per_sample)`; null when
+    * unparseable.
+    */
+  def audioMeta(c: Column): Column = {
+    import org.apache.spark.sql.graft.{shims => S}
+    S.column(AudioHeaderMeta(S.expression(c)))
+  }
+}
+
+/** Catalyst expression wrapping [[AudioHeaders.parse]] — stays inside
+  * whole-stage codegen (a static call, no lambda dispatch, no UDF
+  * serialization), so header decode over a billion-row media table is
+  * a map-only codegen stage.
+  */
+case class AudioHeaderMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AudioHeaders.metaType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_audio_meta expects binary, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    AudioHeaders.metaRow(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.multimodal.AudioHeaders.metaRow($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AudioHeaderMeta =
+    copy(child = newChild)
+}
