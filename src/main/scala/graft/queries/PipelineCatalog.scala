@@ -1308,6 +1308,140 @@ object PipelineCatalog {
              CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
       FROM s ORDER BY shard, pos"""))
 
+  /** REAL audio-header decode over the binary payload column — the
+    * audio sibling of q119 (multimodal metadata stage, second
+    * modality). The fixture has no audio files, so the query first
+    * ASSEMBLES genuine container bytes per row: a RIFF/WAVE stream
+    * whose chunk scan must skip a leading odd-sized JUNK chunk (with
+    * its even-offset pad byte) before reaching `fmt ` — channels and
+    * bits u16 LITTLE-endian, sample rate u32 LITTLE-endian — or a Sun
+    * AU header with everything u32 BIG-endian and bits derived from
+    * the encoding code. Parsing back via
+    * [[graft.multimodal.AudioHeaders]] puts both byte orders, the
+    * chunk-skip arithmetic, and the encoding→bits map under oracle
+    * check: the DuckDB side computes the expected geometry directly
+    * from the doc fields, so any parser defect hash-mismatches.
+    * Scale: map-only codegen (one expression per row, no shuffle
+    * before the presentation sort).
+    */
+  val q123AudioHeaderDecode: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(8000) + (col("doc_id") % 1000) * 37).cast("bigint").as("rate"),
+          (lit(1) + col("doc_id") % 3).cast("bigint").as("ch"),
+          ((lit(1) + col("doc_id") % 4) * 8).cast("bigint").as("bits"))
+      val rate8 = lpad(hex(col("rate")), 8, "0")
+      val ch4 = lpad(hex(col("ch")), 4, "0")
+      val bits4 = lpad(hex(col("bits")), 4, "0")
+      // byte-swapped hex pairs = little-endian
+      def le16(h4: org.apache.spark.sql.Column) =
+        concat(substring(h4, 3, 2), substring(h4, 1, 2))
+      def le32(h8: org.apache.spark.sql.Column) =
+        concat(substring(h8, 7, 2), substring(h8, 5, 2),
+          substring(h8, 3, 2), substring(h8, 1, 2))
+      // AU encoding code: 2/3/4/5 = linear PCM 8/16/24/32-bit
+      val encBe8 = lpad(hex(lit(1) + col("bits") / 8), 8, "0")
+      val payloadHex = when(col("doc_id") % 2 === 0,
+          // "RIFF" sz "WAVE" | JUNK(3 data + 1 pad — the scan must land
+          // on the next even offset) | "fmt " sz=16 | PCM=1 | ch u16le |
+          // rate u32le | byteRate | blockAlign | bits u16le
+          concat(lit("52494646" + "24000000" + "57415645" +
+              "4A554E4B" + "03000000" + "AABBCC" + "00" +
+              "666D7420" + "10000000" + "0100"),
+            le16(ch4), le32(rate8), lit("00000000" + "0000"), le16(bits4)))
+        .otherwise(
+          // ".snd" | data offset=24 | size=unknown | encoding u32be |
+          // rate u32be | channels u32be
+          concat(lit("2E736E64" + "00000018" + "FFFFFFFF"),
+            encBe8, rate8, lpad(hex(col("ch")), 8, "0")))
+      docs.withColumn("m",
+          graft.multimodal.AudioHeaders.audioMeta(unhex(payloadHex)))
+        .select(col("doc_id"),
+          col("m.fmt").as("fmt"),
+          col("m.sample_rate").cast("bigint").as("sample_rate"),
+          col("m.channels").cast("bigint").as("channels"),
+          col("m.bits_per_sample").cast("bigint").as("bits_per_sample"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'au' END AS fmt,
+             CAST(8000 + (doc_id % 1000) * 37 AS BIGINT) AS sample_rate,
+             CAST(1 + doc_id % 3 AS BIGINT) AS channels,
+             CAST((1 + doc_id % 4) * 8 AS BIGINT) AS bits_per_sample
+      FROM documents ORDER BY doc_id"""))
+
+  /** C4-style line-quality filtering (Raffel et al. 2020, the cleanup
+    * pass behind the C4 corpus): keep a line iff it ends in terminal
+    * punctuation AND has ≥ 5 words AND doesn't mention javascript —
+    * the order-independent conjunction of C4's three line rules. The
+    * fixture text is punctuation-free word soup, so the query first
+    * ASSEMBLES a multi-line document per row (same concat on both
+    * engines, like q120's PII injection): a punctuated head line, a
+    * doc_id-gated javascript boilerplate line (passes punctuation +
+    * length, fails the blacklist — proves the rules compose), a
+    * doc_id-gated too-short line, the unpunctuated tail of the
+    * original text, and a doc_id-gated legalese line that passes all
+    * three. Per-doc audit row: line totals, kept count, and kept/total
+    * characters as exact integers (the retention ratio is a
+    * small-denominator rational — never rounded, per the q49/q60
+    * invariant). Scale: explode-then-filter is one generator + a
+    * map-side-combinable groupBy on the generator's own partitioning —
+    * no extra shuffle; the line predicates are codegen string ops.
+    */
+  val q124LineQualityFilter: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val head = concat(substring(col("text"), 1, 40), lit("."))
+      val js = when(col("doc_id") % 3 === 0,
+        lit("please enable javascript to view this page."))
+      val short = when(col("doc_id") % 4 === 0, lit("click here"))
+      val tail = substring(col("text"), 41, 1000000)
+      val legal = when(col("doc_id") % 5 === 0,
+        lit("all rights reserved worldwide every single year."))
+      val assembled = concat_ws("\n", head, js, short, tail, legal)
+      val keep = col("line").rlike("[.!?]$") &&
+        size(split(col("line"), " ")) >= 5 &&
+        !col("line").contains("javascript")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(assembled, "\n")).as("line"))
+        .withColumn("keep", keep)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          coalesce(sum(when(col("keep"), length(col("line")))), lit(0L))
+            .cast("bigint").as("kept_chars"),
+          sum(length(col("line"))).cast("bigint").as("total_chars"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                 substring(text, 1, 40) || '.',
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'please enable javascript to view this page.' END,
+                 CASE WHEN doc_id % 4 = 0 THEN 'click here' END,
+                 substring(text, 41, 1000000),
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'all rights reserved worldwide every single year.' END
+               ) AS doc
+        FROM documents),
+      l AS (SELECT doc_id, unnest(string_split(doc, chr(10))) AS line FROM d),
+      k AS (SELECT doc_id, line,
+                   regexp_matches(line, '[.!?]$')
+                     AND len(string_split(line, ' ')) >= 5
+                     AND NOT contains(line, 'javascript') AS keep
+            FROM l)
+      SELECT doc_id,
+             count(*) AS n_lines,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(coalesce(sum(CASE WHEN keep THEN length(line) END), 0) AS BIGINT)
+               AS kept_chars,
+             CAST(sum(length(line)) AS BIGINT) AS total_chars
+      FROM k GROUP BY doc_id ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
   // Sessionization (the reference's per-(user,course) accumulator shape,
   // batch formulation of ST2/ST12)
@@ -2391,6 +2525,8 @@ object PipelineCatalog {
     "q120_pii_redaction" -> q120PiiRedaction,
     "q121_overlap_chunks" -> q121OverlapChunks,
     "q122_deterministic_shuffle" -> q122DeterministicShuffle,
+    "q123_audio_header_decode" -> q123AudioHeaderDecode,
+    "q124_line_quality_filter" -> q124LineQualityFilter,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
