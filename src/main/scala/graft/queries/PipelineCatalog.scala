@@ -1442,6 +1442,116 @@ object PipelineCatalog {
              CAST(sum(length(line)) AS BIGINT) AS total_chars
       FROM k GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** BM25 retrieval scoring (Robertson/Okapi) for a fixed query-term
+    * set — the data-selection primitive behind "keep documents
+    * relevant to X" curation passes. With k1 = 6/5 and b = 3/4, the
+    * per-(doc, term) BM25 factor is EXACTLY rational:
+    * tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl)) = 44·tf·L / (20·tf·L +
+    * 6·L + 18·dl·N) with avgdl = L/N substituted in, and the
+    * Robertson idf argument (N−df+½)/(df+½) = (2N−2df+1)/(2df+1), so
+    * the row ships integer sufficient statistics plus the exact
+    * rational (score_num, score_den) — no ln, no division, no float
+    * fold (the log is monotone, so per-term ordering is already
+    * decided by the rational; the cross-term sum is the serving
+    * layer's float fold, like q49/q60). Posting-list shape: docs
+    * without a term emit no row. Scale: one token-explode shuffle
+    * builds tf and dl; df and the one-row corpus totals are BROADCAST
+    * back (the q30/q33 bounded scalar join-back pattern). BIGINT
+    * headroom AT TARGET SF per the q109 rule: score_num =
+    * 44·tf·L·(2N−2df+1) ≈ 2.6e12 at sf0.1 (L≈3e5, N=5e3) and ≈2.6e14
+    * at sf1 — the 2^63 crossover sits near L≈1e10·N≈3e7 corpora;
+    * beyond that both engines escalate to DECIMAL(38,0), which holds
+    * the 100 TB case (≈1.8e24) with 14 digits to spare.
+    */
+  val q125Bm25Retrieval: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val terms = Seq("table", "join", "value")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("corpus_len"))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("tok").as("term"),
+          col("tf"), col("df"), col("dl"),
+          (lit(44) * col("tf") * col("corpus_len") *
+            (lit(2) * col("n_docs") - lit(2) * col("df") + lit(1)))
+            .as("score_num"),
+          ((lit(20) * col("tf") * col("corpus_len") +
+            lit(6) * col("corpus_len") +
+            lit(18) * col("dl") * col("n_docs")) *
+            (lit(2) * col("df") + lit(1))).as("score_den"))
+        .orderBy(col("term"), col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS corpus_len FROM dl),
+      tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+             FROM t WHERE tok IN ('table', 'join', 'value') GROUP BY 1, 2),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+             CAST(44 * tf.tf * corpus_len * (2 * n_docs - 2 * df.df + 1)
+               AS BIGINT) AS score_num,
+             CAST((20 * tf.tf * corpus_len + 6 * corpus_len
+                   + 18 * dl.dl * n_docs) * (2 * df.df + 1)
+               AS BIGINT) AS score_den
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+      ORDER BY term, doc_id"""))
+
+  /** Video-shaped frame pipeline under the oracle gate: runs the REAL
+    * [[graft.multimodal.BinaryPipeline]] distributed plumbing —
+    * repartition(media_id) → mapPartitions decode (one decoder init
+    * per task) → every-k-th frame sample → average-pool "resize" —
+    * end to end, with the deterministic stub decoder standing in for
+    * the codec (its frame count is pure payload arithmetic:
+    * max(1, bytes/64) frames, 16 features each). Because every stage
+    * output is integer-derivable from the payload length, the DuckDB
+    * oracle replays the whole pipeline arithmetically: n_frames,
+    * kept frames under `frame_idx % 3 == 0` sampling =
+    * (n_frames+2)/3, and the pooled feature dimension (16 → 8). A
+    * plumbing defect — lost rows in mapPartitions, wrong sampling
+    * predicate, a HOF that drops elements — hash-mismatches. Scale:
+    * decode is the embarrassingly-parallel CPU stage; repartition
+    * sizes tasks independently of source file layout, and the
+    * per-task init amortizes real codec context setup (see
+    * BinaryPipeline scaladoc).
+    */
+  val q126FrameSampling: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val media = graft.multimodal.BinaryPipeline.mediaFromDocuments(s, dir)
+      val frames = graft.multimodal.BinaryPipeline.decodeFrames(
+        media, new graft.multimodal.BinaryPipeline.StubDecoder(64, 16))
+      val sampled = graft.multimodal.BinaryPipeline.sampleFrames(frames, 3)
+      val resized = graft.multimodal.BinaryPipeline.resizeFeatures(sampled, 8)
+      frames.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .join(resized.groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(size(col("features"))).cast("bigint").as("feat_dim")),
+          Seq("media_id"))
+        .select(col("media_id").as("doc_id"), col("n_frames"),
+          col("n_sampled"), col("feat_dim"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH m AS (SELECT doc_id,
+                        greatest(1, octet_length(CAST(text AS BLOB)) // 64)
+                          AS n_frames
+                 FROM documents)
+      SELECT doc_id,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST((n_frames + 2) // 3 AS BIGINT) AS n_sampled,
+             CAST(8 AS BIGINT) AS feat_dim
+      FROM m ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
   // Sessionization (the reference's per-(user,course) accumulator shape,
   // batch formulation of ST2/ST12)
@@ -2527,6 +2637,8 @@ object PipelineCatalog {
     "q122_deterministic_shuffle" -> q122DeterministicShuffle,
     "q123_audio_header_decode" -> q123AudioHeaderDecode,
     "q124_line_quality_filter" -> q124LineQualityFilter,
+    "q125_bm25_retrieval" -> q125Bm25Retrieval,
+    "q126_frame_sampling" -> q126FrameSampling,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
