@@ -1341,7 +1341,8 @@ object PipelineCatalog {
         concat(substring(h8, 7, 2), substring(h8, 5, 2),
           substring(h8, 3, 2), substring(h8, 1, 2))
       // AU encoding code: 2/3/4/5 = linear PCM 8/16/24/32-bit
-      val encBe8 = lpad(hex(lit(1) + col("bits") / 8), 8, "0")
+      // (= 1 + bits/8, derived integer-exactly from the same residue)
+      val encBe8 = lpad(hex(lit(2) + col("doc_id") % 4), 8, "0")
       val payloadHex = when(col("doc_id") % 2 === 0,
           // "RIFF" sz "WAVE" | JUNK(3 data + 1 pad — the scan must land
           // on the next even offset) | "fmt " sz=16 | PCM=1 | ch u16le |
