@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{AsciiPolyHash, FloatDotProduct}
+import graft.multimodal.{AudioHeaderMeta, ImageHeaderMeta}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -29,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFn)
     ext.injectFunction(GraftExtensions.polyhashFn)
+    ext.injectFunction(GraftExtensions.imageMetaFn)
+    ext.injectFunction(GraftExtensions.audioMetaFn)
     ext.injectOptimizerRule(_ => LevenshteinBandRule)
   }
 }
@@ -53,13 +56,30 @@ object GraftExtensions {
       AsciiPolyHash(args(0))
     })
 
+  val imageMetaFn: FnDesc = (
+    FunctionIdentifier("graft_image_meta"),
+    new ExpressionInfo(classOf[ImageHeaderMeta].getName, "graft_image_meta"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_image_meta(binary)")
+      ImageHeaderMeta(args(0))
+    })
+
+  val audioMetaFn: FnDesc = (
+    FunctionIdentifier("graft_audio_meta"),
+    new ExpressionInfo(classOf[AudioHeaderMeta].getName, "graft_audio_meta"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_audio_meta(binary)")
+      AudioHeaderMeta(args(0))
+    })
+
   /** Register on an already-built session (tests, REPL). Functions go
     * through the function registry; the optimizer rule rides
     * `experimental.extraOptimizations` (the live-session injection
     * point — `spark.sql.extensions` only applies at session build).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(dotFn, polyhashFn).foreach { case (id, info, builder) =>
+    Seq(dotFn, polyhashFn, imageMetaFn, audioMetaFn).foreach {
+      case (id, info, builder) =>
       org.apache.spark.sql.graft.shims.registerFunction(spark, id, info, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(LevenshteinBandRule))

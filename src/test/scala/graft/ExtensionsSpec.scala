@@ -24,6 +24,22 @@ class ExtensionsSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("array<float>"))
   }
 
+  test("graft_image_meta and graft_audio_meta are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    // 1x1 RGBA PNG header; 8 kHz mono μ-law AU header — via hex literals
+    val r = spark.sql(
+      """SELECT graft_image_meta(unhex(
+               '89504E470D0A1A0A0000000D494844520000000100000001080600000000')) AS i,
+              graft_audio_meta(unhex(
+               '2E736E6400000018FFFFFFFF0000000100001F4000000001')) AS a""").head()
+    val i = r.getStruct(0)
+    assert(i.getString(0) == "png" && i.getInt(1) == 1 &&
+      i.getInt(2) == 1 && i.getInt(3) == 4)
+    val a = r.getStruct(1)
+    assert(a.getString(0) == "au" && a.getInt(1) == 8000 &&
+      a.getInt(2) == 1 && a.getInt(3) == 8)
+  }
+
   test("registered via spark.sql.extensions config on a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
