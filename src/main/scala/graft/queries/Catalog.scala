@@ -2177,7 +2177,10 @@ object Catalog {
     * `operators.Components.connectedComponents` documents — round
     * count is data-dependent there, fixed here for oracle replay; the
     * per-round work is one degree aggregation + two semi-joins, all
-    * hash-partitioned on vertex id, no global structure.
+    * hash-partitioned on vertex id, no global structure. The
+    * BroadcastNestedLoopJoin in this plan is the per-round crossJoin
+    * of two ONE-ROW aggregates forming the trace row (the q30/q33
+    * documented class), not a data-sized nested loop.
     */
   val q127KCoreDecomposition: QuerySpec = QuerySpec(
     fn = (s, dir) => {
