@@ -2168,15 +2168,18 @@ object Catalog {
     * both engines (chained CTEs on the DuckDB side, the q85
     * fixed-iteration contract), emitting the per-round (survivor
     * vertices, survivor edges) trace — all integers, convergence
-    * visible as a stabilized tail. Physical shape: each round's edge
-    * table is persisted because the trace rows reference every round
-    * (first consumer pays, the union reads cached blocks); the base
-    * edges come from the shared [[coPairCounts]] kernel. Scale: a
-    * peel-to-convergence production run swaps persist for
-    * localCheckpoint + eager block free exactly as
-    * `operators.Components.connectedComponents` documents — round
-    * count is data-dependent there, fixed here for oracle replay; the
-    * per-round work is one degree aggregation + two semi-joins, all
+    * visible as a stabilized tail. Physical shape: each round's
+    * kept-vertex and surviving-edge tables are `localCheckpoint(true)`d
+    * — NOT persisted — because every round references the previous
+    * round's frame ~5× (degrees twice, the two semi-joins, the trace
+    * row): with lazy lineage the round-4 logical tree would contain
+    * ~5⁴ copies of the base self-join and Catalyst re-analysis, not
+    * execution, dominates (measured 165 s → 3 s at sf0.01; the same
+    * disease `operators.Components.connectedComponents` documents).
+    * Checkpoint blocks are round-sized and freed by session GC; a
+    * peel-to-convergence production run adds the Components eager
+    * block free since its round count is data-dependent. Per-round
+    * work is one degree aggregation + two semi-joins, all
     * hash-partitioned on vertex id, no global structure. The
     * BroadcastNestedLoopJoin in this plan is the per-round crossJoin
     * of two ONE-ROW aggregates forming the trace row (the q30/q33
@@ -2193,11 +2196,11 @@ object Catalog {
           .unionAll(edges.select(col("v").as("x")))
           .groupBy(col("x")).agg(count(lit(1)).as("d"))
         val keep = deg.filter(col("d") >= k).select(col("x"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val next = edges
           .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
           .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         trace = trace :+ keep.agg(count(lit(1)).as("n_vertices"))
           .crossJoin(next.agg(count(lit(1)).as("n_edges")))
           .select(lit(i.toLong).as("iter"), col("n_vertices"),
