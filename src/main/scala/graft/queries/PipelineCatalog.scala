@@ -1553,6 +1553,91 @@ object PipelineCatalog {
              CAST(8 AS BIGINT) AS feat_dim
       FROM m ORDER BY doc_id"""))
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of a lexical and an
+    * embedding retriever — the hybrid-search primitive behind every
+    * production RAG stack. Ranker A: total query-term frequency
+    * (integer, q125's term set). Ranker B: max-inner-product against
+    * a fixed pivot embedding — RAW dot, no norms/sqrt/rounding, so
+    * the score is a fixed-order IEEE mul-add fold both engines
+    * compute bit-equal (the q63-class exception: comparisons on
+    * bit-identical doubles are engine-exact, and the shipped score is
+    * the identical fold output). Each ranker cuts to its top-100 via
+    * ORDER BY+LIMIT (TakeOrderedAndProject — the scale move: fusion
+    * windows run on ranker HEADS, never the corpus; a global
+    * rank-everything window would put the whole corpus through one
+    * partition). RRF with K=60 is then EXACTLY rational:
+    * 1/(K+rA) + 1/(K+rB) = (dA+dB)/(dA·dB) with d ≤ 160, so the
+    * fused ordering ships as the floor-scaled integer
+    * (10⁹·(dA+dB)) div (dA·dB) (q95's engine-exact ranking trick)
+    * plus the raw (rrf_num, rrf_den) rational. Scale: one
+    * token-explode shuffle + one broadcast pivot join; both top-100
+    * cuts are map-side TakeOrdered; the fusion join is 100×100 max.
+    */
+  val q129RankFusion: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val terms = Seq("table", "join", "value")
+      val tfsum = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+      val wA = Window.orderBy(col("tf").desc, col("doc_id"))
+      val topA = tfsum.orderBy(col("tf").desc, col("doc_id")).limit(100)
+        .withColumn("rank_a", row_number().over(wA).cast("bigint"))
+      val emb = Tables.embeddings(s, dir)
+      val pivot = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pivot_emb"))
+      val dots = emb.crossJoin(broadcast(pivot))
+        .select(col("vec_id"),
+          graft.functions.VectorExpressions
+            .dotF(col("embedding"), col("pivot_emb")).as("dot"))
+      val wB = Window.orderBy(col("dot").desc, col("vec_id"))
+      val topB = dots.orderBy(col("dot").desc, col("vec_id")).limit(100)
+        .withColumn("rank_b", row_number().over(wB).cast("bigint"))
+        .select(col("vec_id").as("doc_id"), col("dot"), col("rank_b"))
+      val dA = col("rank_a") + lit(60L)
+      val dB = col("rank_b") + lit(60L)
+      topA.join(topB, Seq("doc_id"))
+        .select(col("doc_id"), col("tf"), col("rank_a"),
+          col("dot"), col("rank_b"),
+          (dA + dB).as("rrf_num"), (dA * dB).as("rrf_den"),
+          (lit(1000000000L) * (dA + dB)).as("sk"), (dA * dB).as("sd"))
+        .withColumn("fused_key", expr("sk div sd")).drop("sk", "sd")
+        .orderBy(col("fused_key").desc, col("doc_id"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      tf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+             WHERE tok IN ('table', 'join', 'value') GROUP BY 1),
+      ta AS (SELECT doc_id, tf,
+                    CAST(row_number() OVER (ORDER BY tf DESC, doc_id)
+                      AS BIGINT) AS rank_a
+             FROM (SELECT * FROM tf ORDER BY tf DESC, doc_id LIMIT 100)),
+      p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+      d AS (SELECT vec_id,
+                   list_reduce(list_prepend(0.0,
+                     list_transform(range(1, 65), i ->
+                       CAST(e.embedding[i] AS DOUBLE) *
+                       CAST(p.pe[i] AS DOUBLE))),
+                     (acc, v) -> acc + v) AS dot
+            FROM embeddings e CROSS JOIN p),
+      tb AS (SELECT vec_id AS doc_id, dot,
+                    CAST(row_number() OVER (ORDER BY dot DESC, vec_id)
+                      AS BIGINT) AS rank_b
+             FROM (SELECT * FROM d ORDER BY dot DESC, vec_id LIMIT 100)),
+      f AS (SELECT ta.doc_id, ta.tf, ta.rank_a, tb.dot, tb.rank_b,
+                   (ta.rank_a + 60 + tb.rank_b + 60) AS rrf_num,
+                   ((ta.rank_a + 60) * (tb.rank_b + 60)) AS rrf_den
+            FROM ta JOIN tb ON ta.doc_id = tb.doc_id)
+      SELECT doc_id, tf, rank_a, dot, rank_b,
+             CAST(rrf_num AS BIGINT) AS rrf_num,
+             CAST(rrf_den AS BIGINT) AS rrf_den,
+             CAST(1000000000 * rrf_num // rrf_den AS BIGINT) AS fused_key
+      FROM f
+      ORDER BY fused_key DESC, doc_id
+      LIMIT 20"""))
+
   // ---------------------------------------------------------------------
   // Sessionization (the reference's per-(user,course) accumulator shape,
   // batch formulation of ST2/ST12)
@@ -2640,6 +2725,7 @@ object PipelineCatalog {
     "q124_line_quality_filter" -> q124LineQualityFilter,
     "q125_bm25_retrieval" -> q125Bm25Retrieval,
     "q126_frame_sampling" -> q126FrameSampling,
+    "q129_rank_fusion" -> q129RankFusion,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
