@@ -1638,6 +1638,65 @@ object PipelineCatalog {
       ORDER BY fused_key DESC, doc_id
       LIMIT 20"""))
 
+  /** Canonical selection: the curation decision q62 stops short of —
+    * inside every near-dup cluster keep exactly ONE member, the
+    * longest document (token count, doc_id tiebreak: the standard
+    * "keep the most complete copy" rule, and a pure-integer argmax —
+    * no float quality score in the ordering contract). Every doc
+    * appears in the audit output: clustered docs carry their
+    * component's id, singletons are their own cluster, `keep` marks
+    * the survivor. Composition story: the component labels come from
+    * [[graft.operators.Components]] over the SAME verified near-dup
+    * pairs q35/q50/q62 share (one cache, four consumers); the oracle
+    * replays clustering as q62's recursive CTE plus the argmax
+    * window. Scale: the per-cluster window partitions on cluster_id
+    * (clusters are near-dup-sized, tiny); the doc join is
+    * key-partitioned; nothing global.
+    */
+  val q130CanonicalSelection: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val comps = graft.operators.Components
+        .connectedComponents(ngramNearDupPairs(s, dir).select(col("d1"), col("d2")))
+        .select(col("node").as("doc_id"), col("lbl").as("rep"))
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val c = d.join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("rep"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      c.withColumn("keep",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .select(col("doc_id"), col("cluster_id"), col("n_tok"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE sh AS ($shinglesSql),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs),
+      reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+      comp AS (SELECT node AS doc_id, min(lbl) AS rep FROM reach GROUP BY node),
+      d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents),
+      c AS (SELECT d.doc_id, coalesce(comp.rep, d.doc_id) AS cluster_id, d.n_tok
+            FROM d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+      r AS (SELECT doc_id, cluster_id, n_tok,
+                   row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY n_tok DESC, doc_id) AS rn
+            FROM c)
+      SELECT doc_id, cluster_id, n_tok,
+             CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM r ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
   // Sessionization (the reference's per-(user,course) accumulator shape,
   // batch formulation of ST2/ST12)
@@ -2726,6 +2785,7 @@ object PipelineCatalog {
     "q125_bm25_retrieval" -> q125Bm25Retrieval,
     "q126_frame_sampling" -> q126FrameSampling,
     "q129_rank_fusion" -> q129RankFusion,
+    "q130_canonical_selection" -> q130CanonicalSelection,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
