@@ -928,6 +928,40 @@ object Catalog {
              max(o_totalprice) AS hi
       FROM orders GROUP BY 1 ORDER BY bucket"""))
 
+  /** Log₂-bucketed histogram — the long-tail companion to q84's
+    * equi-width buckets (latencies, prices, file sizes: anything
+    * spanning decades needs log buckets or the tail collapses into
+    * one bin). floor(log₂ x) is computed INTEGER-EXACTLY as
+    * `length(bin(x)) − 1` (the binary-digit count, identical string
+    * semantics in both engines) — no transcendental log in the
+    * cross-engine contract, so exact powers of two can never straddle
+    * a bucket boundary by one ulp (the q63 midpoint class a float
+    * log2 would reintroduce). Prices ride as integer cents. Scale:
+    * map-only bucketing + one ~32-bucket-bounded aggregation —
+    * map-side combine flattens any volume.
+    */
+  val q131Log2Histogram: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .filter(col("cents") > 0)
+        .withColumn("bucket", (length(expr("bin(cents)")) - 1).cast("bigint"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("bucket")),
+    oracle = Some("""
+      WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(min(cents) AS BIGINT) AS lo_cents,
+             CAST(max(cents) AS BIGINT) AS hi_cents,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM c WHERE cents > 0 GROUP BY 1 ORDER BY bucket"""))
+
   /** PageRank (5 fixed iterations) over the part co-occurrence graph —
     * graph centrality beyond q62's connected components. All arithmetic
     * is scaled-integer (rank mass in millionths, damping 0.85 as
@@ -2653,6 +2687,7 @@ object Catalog {
     "q82_anomaly_minutes" -> q82AnomalyMinutes,
     "q83_zorder_layout" -> q83ZOrderLayout,
     "q84_price_histogram" -> q84PriceHistogram,
+    "q131_log2_histogram" -> q131Log2Histogram,
     "q85_pagerank" -> q85PageRank,
     "q87_ewma_daily_orders" -> q87EwmaDailyOrders,
     "q88_chisq_contingency" -> q88ChiSquareContingency,
