@@ -99,7 +99,7 @@ object Bench {
       "shingle_rows" -> Seq("q35_ngram_jaccard_neardup", "q36_minhash_lsh_neardup",
         "q50_corpus_curation", "q62_dedup_components", "q65_incremental_dedup",
         "q67_decontamination", "q86_bloom_decontamination", "q112_containment_neardup",
-        "q130_canonical_selection"),
+        "q130_canonical_selection", "q132_ingest_merge"),
       "co_pairs" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
         "q95_item_similarity", "q111_degree_stats"))
     val shared = sharedGroups.map { case (g, ms) =>

@@ -171,7 +171,9 @@ object PipelineCatalog {
           (col("sa.n") + col("sb.n") - col("common")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
+      // no presentation sort here: entry-point callers (q35/q36) order
+      // explicitly; pipeline consumers (q65/q132) must not inherit a
+      // mid-plan global sort the optimizer can't always eliminate
   }
 
   /** N-gram Jaccard near-dup (threshold t=0.8 on word-3-gram shingle
@@ -240,6 +242,7 @@ object PipelineCatalog {
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
       verifyJaccard(s, dir, cand, 0.8)
+        .orderBy(col("d1"), col("d2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -371,7 +374,7 @@ object PipelineCatalog {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      verifyJaccard(s, dir, cand, 0.8)
+      verifyJaccard(s, dir, cand, 0.8).orderBy(col("d1"), col("d2"))
     },
     oracle = Some(s"""
       WITH sh0 AS ($shinglesSql),
@@ -1697,6 +1700,67 @@ object PipelineCatalog {
              CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM r ORDER BY doc_id"""))
 
+  /** Ingest decision table — the statement q65's counts feed in
+    * production: for every document of the incoming batch, the MERGE
+    * verdict against the standing corpus (`insert`, or `skip` with
+    * the duplicate's identity). `dup_of` is the SMALLEST matching
+    * corpus doc across exact text matches and verified ≥0.8-Jaccard
+    * near-dups (min is deterministic and union-stable; exact and
+    * near sets may overlap — min over the union needs no
+    * precedence rule). The batch/corpus split, candidate generation
+    * (shared rarity-ordered prefix index, probe ∝ batch) and Jaccard
+    * verification are exactly q65's machinery — this entry adds the
+    * attribution join and the verdict. Scale: identical to q65 (the
+    * production shape: join volume proportional to the BATCH, never
+    * corpus²) plus one batch-sized min-aggregation.
+    */
+  val q132IngestMerge: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val isBatch = col("doc_id") % 5 === 0
+      val pref = prefixRows(s, dir)
+      val cand = pref.filter(isBatch).as("a")
+        .join(pref.filter(!isBatch).as("b"), col("a.shingle") === col("b.shingle"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val near = verifyJaccard(s, dir, cand, 0.8)
+        .select(col("d1").as("bd"), col("d2").as("cd"))
+      val docs = Tables.documents(s, dir)
+      val exact = docs.filter(isBatch).as("x")
+        .join(docs.filter(!isBatch).as("y"), col("x.text") === col("y.text"))
+        .select(col("x.doc_id").as("bd"), col("y.doc_id").as("cd"))
+      val dupOf = near.unionByName(exact)
+        .groupBy(col("bd")).agg(min(col("cd")).as("dup_of"))
+      docs.filter(isBatch).select(col("doc_id"))
+        .join(dupOf, col("doc_id") === col("bd"), "left")
+        .select(col("doc_id"),
+          when(col("dup_of").isNull, "insert").otherwise("skip").as("action"),
+          col("dup_of"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($shinglesSql),
+      near AS (
+        SELECT a.doc_id AS bd, b.doc_id AS cd
+        FROM sh a JOIN sh b
+          ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         AND len(a.sh) > 0 AND len(b.sh) > 0
+         AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      ex AS (
+        SELECT x.doc_id AS bd, y.doc_id AS cd
+        FROM documents x JOIN documents y
+          ON x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0 AND x.text = y.text),
+      dup AS (SELECT bd, min(cd) AS dup_of
+              FROM (SELECT * FROM near UNION ALL SELECT * FROM ex)
+              GROUP BY bd)
+      SELECT d.doc_id,
+             CASE WHEN dup.dup_of IS NULL THEN 'insert' ELSE 'skip' END
+               AS action,
+             dup.dup_of
+      FROM documents d LEFT JOIN dup ON d.doc_id = dup.bd
+      WHERE d.doc_id % 5 = 0
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
   // Sessionization (the reference's per-(user,course) accumulator shape,
   // batch formulation of ST2/ST12)
@@ -2786,6 +2850,7 @@ object PipelineCatalog {
     "q126_frame_sampling" -> q126FrameSampling,
     "q129_rank_fusion" -> q129RankFusion,
     "q130_canonical_selection" -> q130CanonicalSelection,
+    "q132_ingest_merge" -> q132IngestMerge,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
