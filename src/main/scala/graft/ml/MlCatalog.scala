@@ -204,6 +204,30 @@ object MlCatalog {
     */
   private[graft] def gbtMetrics(s: SparkSession, dir: String,
       categorical: Boolean): (Double, Double, Double) = {
+    val scored = gbtScored(s, dir, categorical)
+    val auc = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
+      .evaluate(scored)
+    // logloss as a plain aggregation (SURVEY.md §2.10 UDF note (a)):
+    // clamp p away from {0,1} exactly like sklearn's log_loss eps.
+    val eps = 1e-15
+    val Row0 = scored.agg(
+      (-avg(col("label") * log(greatest(least(col("p"), lit(1 - eps)), lit(eps))) +
+        (lit(1.0) - col("label")) *
+          log(greatest(least(lit(1.0) - col("p"), lit(1 - eps)), lit(eps)))))
+        .as("logloss"),
+      avg(when((col("p") >= 0.6) === (col("label") === 1.0), 1.0).otherwise(0.0))
+        .as("accuracy"))
+      .head()
+    (auc, Row0.getDouble(0), Row0.getDouble(1))
+  }
+
+  /** Scored validation frame (label, rawPrediction, p) behind m05's
+    * metrics and m11's calibration bins — train/score once, derive
+    * both views.
+    */
+  private[graft] def gbtScored(s: SparkSession, dir: String,
+      categorical: Boolean): org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, dir)
       .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
     val withBrand = li
@@ -222,26 +246,36 @@ object MlCatalog {
     val model = new GBTClassifier()
       .setMaxIter(10).setMaxDepth(4).setStepSize(0.05).setSeed(42L)
       .fit(train.cache())
-    val scored = model.transform(valid)
+    model.transform(valid)
       .withColumn("p",
         element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
       .cache()
-    val auc = new BinaryClassificationEvaluator()
-      .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
-      .evaluate(scored)
-    // logloss as a plain aggregation (SURVEY.md §2.10 UDF note (a)):
-    // clamp p away from {0,1} exactly like sklearn's log_loss eps.
-    val eps = 1e-15
-    val Row0 = scored.agg(
-      (-avg(col("label") * log(greatest(least(col("p"), lit(1 - eps)), lit(eps))) +
-        (lit(1.0) - col("label")) *
-          log(greatest(least(lit(1.0) - col("p"), lit(1 - eps)), lit(eps)))))
-        .as("logloss"),
-      avg(when((col("p") >= 0.6) === (col("label") === 1.0), 1.0).otherwise(0.0))
-        .as("accuracy"))
-      .head()
-    (auc, Row0.getDouble(0), Row0.getDouble(1))
   }
+
+  /** Reliability-diagram sufficient statistics (calibration bins) for
+    * the m05 GBT: validation predictions bucketed into 10 equal-width
+    * probability bins, each emitting (n, n_pos, mean_p, frac_pos) —
+    * the dashboard's calibration-curve feed and the input to a Platt/
+    * isotonic recalibration step. Rows-only (model floats are not
+    * DuckDB-replayable — same allowlist class as m05); MlSpec pins
+    * the integer invariants (bins partition the validation set,
+    * n_pos ≤ n, determinism under the fixed seed). Scale: scoring is
+    * map-only; the bin rollup is a ≤10-key aggregation — map-side
+    * combine flattens any validation volume.
+    */
+  val m11CalibrationBins: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      scopedCaches(s) {
+        gbtScored(s, dir, categorical = true)
+          .withColumn("bin", least(floor(col("p") * 10), lit(9.0)).cast("long"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("label")).cast("long").as("n_pos"),
+            round(avg(col("p")), 6).as("mean_p"),
+            round(avg(col("label")), 6).as("frac_pos"))
+          .orderBy(col("bin"))
+      },
+    oracle = None)
 
   /** M12 confusion matrix of a deterministic rule-based classifier
     * (predict 'returned' when discount > 0.05) — real counts, fully
@@ -562,6 +596,7 @@ object MlCatalog {
     "m08_id_universe" -> m08IdUniverse,
     "m09_ivf_ann" -> m09IvfAnn,
     "m10_semdedup" -> m10SemDedup,
+    "m11_calibration_bins" -> m11CalibrationBins,
     "q64_model_registry" -> q64ModelRegistry,
   )
 

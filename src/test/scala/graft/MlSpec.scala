@@ -20,6 +20,21 @@ class MlSpec extends SparkSpec {
       s"categorical AUC $aucCat below numeric-only AUC $aucNum")
   }
 
+  test("calibration bins partition the validation set with sane counts (m11)") {
+    val scoredN = MlCatalog.gbtScored(spark, sf0001, categorical = true).count()
+    val bins = MlCatalog.all("m11_calibration_bins").fn(spark, sf0001).collect()
+    assert(bins.nonEmpty && bins.length <= 10)
+    val byBin = bins.map(r => r.getAs[Long]("bin") ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("n_pos")))).toMap
+    assert(byBin.keys.forall(b => b >= 0 && b <= 9))
+    assert(byBin.values.map(_._1).sum == scoredN,
+      "bins must partition the validation set")
+    assert(byBin.values.forall { case (n, pos) => pos >= 0 && pos <= n })
+    // deterministic under the fixed seed
+    val again = MlCatalog.all("m11_calibration_bins").fn(spark, sf0001).collect()
+    assert(bins.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("GBT contract metrics are deterministic and match docs/GBT_CONTRACT.md") {
     val m1 = MlCatalog.gbtMetrics(spark, sf0001, categorical = true)
     val m2 = MlCatalog.gbtMetrics(spark, sf0001, categorical = true)
