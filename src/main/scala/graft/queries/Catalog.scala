@@ -962,6 +962,47 @@ object Catalog {
              CAST(sum(cents) AS BIGINT) AS sum_cents
       FROM c WHERE cents > 0 GROUP BY 1 ORDER BY bucket"""))
 
+  /** Rolling 7-day distinct users (exact WAU per day) — the windowed
+    * COUNT DISTINCT no frame-based window can express (DISTINCT is
+    * not an algebraic frame aggregate): the date-RANGE join is
+    * rewritten as an EQUI join — each event explodes into the ≤7
+    * future days its trailing-window membership contributes to
+    * (day = d + i, i ∈ 0..6; "day's window contains d" ⟺
+    * "day ∈ [d, d+6]"), then an equi-join against the observed-day
+    * table keeps real days only. No non-equi BroadcastNestedLoopJoin
+    * anywhere — the whole plan is codegen hash operators (the q52
+    * band trick applied to a trailing window). Date equality is
+    * engine-safe on the TIMESTAMP(NANOS) fixture: micro- vs
+    * nano-truncation agree at day granularity. Scale: the explode
+    * replicates each event exactly 7×, partitioned on day; at 100 TB
+    * the exact distinct becomes the q48 HLL sketch merged over the 7
+    * daily partials — same plan shape, algebraic state.
+    */
+  val q133RollingWau: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+      val days = e.select(col("d").as("day")).distinct()
+      e.select(col("d"), col("user_id"),
+          explode(expr("sequence(0, 6)")).as("i"))
+        .withColumn("day", date_add(col("d"), col("i")))
+        .join(broadcast(days), Seq("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"),
+          count(lit(1)).as("n_events_window"))
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+      days AS (SELECT DISTINCT d AS day FROM e),
+      x AS (SELECT e.d + CAST(t.i AS INTEGER) AS day, e.user_id
+            FROM e CROSS JOIN (SELECT unnest(range(0, 7)) AS i) t)
+      SELECT day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+             CAST(count(*) AS BIGINT) AS n_events_window
+      FROM x JOIN days USING (day)
+      GROUP BY day ORDER BY day"""))
+
   /** PageRank (5 fixed iterations) over the part co-occurrence graph —
     * graph centrality beyond q62's connected components. All arithmetic
     * is scaled-integer (rank mass in millionths, damping 0.85 as
@@ -2688,6 +2729,7 @@ object Catalog {
     "q83_zorder_layout" -> q83ZOrderLayout,
     "q84_price_histogram" -> q84PriceHistogram,
     "q131_log2_histogram" -> q131Log2Histogram,
+    "q133_rolling_wau" -> q133RollingWau,
     "q85_pagerank" -> q85PageRank,
     "q87_ewma_daily_orders" -> q87EwmaDailyOrders,
     "q88_chisq_contingency" -> q88ChiSquareContingency,
