@@ -1510,6 +1510,74 @@ object PipelineCatalog {
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
       ORDER BY term, doc_id"""))
 
+  /** Deterministic negative sampling — the implicit-feedback training
+    * pair generator (the reference trains on positive interactions
+    * only, `spark_jobs/batch_als_train.py:154-165` implicitPrefs;
+    * ranking losses like BPR/WARP need sampled negatives): for each
+    * customer, the 3 un-purchased items among the top-50 popular
+    * parts, selected by arithmetic polyhash order so reruns, engines
+    * and partitionings all agree (no RNG — the q122 seeded-shuffle
+    * contract). Shape: popularity cut is TakeOrdered(50) and
+    * broadcast; the user×candidate expansion is a bounded crossJoin
+    * (50 rows/user — the documented bounded-build
+    * BroadcastNestedLoopJoin class); observed pairs are removed with
+    * a hash anti-join keyed (custkey, partkey); the per-user rank
+    * window partitions on custkey. Scale: candidate volume is
+    * users×50 — linear in users; the anti-join shuffles on the pair
+    * key; nothing touches items outside the popular cut (production
+    * samplers draw from a popularity-smoothed candidate table the
+    * same way).
+    */
+  val q134NegativeSampling: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val interactions = Tables.lineitem(s, dir).as("l")
+        .join(Tables.orders(s, dir).as("o"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .select(col("o.o_custkey").as("custkey"),
+          col("l.l_partkey").as("partkey"))
+        .distinct()
+      val popular = interactions.groupBy(col("partkey"))
+        .agg(count(lit(1)).as("pop"))
+        .orderBy(col("pop").desc, col("partkey")).limit(50)
+        .select(col("partkey"))
+      val users = interactions.select(col("custkey")).distinct()
+      val key = graft.functions.VectorExpressions.polyHash(
+        concat(col("custkey").cast("string"), lit(":"),
+          col("partkey").cast("string")))
+      val w = Window.partitionBy(col("custkey"))
+        .orderBy(col("k"), col("partkey"))
+      users.crossJoin(broadcast(popular))
+        .join(interactions, Seq("custkey", "partkey"), "left_anti")
+        .withColumn("k", key)
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select(col("custkey"), col("rnk"), col("partkey"), col("k"))
+        .orderBy(col("custkey"), col("rnk"))
+    },
+    oracle = Some(s"""
+      WITH i AS (SELECT DISTINCT o.o_custkey AS custkey,
+                                 l.l_partkey AS partkey
+                 FROM lineitem l JOIN orders o
+                   ON l.l_orderkey = o.o_orderkey),
+      pop AS (SELECT partkey FROM
+                (SELECT partkey, count(*) AS pop FROM i GROUP BY 1
+                 ORDER BY pop DESC, partkey LIMIT 50)),
+      u AS (SELECT DISTINCT custkey FROM i),
+      cand AS (SELECT u.custkey, pop.partkey FROM u CROSS JOIN pop),
+      neg AS (SELECT c.custkey, c.partkey,
+                     ${polyhashSql(
+                       "CAST(c.custkey AS VARCHAR) || ':' || CAST(c.partkey AS VARCHAR)")}
+                       AS k
+              FROM cand c ANTI JOIN i
+                ON c.custkey = i.custkey AND c.partkey = i.partkey),
+      r AS (SELECT custkey, partkey, k,
+                   CAST(row_number() OVER (PARTITION BY custkey
+                        ORDER BY k, partkey) AS BIGINT) AS rnk
+            FROM neg)
+      SELECT custkey, rnk, partkey, k
+      FROM r WHERE rnk <= 3
+      ORDER BY custkey, rnk"""))
+
   /** Video-shaped frame pipeline under the oracle gate: runs the REAL
     * [[graft.multimodal.BinaryPipeline]] distributed plumbing —
     * repartition(media_id) → mapPartitions decode (one decoder init
@@ -2851,6 +2919,7 @@ object PipelineCatalog {
     "q129_rank_fusion" -> q129RankFusion,
     "q130_canonical_selection" -> q130CanonicalSelection,
     "q132_ingest_merge" -> q132IngestMerge,
+    "q134_negative_sampling" -> q134NegativeSampling,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
