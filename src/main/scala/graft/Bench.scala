@@ -94,12 +94,12 @@ object Bench {
     // cost, later members time a cache hit (see scaladoc)
     val sharedGroups: Seq[(String, Seq[String])] = Seq(
       "verified_pairs" -> Seq("q35_ngram_jaccard_neardup", "q50_corpus_curation",
-        "q62_dedup_components", "q130_canonical_selection"),
+        "q62_dedup_components", "q130_canonical_selection", "q135_dedup_yield"),
       "lsh_candidates" -> Seq("q40_embedding_lsh_ann", "q57_embedding_neardup_ann"),
       "shingle_rows" -> Seq("q35_ngram_jaccard_neardup", "q36_minhash_lsh_neardup",
         "q50_corpus_curation", "q62_dedup_components", "q65_incremental_dedup",
         "q67_decontamination", "q86_bloom_decontamination", "q112_containment_neardup",
-        "q130_canonical_selection", "q132_ingest_merge"),
+        "q130_canonical_selection", "q132_ingest_merge", "q135_dedup_yield"),
       "co_pairs" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
         "q95_item_similarity", "q111_degree_stats"))
     val shared = sharedGroups.map { case (g, ms) =>

@@ -1768,6 +1768,58 @@ object PipelineCatalog {
              CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM r ORDER BY doc_id"""))
 
+  /** Dedup yield report — the cluster-size distribution every dataset
+    * paper publishes (how much of the corpus is duplicated, and in
+    * what clump sizes): for each near-dup cluster size s, the number
+    * of clusters, documents covered, and documents a keep-one policy
+    * removes ((s−1) per cluster). Singletons are size-1 clusters, so
+    * the docs_covered column sums to the corpus and the report is a
+    * partition of it. Pure integer rollup over the q62/q130 component
+    * labels (shared verified-pair cache). Scale: two tiny
+    * aggregations above the component pass — the report is bounded by
+    * the distinct-size count, essentially constant.
+    */
+  val q135DedupYield: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val comps = graft.operators.Components
+        .connectedComponents(ngramNearDupPairs(s, dir).select(col("d1"), col("d2")))
+        .select(col("node").as("doc_id"), col("lbl").as("rep"))
+      val clusters = Tables.documents(s, dir).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("rep"), col("doc_id")))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+      clusters.groupBy(col("csize"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("docs_covered"),
+          ((col("csize") - 1) * col("n_clusters")).as("docs_removed"))
+        .orderBy(col("csize"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE sh AS ($shinglesSql),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs),
+      reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+      comp AS (SELECT node AS doc_id, min(lbl) AS rep FROM reach GROUP BY node),
+      cl AS (SELECT coalesce(comp.rep, d.doc_id) AS cluster_id,
+                    CAST(count(*) AS BIGINT) AS csize
+             FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+             GROUP BY 1)
+      SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(csize * count(*) AS BIGINT) AS docs_covered,
+             CAST((csize - 1) * count(*) AS BIGINT) AS docs_removed
+      FROM cl GROUP BY csize ORDER BY csize"""))
+
   /** Ingest decision table — the statement q65's counts feed in
     * production: for every document of the incoming batch, the MERGE
     * verdict against the standing corpus (`insert`, or `skip` with
@@ -2920,6 +2972,7 @@ object PipelineCatalog {
     "q130_canonical_selection" -> q130CanonicalSelection,
     "q132_ingest_merge" -> q132IngestMerge,
     "q134_negative_sampling" -> q134NegativeSampling,
+    "q135_dedup_yield" -> q135DedupYield,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
