@@ -962,6 +962,79 @@ object Catalog {
              CAST(sum(cents) AS BIGINT) AS sum_cents
       FROM c WHERE cents > 0 GROUP BY 1 ORDER BY bucket"""))
 
+  /** Profile drift audit — the monitoring op between two snapshots of
+    * the same table (yesterday's load vs today's): per-column deltas
+    * of row count, null count, exact NDV and min/max, the signals a
+    * data-quality monitor alerts on (q90 checks one snapshot against
+    * CONSTRAINTS; this checks one snapshot against ANOTHER). The "v2"
+    * snapshot is derived identically on both engines (drop every
+    * 10th order's lines, shift quantity by one) so the expected drift
+    * is nonzero and fully determined. Profiles use q128's stack-melt
+    * (one pass per version); quantities are integral-valued in this
+    * schema, so the cast to BIGINT is exact. Scale: two table passes
+    * + a ≤3-row join — the drift report is bounded by the profiled
+    * column count, and in production v1's profile is read from the
+    * stats store, not recomputed.
+    */
+  val q136ProfileDrift: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def profile(df: org.apache.spark.sql.DataFrame) =
+        df.select(expr(
+            """stack(3, 'l_orderkey', l_orderkey,
+                        'l_partkey', l_partkey,
+                        'l_quantity', CAST(l_quantity AS BIGINT)) AS (col_name, v)"""))
+          .groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("v"))).as("n_nulls"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      val v1 = profile(Tables.lineitem(s, dir))
+      val v2 = profile(Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 10 =!= 0)
+        .withColumn("l_quantity", col("l_quantity") + 1))
+      v1.as("a").join(v2.as("b"), Seq("col_name"))
+        .select(col("col_name"),
+          col("a.n_rows").as("rows_v1"), col("b.n_rows").as("rows_v2"),
+          (col("b.n_rows") - col("a.n_rows")).as("rows_delta"),
+          (col("b.n_nulls") - col("a.n_nulls")).as("nulls_delta"),
+          col("a.n_distinct").as("ndv_v1"), col("b.n_distinct").as("ndv_v2"),
+          (col("b.min_v") - col("a.min_v")).as("min_shift"),
+          (col("b.max_v") - col("a.max_v")).as("max_shift"))
+        .orderBy(col("col_name"))
+    },
+    oracle = Some("""
+      WITH m1 AS (
+        SELECT 'l_orderkey' AS col_name, l_orderkey AS v FROM lineitem
+        UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL SELECT 'l_quantity', CAST(l_quantity AS BIGINT) FROM lineitem),
+      l2 AS (SELECT l_orderkey, l_partkey, l_quantity + 1 AS l_quantity
+             FROM lineitem WHERE l_orderkey % 10 <> 0),
+      m2 AS (
+        SELECT 'l_orderkey' AS col_name, l_orderkey AS v FROM l2
+        UNION ALL SELECT 'l_partkey', l_partkey FROM l2
+        UNION ALL SELECT 'l_quantity', CAST(l_quantity AS BIGINT) FROM l2),
+      p1 AS (SELECT col_name, count(*) AS n_rows,
+                    count(*) - count(v) AS n_nulls,
+                    count(DISTINCT v) AS n_distinct,
+                    min(v) AS min_v, max(v) AS max_v
+             FROM m1 GROUP BY 1),
+      p2 AS (SELECT col_name, count(*) AS n_rows,
+                    count(*) - count(v) AS n_nulls,
+                    count(DISTINCT v) AS n_distinct,
+                    min(v) AS min_v, max(v) AS max_v
+             FROM m2 GROUP BY 1)
+      SELECT p1.col_name,
+             CAST(p1.n_rows AS BIGINT) AS rows_v1,
+             CAST(p2.n_rows AS BIGINT) AS rows_v2,
+             CAST(p2.n_rows - p1.n_rows AS BIGINT) AS rows_delta,
+             CAST(p2.n_nulls - p1.n_nulls AS BIGINT) AS nulls_delta,
+             CAST(p1.n_distinct AS BIGINT) AS ndv_v1,
+             CAST(p2.n_distinct AS BIGINT) AS ndv_v2,
+             CAST(p2.min_v - p1.min_v AS BIGINT) AS min_shift,
+             CAST(p2.max_v - p1.max_v AS BIGINT) AS max_shift
+      FROM p1 JOIN p2 USING (col_name)
+      ORDER BY col_name"""))
+
   /** Rolling 7-day distinct users (exact WAU per day) — the windowed
     * COUNT DISTINCT no frame-based window can express (DISTINCT is
     * not an algebraic frame aggregate): the date-RANGE join is
@@ -2730,6 +2803,7 @@ object Catalog {
     "q84_price_histogram" -> q84PriceHistogram,
     "q131_log2_histogram" -> q131Log2Histogram,
     "q133_rolling_wau" -> q133RollingWau,
+    "q136_profile_drift" -> q136ProfileDrift,
     "q85_pagerank" -> q85PageRank,
     "q87_ewma_daily_orders" -> q87EwmaDailyOrders,
     "q88_chisq_contingency" -> q88ChiSquareContingency,
