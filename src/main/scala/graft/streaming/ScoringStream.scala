@@ -258,6 +258,30 @@ object ScoringStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
+  /** Sliding-window DISTINCT users — the streaming twin of batch q133
+    * (rolling WAU), via the chained-stateful dedup-then-aggregate
+    * recipe: streaming aggregation cannot COUNT DISTINCT, so each
+    * event first expands into its sliding windows, a per-(user,
+    * window) dropDuplicates keeps one row per user per window (the
+    * window struct carries the event-time attribute, so dedup state
+    * expires at the watermark like the aggregation's), and a plain
+    * count per window is then exactly the distinct-user count. State
+    * contract: dedup state is one row per ACTIVE (user, window) —
+    * bounded by users × (length/slide) within the horizon, never by
+    * event volume; a window row is emitted once, when the watermark
+    * passes its end. At 100 TB the same pipeline swaps exact dedup
+    * for per-window HLL partials exactly as batch q133 documents.
+    */
+  def rollingDistinctUsers(events: Dataset[RawEvent],
+      length: String = "10 minutes", slide: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(col("user"), window(col("ts"), length, slide).as("w"))
+      .dropDuplicates("user", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .select(col("w.start").as("win_start"), col("distinct_users"))
+
   /** S8 Kafka producer sink (`run_producer.py:79-106`): JSON-encode the
     * whole row into `value`. Wiring-only here (no broker in the test
     * env); exactly-once via the checkpoint.

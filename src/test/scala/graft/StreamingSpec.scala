@@ -292,6 +292,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding-window distinct users dedups within each window (q133 streaming twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = ScoringStream.rollingDistinctUsers(input.toDS())
+      .writeStream.format("memory").queryName("wau")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        RawEvent(1L, "c", "click", ts(0)),
+        RawEvent(1L, "c", "view", ts(10)),   // same user, same windows → dedup
+        RawEvent(2L, "c", "click", ts(60)),
+        RawEvent(1L, "c", "click", ts(30)))  // still a dup within its windows
+      q.processAllAvailable()
+      // far-future event advances the watermark past the early windows
+      input.addData(RawEvent(9L, "c", "click", ts(100000)))
+      q.processAllAvailable()
+      val rows = spark.table("wau").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
+      // 10-min windows sliding 5: events at t=0..60 land in the windows
+      // starting at -300 and 0; both must count users {1, 2} once each
+      assert(rows(-300L) == 2L, s"window -300 got $rows")
+      assert(rows(0L) == 2L, s"window 0 got $rows")
+    } finally q.stop()
+  }
+
   test("windowed event rate respects the 1-minute tumbling window (ST9/W4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
