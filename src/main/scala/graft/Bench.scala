@@ -101,7 +101,7 @@ object Bench {
         "q67_decontamination", "q86_bloom_decontamination", "q112_containment_neardup",
         "q130_canonical_selection", "q132_ingest_merge", "q135_dedup_yield"),
       "co_pairs" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
-        "q95_item_similarity", "q111_degree_stats"))
+        "q95_item_similarity", "q111_degree_stats", "q137_association_rules"))
     val shared = sharedGroups.map { case (g, ms) =>
       "\"" + g + "\":" + ms.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")

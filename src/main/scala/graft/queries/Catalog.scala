@@ -962,6 +962,63 @@ object Catalog {
              CAST(sum(cents) AS BIGINT) AS sum_cents
       FROM c WHERE cents > 0 GROUP BY 1 ORDER BY bucket"""))
 
+  /** Association rules over the co-purchase pairs — confidence and
+    * lift for both directions of every observed pair (the
+    * market-basket statistics the reference's raw co-occurrence
+    * counts approximate, `train_module.py:397-413`), as EXACT
+    * rationals: confidence(p1→p2) = co/n1 ships as (co, n1), lift =
+    * co·N/(n1·n2) ships as the numerator pair plus the floor-scaled
+    * integer ranking key (10⁶·co·N) div (n1·n2) — the q95 trick, so
+    * the top-20 cut is engine-exact with no float compare. Rides the
+    * shared [[coPairCounts]] kernel; the order count N is a one-row
+    * broadcast (q30/q33 class). BIGINT headroom at target SF: the
+    * key numerator 10⁶·co·N needs co·N < 9.2e12 — at 1e9 orders
+    * co ≤ ~9e3 before DECIMAL(38,0), noted per the q109 rule. Scale:
+    * only observed pairs are scored; the cut is TakeOrdered.
+    */
+  val q137AssociationRules: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val op = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val totals = op.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val co = coPairCounts(s, dir)
+      val sym = co.select(col("p1"), col("p2"), col("co"))
+        .unionAll(co.select(col("p2").as("p1"), col("p1").as("p2"), col("co")))
+      sym
+        .join(cnt.select(col("l_partkey").as("p1"), col("n").as("n1")), "p1")
+        .join(cnt.select(col("l_partkey").as("p2"), col("n").as("n2")), "p2")
+        .crossJoin(broadcast(totals))
+        .select(col("p1"), col("p2"), col("co"), col("n1"), col("n2"),
+          col("n_orders"),
+          expr("(1000000 * co * n_orders) div (n1 * n2)").as("lift_key"))
+        .orderBy(col("lift_key").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+              FROM op),
+      cnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+              FROM op GROUP BY 1),
+      co AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                    CAST(count(*) AS BIGINT) AS co
+             FROM op a JOIN op b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+      sym AS (SELECT p1, p2, co FROM co
+              UNION ALL SELECT p2, p1, co FROM co)
+      SELECT s.p1, s.p2, s.co, c1.n AS n1, c2.n AS n2, tot.n_orders,
+             CAST(1000000 * s.co * tot.n_orders // (c1.n * c2.n) AS BIGINT)
+               AS lift_key
+      FROM sym s
+      JOIN cnt c1 ON c1.l_partkey = s.p1
+      JOIN cnt c2 ON c2.l_partkey = s.p2
+      CROSS JOIN tot
+      ORDER BY lift_key DESC, p1, p2
+      LIMIT 20"""))
+
   /** Profile drift audit — the monitoring op between two snapshots of
     * the same table (yesterday's load vs today's): per-column deltas
     * of row count, null count, exact NDV and min/max, the signals a
@@ -2804,6 +2861,7 @@ object Catalog {
     "q131_log2_histogram" -> q131Log2Histogram,
     "q133_rolling_wau" -> q133RollingWau,
     "q136_profile_drift" -> q136ProfileDrift,
+    "q137_association_rules" -> q137AssociationRules,
     "q85_pagerank" -> q85PageRank,
     "q87_ewma_daily_orders" -> q87EwmaDailyOrders,
     "q88_chisq_contingency" -> q88ChiSquareContingency,
