@@ -59,14 +59,16 @@ object AudioHeaders {
   }
 
   private def parseWav(b: Array[Byte]): Meta = {
-    var i = 12 // past RIFF header
+    // Long cursor: a crafted u32 chunk size near 2^31 would overflow an
+    // Int cursor into negative territory and index out of bounds.
+    var i: Long = 12 // past RIFF header
     while (i + 8 <= b.length) {
-      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-      val size = le32(b, i + 4)
-      if (size < 0 || size > Int.MaxValue) return null
+      val p = i.toInt // in-range: i + 8 <= b.length <= Int.MaxValue
+      val isFmt = b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' '
+      val size = le32(b, p + 4)
       if (isFmt) {
         if (size < 16 || i + 8 + 16 > b.length) return null
-        val d = i + 8
+        val d = p + 8
         val audioFormat = le16(b, d) // 1 = PCM, 3 = IEEE float, 0xFFFE = extensible
         val channels = le16(b, d + 2)
         val rate = le32(b, d + 4)
@@ -75,7 +77,7 @@ object AudioHeaders {
           (audioFormat != 1 && audioFormat != 3 && audioFormat != 0xfffe)) return null
         return Meta("wav", rate.toInt, channels, bits)
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+      i += 8L + size + (size & 1L) // chunks pad to even offsets
     }
     null
   }

@@ -56,13 +56,39 @@ object LevenshteinBandRule extends Rule[LogicalPlan] with PredicateHelper {
         Some(kl.toInt)
       case Literal(ks: Short, ShortType) => Some(ks.toInt)
       case Literal(kb: Byte, ByteType) => Some(kb.toInt)
-      case Cast(IntBound(k), dt, _, _) if integral(dt) => Some(k)
+      // The literal value is known, so the cast is value-preserving
+      // exactly when k fits the target type. A non-fitting narrowing
+      // cast (`cast(500 as tinyint)`) wraps — or throws under ANSI —
+      // and must keep its Cast so the query keeps that behavior.
+      case Cast(IntBound(k), dt, _, _) if fits(k, dt) => Some(k)
       case _ => None
     }
   }
 
-  private def integral(dt: DataType): Boolean =
-    dt == IntegerType || dt == LongType || dt == ShortType || dt == ByteType
+  /** Does the known Int value survive a cast to `dt` unchanged? */
+  private def fits(k: Int, dt: DataType): Boolean = dt match {
+    case ByteType => k >= Byte.MinValue && k <= Byte.MaxValue
+    case ShortType => k >= Short.MinValue && k <= Short.MaxValue
+    case IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def intWidth(dt: DataType): Int = dt match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 4
+    case LongType => 8
+    case _ => -1 // non-integral: never unwrapped
+  }
+
+  /** True iff a cast from `from` to `to` is integral widening — value-
+    * preserving for ANY runtime value, which is what an unwrap of a
+    * non-literal child requires.
+    */
+  private def widens(from: DataType, to: DataType): Boolean = {
+    val f = intWidth(from); val t = intWidth(to)
+    f > 0 && t >= f
+  }
 
   /** An un-thresholded levenshtein call, possibly behind the widening
     * cast the analyzer inserts when the bound literal is a wider
@@ -71,7 +97,9 @@ object LevenshteinBandRule extends Rule[LogicalPlan] with PredicateHelper {
   private object LevCall {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case Levenshtein(a, b, None) => Some((a, b))
-      case Cast(Levenshtein(a, b, None), dt, _, _) if integral(dt) => Some((a, b))
+      // levenshtein returns INT; only INT→INT/BIGINT casts are widening
+      case Cast(lev @ Levenshtein(a, b, None), dt, _, _)
+        if widens(lev.dataType, dt) => Some((a, b))
       case _ => None
     }
   }

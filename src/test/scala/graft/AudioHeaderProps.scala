@@ -53,6 +53,18 @@ object AudioHeaderProps extends Properties("graft.audioheaders") {
       AudioHeaders.parse(payload) == Meta("au", rate, ch, (enc - 1) * 8)
     }
 
+  property("huge chunk sizes near 2^31 never throw") =
+    Prop.forAll(Gen.choose(Int.MaxValue - 16, Int.MaxValue),
+      Gen.choose(0, 63)) { (size, pad) =>
+      // A crafted chunk whose u32le size is near 2^31: advancing an Int
+      // cursor by 8+size would wrap negative and index out of bounds.
+      val payload = bytes(Seq('R'.toInt, 'I', 'F', 'F') ++ le32(36) ++
+        Seq('W'.toInt, 'A', 'V', 'E') ++
+        Seq('J'.toInt, 'U', 'N', 'K') ++ le32(size) ++
+        Seq.fill(pad)(0xab))
+      AudioHeaders.parse(payload) == null
+    }
+
   property("random blobs never throw") =
     Prop.forAll(Gen.listOf(Gen.choose(0, 255))) { blob =>
       AudioHeaders.parse(bytes(blob)) match {

@@ -81,6 +81,42 @@ class LevenshteinRuleSpec extends SparkSpec {
     assert(thresholded(df), df.queryExecution.optimizedPlan.treeString)
   }
 
+  test("value-changing narrowing casts are not unwrapped") {
+    GraftExtensions.register(spark)
+    // cast(500 as tinyint) does NOT hold 500 — unwrapping it to k=500
+    // would band with the wrong bound and change results. ANSI mode
+    // makes the cast itself throw; the rule must leave it in place
+    // rather than silently rewrite around it. (Scan-backed so the
+    // optimizer can't pre-evaluate the predicate on a LocalRelation.)
+    val df = Tables.supplier(spark, sf0001)
+      .filter(expr("levenshtein(s_name, 'Supplier#000000001') <= cast(500 as tinyint)"))
+    // ANSI: the overflow must surface (Spark 4 folds — and throws — at
+    // planning; pre-fix, an unwrap to k=500 could silently replace it)
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("CAST_OVERFLOW"), e.getMessage)
+    // unit-level: the rule itself must refuse the narrowing unwrap even
+    // when handed the unfolded predicate directly
+    locally {
+      import org.apache.spark.sql.catalyst.dsl.expressions._
+      import org.apache.spark.sql.catalyst.dsl.plans._
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Levenshtein, Literal}
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      import org.apache.spark.sql.types.ByteType
+      val a = Symbol("a").string; val b = Symbol("b").string
+      val rel = LocalRelation(a, b)
+      val cond = Levenshtein(a, b, None) <= Cast(Literal(500), ByteType)
+      val out = LevenshteinBandRule(rel.where(cond).analyze)
+      assert(!out.expressions.exists(_.exists {
+        case Levenshtein(_, _, Some(_)) => true
+        case _ => false
+      }), out.treeString)
+    }
+    // a fitting narrow cast IS value-preserving and still bands
+    val ok = Tables.supplier(spark, sf0001)
+      .filter(expr("levenshtein(s_name, 'Supplier#000000001') <= cast(1 as tinyint)"))
+    assert(thresholded(ok), ok.queryExecution.optimizedPlan.treeString)
+  }
+
   test("idempotent: a second application is a no-op") {
     GraftExtensions.register(spark)
     import spark.implicits._
