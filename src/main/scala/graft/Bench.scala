@@ -28,8 +28,26 @@ import org.apache.spark.sql.SparkSession
   *
   * A query that throws is reported as null in `queries` and listed in
   * `errors` instead of contributing a near-zero time to the total.
+  *
+  * Spike diagnosis: alongside each median the JSON carries the per-rep
+  * wall times (`rep_times`), the JVM GC-time delta per rep (`gc_ms`),
+  * and the whole-stage-codegen compilation-count delta per rep
+  * (`codegen_compiles`) — so a 3× median shift is attributable to GC
+  * pressure vs codegen-cache thrash vs a genuine plan change without
+  * rerunning under a profiler (round-5 verdict: medians alone made the
+  * q63/q74/q83 transient-spike class undiagnosable).
   */
 object Bench {
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
+  /** Cumulative count of whole-stage-codegen compilations in this JVM. */
+  private def codegenCompiles(): Long =
+    org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,6 +69,8 @@ object Bench {
     }
     val names = selected.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val gcDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
+    val cgDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // full untimed warm-up pass: every selected query runs once so JIT +
     // codegen compilation is paid before any timed rep (a failure here is
@@ -67,14 +87,20 @@ object Bench {
       // from the previous pass are actually freed before timing resumes
       System.gc()
       names.foreach { case (name, spec) =>
+        val gc0 = gcMillis(); val cg0 = codegenCompiles()
         val t0 = System.nanoTime()
         val ok =
           try { spec.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) times(name) = times.getOrElse(name, Vector()) :+ dt
-        else failed += name
-        System.err.println(f"[bench] rep $rep $name $dt%.2fs${if (ok) "" else " (failed)"}")
+        val gcd = gcMillis() - gc0; val cgd = codegenCompiles() - cg0
+        if (ok) {
+          times(name) = times.getOrElse(name, Vector()) :+ dt
+          gcDeltas(name) = gcDeltas.getOrElse(name, Vector()) :+ gcd
+          cgDeltas(name) = cgDeltas.getOrElse(name, Vector()) :+ cgd
+        } else failed += name
+        System.err.println(
+          f"[bench] rep $rep $name $dt%.2fs gc=${gcd}ms cg=$cgd${if (ok) "" else " (failed)"}")
       }
     }
     def median(v: Vector[Double]): Double = v.sorted.apply(v.size / 2)
@@ -89,6 +115,16 @@ object Bench {
       }
     }.mkString("{", ",", "}")
     val total = names.flatMap { case (k, _) => goodTimes(k).map(median) }.sum
+    // per-rep diagnostics, keyed like `queries` (successful reps only)
+    def perRep[A](m: collection.Map[String, Vector[A]], fmt: A => String): String =
+      names.flatMap { case (k, _) =>
+        if (failed(k)) None
+        else m.get(k).filter(_.nonEmpty).map(v =>
+          "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]"))
+      }.mkString("{", ",", "}")
+    val repTimes = perRep(times, (d: Double) => f"$d%.3f")
+    val gcJson = perRep(gcDeltas, (l: Long) => l.toString)
+    val cgJson = perRep(cgDeltas, (l: Long) => l.toString)
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // within-rep shared caches: the FIRST member listed pays the build
     // cost, later members time a cache hit (see scaladoc)
@@ -113,7 +149,7 @@ object Bench {
     val attribution = sharedGroups.flatMap { case (g, ms) =>
       ms.sorted.find(inSuite).map(payer => "\"" + g + "\":\"" + payer + "\"")
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"rep_times":$repTimes,"gc_ms":$gcJson,"codegen_compiles":$cgJson,"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
