@@ -11,7 +11,38 @@ import org.apache.spark.sql.SparkSession
   * catalog change.
   */
 object Explain {
-  import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Generate, Join, LocalLimit, LocalRelation, LogicalPlan, Project, Sort, Union, Window}
+  import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+
+  /** A partitionless Window moves ALL rows to one task — fatal at scale
+    * unless its input is provably bounded. This walk proves boundedness
+    * structurally: limits bound; a scalar rollup (no grouping) is one
+    * row; a grouped aggregate stays bounded only over bounded input;
+    * joins/unions of bounded inputs are bounded; a Generate (explode)
+    * multiplies by an unknowable array size, so it never proves; leaf
+    * scans are unbounded (LocalRelation literal data excepted). Grouped
+    * rollups whose KEY DOMAIN is bounded (a log2 bucket, an ROC
+    * threshold grid) are real but unprovable here — those queries sit
+    * in ExplainSpec's justified allowlist, and any NEW partitionless
+    * window outside it fails the suite instead of shipping silently
+    * (round-5 verdict #4: 13 audited-benign instances, zero enforced).
+    */
+  private[graft] def unboundedGlobalWindow(optimized: LogicalPlan): Boolean = {
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate if a.groupingExpressions.isEmpty => true // 1 row
+      case a: Aggregate => bounded(a.child)
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: Union => u.children.forall(bounded)
+      case _: LocalRelation => true
+      case _: Generate => false
+      case _: LeafNode => false
+      case other => other.children.nonEmpty && other.children.forall(bounded)
+    }
+    optimized.collect {
+      case w: Window if w.partitionSpec.isEmpty => w
+    }.exists(w => !bounded(w.child))
+  }
 
   /** NOTE: every catalog query deliberately ENDS in a total ORDER BY —
     * the oracle hash-compare requires a deterministic row order — so an
@@ -84,6 +115,7 @@ object Explain {
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
           "MidPlanGlobalSort" -> midPlanGlobalSort(df.queryExecution.optimizedPlan),
+          "UnboundedGlobalWindow" -> unboundedGlobalWindow(df.queryExecution.optimizedPlan),
         ).collect { case (s, true) => s }
         println(s"[plan] $name ${if (smells.isEmpty) "ok" else smells.mkString(",")}")
       } catch {

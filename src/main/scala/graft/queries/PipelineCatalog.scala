@@ -2158,38 +2158,29 @@ object PipelineCatalog {
     * word-2-grams. Emitted as exact integer sufficient statistics
     * (numerators over n_tok) per the no-rounded-rationals contract;
     * callers derive the Gopher fractions (e.g. drop if
-    * top_tok_cnt/n_tok > 0.2). Single scan: unigram and bigram rows are
-    * tagged and unioned per doc BEFORE one (doc,kind,gram) count and one
-    * per-doc rollup — one scan and one shuffle chain instead of two
-    * parallel pipelines. Scale: per-doc grams only (no corpus-wide
-    * state); the (doc,kind,gram) shuffle is bounded by token count.
+    * top_tok_cnt/n_tok > 0.2). MAP-ONLY: per-doc gram counts need no
+    * cross-row state, so the whole computation happens inside the scan
+    * stage via the codegen [[graft.functions.RepetitionStats]]
+    * expression (sort-and-run-length per doc) — the previous
+    * explode → (doc,kind,gram) count → per-doc rollup shuffled every
+    * token of the corpus twice; at 100 TB that first Exchange IS the
+    * corpus. The only remaining exchange is the presentation sort.
     */
   val q66RepetitionStats: QuerySpec = QuerySpec(
     fn = (s, dir) => {
-      // Exchange barrier before the HOFs (CollapseProject invariant):
-      // materialize the token array once, then derive tagged gram rows
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val grams = toks.select(col("doc_id"), explode(expr(
-        """concat(
-             transform(w, t -> named_struct('k', 1, 'g', t)),
-             CASE WHEN size(w) >= 2 THEN
-               transform(sequence(0, size(w)-2),
-                 i -> named_struct('k', 2, 'g', concat_ws(' ', w[i], w[i+1])))
-             ELSE array() END)""")).as("kg"))
-        .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
-      grams.groupBy(col("doc_id"), col("k"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(when(col("k") === 1, col("c"))).as("n_tok"),
-          max(when(col("k") === 1, col("c"))).as("top_tok_cnt"),
-          coalesce(sum(when(col("k") === 1 && col("c") >= 2, col("c"))), lit(0L))
-            .as("dup_tok_cnt"),
-          coalesce(max(when(col("k") === 2, col("c"))), lit(0L)).as("top_bigram_cnt"),
-          coalesce(sum(when(col("k") === 2 && col("c") >= 2, col("c"))), lit(0L))
-            .as("dup_bigram_cnt"))
+      // one RepetitionStats subtree: whole-stage codegen CSE evaluates
+      // it once per row even after CollapseProject merges the projections
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull) // oracle's unnest drops null-text docs
+        .select(col("doc_id"),
+          graft.functions.RepetitionStats.repetitionStats(
+            split(col("text"), " ")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tok").as("n_tok"),
+          col("r.top_tok_cnt").as("top_tok_cnt"),
+          col("r.dup_tok_cnt").as("dup_tok_cnt"),
+          col("r.top_bigram_cnt").as("top_bigram_cnt"),
+          col("r.dup_bigram_cnt").as("dup_bigram_cnt"))
         .orderBy(col("doc_id"))
     },
     oracle = Some("""

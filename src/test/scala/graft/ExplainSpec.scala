@@ -52,6 +52,32 @@ class ExplainSpec extends SparkSpec {
     assert(Explain.midPlanGlobalSort(plan), s"plan:\n${plan.treeString}")
   }
 
+  test("partitionless windows: structurally bounded, or allowlisted with cause") {
+    // A Window with no PARTITION BY moves every row to one task — fatal
+    // at 100 TB unless its input is provably bounded (limit upstream,
+    // scalar rollup, joins/unions thereof). Queries whose boundedness
+    // rests on a bounded KEY DOMAIN the plan can't express are
+    // allowlisted here WITH the domain that bounds them; anything new
+    // fails the suite instead of shipping silently.
+    val boundedByDomain: Map[String, String] = ExplainSpec.windowAllowlist
+    val offenders = queries.Catalog.all.toSeq.sortBy(_._1).flatMap {
+      case (name, spec) =>
+        // construction failures are CatalogSmokeSpec's job, not this lint's
+        val opt = scala.util.Try(
+          spec.fn(spark, sf0001).queryExecution.optimizedPlan).toOption
+        opt.filter(Explain.unboundedGlobalWindow).map(_ => name)
+    }
+    val unexplained = offenders.filterNot(boundedByDomain.contains)
+    assert(unexplained.isEmpty,
+      s"unproven partitionless Window in: ${unexplained.mkString(", ")} — " +
+        "either bound the input (limit / scalar rollup) or add a justified " +
+        "ExplainSpec.windowAllowlist entry")
+    val stale = boundedByDomain.keys.filterNot(offenders.contains)
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (plan now proves boundedness): " +
+        stale.mkString(", "))
+  }
+
   test("root sorted-limit plus a bare mid-plan sort is still a smell") {
     // The root-chain exemption must not soak up the inner bare sort.
     import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
@@ -63,4 +89,44 @@ class ExplainSpec extends SparkSpec {
     val root = GlobalLimit(Literal(5), LocalLimit(Literal(5), Sort(ord, global = true, inner)))
     assert(Explain.midPlanGlobalSort(root), s"plan:\n${root.treeString}")
   }
+
+  test("global window boundedness walk: positives and negatives") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // over a raw scan: unbounded → flagged
+    val bad = Tables.orders(spark, sf0001)
+      .withColumn("rk", rank().over(W.orderBy(col("o_totalprice"))))
+    assert(Explain.unboundedGlobalWindow(bad.queryExecution.optimizedPlan))
+    // after a limit: bounded → quiet
+    val limited = Tables.orders(spark, sf0001).limit(20)
+      .withColumn("rk", rank().over(W.orderBy(col("o_totalprice"))))
+    assert(!Explain.unboundedGlobalWindow(limited.queryExecution.optimizedPlan))
+    // over a scalar rollup joined back: bounded → quiet
+    val scalar = Tables.orders(spark, sf0001)
+      .agg(sum("o_totalprice").as("t"))
+      .withColumn("rk", rank().over(W.orderBy(col("t"))))
+    assert(!Explain.unboundedGlobalWindow(scalar.queryExecution.optimizedPlan))
+    // partitioned window over a raw scan: not a global window → quiet
+    val part = Tables.orders(spark, sf0001)
+      .withColumn("rk", rank().over(
+        W.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"))))
+    assert(!Explain.unboundedGlobalWindow(part.queryExecution.optimizedPlan))
+  }
+}
+
+object ExplainSpec {
+  /** Partitionless windows whose input is bounded by a KEY DOMAIN the
+    * plan cannot express — each entry names the domain that bounds it.
+    * Keep this list justified and minimal: the lint fails on any
+    * catalog query not listed here whose partitionless window input it
+    * cannot prove bounded.
+    */
+  val windowAllowlist: Map[String, String] = Map(
+    "m07_roc_points" ->
+      "window input = per-threshold rollup; thr domain is the fixed 11-value ROC grid",
+    "q115_revenue_shares" ->
+      "window input = groupBy(r_name, n_name) rollup; TPC-H dims: 5 regions x 25 nations",
+    "q77_mixture_allocation" ->
+      "window input = groupBy(source) rollup; documents.source is a small categorical domain",
+    "q88_chisq_contingency" ->
+      "window input = groupBy(lang, source) contingency cells; both categorical domains")
 }

@@ -3,41 +3,81 @@
 per-query loaded envelope (the 2x-gate anchor).
 
 Usage:
-    python3 tools/check_bench.py BENCH_rN.json [BASELINE.md]
+    python3 tools/check_bench.py BENCH_rN.json [BASELINE.md] [--strict]
     ... | grep '"metric"' | python3 tools/check_bench.py -    # from stdin
 
 Exit 0 if every benched headline is within WARN_RATIO of its envelope,
-1 otherwise. Queries without a committed envelope (non-headline /
-BENCH_ONLY extras) are listed informationally.
+1 otherwise. With --strict (or CHECK_BENCH_STRICT=1), anchor drift —
+a fresh run exceeding a committed anchor by more than WARN_RATIO —
+also exits 1, so stale envelopes are caught by the builder before the
+judge sees them (BASELINE.md "Envelope refresh policy"). Queries
+without a committed envelope (non-headline / BENCH_ALL extras) are
+listed informationally.
 """
 import json
+import os
 import re
 import sys
 
 WARN_RATIO = 1.5   # BASELINE.md: ">1.5x over the envelope is a real regression"
 GATE_RATIO = 2.0   # the driver's hard gate
+MIN_ENVELOPE_QUERIES = 15  # a parse yielding fewer lost part of the row
 
 
 def parse_envelope(baseline_md):
-    txt = open(baseline_md).read()
-    m = re.search(r"LOADED ENVELOPE[^|]*\|([^|]*)\|", txt)
-    if not m:
+    """Structural parse: find the single physical markdown table row
+    whose metric cell names LOADED ENVELOPE, split on '|', and read the
+    'qNN <sec>' pairs from the VALUE cell only — commentary in other
+    cells can never leak in. Fails loudly (not silently-empty) when the
+    row is missing, wrapped, duplicated, or suspiciously short.
+    """
+    rows = [l for l in open(baseline_md).read().splitlines()
+            if "LOADED ENVELOPE" in l]
+    if not rows:
         raise SystemExit(f"no LOADED ENVELOPE row found in {baseline_md}")
-    cell = m.group(1)
+    if len(rows) > 1:
+        raise SystemExit(f"{len(rows)} LOADED ENVELOPE rows in {baseline_md}; "
+                         "keep exactly one (delete or rename the stale row)")
+    row = rows[0].strip()
+    if not row.startswith("|"):
+        raise SystemExit("LOADED ENVELOPE line is not a markdown table row "
+                         "(wrapped or reformatted?): " + row[:80])
+    cells = [c.strip() for c in row.strip("|").split("|")]
+    if len(cells) < 2:
+        raise SystemExit("LOADED ENVELOPE row has no value cell: " + row[:80])
     out = {}
-    for qm in re.finditer(r"(q\d+)\s+([0-9.]+)", cell):
-        out[qm.group(1)] = float(qm.group(2))
-    if not out:
-        raise SystemExit("envelope row matched but no 'qNN sec' pairs parsed")
+    for qm in re.finditer(r"(q\d+)\s+([0-9.]+)", cells[1]):
+        name, secs = qm.group(1), float(qm.group(2))
+        if name in out:
+            raise SystemExit(f"duplicate envelope entry for {name} — "
+                             "the value cell was edited inconsistently")
+        out[name] = secs
+    if len(out) < MIN_ENVELOPE_QUERIES:
+        raise SystemExit(
+            f"only {len(out)} envelope entries parsed (expected >= "
+            f"{MIN_ENVELOPE_QUERIES}) — the envelope row was likely wrapped "
+            "or split; keep all 'qNN <sec>' pairs in the single value cell")
     return out
 
 
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "-"
-    baseline = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = ("--strict" in sys.argv[1:]
+              or os.environ.get("CHECK_BENCH_STRICT") == "1")
+    src = args[0] if len(args) > 0 else "-"
+    baseline = args[1] if len(args) > 1 else "BASELINE.md"
     raw = sys.stdin.read() if src == "-" else open(src).read()
-    line = next(l for l in raw.splitlines() if '"metric"' in l)
-    bench = json.loads(line)
+    try:
+        whole = json.loads(raw)
+    except json.JSONDecodeError:
+        whole = None
+    if isinstance(whole, dict) and "parsed" in whole:
+        bench = whole["parsed"]  # driver-written BENCH_rN.json wrapper
+    elif isinstance(whole, dict) and "queries" in whole:
+        bench = whole
+    else:
+        line = next(l for l in raw.splitlines() if '"metric"' in l)
+        bench = json.loads(line)
     envelope = parse_envelope(baseline)
 
     worst = 0.0
@@ -53,7 +93,7 @@ def main():
         ratio = secs / envelope[short]
         worst = max(worst, ratio)
         tag = ("FAIL(gate)" if ratio > GATE_RATIO
-               else "WARN" if ratio > WARN_RATIO else "ok")
+               else "ANCHOR-DRIFT" if ratio > WARN_RATIO else "ok")
         msg = f"{name}: {secs:.3f}s vs envelope {envelope[short]:.2f}s = {ratio:.2f}x {tag}"
         if ratio > GATE_RATIO:
             failures.append(msg)
@@ -62,6 +102,13 @@ def main():
         print(" ", msg)
     for e in extras:
         print("  [extra]", e)
+    # a full-headline run must cover the whole envelope — a missing query
+    # means the suite shrank (or the envelope grew) without the anchor
+    # being refreshed; BENCH_ONLY subsets legitimately cover less
+    benched_short = {n.split("_")[0] for n in bench["queries"]}
+    uncovered = sorted(set(envelope) - benched_short)
+    if uncovered and len(bench["queries"]) >= len(envelope):
+        warnings.append(f"envelope queries not benched: {', '.join(uncovered)}")
     if bench.get("errors"):
         failures.append(f"bench errors: {bench['errors']}")
 
@@ -71,6 +118,12 @@ def main():
         for f in failures:
             print("FAIL", f)
         sys.exit(1)
+    if warnings:
+        for w in warnings:
+            print("WARN (anchor drift — refresh the envelope per "
+                  "BASELINE.md policy):", w)
+        if strict:
+            sys.exit(1)
     print("all benched headlines within the committed envelope band")
 
 
