@@ -10,14 +10,15 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample stages run as
   * distributed partition-wise transforms.
   *
-  * The METADATA decode is real: [[HeaderDecoder]] parses actual
-  * PNG/JPEG/GIF/BMP container bytes via [[ImageHeaders]] (and the
+  * Both decode layers are real: [[HeaderDecoder]] parses actual
+  * PNG/JPEG/GIF/BMP container bytes via [[ImageHeaders]] (the
   * oracle-checked q119 catalog entry proves the byte-level parse
-  * against independently computed geometry). Only the PIXEL decode
-  * still needs a codec library that is not in this environment —
-  * [[StubDecoder]] stands in for that one stage with a clearly-marked
-  * deterministic fake; swapping in a JNI/ffmpeg-backed
-  * [[MediaDecoder]] changes no plan shape.
+  * against independently computed geometry), and
+  * [[PixelDecode.ImageIoDecoder]] decodes PIXELS with the JDK's own
+  * `javax.imageio` codec (oracle-checked exactly by q138 against
+  * formula-assembled BMPs). A JNI/ffmpeg-backed [[MediaDecoder]] for
+  * codecs the JDK lacks (H.264, AV1, …) slots in without changing
+  * any plan shape.
   *
   * Scale: decode is the classic CPU-heavy embarrassingly-parallel
   * stage — `repartition(id)` sizes tasks, `mapPartitions` amortizes
@@ -48,31 +49,6 @@ object BinaryPipeline {
   trait MediaDecoder extends Serializable {
     /** (frameIdx, width, height, channels, featureVector) per frame. */
     def decode(payload: Array[Byte]): Iterator[(Int, Int, Int, Int, Array[Float])]
-  }
-
-  /** STUB — stands in for the PIXEL decode only (codec libs are not
-    * installed here; header/geometry decode is real — see
-    * [[HeaderDecoder]]). Deterministic: frames and "pixels" derive
-    * purely from payload bytes, so tests pin exact outputs. A real
-    * implementation decodes `payload` with its codec and runs the
-    * same contract.
-    */
-  class StubDecoder(frameStride: Int, featDim: Int) extends MediaDecoder {
-    override def decode(payload: Array[Byte]): Iterator[(Int, Int, Int, Int, Array[Float])] = {
-      if (payload == null || payload.isEmpty) Iterator.empty
-      else {
-        val nFrames = math.max(1, payload.length / math.max(1, frameStride))
-        (0 until nFrames).iterator.map { f =>
-          val off = f * frameStride
-          val feats = Array.tabulate(featDim) { d =>
-            // stands in for per-pixel features; fake = byte-derived ramp
-            val b = payload((off + d) % payload.length) & 0xff
-            (b.toFloat / 255.0f) - 0.5f
-          }
-          (f, 64, 64, 3, feats)
-        }
-      }
-    }
   }
 
   /** REAL header decode: parses the payload's actual PNG/JPEG/GIF/BMP

@@ -11,37 +11,45 @@ import graft.multimodal.BinaryPipeline
 /** Multimodal binary plumbing + io writers. */
 class MultimodalIoSpec extends SparkSpec {
 
+  private def bmpStreamMedia(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("media_id").as[Long]
+      .map(id => (id, "application/x-bmp-stream",
+        graft.multimodal.BmpFixture.stream(id, 2 + (id % 3).toInt, 4, 3)))
+      .toDF("media_id", "mime", "payload")
+  }
+
   test("decodeFrames produces the frame contract from binary payloads") {
-    val media = BinaryPipeline.mediaFromDocuments(spark, sf0001)
-    val frames = BinaryPipeline.decodeFrames(media,
-      new BinaryPipeline.StubDecoder(frameStride = 64, featDim = 8))
+    val media = bmpStreamMedia(50)
+    val dec = new graft.multimodal.PixelDecode.ImageIoDecoder
+    val frames = BinaryPipeline.decodeFrames(media, dec)
     assert(frames.schema == BinaryPipeline.frameSchema)
     val n = frames.count()
-    assert(n > 500, s"expected multiple frames per doc, got $n") // multi-frame docs exist
+    assert(n > 50, s"expected multiple frames per doc, got $n") // multi-frame docs exist
     // deterministic: same payload → same features
     val f0 = frames.filter("media_id = 0 and frame_idx = 0")
       .select("features").head().getSeq[Float](0)
-    val f0again = BinaryPipeline.decodeFrames(media,
-      new BinaryPipeline.StubDecoder(64, 8))
+    val f0again = BinaryPipeline.decodeFrames(media, dec)
       .filter("media_id = 0 and frame_idx = 0")
       .select("features").head().getSeq[Float](0)
     assert(f0 == f0again)
-    assert(f0.forall(v => v >= -0.5f && v <= 0.5f))
+    // mean features of 8-bit samples live in [0, 255]
+    assert(f0.forall(v => v >= 0f && v <= 255f))
   }
 
   test("frame sampling and feature resize keep the plan per-row") {
-    val media = BinaryPipeline.mediaFromDocuments(spark, sf0001)
-    val frames = BinaryPipeline.decodeFrames(media,
-      new BinaryPipeline.StubDecoder(32, 16)).cache()
+    val media = bmpStreamMedia(30)
+    val frames = BinaryPipeline.decodeFrames(
+      media, new graft.multimodal.PixelDecode.ImageIoDecoder).cache()
     val sampled = BinaryPipeline.sampleFrames(frames, 2)
     assert(sampled.filter(col("frame_idx") % 2 =!= 0).count() == 0)
-    val resized = BinaryPipeline.resizeFeatures(sampled, 4)
+    val resized = BinaryPipeline.resizeFeatures(sampled, 3)
     val row = resized.select("features").head().getSeq[Float](0)
-    assert(row.length == 4)
-    // average-pool of 16 dims into 4 buckets of 4
+    assert(row.length == 3)
+    // average-pool of 6 mean/std dims into 3 buckets of 2
     val orig = sampled.select("features").head().getSeq[Float](0)
-    val expect0 = orig.take(4).map(_.toDouble).sum / 4.0
-    assert(math.abs(row(0) - expect0) < 1e-6)
+    val expect0 = orig.take(2).map(_.toDouble).sum / 2.0
+    assert(math.abs(row(0) - expect0) < 1e-4)
   }
 
   test("upsertNothing is first-writer-wins and idempotent (S4)") {
