@@ -362,9 +362,15 @@ object MlCatalog {
     * seeded) builds 16 inverted lists (each vector indexed under its
     * nearest centroid); a query probes its nprobe=2 nearest lists and
     * runs exact cosine top-3 inside them — the standard IVF
-    * search. At 100 TB: raise k so each list fits an executor, raise
-    * nprobe for recall, and the probe join stays a centroid-broadcast
-    * + list-bucket shuffle. Rows-only check (k-means centers are
+    * search. nlist SCALES WITH THE CORPUS — max(16, ceil(√(n/4))),
+    * the textbook √n sizing — because a fixed list count makes probe
+    * volume n·nprobe·(n/nlist), i.e. quadratic: the round-6 10×
+    * sweep measured exactly that (43 s at 20k vectors with nlist=16
+    * → list length 1250). With √n lists the probe volume is
+    * O(n^1.5) and each list fits an executor at any n; raise nprobe
+    * for recall. Gate-stable: n ≤ 2000 keeps nlist at 16, so the
+    * sf0.001/sf0.01 outputs (and the DedupSpec recall band) are
+    * unchanged. Rows-only check (k-means centers are
     * partitioning-dependent); recall vs the exact pairs is spec'd.
     */
   val m09IvfAnn: QuerySpec = QuerySpec(
@@ -377,7 +383,9 @@ object MlCatalog {
         .withColumn("features", array_to_vector(col("embedding")))
         .withColumn("nrm", normF(col("embedding")))
         .cache()
-      val km = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+      val nVecs = e.count()
+      val nlist = math.max(16, math.ceil(math.sqrt(nVecs / 4.0)).toInt)
+      val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("list_id")
         .fit(e)
       // inverted lists: each vector indexed under its nearest centroid

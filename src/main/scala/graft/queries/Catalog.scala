@@ -2212,11 +2212,15 @@ object Catalog {
     * contract) plus the raw sums. One pass, no iteration, no float:
     * the single-scan trend fit every monitoring pipeline wants at
     * 100 TB. x = days since the fixture's 1992-01-01 floor (NOT epoch
-    * 1970 — the smaller x keeps n·Σxy under ~4·10¹⁸ at sf0.1, inside
-    * BIGINT; epoch days would overflow at this scale), y = revenue
-    * cents per (status, day) — aggregated FIRST, so the regression
-    * runs on the |status|×|days| rollup. Past ~10× this revenue
-    * volume, move the products to DECIMAL(38,0) on both engines.
+    * 1970 — the smaller x keeps the RAW SUMS comfortably inside
+    * BIGINT), y = revenue cents per (status, day) — aggregated FIRST,
+    * so the regression runs on the |status|×|days| rollup. The slope
+    * PRODUCTS (n·Σxy − Σx·Σy) are DECIMAL(38,0) on both engines: the
+    * round-6 10× sweep measured the predicted BIGINT overflow of
+    * n·Σxy one scale step up (ANSI ARITHMETIC_OVERFLOW at mult=10),
+    * so the escalation this scaladoc used to defer is now applied —
+    * operands cast to DECIMAL(19,0) — int128 physical storage on both engines — products
+    * and difference DECIMAL(38,0), exact to ~10³× today's revenue volume.
     */
   val q109TrendOls: QuerySpec = QuerySpec(
     fn = (s, dir) => {
@@ -2227,6 +2231,7 @@ object Catalog {
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
         .groupBy(col("o_orderstatus"), col("x"))
         .agg(sum(col("cents")).as("y"))
+      def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
       daily.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
@@ -2234,10 +2239,10 @@ object Catalog {
           sum(col("x") * col("x")).as("sum_xx"))
         .select(col("o_orderstatus"), col("n"), col("sum_x"), col("sum_y"),
           col("sum_xy"), col("sum_xx"),
-          (col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
-            .as("slope_num"),
-          (col("n") * col("sum_xx") - col("sum_x") * col("sum_x"))
-            .as("slope_den"))
+          (d19(col("n")) * d19(col("sum_xy")) - d19(col("sum_x")) * d19(col("sum_y")))
+            .cast("decimal(38,0)").as("slope_num"),
+          (d19(col("n")) * d19(col("sum_xx")) - d19(col("sum_x")) * d19(col("sum_x")))
+            .cast("decimal(38,0)").as("slope_den"))
         .orderBy(col("o_orderstatus"))
     },
     oracle = Some("""
@@ -2252,10 +2257,12 @@ object Catalog {
              CAST(sum(y) AS BIGINT) AS sum_y,
              CAST(sum(x * y) AS BIGINT) AS sum_xy,
              CAST(sum(x * x) AS BIGINT) AS sum_xx,
-             CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
-               AS slope_num,
-             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
-               AS slope_den
+             CAST(CAST(count(*) AS DECIMAL(19,0)) * CAST(sum(x * y) AS DECIMAL(19,0))
+                  - CAST(sum(x) AS DECIMAL(19,0)) * CAST(sum(y) AS DECIMAL(19,0))
+               AS DECIMAL(38,0)) AS slope_num,
+             CAST(CAST(count(*) AS DECIMAL(19,0)) * CAST(sum(x * x) AS DECIMAL(19,0))
+                  - CAST(sum(x) AS DECIMAL(19,0)) * CAST(sum(x) AS DECIMAL(19,0))
+               AS DECIMAL(38,0)) AS slope_den
       FROM daily GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   /** Islands-and-gaps: each user's LONGEST run of consecutive active
