@@ -158,7 +158,21 @@ object Bench {
     val attribution = sharedGroups.flatMap { case (g, ms) =>
       ms.sorted.find(inSuite).map(payer => "\"" + g + "\":\"" + payer + "\"")
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stat":"min","reps":$reps,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"rep_times":$repTimes,"gc_ms":$gcJson,"codegen_compiles":$cgJson,"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"errors":$errs,"sf":"$sfDir"}""")
+    // Two lines, diagnostics FIRST: the driver captures only a ~2000-char
+    // tail of the output, so the LAST line must be a compact scalar summary
+    // (r6 lesson — the single fat line with per-rep arrays outgrew the
+    // driver's tail window and the round's bench parse came back null).
+    // The full per-rep distribution/attribution stays on the earlier
+    // "diagnostics" line for humans and tools/check_bench.py.
+    println(f"""{"diagnostics":true,"rep_times":$repTimes,"gc_ms":$gcJson,"codegen_compiles":$cgJson,"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)}}""")
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stat":"min","reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
+    // BENCH_ALL's ~150-query map would overflow the tail window too —
+    // drop the per-query detail (it survives via rep_times above) before
+    // letting the final line grow past the driver's capture.
+    val lastLine =
+      if (summary.length <= 1900) summary
+      else f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min","reps":$reps,"n_queries":${names.size},"queries_elided":true,"errors":$errs,"sf":"$sfDir"}"""
+    println(lastLine)
     spark.stop()
   }
 }

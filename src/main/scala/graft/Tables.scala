@@ -28,24 +28,41 @@ object Tables {
     spark.read.parquet(s"$dir/orders.parquet")
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized parquet
-    * reader rejects; read nanos as long (session conf) and rebuild a proper
-    * TimestampType column. Fixture values are micro-precision, so
-    * `timestamp_micros(ns/1000)` is lossless and matches DuckDB exactly.
+  /** events.parquet has shipped under three physical encodings across fixture
+    * regenerations: TIMESTAMP(NANOS) (read as long via session conf, rebuilt
+    * with `timestamp_micros`), TIMESTAMP_MICROS(isAdjustedToUTC=0) (Spark 4
+    * yields TIMESTAMP_NTZ), and plain UTC-adjusted micros (TimestampType).
+    * Normalize all three to TimestampType micros so downstream
+    * `unix_micros`/`cast(... as double)` consumers never see NTZ or raw
+    * longs. The session time zone is pinned to UTC in the same hook, which
+    * makes the NTZ→LTZ cast a lossless relabeling (identical micros value)
+    * and matches DuckDB's naive-timestamp arithmetic exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Set lazily rather than at session build: the correctness driver
     // constructs its own SparkSession before calling SparkEntry.queries,
-    // so this loader is the only hook we control. Idempotent, and no
-    // other conf value is ever correct for this fixture (a check-first
-    // guard can't work — conf.getOption reports the DEFAULT, so "unset"
-    // is indistinguishable from an explicit false).
+    // so this loader is the only hook we control. Both confs are
+    // idempotent, and no other values are ever correct for this fixture
+    // (a check-first guard can't work — conf.getOption reports the
+    // DEFAULT, so "unset" is indistinguishable from an explicit choice).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalize an event frame's `ts` column to TimestampType micros whatever
+    * the physical source type was (long nanos / TIMESTAMP_NTZ / TimestampType).
+    * Callers must have the session time zone pinned to UTC (events() does)
+    * for the NTZ cast to be a pure relabeling.
+    */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")

@@ -47,7 +47,12 @@ object Pipeline {
     if (total == 0)
       throw new IllegalStateException(
         "No data in interactions table. Skipping retraining.")
-    val anchor = now.getOrElse(head.getTimestamp(1))
+    // head.get(1) is a java.sql.Timestamp for TimestampType input but a
+    // java.time.LocalDateTime when the caller hands us a raw TIMESTAMP_NTZ
+    // frame (bypassing Tables.events' normalization); lit() builds the
+    // right literal type for either, so the comparison stays well-typed
+    // against whatever flavor tsCol actually is.
+    val anchor: Any = now.getOrElse(head.get(1))
     val recent = interactions
       .filter(col(tsCol) > lit(anchor) - expr("INTERVAL 24 HOURS")).count()
     if (requireRecent && recent == 0)

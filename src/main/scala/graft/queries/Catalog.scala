@@ -2221,6 +2221,14 @@ object Catalog {
     * so the escalation this scaladoc used to defer is now applied —
     * operands cast to DECIMAL(19,0) — int128 physical storage on both engines — products
     * and difference DECIMAL(38,0), exact to ~10³× today's revenue volume.
+    * The EMITTED type is a canonical decimal STRING, not the decimal
+    * itself: r6 showed DECIMAL(38,0) values that are numerically equal
+    * cross-engine still diverge under the driver's value hash (decimal
+    * representation isn't in the repo's hash-stable set — BIGINT +
+    * fixed-order IEEE floats only), and digit strings are sign-exact
+    * for negative slopes where hi/lo BIGINT limb splits would need a
+    * cross-engine div/mod convention. DECIMAL(38,0)→string is plain
+    * digits with an optional leading '-' on both engines.
     */
   val q109TrendOls: QuerySpec = QuerySpec(
     fn = (s, dir) => {
@@ -2240,9 +2248,9 @@ object Catalog {
         .select(col("o_orderstatus"), col("n"), col("sum_x"), col("sum_y"),
           col("sum_xy"), col("sum_xx"),
           (d19(col("n")) * d19(col("sum_xy")) - d19(col("sum_x")) * d19(col("sum_y")))
-            .cast("decimal(38,0)").as("slope_num"),
+            .cast("decimal(38,0)").cast("string").as("slope_num"),
           (d19(col("n")) * d19(col("sum_xx")) - d19(col("sum_x")) * d19(col("sum_x")))
-            .cast("decimal(38,0)").as("slope_den"))
+            .cast("decimal(38,0)").cast("string").as("slope_den"))
         .orderBy(col("o_orderstatus"))
     },
     oracle = Some("""
@@ -2257,12 +2265,12 @@ object Catalog {
              CAST(sum(y) AS BIGINT) AS sum_y,
              CAST(sum(x * y) AS BIGINT) AS sum_xy,
              CAST(sum(x * x) AS BIGINT) AS sum_xx,
-             CAST(CAST(count(*) AS DECIMAL(19,0)) * CAST(sum(x * y) AS DECIMAL(19,0))
+             CAST(CAST(CAST(count(*) AS DECIMAL(19,0)) * CAST(sum(x * y) AS DECIMAL(19,0))
                   - CAST(sum(x) AS DECIMAL(19,0)) * CAST(sum(y) AS DECIMAL(19,0))
-               AS DECIMAL(38,0)) AS slope_num,
-             CAST(CAST(count(*) AS DECIMAL(19,0)) * CAST(sum(x * x) AS DECIMAL(19,0))
+               AS DECIMAL(38,0)) AS VARCHAR) AS slope_num,
+             CAST(CAST(CAST(count(*) AS DECIMAL(19,0)) * CAST(sum(x * x) AS DECIMAL(19,0))
                   - CAST(sum(x) AS DECIMAL(19,0)) * CAST(sum(x) AS DECIMAL(19,0))
-               AS DECIMAL(38,0)) AS slope_den
+               AS DECIMAL(38,0)) AS VARCHAR) AS slope_den
       FROM daily GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   /** Islands-and-gaps: each user's LONGEST run of consecutive active

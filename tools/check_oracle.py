@@ -6,6 +6,12 @@ oracle SQL in DuckDB over the same fixture tables, and compares: row count,
 column names, and values (exact equality; float diffs are reported with
 their magnitude to aid debugging, but any mismatch fails).
 
+Values are compared via fetchall() (native Python objects: Decimal for
+DECIMAL, int for BIGINT, float for DOUBLE), NOT fetchdf() — pandas coerces
+DECIMAL and nullable BIGINT to float64, which silently passes any decimal
+divergence above 2^53 that the driver's exact value-hash would fail.
+Decimals compare by canonical string, so a scale mismatch (5 vs 5.0) fails.
+
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
@@ -13,6 +19,14 @@ import math
 import sys
 
 import duckdb
+
+
+def fetch_named(cursor):
+    """Execute result -> (sorted col names, {col: [values]}) with exact types."""
+    cols = [d[0] for d in cursor.description]
+    rows = cursor.fetchall()
+    data = {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+    return sorted(cols), data
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -27,32 +41,30 @@ def main(sf_dir, out_dir):
     failures = []
     for name, sql in sorted(oracle.items()):
         try:
-            ours = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            ours_cols, ours = fetch_named(con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
         except Exception as e:
             failures.append((name, f"spark output unreadable: {e}"))
             continue
         try:
-            ref = con.execute(sql).fetchdf()
+            ref_cols, ref = fetch_named(con.execute(sql))
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
-        ours_cols = sorted(ours.columns)
-        ref_cols = sorted(ref.columns)
         if ours_cols != ref_cols:
             failures.append((name, f"columns differ: {ours_cols} vs {ref_cols}"))
             continue
-        if len(ours) != len(ref):
-            failures.append((name, f"row count {len(ours)} vs {len(ref)}"))
+        n_ours = len(ours[ours_cols[0]]) if ours_cols else 0
+        n_ref = len(ref[ref_cols[0]]) if ref_cols else 0
+        if n_ours != n_ref:
+            failures.append((name, f"row count {n_ours} vs {n_ref}"))
             continue
-        ours = ours[ours_cols]
-        ref = ref[ref_cols]
         # driver sorts columns by name then hashes values; we compare
         # positionally (both sides carry the same total ORDER BY)
         bad = None
         for c in ours_cols:
-            a = ours[c].tolist()
-            b = ref[c].tolist()
+            a = ours[c]
+            b = ref[c]
             for i, (x, y) in enumerate(zip(a, b)):
                 if x is None and y is None:
                     continue
@@ -76,7 +88,7 @@ def main(sf_dir, out_dir):
         if bad:
             failures.append((name, bad))
         else:
-            print(f"  OK   {name} ({len(ours)} rows)")
+            print(f"  OK   {name} ({n_ours} rows)")
     print()
     if failures:
         for name, why in failures:
