@@ -55,6 +55,12 @@ object ScaleSweep {
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),
+    // event-time family (added r7 once the NTZ reader fix unblocked it):
+    // replicated events add USERS, not events-per-user, so session
+    // windows / carry-forward state per key is scale-invariant and the
+    // cost should track the single user_id shuffle ~linearly
+    "time" -> Seq("q10_events_per_min", "q47_user_sessions",
+      "q51_asof_join", "q52_range_join", "q133_rolling_wau"),
     "decode" -> Seq("q138_pixel_stats"))
 
   def main(args: Array[String]): Unit = {
