@@ -1837,6 +1837,117 @@ object PipelineCatalog {
              CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
       FROM r ORDER BY doc_id"""))
 
+  /** Leakage-free train/test split — the decontaminated-holdout step
+    * dataset papers pair with near-dup analysis: a per-DOC split is
+    * unsound because a test doc with a train near-duplicate leaks the
+    * answer, so assignment must be atomic per near-dup CLUSTER. Docs
+    * get their q62 component label (singletons self-labeled), and the
+    * 80/20 split key is the arithmetic polyhash of the CLUSTER id
+    * (q122's RNG-free determinism contract) — split is a pure function
+    * of cluster_id, so no cluster can straddle splits by construction,
+    * and re-runs over a grown corpus keep old clusters' assignments
+    * stable wherever their min-label representative survives.
+    * `cluster_size` rides along so the consumer can audit how much
+    * correlated mass each split inherits. Scale: the component pass is
+    * the cost (shared verified-pair cache with q35/q62/q130); the split
+    * itself adds one partitioned count window and a map-side hash —
+    * no new shuffle beyond the cluster_id partition.
+    */
+  val q139LeakageFreeSplit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val comps = graft.operators.Components
+        .connectedComponents(ngramNearDupPairs(s, dir).select(col("d1"), col("d2")))
+        .select(col("node").as("doc_id"), col("lbl").as("rep"))
+      val c = Tables.documents(s, dir).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("rep"), col("doc_id")))
+      val key = graft.functions.VectorExpressions.polyHash(
+        concat(col("cluster_id").cast("string"), lit(":holdout")))
+      c.withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("long"))
+        .withColumn("split",
+          when(pmod(key, lit(10)) < 8, lit("train")).otherwise(lit("test")))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE sh AS ($shinglesSql),
+      pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs),
+      reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+      comp AS (SELECT node AS doc_id, min(lbl) AS rep FROM reach GROUP BY node),
+      c AS (SELECT d.doc_id, coalesce(comp.rep, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+      sized AS (SELECT doc_id, cluster_id,
+                       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                         AS cluster_size
+                FROM c)
+      SELECT doc_id, cluster_id, cluster_size,
+             CASE WHEN ${polyhashSql("CAST(cluster_id AS VARCHAR) || ':holdout'")} % 10 < 8
+                  THEN 'train' ELSE 'test' END AS split
+      FROM sized ORDER BY doc_id"""))
+
+  /** Source-overlap audit — pairwise shingle overlap between SOURCES,
+    * the corpus-level redundancy matrix behind mixture weighting
+    * decisions (two feeds sharing most of their n-grams should not
+    * both get full weight — the aggregate view of what q67/q86 check
+    * per document). Emits, for every source pair, the distinct-shingle
+    * intersection and both set sizes as exact integers (Jaccard /
+    * containment are one division away — never rounded here, per the
+    * q49/q60 rationals invariant); zero-overlap pairs are kept so the
+    * report is the complete |sources|²/2 matrix. Scale: rides the
+    * shared shingle cache; the (source, shingle) dedup is one shuffle,
+    * the self-join fans out per shingle bounded by |sources| per key
+    * (never per document) and the output is |sources|-bounded. At
+    * 100 TB with thousands of feeds, MinHash per source replaces the
+    * exact intersection — same report shape, q36's estimator.
+    */
+  val q140SourceOverlap: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val srcSh = shingleRows(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .select(col("source"), col("shingle")).distinct()
+      val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = srcSh.as("a").join(srcSh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("s1"), col("b.source").as("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+      sizes.select(col("source").as("s1"), col("n").as("n1"))
+        .crossJoin(sizes.select(col("source").as("s2"), col("n").as("n2")))
+        .filter(col("s1") < col("s2"))
+        .join(inter, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          coalesce(col("inter"), lit(0L)).as("inter"), col("n1"), col("n2"))
+        .orderBy(col("s1"), col("s2"))
+    },
+    oracle = Some(s"""
+      WITH sh AS ($shinglesSql),
+      e AS (SELECT DISTINCT d.source, u.s AS shingle
+            FROM sh JOIN documents d ON sh.doc_id = d.doc_id,
+                 unnest(sh.sh) AS u(s)),
+      sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      i AS (SELECT a.source AS s1, b.source AS s2,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM e a JOIN e b ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT p1.source AS s1, p2.source AS s2,
+             CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+             p1.n AS n1, p2.n AS n2
+      FROM sizes p1 JOIN sizes p2 ON p1.source < p2.source
+      LEFT JOIN i ON i.s1 = p1.source AND i.s2 = p2.source
+      ORDER BY s1, s2"""))
+
   /** Dedup yield report — the cluster-size distribution every dataset
     * paper publishes (how much of the corpus is duplicated, and in
     * what clump sizes): for each near-dup cluster size s, the number
@@ -3034,6 +3145,8 @@ object PipelineCatalog {
     "q132_ingest_merge" -> q132IngestMerge,
     "q134_negative_sampling" -> q134NegativeSampling,
     "q135_dedup_yield" -> q135DedupYield,
+    "q139_leakage_free_split" -> q139LeakageFreeSplit,
+    "q140_source_overlap" -> q140SourceOverlap,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
