@@ -1923,8 +1923,10 @@ object PipelineCatalog {
           col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
         .select(col("a.source").as("s1"), col("b.source").as("s2"))
         .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+      // |sources|-row cross — broadcast the build side so the planner
+      // emits a tiny BNLJ rather than a CartesianProduct exchange
       sizes.select(col("source").as("s1"), col("n").as("n1"))
-        .crossJoin(sizes.select(col("source").as("s2"), col("n").as("n2")))
+        .crossJoin(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))))
         .filter(col("s1") < col("s2"))
         .join(inter, Seq("s1", "s2"), "left")
         .select(col("s1"), col("s2"),
