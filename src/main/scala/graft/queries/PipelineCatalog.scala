@@ -1950,6 +1950,85 @@ object PipelineCatalog {
       LEFT JOIN i ON i.s1 = p1.source AND i.s2 = p2.source
       ORDER BY s1, s2"""))
 
+  /** Semantic source-similarity matrix — q140's lexical overlap report
+    * re-done in embedding space: per-source centroid geometry as EXACT
+    * integer sufficient statistics. Each embedding coordinate is
+    * quantized onto a fixed global grid (floor(x·1000 + 0.5), the q63
+    * floor-only IEEE class — bit-equal cross-engine, no per-vector
+    * scale so sums stay meaningful), per-(source, dim) BIGINT sums are
+    * order-independent (integer addition commutes — a float centroid
+    * fold would be partition-order-dependent and can never hash-match),
+    * and every source pair gets the dot of its sum vectors plus both
+    * squared norms and counts: cosine(centroidA, centroidB) =
+    * dot_ss/(√norm1_ss·√norm2_ss) reconstructs client-side; the
+    * contract ships only integers. Scale: one narrow (source, dim)
+    * shuffle of |sources|·dim rows; the pair join fans out
+    * |sources|²/2 per dim — bounded by sources, never vectors.
+    * Headroom AT TARGET SF (the q109 rule): |q| ≤ ~4·10³, so a
+    * per-source sum over n vectors is ≤ 4·10³·n and the dot term
+    * ≤ dims·(4·10³·n)² — crosses 2^63 near n ≈ 4·10⁷ per source at
+    * dim 32; past that the sums (not the raw vectors) escalate to
+    * DECIMAL(38,0) with canonical-string emission.
+    */
+  val q141SourceSemanticSimilarity: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val qrows = Tables.embeddings(s, dir)
+        .join(src, Seq("vec_id"))
+        .select(col("source"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("source"), col("vec_id"), col("d"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)").as("q"))
+      val sums = qrows.groupBy(col("source"), col("d"))
+        .agg(sum(col("q")).as("sv"))
+      val counts = qrows.select(col("source"), col("vec_id")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val norms = sums.groupBy(col("source"))
+        .agg(sum(col("sv") * col("sv")).as("norm_ss"))
+      val dots = sums.as("a").join(sums.as("b"),
+          col("a.d") === col("b.d") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("s1"), col("b.source").as("s2"),
+          (col("a.sv") * col("b.sv")).as("p"))
+        .groupBy(col("s1"), col("s2")).agg(sum(col("p")).as("dot_ss"))
+      dots
+        .join(broadcast(norms.select(col("source").as("s1"), col("norm_ss").as("norm1_ss"))), Seq("s1"))
+        .join(broadcast(norms.select(col("source").as("s2"), col("norm_ss").as("norm2_ss"))), Seq("s2"))
+        .join(broadcast(counts.select(col("source").as("s1"), col("n").as("n1"))), Seq("s1"))
+        .join(broadcast(counts.select(col("source").as("s2"), col("n").as("n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("dot_ss"),
+          col("norm1_ss"), col("norm2_ss"), col("n1"), col("n2"))
+        .orderBy(col("s1"), col("s2"))
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT d.source, e.vec_id, t.i AS dimn,
+               CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1000.0 + 0.5)
+                 AS BIGINT) AS qv
+        FROM embeddings e
+        JOIN documents d ON e.vec_id = d.doc_id,
+             unnest(range(1, len(e.embedding) + 1)) AS t(i)),
+      sums AS (SELECT source, dimn, CAST(sum(qv) AS BIGINT) AS sv
+               FROM q GROUP BY 1, 2),
+      counts AS (SELECT source, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+                 FROM q GROUP BY 1),
+      norms AS (SELECT source, CAST(sum(sv * sv) AS BIGINT) AS norm_ss
+                FROM sums GROUP BY 1),
+      dots AS (SELECT a.source AS s1, b.source AS s2,
+                      CAST(sum(a.sv * b.sv) AS BIGINT) AS dot_ss
+               FROM sums a JOIN sums b
+                 ON a.dimn = b.dimn AND a.source < b.source
+               GROUP BY 1, 2)
+      SELECT s1, s2, dot_ss,
+             na.norm_ss AS norm1_ss, nb.norm_ss AS norm2_ss,
+             ca.n AS n1, cb.n AS n2
+      FROM dots
+      JOIN norms na ON na.source = s1
+      JOIN norms nb ON nb.source = s2
+      JOIN counts ca ON ca.source = s1
+      JOIN counts cb ON cb.source = s2
+      ORDER BY s1, s2"""))
+
   /** Dedup yield report — the cluster-size distribution every dataset
     * paper publishes (how much of the corpus is duplicated, and in
     * what clump sizes): for each near-dup cluster size s, the number
@@ -3149,6 +3228,7 @@ object PipelineCatalog {
     "q135_dedup_yield" -> q135DedupYield,
     "q139_leakage_free_split" -> q139LeakageFreeSplit,
     "q140_source_overlap" -> q140SourceOverlap,
+    "q141_source_semantic_similarity" -> q141SourceSemanticSimilarity,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
