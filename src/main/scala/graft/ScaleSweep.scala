@@ -61,6 +61,11 @@ object ScaleSweep {
     // cost should track the single user_id shuffle ~linearly
     "time" -> Seq("q10_events_per_min", "q47_user_sessions",
       "q51_asof_join", "q52_range_join", "q133_rolling_wau"),
+    // corpus-level audits (added r7): source count is FIXED at 20 while
+    // docs/vecs grow, so the |sources|-bounded fan-out claims are what
+    // this family actually measures
+    "corpus" -> Seq("q139_leakage_free_split", "q140_source_overlap",
+      "q141_source_semantic_similarity"),
     "decode" -> Seq("q138_pixel_stats"))
 
   def main(args: Array[String]): Unit = {
