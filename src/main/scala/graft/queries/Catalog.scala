@@ -2824,6 +2824,216 @@ object Catalog {
       FROM c FULL OUTER JOIN s ON ck = sk
       ORDER BY nationkey"""))
 
+  /** Order-count distribution including ZERO-order customers (TPC-H
+    * Q13 shape — the left-join-then-double-aggregate that a plain
+    * `orders GROUP BY custkey` can never produce, because customers
+    * with no matching orders vanish from an inner formulation). The
+    * order side is date-restricted (>= 1999) so the zero bucket is
+    * non-vacuous on the fixtures. Scale: the join shuffles both sides
+    * on custkey once; the per-customer counts are |customers| rows and
+    * the final distribution is at most max-orders-per-customer rows —
+    * both aggregations are map-side combinable.
+    */
+  val q142CustomerOrderDistribution: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val per = Tables.customer(s, dir).select(col("c_custkey"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("n_orders"))
+      per.groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("n_orders").desc)
+    },
+    oracle = Some("""
+      WITH o AS (SELECT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+      per AS (SELECT c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+              FROM customer c LEFT JOIN o ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+      SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+      FROM per GROUP BY n_orders
+      ORDER BY n_customers DESC, n_orders DESC"""))
+
+  /** Small-quantity order revenue per brand (TPC-H Q17 shape — the
+    * correlated "below half this part's average quantity" subquery,
+    * decorrelated into an aggregate-then-join-back). The half-average
+    * test is cross-multiplied into pure BIGINT (2·qty·n < Σqty, the
+    * q82 no-float-division class; quantities are integral in the
+    * fixture and in TPC-H) so no engine ever divides. Scale: the
+    * per-part average is one map-side-combinable agg on partkey, the
+    * join-back reuses the same partkey shuffle, and the part dim
+    * (brand lookup) is BROADCAST; 2·50·n overflows only past n≈9·10^16
+    * lineitems per part.
+    */
+  val q143SmallQuantityRevenue: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_partkey"),
+        col("l_quantity").cast("bigint").as("qty"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      val pa = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+      li.join(pa, Seq("l_partkey"))
+        .filter(lit(2) * col("qty") * col("n_li") < col("sum_qty"))
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("p_brand"))
+    },
+    oracle = Some("""
+      WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                  FROM lineitem),
+      pa AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+                    CAST(count(*) AS BIGINT) AS n_li
+             FROM li GROUP BY l_partkey)
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM li JOIN pa USING (l_partkey)
+              JOIN part ON l_partkey = p_partkey
+      WHERE 2 * qty * n_li < sum_qty
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** Top supplier(s) by quarterly shipped revenue (TPC-H Q15 shape —
+    * the revenue view + "equal to the maximum" scalar, kept tie-safe
+    * by construction). Revenue is the discounted price floored onto a
+    * 10^-4 grid as BIGINT (price has 2 decimals, discount 2, so the
+    * product is exact on that grid; identical round on both engines —
+    * the q115 cents idiom one scale finer), and the max-equality
+    * compare is integer, so ties are exact, not float-luck. Scale: one
+    * suppkey agg over the date-pruned scan, then a window max over the
+    * |suppliers|-row rollup — the unpartitioned window is dim-sized,
+    * never fact-sized; supplier names BROADCAST.
+    */
+  val q144TopQuarterSupplier: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)"))
+          .as("revenue_e4"))
+      rev
+        .withColumn("max_rev", max(col("revenue_e4")).over(
+          Window.partitionBy(lit(1))))
+        .filter(col("revenue_e4") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue_e4"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some("""
+      WITH rev AS (SELECT l_suppkey,
+                          CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                            * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+                   FROM lineitem
+                   WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+                     AND l_shipdate <  TIMESTAMP '1999-04-01'
+                   GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, revenue_e4
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE revenue_e4 = (SELECT max(revenue_e4) FROM rev)
+      ORDER BY s_suppkey"""))
+
+  /** Sole-blame suppliers (TPC-H Q21 shape — the double-correlated
+    * EXISTS / NOT-EXISTS: another supplier participated in the order,
+    * but no other supplier triggered the condition). Here: suppliers
+    * who were the ONLY supplier with a returned ('R') line inside a
+    * multi-supplier order. Both existence tests collapse into one
+    * per-order aggregate (participant count + distinct R-suppliers)
+    * instead of two correlated anti-join passes of the fact table.
+    * Scale: lineitem pre-aggregates to distinct (order, supplier,
+    * any_R) — one orderkey shuffle — the order-level rollup rides the
+    * same exchange, and the blame filter runs on order-sized rows;
+    * supplier names BROADCAST, final top-20 is TakeOrdered.
+    */
+  val q145SoleReturnSuppliers: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val os = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      val ord = os.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_sups"), sum(col("has_r")).as("n_sups_r"))
+      os.join(ord, Seq("l_orderkey"))
+        .filter(col("has_r") === 1 && col("n_sups") > 1 && col("n_sups_r") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("blamed_orders"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("blamed_orders"))
+        .orderBy(col("blamed_orders").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH os AS (SELECT l_orderkey, l_suppkey,
+                         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                           AS has_r
+                  FROM lineitem GROUP BY l_orderkey, l_suppkey),
+      ord AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_sups,
+                     CAST(sum(has_r) AS BIGINT) AS n_sups_r
+              FROM os GROUP BY l_orderkey)
+      SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS blamed_orders
+      FROM os JOIN ord USING (l_orderkey)
+              JOIN supplier ON l_suppkey = s_suppkey
+      WHERE has_r = 1 AND n_sups > 1 AND n_sups_r = 1
+      GROUP BY s_suppkey, s_name
+      ORDER BY blamed_orders DESC, s_suppkey
+      LIMIT 20"""))
+
+  /** Churned high-balance customers per nation (TPC-H Q22 shape —
+    * the global-average scalar subquery + NOT EXISTS anti-join). A
+    * customer qualifies when their balance strictly exceeds the mean
+    * positive balance (cross-multiplied: cents·n_pos > Σpos_cents —
+    * no float average crosses the engine boundary) and they placed no
+    * order on/after 2000-01-01. Scale: the scalar is a one-row
+    * broadcast (the q30/q33 bounded join-back pattern), the anti-join
+    * shuffles on custkey against the date-pruned DISTINCT custkey set,
+    * and the output is nation-sized. cents·n_pos crosses 2^63 near
+    * 9·10^12 positive-balance customers — beyond any real tenancy.
+    */
+  val q146ChurnedRichCustomers: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val scalar = cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+      val active = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      cust.join(broadcast(scalar))
+        .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("bigint").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("bal_cents")).as("total_bal_cents"))
+        .orderBy(col("nationkey"))
+    },
+    oracle = Some("""
+      WITH cust AS (SELECT c_custkey, c_nationkey,
+                           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+                    FROM customer),
+      scalar AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos,
+                        CAST(count(*) AS BIGINT) AS n_pos
+                 FROM cust WHERE bal_cents > 0),
+      active AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+      FROM cust, scalar
+      WHERE bal_cents * n_pos > sum_pos
+        AND NOT EXISTS (SELECT 1 FROM active WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey ORDER BY nationkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2911,6 +3121,11 @@ object Catalog {
     "q116_supplier_division" -> q116SupplierDivision,
     "q117_frequent_triples" -> q117FrequentTriples,
     "q118_nation_reconciliation" -> q118NationReconciliation,
+    "q142_order_count_distribution" -> q142CustomerOrderDistribution,
+    "q143_small_qty_revenue" -> q143SmallQuantityRevenue,
+    "q144_top_quarter_supplier" -> q144TopQuarterSupplier,
+    "q145_sole_return_suppliers" -> q145SoleReturnSuppliers,
+    "q146_churned_rich_customers" -> q146ChurnedRichCustomers,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

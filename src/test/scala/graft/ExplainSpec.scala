@@ -128,5 +128,7 @@ object ExplainSpec {
     "q77_mixture_allocation" ->
       "window input = groupBy(source) rollup; documents.source is a small categorical domain",
     "q88_chisq_contingency" ->
-      "window input = groupBy(lang, source) contingency cells; both categorical domains")
+      "window input = groupBy(lang, source) contingency cells; both categorical domains",
+    "q144_top_quarter_supplier" ->
+      "window input = groupBy(l_suppkey) revenue rollup; bounded by |suppliers|")
 }
