@@ -3174,6 +3174,219 @@ object PipelineCatalog {
       ORDER BY d.doc_id"""),
     headline = true)
 
+  /** Cross-corpus LINE-level exact dedup (the C4 / RefinedWeb rule:
+    * a line repeated verbatim anywhere in the corpus survives only at
+    * its FIRST occurrence — boilerplate, cookie banners, nav chrome
+    * all die this way; reference-class curation runs it before doc
+    * near-dup). Documents are assembled into multi-line form with the
+    * q124 injection recipe, whose boilerplate lines repeat across
+    * many docs, so the rule is non-vacuous on fixtures. "First" is
+    * the total (doc_id, position) order packed into one BIGINT key;
+    * the global first-occurrence key per line is a window MIN
+    * partitioned by the line — one shuffle on the line, no join-back
+    * pass (q74's window-over-join-back trick one level up). Scale:
+    * shuffle rows carry the line text; at 100 TB key the window on a
+    * 128-bit content hash so exchange rows stay small — semantics
+    * identical absent collisions. Per-doc audit output: lines kept /
+    * dropped and surviving characters.
+    */
+  val q147LineDedup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val head = concat(substring(col("text"), 1, 40), lit("."))
+      val js = when(col("doc_id") % 3 === 0,
+        lit("please enable javascript to view this page."))
+      val short = when(col("doc_id") % 4 === 0, lit("click here"))
+      val tail = substring(col("text"), 41, 1000000)
+      val legal = when(col("doc_id") % 5 === 0,
+        lit("all rights reserved worldwide every single year."))
+      val assembled = concat_ws("\n", head, js, short, tail, legal)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(assembled, "\n")).as(Seq("pos", "line")))
+        .withColumn("k", col("doc_id") * 100000L + col("pos"))
+        .withColumn("first_k",
+          min(col("k")).over(Window.partitionBy(col("line"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("k") === col("first_k"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("k") === col("first_k"), length(col("line")))
+            .otherwise(0L)).cast("bigint").as("kept_chars"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                 substring(text, 1, 40) || '.',
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'please enable javascript to view this page.' END,
+                 CASE WHEN doc_id % 4 = 0 THEN 'click here' END,
+                 substring(text, 41, 1000000),
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'all rights reserved worldwide every single year.' END
+               ) AS doc
+        FROM documents),
+      ls AS (SELECT doc_id, string_split(doc, chr(10)) AS ls FROM d),
+      l AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(ls)+1),
+                     i -> struct_pack(pos := i-1, line := ls[i]))) AS u
+            FROM ls),
+      l2 AS (SELECT doc_id, doc_id*100000 + u.pos AS k, u.line AS line FROM l),
+      f AS (SELECT line, min(k) AS first_k FROM l2 GROUP BY line)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN k = first_k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN k = first_k THEN length(line) ELSE 0 END)
+               AS BIGINT) AS kept_chars
+      FROM l2 JOIN f USING (line)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Bigram language-model FAMILIARITY statistics — the integer
+    * sufficient statistics behind a KenLM/CCNet-style perplexity
+    * filter (docs whose n-grams are rare under the corpus model are
+    * flagged as noise; docs of all-common n-grams as boilerplate).
+    * The transcendental log-probability itself stays client-side (the
+    * q59 entropy contract); what crosses the engine boundary is per
+    * doc: occurrence count, Σ corpus-frequency over its bigram
+    * occurrences, the rarest bigram's corpus count, and how many
+    * occurrences are corpus-hapax. Token arrays materialize behind
+    * the shingleRows Exchange barrier (the CollapseProject invariant)
+    * and corpus counts attach as a window COUNT partitioned by the
+    * bigram — one bigram shuffle, no count-table join-back, each
+    * bigram row evaluated once. Scale: the window state per bigram is
+    * one counter (map-side partials); Σc per doc is bounded by
+    * tokens-per-doc × hottest-bigram count ≈ 10³·10¹⁰ at 100 TB —
+    * well inside BIGINT; hash the bigram at scale to shrink exchange
+    * rows (q147's note).
+    */
+  val q148LmFamiliarity: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 2 THEN
+               transform(sequence(0, size(w)-2),
+                 i -> concat_ws(' ', w[i], w[i+1]))
+             ELSE array() END""")).as("bigram"))
+      bg.withColumn("c",
+          count(lit(1)).over(Window.partitionBy(col("bigram"))))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(col("c")).as("sum_cnt"),
+          min(col("c")).as("min_cnt"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS bigram
+             FROM w WHERE len(w) >= 2),
+      c AS (SELECT doc_id,
+                   CAST(count(*) OVER (PARTITION BY bigram) AS BIGINT) AS c
+            FROM bg)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(c) AS BIGINT) AS sum_cnt,
+             CAST(min(c) AS BIGINT) AS min_cnt,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** MinHash ESTIMATE-vs-EXACT audit over the q36 LSH candidates —
+    * the monitoring query behind every banded-LSH deployment: the
+    * 16-permutation signature agreement (match16/16 estimates the
+    * Jaccard) laid against the exact intersection/union computed from
+    * the inverted index, with the absolute estimation error as an
+    * exact rational (err_num/err_den, the q49/q60 never-round
+    * contract). Reading this at the corpus level tells you whether
+    * b×r needs retuning BEFORE recall silently decays — the 100 TB
+    * failure mode of every LSH dedup. Scale: rides the session-shared
+    * signature + shingle caches; the exact-verify join touches
+    * CANDIDATE pairs only (LSH-bounded, not n²); zero-overlap
+    * candidates are kept via the left join (they are exactly the
+    * false-positive evidence the audit exists to surface).
+    */
+  val q149MinhashEstimateAudit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val sig = minhashSigs(s, dir)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 to 3).map(b =>
+          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
+            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
+          .as(Seq("band_idx", "band_sig")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val inv = shingleRows(s, dir)
+      val inter = cand
+        .join(inv.as("ia"), col("d1") === col("ia.doc_id"))
+        .join(inv.as("ib"),
+          col("d2") === col("ib.doc_id") &&
+            col("ia.shingle") === col("ib.shingle"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = shingleSizes(s, dir)
+      val match16 = (0 to 15)
+        .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand
+        .join(inter, Seq("d1", "d2"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+        .join(sig.as("sa"), col("d1") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("d2") === col("sb.doc_id"))
+        .select(col("d1"), col("d2"), match16.as("match16"), col("inter"),
+          (col("n1") + col("n2") - col("inter")).as("n_union"))
+        .withColumn("err_num",
+          abs(col("match16") * col("n_union") - lit(16L) * col("inter")))
+        .withColumn("err_den", lit(16L) * col("n_union"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH sh0 AS ($shinglesSql),
+      sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 16), i -> list_min(
+                 list_transform(list_transform(sh, s -> ${polyhashSql("s")}),
+                                t -> ((2*i+1)*t + 12345*i) % $P))) AS mh
+        FROM sh),
+      buckets AS (
+        SELECT doc_id, b AS band_idx,
+               concat_ws('-', mh[4*b+1], mh[4*b+2], mh[4*b+3], mh[4*b+4]) AS band_sig
+        FROM sig, unnest(range(0, 4)) AS t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM buckets a JOIN buckets b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id)
+      SELECT d1, d2,
+             CAST(list_sum(list_transform(range(0, 16),
+               i -> CASE WHEN sa.mh[i+1] = sb.mh[i+1] THEN 1 ELSE 0 END))
+               AS BIGINT) AS match16,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+             CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+               AS BIGINT) AS n_union,
+             CAST(abs(list_sum(list_transform(range(0, 16),
+                   i -> CASE WHEN sa.mh[i+1] = sb.mh[i+1] THEN 1 ELSE 0 END))
+                 * (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+                 - 16 * len(list_intersect(sa.sh, sb.sh))) AS BIGINT) AS err_num,
+             CAST(16 * (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS BIGINT) AS err_den
+      FROM cand
+      JOIN sig sa ON d1 = sa.doc_id
+      JOIN sig sb ON d2 = sb.doc_id
+      ORDER BY d1, d2"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -3229,6 +3442,9 @@ object PipelineCatalog {
     "q139_leakage_free_split" -> q139LeakageFreeSplit,
     "q140_source_overlap" -> q140SourceOverlap,
     "q141_source_semantic_similarity" -> q141SourceSemanticSimilarity,
+    "q147_line_dedup" -> q147LineDedup,
+    "q148_lm_familiarity" -> q148LmFamiliarity,
+    "q149_minhash_estimate_audit" -> q149MinhashEstimateAudit,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
