@@ -3034,6 +3034,77 @@ object Catalog {
         AND NOT EXISTS (SELECT 1 FROM active WHERE o_custkey = c_custkey)
       GROUP BY c_nationkey ORDER BY nationkey"""))
 
+  /** Calendar gap-fill + last-observation-carried-forward — the
+    * time-series densification every monitoring/feature pipeline
+    * needs (a day with no orders is a ZERO-information row a plain
+    * groupBy never emits; carrying the last value forward plus a
+    * staleness age is the standard serving shape). The series is
+    * deliberately sparsified (orderkey ≡ 0 mod 7) so fixtures have
+    * real gaps. Per-status calendars expand via `sequence` between
+    * that status's own first/last day (LOCF is undefined before the
+    * first observation, so no leading nulls exist by construction);
+    * the carry and the staleness age are one `last(_, ignoreNulls)`
+    * running frame each, sharing the (status, day) sort. Integer day
+    * index (epoch anchored at the fixture's 1992 floor, the q109
+    * rule) and integer cents only. Scale: the calendar explode emits
+    * |statuses|·span rows — days, not facts; both windows partition
+    * by status; at 100 TB key cardinality (status) is the parallelism
+    * floor, so a per-entity variant would partition by (entity) —
+    * same plan, a million-way parallel window instead of 3.
+    */
+  val q150GapFillLocf: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val obs = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 === 0)
+        .groupBy(col("o_orderstatus"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("bigint").as("day_idx"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("obs_cents"))
+      val cal = obs.groupBy(col("o_orderstatus"))
+        .agg(min(col("day_idx")).as("d0"), max(col("day_idx")).as("d1"))
+        .select(col("o_orderstatus"),
+          explode(expr("sequence(d0, d1)")).as("day_idx"))
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("day_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(obs, Seq("o_orderstatus", "day_idx"), "left")
+        .withColumn("rev_cents", last(col("obs_cents"), ignoreNulls = true).over(w))
+        .withColumn("gap_age", col("day_idx") -
+          last(when(col("obs_cents").isNotNull, col("day_idx")),
+            ignoreNulls = true).over(w))
+        .select(col("o_orderstatus"), col("day_idx"),
+          when(col("obs_cents").isNotNull, 1L).otherwise(0L).as("observed"),
+          col("rev_cents"), col("gap_age"))
+        .orderBy(col("o_orderstatus"), col("day_idx"))
+    },
+    oracle = Some("""
+      WITH obs AS (
+        SELECT o_orderstatus,
+               CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                 AS BIGINT) AS day_idx,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS obs_cents
+        FROM orders WHERE o_orderkey % 7 = 0
+        GROUP BY 1, 2),
+      cal AS (SELECT o_orderstatus, unnest(range(min(day_idx), max(day_idx)+1))
+                       AS day_idx
+              FROM obs GROUP BY o_orderstatus),
+      j AS (SELECT cal.o_orderstatus, cal.day_idx, obs.obs_cents
+            FROM cal LEFT JOIN obs
+              ON cal.o_orderstatus = obs.o_orderstatus
+             AND cal.day_idx = obs.day_idx)
+      SELECT o_orderstatus, CAST(day_idx AS BIGINT) AS day_idx,
+             CAST(CASE WHEN obs_cents IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS observed,
+             CAST(last_value(obs_cents IGNORE NULLS) OVER
+               (PARTITION BY o_orderstatus ORDER BY day_idx
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rev_cents,
+             CAST(day_idx - last_value(CASE WHEN obs_cents IS NOT NULL
+                 THEN day_idx END IGNORE NULLS) OVER
+               (PARTITION BY o_orderstatus ORDER BY day_idx
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gap_age
+      FROM j ORDER BY o_orderstatus, day_idx"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3126,6 +3197,7 @@ object Catalog {
     "q144_top_quarter_supplier" -> q144TopQuarterSupplier,
     "q145_sole_return_suppliers" -> q145SoleReturnSuppliers,
     "q146_churned_rich_customers" -> q146ChurnedRichCustomers,
+    "q150_gap_fill_locf" -> q150GapFillLocf,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
