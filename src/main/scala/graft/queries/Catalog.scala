@@ -3105,6 +3105,146 @@ object Catalog {
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gap_age
       FROM j ORDER BY o_orderstatus, day_idx"""))
 
+  /** Returned-revenue top customers (TPC-H Q10 shape — the classic
+    * three-way fact join + TakeOrdered head: who returned the most
+    * value in a quarter). Revenue on the 10^-4 integer grid (q144
+    * idiom) so the top-20 cut is engine-exact with the custkey
+    * tiebreak. Scale: lineitem pre-filters on returnflag before the
+    * orderkey shuffle against date-pruned orders; the per-customer
+    * rollup shuffles once on custkey; customer + nation attach AFTER
+    * aggregation (dim joins on a |customers|-sized rollup, nation
+    * BROADCAST); the final head is TakeOrderedAndProject, never a
+    * full sort.
+    */
+  val q151ReturnedRevenueCustomers: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val rl = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), expr(
+          "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)")
+          .as("rev_e4"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val per = rl.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_lines"))
+      per
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("revenue_e4"), col("n_lines"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH per AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+                 AS BIGINT)) AS BIGINT) AS revenue_e4,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-04-01'
+        GROUP BY o_custkey)
+      SELECT c_custkey, c_name, n_name, revenue_e4, n_lines
+      FROM per JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY revenue_e4 DESC, c_custkey
+      LIMIT 20"""))
+
+  /** Bi-nation trade volume by year (TPC-H Q7 shape — the supplier
+    * nation x customer nation shipping matrix, here the FULL ordered
+    * pair matrix rather than one hardcoded pair). Two independent dim
+    * chains meet at the fact row: supplier→nation on one side,
+    * order→customer→nation on the other. Scale: all four dims
+    * BROADCAST onto the two fact tables; the only big shuffle is
+    * lineitem↔orders on orderkey; the (supp_nation, cust_nation,
+    * year) rollup is ≤ |nations|²·years rows, map-side combinable.
+    */
+  val q152BiNationTrade: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("bigint").as("ship_year"),
+          expr(
+            "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)")
+            .as("rev_e4"))
+      val sn = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cn = broadcast(Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .join(cn, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+        .agg(sum(col("rev_e4")).as("volume_e4"), count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+    },
+    oracle = Some("""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+               AS BIGINT)) AS BIGINT) AS volume_e4,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        AND sn.n_name <> cn.n_name
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape — the OR of
+    * brand/size/quantity conjunction tiers that exercises an
+    * optimizer's ability to push a disjunction into the scan and
+    * still use the join). Quantities compare as integers. Scale: the
+    * part dim is BROADCAST; each disjunct narrows on both join sides
+    * (quantity tiers on the fact scan, brand/size on the dim), and
+    * Catalyst pushes the common `l_quantity <= 36` bound + the
+    * partkey join below the OR; one-row output.
+    */
+  val q153DisjunctiveRevenue: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+        col("l_quantity").cast("bigint").as("qty"),
+        expr(
+          "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)")
+          .as("rev_e4"))
+      val p = broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("qty").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("qty").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("qty").between(20, 30)))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rev_e4")).as("revenue_e4"))
+    },
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+               AS BIGINT)) AS BIGINT) AS revenue_e4
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3198,6 +3338,9 @@ object Catalog {
     "q145_sole_return_suppliers" -> q145SoleReturnSuppliers,
     "q146_churned_rich_customers" -> q146ChurnedRichCustomers,
     "q150_gap_fill_locf" -> q150GapFillLocf,
+    "q151_returned_revenue_customers" -> q151ReturnedRevenueCustomers,
+    "q152_bi_nation_trade" -> q152BiNationTrade,
+    "q153_disjunctive_revenue" -> q153DisjunctiveRevenue,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
