@@ -66,7 +66,19 @@ object ScaleSweep {
     // this family actually measures
     "corpus" -> Seq("q139_leakage_free_split", "q140_source_overlap",
       "q141_source_semantic_similarity"),
-    "decode" -> Seq("q138_pixel_stats"))
+    "decode" -> Seq("q138_pixel_stats"),
+    // decision-support classics (added r7): replicated facts with
+    // copied-through dims — the broadcast-dim / single-fact-shuffle
+    // claims should track the fact volume ~linearly
+    "classic" -> Seq("q142_order_count_distribution", "q143_small_qty_revenue",
+      "q145_sole_return_suppliers", "q151_returned_revenue_customers",
+      "q152_bi_nation_trade", "q153_disjunctive_revenue"),
+    // line/token-granular curation (added r7): rows grow 10× but the
+    // line-window and bigram-window state per key stays a counter, so
+    // cost should track the explode volume; q149 rides the dedup
+    // family's shingle/signature cache shapes rebuilt fresh here
+    "lines" -> Seq("q147_line_dedup", "q148_lm_familiarity",
+      "q149_minhash_estimate_audit", "q150_gap_fill_locf"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -88,7 +100,13 @@ object ScaleSweep {
 
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    sweepFamilies.foreach { case (family, names) =>
+    // SWEEP_FAMILIES=classic,lines restricts to named families — a new
+    // family can be measured without re-paying the whole suite (the
+    // full sweep stays the round-cadence default). Unset = all.
+    val only = sys.env.get("SWEEP_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    sweepFamilies.filter(f => only.forall(_.contains(f._1)))
+      .foreach { case (family, names) =>
       queries.Catalog.clearCaches(spark)
       System.gc()
       names.foreach { name =>
