@@ -3245,6 +3245,116 @@ object Catalog {
          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
              AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)"""))
 
+  /** Above-share contributors (TPC-H Q11 shape — the GROUP BY ...
+    * HAVING sum > fraction-of-global-scalar pattern): parts whose
+    * lifetime revenue exceeds 4/3 of the MEAN per-part revenue. A
+    * mean-relative threshold is scale-invariant (a fixed corpus
+    * fraction like Q11's literal 1/2000 empties as |parts| grows —
+    * verified vacuous at sf0.1); the test is cross-multiplied
+    * (3·s·n > 4·total — no float division). The global total and
+    * part count re-aggregate the per-part rollup (never a second
+    * fact scan) and attach as a one-row broadcast. Scale: one
+    * partkey shuffle builds the rollup; everything after runs on
+    * |parts| rows. 3·s·n crosses 2^63 near 10^9 parts × 10^9 cents
+    * each — DECIMAL(38,0) escalation documented at that corpus size
+    * (q109 rule).
+    */
+  val q154RevenueShareParts: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pr = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("part_cents"))
+      val total = pr.agg(sum(col("part_cents")).as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      pr.join(broadcast(total))
+        .filter(lit(3L) * col("part_cents") * col("n_parts") >
+          lit(4L) * col("total_cents"))
+        .select(col("l_partkey"), col("part_cents"), col("total_cents"),
+          col("n_parts"))
+        .orderBy(col("part_cents").desc, col("l_partkey"))
+    },
+    oracle = Some("""
+      WITH pr AS (SELECT l_partkey,
+                         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) AS part_cents
+                  FROM lineitem GROUP BY l_partkey),
+      g AS (SELECT CAST(sum(part_cents) AS BIGINT) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS n_parts FROM pr)
+      SELECT l_partkey, part_cents, total_cents, n_parts
+      FROM pr, g
+      WHERE 3 * part_cents * n_parts > 4 * total_cents
+      ORDER BY part_cents DESC, l_partkey"""))
+
+  /** Large-volume orders (TPC-H Q18 shape — the HAVING-gated fact
+    * rollup joined back to its dimensions, then a TakeOrdered head).
+    * Quantity sums as BIGINT (integral in fixture and spec). Scale:
+    * the orderkey rollup is one map-side-combinable shuffle; only the
+    * ≥threshold survivors (a tiny fraction) join orders and customer,
+    * so the dim joins run on the filtered rollup, not the facts; the
+    * head is TakeOrderedAndProject.
+    */
+  val q155LargeVolumeOrders: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("total_qty"),
+          count(lit(1)).as("n_lines"))
+        .filter(col("total_qty") > 250L)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+          col("total_qty"), col("n_lines"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH big AS (SELECT l_orderkey,
+                          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                            AS total_qty,
+                          CAST(count(*) AS BIGINT) AS n_lines
+                   FROM lineitem GROUP BY l_orderkey
+                   HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+      SELECT c_custkey, c_name, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             total_qty, n_lines
+      FROM big JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, o_orderkey
+      LIMIT 20"""))
+
+  /** Priority-class shipping report (TPC-H Q12 shape — the
+    * join-then-conditional-count: per category, how many orders were
+    * urgent/high priority vs everything else; the reference's
+    * CASE-sum dashboard idiom over a fact join). The fixture lacks
+    * l_shipmode, so the category axis is the return flag. Scale: the
+    * only shuffle is lineitem↔orders on orderkey; the conditional
+    * sums ride the |flags|-sized rollup with map-side partials.
+    */
+  val q156PriorityClassCounts: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_returnflag"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3341,6 +3451,9 @@ object Catalog {
     "q151_returned_revenue_customers" -> q151ReturnedRevenueCustomers,
     "q152_bi_nation_trade" -> q152BiNationTrade,
     "q153_disjunctive_revenue" -> q153DisjunctiveRevenue,
+    "q154_revenue_share_parts" -> q154RevenueShareParts,
+    "q155_large_volume_orders" -> q155LargeVolumeOrders,
+    "q156_priority_class_counts" -> q156PriorityClassCounts,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
