@@ -3355,6 +3355,82 @@ object Catalog {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Bucketed order-independent TABLE DIGEST — the anti-entropy /
+    * replica-reconciliation primitive (Cassandra/Dynamo Merkle-style):
+    * each row canonicalizes to one string, hashes through the codegen
+    * [[graft.functions.AsciiPolyHash]], and folds into its key-range
+    * bucket as a SUM mod P — commutative, so the digest is identical
+    * whatever the partition/arrival order, which is the whole point
+    * (two replicas compare 64 digests, then re-scan only mismatched
+    * buckets). The timestamp canonicalizes as the 1992-anchored day
+    * index, never a formatted string (format dialects diverge; integer
+    * arithmetic doesn't — the q109/q122 rule). Scale: map-only scan +
+    * one 64-key map-side-combinable agg; Σ(h) with h < 2^31 crosses
+    * 2^63 near 4·10^9 rows per bucket — at that size raise the bucket
+    * count (the digest is per-bucket, so headroom scales with fan-out)
+    * or escalate DECIMAL(38,0) per the q109 rule.
+    */
+  val q157TableDigest: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val rowStr = concat_ws("|",
+        col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("string"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("string"),
+        col("o_orderpriority"))
+      Tables.orders(s, dir)
+        .select((col("o_orderkey") % 64).as("bucket"),
+          graft.functions.VectorExpressions.polyHash(rowStr).as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), (sum(col("h")) % P).as("digest"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some(s"""
+      WITH r AS (
+        SELECT o_orderkey % 64 AS bucket,
+               ${PipelineCatalog.polyhashSql(
+                 "o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' " +
+                 "|| CAST(round(o_totalprice * 100) AS BIGINT) || '|' " +
+                 "|| datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) " +
+                 "|| '|' || o_orderpriority")} AS h
+        FROM orders)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(h) % 2147483647 AS BIGINT) AS digest
+      FROM r GROUP BY bucket ORDER BY bucket"""))
+
+  /** Deterministic string aggregation (LISTAGG/string_agg — the one
+    * SQL aggregate family the catalog lacked): per order status, the
+    * sorted distinct priorities as one delimited string. collect_set
+    * arrives in arbitrary partition order, so `array_sort` +
+    * `array_join` pins the total order BEFORE the string forms —
+    * the only way a concatenative aggregate can ever hash-match
+    * across engines (DuckDB replays with ORDER BY inside
+    * string_agg). Scale: |statuses| × |priorities| state — a bounded
+    * set per group; an unbounded listagg is the anti-pattern
+    * (collect_list on a hot key), which is what q105's bounded-state
+    * TopKAggregator exists to replace.
+    */
+  val q158StatusPriorityAgg: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus")),
+    oracle = Some("""
+      SELECT o_orderstatus,
+             string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+               AS priorities,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3454,6 +3530,8 @@ object Catalog {
     "q154_revenue_share_parts" -> q154RevenueShareParts,
     "q155_large_volume_orders" -> q155LargeVolumeOrders,
     "q156_priority_class_counts" -> q156PriorityClassCounts,
+    "q157_table_digest" -> q157TableDigest,
+    "q158_status_priority_agg" -> q158StatusPriorityAgg,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

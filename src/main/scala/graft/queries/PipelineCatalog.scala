@@ -117,7 +117,7 @@ object PipelineCatalog {
     * [[graft.functions.AsciiPolyHash]] (both fold left-to-right over
     * the same byte stream).
     */
-  private def polyhashSql(in: String): String =
+  private[queries] def polyhashSql(in: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split_regex($in, ''), c -> CAST(ascii(c) AS BIGINT))),
           (acc, x) -> (acc*31 + x) % $P)"""
