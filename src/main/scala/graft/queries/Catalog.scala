@@ -3431,6 +3431,68 @@ object Catalog {
              CAST(count(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Cheapest observed supplier per part (TPC-H Q2 shape — the
+    * correlated "minimum cost for this part" subquery, decorrelated
+    * into a per-group argmin window). Unit price compares as the
+    * floor-scaled integer (cents·10⁴ div qty) — deterministic on both
+    * engines where a float division could tie-break differently (the
+    * q95/q129 floor-scaled-key rule); rank ties break on suppkey, so
+    * exactly one winner per part survives. Restricted to a part-size
+    * class (Q2's region/size filter analog) to keep the dim filter in
+    * the plan. Scale: one (partkey, suppkey) pre-aggregation shuffles
+    * the facts once; the argmin window runs per part over its observed
+    * suppliers (bounded fan-in); supplier/part dims BROADCAST onto the
+    * |parts|-sized result.
+    */
+  val q159CheapestSupplier: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val obs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          col("l_quantity").cast("bigint").as("qty"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("cents")).as("sum_cents"), sum(col("qty")).as("sum_qty"))
+        .withColumn("unit_e4",
+          expr("CAST(sum_cents * 10000 AS BIGINT) div sum_qty"))
+      val best = obs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("l_partkey"))
+            .orderBy(col("unit_e4"), col("l_suppkey"))))
+        .filter(col("rk") === 1)
+      best
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_name"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("s_suppkey"), col("s_name"), col("unit_e4"),
+          col("sum_cents"), col("sum_qty"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      WITH obs AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+      u AS (SELECT *, CAST(sum_cents * 10000 // sum_qty AS BIGINT) AS unit_e4
+            FROM obs),
+      best AS (
+        SELECT *, row_number() OVER (PARTITION BY l_partkey
+                    ORDER BY unit_e4, l_suppkey) AS rk
+        FROM u)
+      SELECT p_partkey, p_name, p_size, s_suppkey, s_name,
+             unit_e4, sum_cents, sum_qty
+      FROM best
+      JOIN part ON l_partkey = p_partkey AND p_size <= 10
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rk = 1
+      ORDER BY p_partkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3532,6 +3594,7 @@ object Catalog {
     "q156_priority_class_counts" -> q156PriorityClassCounts,
     "q157_table_digest" -> q157TableDigest,
     "q158_status_priority_agg" -> q158StatusPriorityAgg,
+    "q159_cheapest_supplier" -> q159CheapestSupplier,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
