@@ -72,7 +72,9 @@ object ScaleSweep {
     // claims should track the fact volume ~linearly
     "classic" -> Seq("q142_order_count_distribution", "q143_small_qty_revenue",
       "q145_sole_return_suppliers", "q151_returned_revenue_customers",
-      "q152_bi_nation_trade", "q153_disjunctive_revenue"),
+      "q152_bi_nation_trade", "q153_disjunctive_revenue",
+      "q154_revenue_share_parts", "q155_large_volume_orders",
+      "q157_table_digest", "q159_cheapest_supplier"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup
