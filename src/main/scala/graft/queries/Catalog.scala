@@ -3493,6 +3493,132 @@ object Catalog {
       WHERE rk = 1
       ORDER BY p_partkey"""))
 
+  /** k-ANONYMITY audit over quasi-identifiers — the privacy gate a
+    * training-data release runs before shipping user-adjacent rows
+    * (Sweeney's k-anonymity: every quasi-identifier combination must
+    * cover ≥ k individuals or be suppressed/generalized). The
+    * quasi-identifier is (nation, market segment, 1000-unit balance
+    * band — integer division on cents SHIFTED into the non-negative
+    * domain first, because Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors: they disagree exactly on the negative
+    * balances the fixture contains, and agree everywhere ≥ 0); per
+    * equivalence class: its
+    * size, the k=5 violation flag, and the l-DIVERSITY count over a
+    * deterministic stand-in sensitive label (custkey mod 3 — the
+    * fixtures carry no real sensitive column; a k-anonymous class
+    * with l=1 still leaks, which is exactly what this column shows on
+    * the small classes). Non-vacuous at both gate SFs (891/901
+    * violating classes at sf0.01, 29/1375 at sf0.1 — fixed-k audits
+    * naturally pass as data grows). Scale: one groupBy on the QI
+    * tuple, map-side combinable; the class table is domain-sized,
+    * never row-sized; generalization loops (coarsen, re-audit) re-run
+    * the same plan on the rollup.
+    */
+  val q160KAnonymityAudit: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey").cast("bigint").as("nationkey"),
+          col("c_mktsegment").as("segment"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) div 100000")
+            .as("bal_band"),
+          (col("c_custkey") % 3).as("sensitive"))
+        .groupBy(col("nationkey"), col("segment"), col("bal_band"))
+        .agg(
+          count(lit(1)).as("class_size"),
+          countDistinct(col("sensitive")).as("l_diversity"),
+          when(count(lit(1)) < 5L, 1L).otherwise(0L).as("violates_k5"))
+        .orderBy(col("nationkey"), col("segment"), col("bal_band")),
+    oracle = Some("""
+      WITH q AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                        c_mktsegment AS segment,
+                        (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000)
+                          // 100000 AS bal_band,
+                        c_custkey % 3 AS sensitive
+                 FROM customer)
+      SELECT nationkey, segment, bal_band,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT sensitive) AS BIGINT) AS l_diversity,
+             CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+               AS violates_k5
+      FROM q
+      GROUP BY nationkey, segment, bal_band
+      ORDER BY nationkey, segment, bal_band"""))
+
+  /** Join-cardinality ESTIMATION audit — the cost-based-optimizer
+    * feedback loop made a query: for each core join edge, the textbook
+    * containment estimate |A⋈B| ≈ n_a·n_b / max(ndv_a, ndv_b) laid
+    * against the ACTUAL join count, error as an exact rational
+    * (est_num/est_den vs actual — never a float division crossing the
+    * engine boundary). Reading this per edge tells you which estimates
+    * the q128 NDV statistics get wrong BEFORE a plan regresses — the
+    * production use of ANALYZE output. Scale: per edge, two
+    * one-row side aggregates (count + exact NDV) and one join count;
+    * the actual count is the expensive part and is exactly the work a
+    * CBO validation sweep pays; output is |edges| rows. BIGINT
+    * headroom AT TARGET SF (q109 rule): est_num = n_a·n_b crosses
+    * 2^63 once both sides exceed ~3·10⁹ rows — a 100 TB lineitem ×
+    * orders edge (≈6·10¹¹ × 1.5·10¹¹ ≈ 9·10²²) needs DECIMAL(38,0)
+    * on both engines, which holds it with 15 digits to spare.
+    */
+  val q161JoinCardinalityAudit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def edge(name: String, a: DataFrame, ka: String, b: DataFrame,
+          kb: String): DataFrame = {
+        val sa = a.agg(count(lit(1)).as("n_a"),
+          countDistinct(col(ka)).as("ndv_a"))
+        val sb = b.agg(count(lit(1)).as("n_b"),
+          countDistinct(col(kb)).as("ndv_b"))
+        val actual = a.join(b, a(ka) === b(kb))
+          .agg(count(lit(1)).as("actual"))
+        sa.join(sb).join(actual)
+          .select(lit(name).as("edge"), col("n_a"), col("ndv_a"),
+            col("n_b"), col("ndv_b"),
+            (col("n_a") * col("n_b")).as("est_num"),
+            greatest(col("ndv_a"), col("ndv_b")).as("est_den"),
+            col("actual"))
+      }
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val p = Tables.part(s, dir)
+      edge("lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("lineitem_part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(edge("orders_customer", o, "o_custkey", c, "c_custkey"))
+        .orderBy(col("edge"))
+    },
+    oracle = Some("""
+      WITH e1 AS (
+        SELECT 'lineitem_orders' AS edge,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_a,
+               (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS ndv_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_b,
+               (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS ndv_b,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS actual),
+      e2 AS (
+        SELECT 'lineitem_part' AS edge,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_a,
+               (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS ndv_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM part) AS n_b,
+               (SELECT CAST(count(DISTINCT p_partkey) AS BIGINT) FROM part) AS ndv_b,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM lineitem JOIN part ON l_partkey = p_partkey) AS actual),
+      e3 AS (
+        SELECT 'orders_customer' AS edge,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_a,
+               (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS ndv_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_b,
+               (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS ndv_b,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM orders JOIN customer ON o_custkey = c_custkey) AS actual)
+      SELECT edge, n_a, ndv_a, n_b, ndv_b,
+             CAST(n_a * n_b AS BIGINT) AS est_num,
+             CAST(greatest(ndv_a, ndv_b) AS BIGINT) AS est_den,
+             actual
+      FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+            UNION ALL SELECT * FROM e3)
+      ORDER BY edge"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3595,6 +3721,8 @@ object Catalog {
     "q157_table_digest" -> q157TableDigest,
     "q158_status_priority_agg" -> q158StatusPriorityAgg,
     "q159_cheapest_supplier" -> q159CheapestSupplier,
+    "q160_k_anonymity_audit" -> q160KAnonymityAudit,
+    "q161_join_cardinality_audit" -> q161JoinCardinalityAudit,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
