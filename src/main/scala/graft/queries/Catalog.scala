@@ -3619,6 +3619,136 @@ object Catalog {
             UNION ALL SELECT * FROM e3)
       ORDER BY edge"""))
 
+  /** 2-D SKYLINE (Pareto frontier — the preference-query operator):
+    * customers not dominated on (balance, order count), where a
+    * dominates b iff both coordinates are ≥ and at least one is
+    * strictly >. The engine side is the single-sort formulation: an
+    * integer RANGE frame supplies max(n) over STRICTLY higher
+    * balances (rangeBetween(1, ∞) on cents — value-based, so
+    * balance ties are correctly excluded), a per-balance partition
+    * max handles the equal-balance axis, and a row survives iff no
+    * higher-balance row reaches its count and it tops its own
+    * balance class (equal (bal, n) duplicates both survive — neither
+    * dominates). The DuckDB oracle deliberately runs the NAIVE
+    * double-NOT-EXISTS definition, so the compare crosses two
+    * different algorithms (the q94 rule). Scale: the frontier input
+    * is the |customers|-sized rollup, one custkey shuffle from the
+    * facts; the unpartitioned range frame over it is the q144
+    * dim-sized-window class (allowlisted) — for a fact-sized skyline
+    * swap in the grid-partition prune (per-cell local skylines, then
+    * a cell-frontier merge; same two-window shape per cell).
+    */
+  val q162ParetoFrontier: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val per = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val pts = Tables.customer(s, dir)
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      val higher = Window.orderBy(col("bal_cents"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val equal = Window.partitionBy(col("bal_cents"))
+      pts
+        .withColumn("maxn_higher", max(col("n_orders")).over(higher))
+        .withColumn("maxn_equal", max(col("n_orders")).over(equal))
+        .filter((col("maxn_higher").isNull ||
+            col("maxn_higher") < col("n_orders")) &&
+          col("n_orders") === col("maxn_equal"))
+        .select(col("c_custkey"), col("bal_cents"), col("n_orders"))
+        .orderBy(col("bal_cents").desc, col("c_custkey"))
+    },
+    oracle = Some("""
+      WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY o_custkey),
+      pts AS (SELECT c_custkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                     coalesce(n_orders, 0) AS n_orders
+              FROM customer LEFT JOIN per ON c_custkey = o_custkey)
+      SELECT c_custkey, bal_cents, n_orders
+      FROM pts a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.bal_cents >= a.bal_cents AND b.n_orders >= a.n_orders
+          AND (b.bal_cents > a.bal_cents OR b.n_orders > a.n_orders))
+      ORDER BY bal_cents DESC, c_custkey"""))
+
+  /** THEIL–SEN robust trend (the median-of-pairwise-slopes estimator —
+    * insensitive to the outlier days that wreck q109's OLS): per
+    * status, the nearest-rank median of (Δcount/Δday) over all
+    * sparsified-day pairs. Medians of RATIONALS need a total order
+    * both engines compute identically: the sort key is the FLOOR
+    * division (Δy·10⁹) floordiv Δx — floor, not truncation, because
+    * Δy goes negative and Spark's `div` truncates toward zero while
+    * DuckDB's `//` floors; Spark reproduces floor exactly as
+    * (a − pmod(a, b)) / b for b > 0 — refined by (Δy, Δx) so the
+    * selected element is unique, and the emitted slope is that
+    * element's RAW (Δy, Δx) rational (the q49/q60 never-round rule;
+    * the scaled key decides order within 10⁻⁹, documented as the
+    * estimator's deterministic tie rule). Scale: runs on the per-day
+    * rollup, never the facts; the pair self-join is |days|²-bounded
+    * per status (the q98 lag-probe family), and the rank window
+    * shuffles once on status — salt on day blocks if |days|² ever
+    * dominates. Δy·10⁹ crosses 2^63 at |Δcount| ≈ 9·10⁹ per day —
+    * beyond any daily rollup.
+    */
+  val q163TheilSenTrend: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val obs = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 === 0)
+        .groupBy(col("o_orderstatus"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("bigint").as("day_idx"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = obs.as("a").join(obs.as("b"),
+          col("a.o_orderstatus") === col("b.o_orderstatus") &&
+            col("a.day_idx") < col("b.day_idx"))
+        .select(col("a.o_orderstatus").as("o_orderstatus"),
+          (col("b.n") - col("a.n")).as("dy"),
+          (col("b.day_idx") - col("a.day_idx")).as("dx"))
+        // (a − pmod(a,b)) is exactly divisible by b, so `div`'s
+        // truncation IS floor here whatever the sign — and stays
+        // integer (a float division would lose exactness past 2^53)
+        .withColumn("key",
+          expr("(dy * 1000000000L - pmod(dy * 1000000000L, dx)) div dx"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+      pairs
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("key"), col("dy"), col("dx"))))
+        .withColumn("n_pairs", count(lit(1)).over(w))
+        .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+        .select(col("o_orderstatus"), col("dy").as("slope_num"),
+          col("dx").as("slope_den"), col("n_pairs"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      WITH obs AS (
+        SELECT o_orderstatus,
+               CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                 AS BIGINT) AS day_idx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderkey % 7 = 0
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.o_orderstatus,
+               b.n - a.n AS dy, b.day_idx - a.day_idx AS dx,
+               (b.n - a.n) * 1000000000 // (b.day_idx - a.day_idx) AS key
+        FROM obs a JOIN obs b
+          ON a.o_orderstatus = b.o_orderstatus AND a.day_idx < b.day_idx),
+      ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY key, dy, dx) AS rk,
+               CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+                 AS n_pairs
+        FROM pairs)
+      SELECT o_orderstatus, dy AS slope_num, dx AS slope_den, n_pairs
+      FROM ranked
+      WHERE rk = (n_pairs + 1) // 2
+      ORDER BY o_orderstatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3723,6 +3853,8 @@ object Catalog {
     "q159_cheapest_supplier" -> q159CheapestSupplier,
     "q160_k_anonymity_audit" -> q160KAnonymityAudit,
     "q161_join_cardinality_audit" -> q161JoinCardinalityAudit,
+    "q162_pareto_frontier" -> q162ParetoFrontier,
+    "q163_theil_sen_trend" -> q163TheilSenTrend,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -130,5 +130,7 @@ object ExplainSpec {
     "q88_chisq_contingency" ->
       "window input = groupBy(lang, source) contingency cells; both categorical domains",
     "q144_top_quarter_supplier" ->
-      "window input = groupBy(l_suppkey) revenue rollup; bounded by |suppliers|")
+      "window input = groupBy(l_suppkey) revenue rollup; bounded by |suppliers|",
+    "q162_pareto_frontier" ->
+      "skyline range-frame over the |customers|-sized rollup; grid-partition prune is the fact-sized path")
 }
