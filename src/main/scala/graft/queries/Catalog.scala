@@ -3749,6 +3749,65 @@ object Catalog {
       WHERE rk = (n_pairs + 1) // 2
       ORDER BY o_orderstatus"""))
 
+  /** LABEL-PROPAGATION community detection (Raghavan et al. 2007)
+    * over the part co-occurrence graph — the graph-family completion
+    * beside PageRank (q85), triangles (q94), k-core (q127) and
+    * components (q62): three SYNCHRONOUS rounds, every node adopting
+    * its neighbors' most frequent previous-round label with the
+    * deterministic (count desc, label asc) tie rule — asynchronous
+    * LPA is order-dependent and could never hash-match an oracle.
+    * Fixed rounds rather than convergence for the same reason as
+    * q85/q127: the DuckDB oracle replays each round as a chained CTE.
+    * Scale: per round one (node, label) count shuffle on the edge
+    * list + a per-node rank window; the vertex-sized label table
+    * BROADCASTS into the edge join (q85's map-side pattern, same
+    * swap-to-shuffle note past the threshold); edges localCheckpoint
+    * once.
+    */
+  val q164LabelPropagation: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pairs = coPairCounts(s, dir)
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(s.sparkContext.defaultParallelism, col("src"))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to 3) {
+        val counted = edges
+          .join(broadcast(labels.select(col("v").as("dst"), col("lbl"))), "dst")
+          .groupBy(col("src"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        labels = counted
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("src").as("v"), col("lbl"))
+      }
+      labels.select(col("v").as("part"), col("lbl").as("community"))
+        .orderBy(col("part"))
+    },
+    oracle = Some {
+      val rounds = (1 to 3).map { k =>
+        s"""n$k AS (SELECT e.src AS v, l.lbl, CAST(count(*) AS BIGINT) AS c
+              FROM edges e JOIN l${k - 1} l ON e.dst = l.v GROUP BY 1, 2),
+      l$k AS (SELECT v, lbl FROM (
+                SELECT v, lbl, row_number() OVER (PARTITION BY v
+                         ORDER BY c DESC, lbl) AS rn FROM n$k)
+              WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+                FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+      l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+      $rounds
+      SELECT v AS part, lbl AS community FROM l3 ORDER BY part"""
+    })
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3855,6 +3914,7 @@ object Catalog {
     "q161_join_cardinality_audit" -> q161JoinCardinalityAudit,
     "q162_pareto_frontier" -> q162ParetoFrontier,
     "q163_theil_sen_trend" -> q163TheilSenTrend,
+    "q164_label_propagation" -> q164LabelPropagation,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
