@@ -2,8 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TTLConfig, ValueState}
 
 import graft.streaming.ScoringStream.RawEvent
 
@@ -43,6 +43,28 @@ final case class LastMark(tsMs: Long)
   */
 object CarryForwardStream {
 
+  /** The per-group carry fold shared by BOTH stateful APIs (ts-sorted,
+    * mark update, per-event emit) — one definition so the
+    * flatMapGroupsWithState and transformWithState paths can never
+    * drift (the [[ScoringStream.processGroup]] rule).
+    */
+  private[streaming] def processCarry(last0: Option[Long],
+      rows: Iterator[RawEvent], markAction: String)
+      : (Vector[CarriedEvent], Option[Long], Long) = {
+    val batch = rows.toVector.sortBy(e => (e.ts.getTime, e.action))
+    val out = Vector.newBuilder[CarriedEvent]
+    var last = last0
+    var maxTs = 0L
+    batch.foreach { e =>
+      val t = e.ts.getTime
+      maxTs = math.max(maxTs, t)
+      if (e.action == markAction) last = Some(t)
+      out += CarriedEvent(e.user, e.item, e.action, e.ts,
+        last, last.map(t - _))
+    }
+    (out.result(), last, maxTs)
+  }
+
   def enriched(events: Dataset[RawEvent], markAction: String,
       watermark: String, retentionMs: Long): Dataset[CarriedEvent] = {
     val spark = events.sparkSession
@@ -57,21 +79,46 @@ object CarryForwardStream {
             state.remove()
             Iterator.empty
           } else {
-            val batch = rows.toVector.sortBy(e => (e.ts.getTime, e.action))
-            val out = Vector.newBuilder[CarriedEvent]
-            var last = state.getOption.map(_.tsMs)
-            var maxTs = 0L
-            batch.foreach { e =>
-              val t = e.ts.getTime
-              maxTs = math.max(maxTs, t)
-              if (e.action == markAction) last = Some(t)
-              out += CarriedEvent(e.user, e.item, e.action, e.ts,
-                last, last.map(t - _))
-            }
+            val (outs, last, maxTs) =
+              processCarry(state.getOption.map(_.tsMs), rows, markAction)
             last.foreach(m => state.update(LastMark(m)))
             state.setTimeoutTimestamp(maxTs + retentionMs)
-            out.result().iterator
+            outs.iterator
           }
       }
+  }
+
+  /** The same operator on Spark 4's `transformWithState` (RocksDB
+    * state store; [[ScoringProcessor]] is the ST2 precedent). Key
+    * expiry moves from the event-time timeout to [[TTLConfig]] —
+    * the TWS-native bounded-state knob.
+    */
+  def enrichedTws(events: Dataset[RawEvent], markAction: String)
+      : Dataset[CarriedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e => (e.user, e.item))
+      .transformWithState(new CarryForwardProcessor(markAction),
+        TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** transformWithState twin of [[CarryForwardStream.enriched]]. */
+class CarryForwardProcessor(markAction: String)
+    extends StatefulProcessor[(Long, String), RawEvent, CarriedEvent] {
+
+  @transient private var state: ValueState[LastMark] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[LastMark](
+      "lastMark", Encoders.product[LastMark], TTLConfig.NONE)
+
+  override def handleInputRows(key: (Long, String), rows: Iterator[RawEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[CarriedEvent] = {
+    val (outs, last, _) = CarryForwardStream.processCarry(
+      Option(state.get()).map(_.tsMs), rows, markAction)
+    last.foreach(m => state.update(LastMark(m)))
+    outs.iterator
   }
 }

@@ -70,4 +70,26 @@ class CarryForwardStreamSpec extends SparkSpec {
       assert(got.contains((1L, "a", 20000L, Some(20000L), Some(0L))))
     } finally q.stop()
   }
+
+  test("transformWithState twin produces the same carries (API parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.ScoringProcessor.configureRocksDb(spark)
+    val input = MemoryStream[RawEvent]
+    val out = CarryForwardStream.enrichedTws(input.toDS(), "purchase")
+    val q = out.writeStream.format("memory").queryName("carry_tws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events(2), events(0), events(1), events(3))
+      q.processAllAvailable()
+      input.addData(events(4), events(5))
+      q.processAllAvailable()
+      val got = spark.table("carry_tws").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(3).getTime,
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(got == batchExpected, s"got $got expected $batchExpected")
+    } finally q.stop()
+  }
 }
