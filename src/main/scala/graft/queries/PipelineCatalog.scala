@@ -3387,6 +3387,65 @@ object PipelineCatalog {
       JOIN sig sb ON d2 = sb.doc_id
       ORDER BY d1, d2"""))
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram probes (q67 lexical, q86 Bloom): a paraphrased benchmark
+    * leaks into training data with ZERO shingle overlap, and this is
+    * the standard defense (Llama/PaLM-class reports): flag training
+    * vectors whose inner product against ANY benchmark vector clears
+    * a threshold. Per training vector: how many benchmark vectors it
+    * clears, its maximum dot (raw bit-equal IEEE double — the
+    * identical fixed-order fold runs on both engines, comparisons and
+    * selection only, the q63/q129 no-rounding class), and the argmax
+    * benchmark id with the (dot desc, id) deterministic tie rule.
+    * Brute force here is |B|·|T| dots with the benchmark side
+    * BROADCAST — exactly q67's asymmetric probe shape in vector
+    * space; at 100 TB the prefilter is the LSH/IVF candidate cut
+    * (q40/m09's declared path) with this exact verify on survivors.
+    */
+  val q165SemanticDecontamination: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val bench = emb.filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("bid"), col("embedding").as("be"))
+      val train = emb.filter(col("vec_id") % 7 =!= 3)
+        .select(col("vec_id"), col("embedding"))
+      val dots = train.crossJoin(broadcast(bench))
+        .select(col("vec_id"), col("bid"),
+          graft.functions.VectorExpressions
+            .dotF(col("embedding"), col("be")).as("dot"))
+      dots
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("dot").desc, col("bid"))))
+        .withColumn("n_flagged", sum(when(col("dot") >= 0.3, 1L).otherwise(0L))
+          .over(Window.partitionBy(col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("n_flagged"), col("dot").as("max_dot"),
+          col("bid").as("nearest_bench"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT vec_id AS bid, embedding AS be FROM embeddings
+                 WHERE vec_id % 7 = 3),
+      t AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3),
+      dots AS (
+        SELECT vec_id, bid,
+               list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i ->
+                   CAST(t.embedding[i] AS DOUBLE) * CAST(b.be[i] AS DOUBLE))),
+                 (acc, v) -> acc + v) AS dot
+        FROM t CROSS JOIN b),
+      ranked AS (
+        SELECT vec_id, bid, dot,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, bid) AS rn,
+               CAST(sum(CASE WHEN dot >= 0.3 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY vec_id) AS BIGINT) AS n_flagged
+        FROM dots)
+      SELECT vec_id, n_flagged, dot AS max_dot, bid AS nearest_bench
+      FROM ranked WHERE rn = 1
+      ORDER BY vec_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -3445,6 +3504,7 @@ object PipelineCatalog {
     "q147_line_dedup" -> q147LineDedup,
     "q148_lm_familiarity" -> q148LmFamiliarity,
     "q149_minhash_estimate_audit" -> q149MinhashEstimateAudit,
+    "q165_semantic_decontamination" -> q165SemanticDecontamination,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
