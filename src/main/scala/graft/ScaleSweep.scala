@@ -50,7 +50,7 @@ object ScaleSweep {
     // hyperplane-LSH q40 keeps its oracle-pinned (k=4, L=8) knobs,
     // whose Σbucket² candidate volume is quadratic in n by contract
     "ann" -> Seq("q40_embedding_lsh_ann", "q57_embedding_neardup_ann",
-      "m09_ivf_ann"),
+      "m09_ivf_ann", "q165_semantic_decontamination"),
     "graph" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
       "q164_label_propagation"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
