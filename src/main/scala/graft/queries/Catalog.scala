@@ -3816,6 +3816,81 @@ object Catalog {
       SELECT v AS part, lbl AS community FROM l3 ORDER BY part"""
     })
 
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic between the F and O
+    * order-value distributions — the nonparametric drift test (the
+    * continuous-distribution complement of q88's chi-square and
+    * q136's moment drift), EXACT: D = max |F₁(x) − F₂(x)| evaluated
+    * at every distinct value, cross-multiplied to the integer
+    * |c₁·n₂ − c₂·n₁| over denominator n₁·n₂ (the q49/q60 rational
+    * contract — no float CDF ever forms). The global CDF does NOT use
+    * a global-sort window: the per-value rollup range-partitions on
+    * the value, each partition cumsums LOCALLY (window keyed by
+    * spark_partition_id — equal keys never split across range
+    * partitions), and partition offsets — one row per partition —
+    * prefix-sum on the driver side of a broadcast join. That is the
+    * distributed prefix-sum every exact quantile/CDF computation uses
+    * at scale; wall-clock is one cents shuffle + one range exchange,
+    * no single-task sort of the data. BIGINT: c·n crosses 2^63 at
+    * n ≈ 3·10⁹ per side (q109 escalation documented).
+    */
+  val q166KsStatistic: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val rollup = Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("d1"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("d2"))
+      val p = s.sparkContext.defaultParallelism
+      val parts = rollup.repartitionByRange(p, col("cents"))
+        .withColumn("pid", spark_partition_id())
+      val local = Window.partitionBy(col("pid")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = parts
+        .withColumn("lc1", sum(col("d1")).over(local))
+        .withColumn("lc2", sum(col("d2")).over(local))
+      val offsets = cum.groupBy(col("pid"))
+        .agg(sum(col("d1")).as("t1"), sum(col("d2")).as("t2"))
+        .withColumn("o1", coalesce(sum(col("t1")).over(
+          Window.orderBy(col("pid")).rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("o2", coalesce(sum(col("t2")).over(
+          Window.orderBy(col("pid")).rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("o1"), col("o2"))
+      val totals = rollup.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      cum.join(broadcast(offsets), "pid")
+        .join(broadcast(totals))
+        .select(col("n1"), col("n2"),
+          abs((col("lc1") + col("o1")) * col("n2") -
+            (col("lc2") + col("o2")) * col("n1")).as("diff"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(col("diff")).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("n1") * col("n2")).as("d_den"))
+    },
+    oracle = Some("""
+      WITH rollup AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d2
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY 1),
+      cdf AS (
+        SELECT CAST(sum(d1) OVER w AS BIGINT) AS c1,
+               CAST(sum(d2) OVER w AS BIGINT) AS c2
+        FROM rollup
+        WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+      t AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+                   CAST(sum(d2) AS BIGINT) AS n2 FROM rollup)
+      SELECT n1, n2,
+             CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+             CAST(n1 * n2 AS BIGINT) AS d_den
+      FROM cdf, t
+      GROUP BY n1, n2"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3923,6 +3998,7 @@ object Catalog {
     "q162_pareto_frontier" -> q162ParetoFrontier,
     "q163_theil_sen_trend" -> q163TheilSenTrend,
     "q164_label_propagation" -> q164LabelPropagation,
+    "q166_ks_statistic" -> q166KsStatistic,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

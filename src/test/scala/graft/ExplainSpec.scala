@@ -132,5 +132,7 @@ object ExplainSpec {
     "q144_top_quarter_supplier" ->
       "window input = groupBy(l_suppkey) revenue rollup; bounded by |suppliers|",
     "q162_pareto_frontier" ->
-      "skyline range-frame over the |customers|-sized rollup; grid-partition prune is the fact-sized path")
+      "skyline range-frame over the |customers|-sized rollup; grid-partition prune is the fact-sized path",
+    "q166_ks_statistic" ->
+      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count")
 }
