@@ -3370,24 +3370,30 @@ object Catalog {
     * count (the digest is per-bucket, so headroom scales with fan-out)
     * or escalate DECIMAL(38,0) per the q109 rule.
     */
+  /** q157's digest over any orders-shaped frame — factored out so the
+    * homomorphism property (digest(A ∪ B) = digest(A) ⊕ digest(B),
+    * bucketwise sums mod P — the incremental-maintenance claim an
+    * anti-entropy digest lives on) is spec-testable (DigestSpec).
+    */
+  private[graft] def orderDigest(df: DataFrame): DataFrame = {
+    val P = 2147483647L
+    val rowStr = concat_ws("|",
+      col("o_orderkey").cast("string"),
+      col("o_custkey").cast("string"),
+      col("o_orderstatus"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("string"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("string"),
+      col("o_orderpriority"))
+    df.select((col("o_orderkey") % 64).as("bucket"),
+        graft.functions.VectorExpressions.polyHash(rowStr).as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), (sum(col("h")) % P).as("digest"))
+      .orderBy(col("bucket"))
+  }
+
   val q157TableDigest: QuerySpec = QuerySpec(
-    fn = (s, dir) => {
-      val P = 2147483647L
-      val rowStr = concat_ws("|",
-        col("o_orderkey").cast("string"),
-        col("o_custkey").cast("string"),
-        col("o_orderstatus"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").cast("string"),
-        datediff(col("o_orderdate").cast("date"),
-          lit("1992-01-01").cast("date")).cast("string"),
-        col("o_orderpriority"))
-      Tables.orders(s, dir)
-        .select((col("o_orderkey") % 64).as("bucket"),
-          graft.functions.VectorExpressions.polyHash(rowStr).as("h"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_rows"), (sum(col("h")) % P).as("digest"))
-        .orderBy(col("bucket"))
-    },
+    fn = (s, dir) => orderDigest(Tables.orders(s, dir)),
     oracle = Some(s"""
       WITH r AS (
         SELECT o_orderkey % 64 AS bucket,
