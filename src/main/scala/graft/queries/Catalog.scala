@@ -3839,37 +3839,58 @@ object Catalog {
     * no single-task sort of the data. BIGINT: c·n crosses 2^63 at
     * n ≈ 3·10⁹ per side (q109 escalation documented).
     */
+  /** F/O per-value count rollup shared by the KS and Mann–Whitney
+    * statistics: one row per distinct order-value cents with the two
+    * samples' counts.
+    */
+  private def foValueRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("d2"))
+
+  /** DISTRIBUTED prefix sum of (d1, d2) in `cents` order — the scale
+    * pattern behind every exact CDF/rank computation: range-partition
+    * on the value (equal keys never split), cumsum LOCALLY under a
+    * spark_partition_id window, and add per-partition offsets — one
+    * row per partition — prefix-summed behind a broadcast join. No
+    * single-task sort of the data ever forms. Returns the input rows
+    * plus INCLUSIVE cumulative counts c1, c2.
+    */
+  private def rangePrefixSums(s: SparkSession, rollup: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val parts = rollup.repartitionByRange(p, col("cents"))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy(col("pid")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = parts
+      .withColumn("lc1", sum(col("d1")).over(local))
+      .withColumn("lc2", sum(col("d2")).over(local))
+    val offsets = cum.groupBy(col("pid"))
+      .agg(sum(col("d1")).as("t1"), sum(col("d2")).as("t2"))
+      .withColumn("o1", coalesce(sum(col("t1")).over(
+        Window.orderBy(col("pid")).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("o2", coalesce(sum(col("t2")).over(
+        Window.orderBy(col("pid")).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("o1"), col("o2"))
+    cum.join(broadcast(offsets), "pid")
+      .withColumn("c1", col("lc1") + col("o1"))
+      .withColumn("c2", col("lc2") + col("o2"))
+      .drop("lc1", "lc2", "o1", "o2", "pid")
+  }
+
   val q166KsStatistic: QuerySpec = QuerySpec(
     fn = (s, dir) => {
-      val rollup = Tables.orders(s, dir)
-        .filter(col("o_orderstatus").isin("F", "O"))
-        .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-        .agg(
-          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("d1"),
-          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("d2"))
-      val p = s.sparkContext.defaultParallelism
-      val parts = rollup.repartitionByRange(p, col("cents"))
-        .withColumn("pid", spark_partition_id())
-      val local = Window.partitionBy(col("pid")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = parts
-        .withColumn("lc1", sum(col("d1")).over(local))
-        .withColumn("lc2", sum(col("d2")).over(local))
-      val offsets = cum.groupBy(col("pid"))
-        .agg(sum(col("d1")).as("t1"), sum(col("d2")).as("t2"))
-        .withColumn("o1", coalesce(sum(col("t1")).over(
-          Window.orderBy(col("pid")).rowsBetween(
-            Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("o2", coalesce(sum(col("t2")).over(
-          Window.orderBy(col("pid")).rowsBetween(
-            Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("pid"), col("o1"), col("o2"))
+      val rollup = foValueRollup(s, dir)
       val totals = rollup.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
-      cum.join(broadcast(offsets), "pid")
+      rangePrefixSums(s, rollup)
         .join(broadcast(totals))
         .select(col("n1"), col("n2"),
-          abs((col("lc1") + col("o1")) * col("n2") -
-            (col("lc2") + col("o2")) * col("n1")).as("diff"))
+          abs(col("c1") * col("n2") - col("c2") * col("n1")).as("diff"))
         .groupBy(col("n1"), col("n2"))
         .agg(max(col("diff")).as("d_num"))
         .select(col("n1"), col("n2"), col("d_num"),
@@ -3896,6 +3917,109 @@ object Catalog {
              CAST(n1 * n2 AS BIGINT) AS d_den
       FROM cdf, t
       GROUP BY n1, n2"""))
+
+  /** MANN–WHITNEY U rank-sum statistic between the same F/O samples —
+    * the location-shift companion to q166's KS (KS sees any shape
+    * difference, U specifically a median shift). Tie-corrected
+    * average ranks stay EXACT by working in half-units: a tie group
+    * of d values after `prev` earlier values occupies ranks
+    * prev+1..prev+d, average (2·prev+d+1)/2, so sample 1 contributes
+    * d₁·(2·prev+d+1) to 2·R₁ — all integers, no halves ever
+    * materialize; 2·U₁ = 2·R₁ − n₁(n₁+1) ships alongside. The
+    * cumulative `prev` comes from the same [[rangePrefixSums]]
+    * distributed prefix sum (exclusive = inclusive − own counts).
+    * Scale: identical profile to q166 — one cents shuffle + one range
+    * exchange; 2·R₁ ≈ n² crosses 2^63 near 3·10⁹ total rows (q109
+    * escalation documented).
+    */
+  val q167MannWhitneyU: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val rollup = foValueRollup(s, dir)
+      val totals = rollup.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      rangePrefixSums(s, rollup)
+        .select(col("d1"), col("d2"),
+          (col("c1") - col("d1") + col("c2") - col("d2")).as("prev"),
+          (col("d1") + col("d2")).as("d"))
+        .join(broadcast(totals))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(col("d1") * (lit(2L) * col("prev") + col("d") + 1L))
+          .as("two_r1"))
+        .select(col("n1"), col("n2"), col("two_r1"),
+          (col("two_r1") - col("n1") * (col("n1") + 1L)).as("two_u1"))
+    },
+    oracle = Some("""
+      WITH rollup AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d2
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY 1),
+      cum AS (
+        SELECT d1, d2,
+               CAST(sum(d1 + d2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                 - (d1 + d2) AS BIGINT) AS prev,
+               d1 + d2 AS d
+        FROM rollup),
+      t AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+                   CAST(sum(d2) AS BIGINT) AS n2 FROM rollup)
+      SELECT n1, n2,
+             CAST(sum(d1 * (2 * prev + d + 1)) AS BIGINT) AS two_r1,
+             CAST(sum(d1 * (2 * prev + d + 1)) - n1 * (n1 + 1) AS BIGINT)
+               AS two_u1
+      FROM cum, t
+      GROUP BY n1, n2"""))
+
+  /** TIME-WEIGHTED average revenue per status (the finance-standard
+    * TWAP: a value that held for 9 days weighs 9× one that held a
+    * day — the arithmetic mean the q150 gap-fill exists to correct).
+    * Each sparsified observation weighs by the gap to the NEXT
+    * observation (one `lead` per status; the last observation has no
+    * forward gap and drops — the standard left-closed convention),
+    * and the average ships as the exact rational Σ(cents·gap)/Σgap
+    * (q49/q60 contract). Scale: runs on the per-day rollup; one
+    * status-partitioned window; cents·gap sums cross 2^63 near 10¹⁴
+    * cent-days per status (q109 escalation).
+    */
+  val q168TimeWeightedRevenue: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val obs = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 === 0)
+        .groupBy(col("o_orderstatus"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("bigint").as("day_idx"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("day_idx"))
+      obs
+        .withColumn("gap", lead(col("day_idx"), 1).over(w) - col("day_idx"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("cents") * col("gap")).as("twap_num"),
+          sum(col("gap")).as("twap_den"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      WITH obs AS (
+        SELECT o_orderstatus,
+               CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                 AS BIGINT) AS day_idx,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders WHERE o_orderkey % 7 = 0
+        GROUP BY 1, 2),
+      g AS (SELECT o_orderstatus, cents,
+                   lead(day_idx) OVER (PARTITION BY o_orderstatus
+                     ORDER BY day_idx) - day_idx AS gap
+            FROM obs)
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(cents * gap) AS BIGINT) AS twap_num,
+             CAST(sum(gap) AS BIGINT) AS twap_den
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
   // ---------------------------------------------------------------------
   // Registry
@@ -4005,6 +4129,8 @@ object Catalog {
     "q163_theil_sen_trend" -> q163TheilSenTrend,
     "q164_label_propagation" -> q164LabelPropagation,
     "q166_ks_statistic" -> q166KsStatistic,
+    "q167_mann_whitney_u" -> q167MannWhitneyU,
+    "q168_time_weighted_revenue" -> q168TimeWeightedRevenue,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -134,5 +134,7 @@ object ExplainSpec {
     "q162_pareto_frontier" ->
       "skyline range-frame over the |customers|-sized rollup; grid-partition prune is the fact-sized path",
     "q166_ks_statistic" ->
+      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
+    "q167_mann_whitney_u" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count")
 }
