@@ -4021,6 +4021,47 @@ object Catalog {
       FROM g WHERE gap IS NOT NULL
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** BENFORD first-digit audit of order values — the forensic
+    * data-quality screen (fabricated or unit-mangled numeric columns
+    * diverge from the log-uniform first-digit law long before any
+    * range check fires). The engine ships the integer sufficient
+    * statistics — per status × leading digit: observed count plus the
+    * status total — and the client compares against log₁₀(1+1/d)
+    * (transcendental, so it stays out of the cross-engine contract,
+    * the q59 rule). First digit extracted arithmetically
+    * (cents div 10^(len−1) via string length — no float log10 in the
+    * contract). Scale: map-only + a ≤|statuses|·9-key rollup.
+    */
+  val q169BenfordAudit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .filter(col("cents") > 0)
+        .withColumn("first_digit",
+          expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)"))
+        .groupBy(col("o_orderstatus"), col("first_digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("status_total", sum(col("n")).over(w))
+        .orderBy(col("o_orderstatus"), col("first_digit"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT o_orderstatus,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders
+                 WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+      d AS (SELECT o_orderstatus,
+                   CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                     AS first_digit
+            FROM c)
+      SELECT o_orderstatus, first_digit,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+               AS status_total
+      FROM d GROUP BY o_orderstatus, first_digit
+      ORDER BY o_orderstatus, first_digit"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4131,6 +4172,7 @@ object Catalog {
     "q166_ks_statistic" -> q166KsStatistic,
     "q167_mann_whitney_u" -> q167MannWhitneyU,
     "q168_time_weighted_revenue" -> q168TimeWeightedRevenue,
+    "q169_benford_audit" -> q169BenfordAudit,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
