@@ -81,7 +81,14 @@ object ScaleSweep {
     // cost should track the explode volume; q149 rides the dedup
     // family's shingle/signature cache shapes rebuilt fresh here
     "lines" -> Seq("q147_line_dedup", "q148_lm_familiarity",
-      "q149_minhash_estimate_audit", "q150_gap_fill_locf"))
+      "q149_minhash_estimate_audit", "q150_gap_fill_locf"),
+    // exact statistics (added late r7): the KS/MW prefix-sum kernel's
+    // cost tracks the distinct-value rollup (~linear in facts here);
+    // the day-rollup entries (Theil-Sen, TWAP) are calendar-bounded
+    // and should be near scale-invariant past the rollup scan
+    "stats" -> Seq("q162_pareto_frontier", "q163_theil_sen_trend",
+      "q166_ks_statistic", "q167_mann_whitney_u",
+      "q168_time_weighted_revenue", "q169_benford_audit"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -132,7 +132,7 @@ object ExplainSpec {
     "q144_top_quarter_supplier" ->
       "window input = groupBy(l_suppkey) revenue rollup; bounded by |suppliers|",
     "q162_pareto_frontier" ->
-      "skyline range-frame over the |customers|-sized rollup; grid-partition prune is the fact-sized path",
+      "offset prefix-max over per-partition totals; bounded by the shuffle partition count",
     "q166_ks_statistic" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q167_mann_whitney_u" ->
