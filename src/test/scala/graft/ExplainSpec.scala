@@ -40,6 +40,20 @@ class ExplainSpec extends SparkSpec {
     assert(!Explain.midPlanGlobalSort(opt), s"plan:\n${opt.treeString}")
   }
 
+  test("per-group top-k plans a WindowGroupLimit (rank pushdown)") {
+    // q19's rank<=5 filter over a partitioned row_number must keep
+    // planning as WindowGroupLimitExec: per-partition top-k BEFORE the
+    // window exchange, so only k rows per group ever shuffle — the
+    // difference between shuffling 5·|groups| rows and the whole fact
+    // table. A regression here (e.g. an expression change the rule no
+    // longer matches) silently re-shuffles everything; this pins it.
+    val df = queries.Catalog.all("q19_top5_orders_per_status")
+      .fn(spark, sf0001)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("WindowGroupLimit"),
+      s"rank-limit pushdown no longer fires:\n$physical")
+  }
+
   test("bare mid-plan global sort IS a smell") {
     // Hand-built Filter(Sort) — no limit backs the sort, so the reorder
     // is pure wasted exchange; built directly because the optimizer
