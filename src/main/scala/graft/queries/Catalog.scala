@@ -3879,7 +3879,7 @@ object Catalog {
     * single-task sort of the data ever forms. Returns the input rows
     * plus INCLUSIVE cumulative counts c1, c2.
     */
-  private def rangePrefixSums(s: SparkSession, rollup: DataFrame): DataFrame = {
+  private[graft] def rangePrefixSums(s: SparkSession, rollup: DataFrame): DataFrame = {
     val p = s.sparkContext.defaultParallelism
     val parts = rollup.repartitionByRange(p, col("cents"))
       .withColumn("pid", spark_partition_id())
