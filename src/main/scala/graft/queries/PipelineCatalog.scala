@@ -3446,6 +3446,36 @@ object PipelineCatalog {
       FROM ranked WHERE rn = 1
       ORDER BY vec_id"""))
 
+  /** HLL SKETCH MERGE — the incremental-view-maintenance path for
+    * distinct counts (q107 is the algebraic-rollup analog for
+    * sums): per-day Datasketches HLL sketches of the active-user set
+    * union into monthly estimates WITHOUT re-touching events — the
+    * production shape where daily sketches persist as bytes and any
+    * ad-hoc window (month, quarter, trailing-28d) is a cheap
+    * sketch-union over day rows. Engine-specific sketch bytes mean no
+    * DuckDB oracle (rows-only, the q48/q61 class); CatalogSmokeSpec
+    * asserts the TWO load-bearing contracts instead: merging the
+    * daily sketches yields the IDENTICAL estimate to sketching the
+    * month directly (union losslessness at equal lgK), and the
+    * estimate lands within HLL error of the exact count. Scale: one
+    * (day) shuffle over events, then all re-aggregation runs on
+    * day-count rows.
+    */
+  val q170HllSketchMerge: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        ((year(col("ts")) - 1970) * 12 + month(col("ts")) - 1)
+          .cast("bigint").as("month_idx"),
+        dayofmonth(col("ts")).as("day"))
+      ev.groupBy(col("month_idx"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy(col("month_idx"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .orderBy(col("month_idx"))
+    },
+    oracle = None)
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -3505,6 +3535,7 @@ object PipelineCatalog {
     "q148_lm_familiarity" -> q148LmFamiliarity,
     "q149_minhash_estimate_audit" -> q149MinhashEstimateAudit,
     "q165_semantic_decontamination" -> q165SemanticDecontamination,
+    "q170_hll_sketch_merge" -> q170HllSketchMerge,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,

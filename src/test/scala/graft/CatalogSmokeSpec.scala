@@ -37,7 +37,8 @@ class CatalogSmokeSpec extends SparkSpec {
   test("oracle SQL exists for every SQL-expressible query") {
     // no-oracle entries must be partitioning- or sketch-dependent ops
     // sketches: engine-specific values (accuracy asserted below)
-    val allowed = Set("q48_approx_distinct", "q61_approx_percentiles")
+    val allowed = Set("q48_approx_distinct", "q61_approx_percentiles",
+      "q170_hll_sketch_merge")
     val noOracle = Catalog.all.collect {
       case (n, s) if s.oracle.isEmpty => n
     }.toSet
@@ -59,6 +60,28 @@ class CatalogSmokeSpec extends SparkSpec {
       val (p50, p90) = exact(r.getString(0))
       assert(math.abs(r.getDouble(1) - p50) / p50 < 0.01)
       assert(math.abs(r.getDouble(2) - p90) / p90 < 0.01)
+    }
+  }
+
+  test("HLL sketch merge: daily-union equals direct, within HLL error of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001).select(col("user_id"),
+      ((year(col("ts")) - 1970) * 12 + month(col("ts")) - 1)
+        .cast("bigint").as("month_idx"))
+    // direct per-month sketch (no daily intermediate)
+    val direct = ev.groupBy(col("month_idx"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("month_idx"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Catalog.all("q170_hll_sketch_merge").fn(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(merged == direct,
+      "sketch union is not lossless vs direct sketching")
+    merged.foreach { case (m, est) =>
+      val e = exact(m).toDouble
+      assert(math.abs(est - e) / e < 0.06, s"month $m: est $est exact $e")
     }
   }
 
