@@ -61,7 +61,8 @@ object ScaleSweep {
     // windows / carry-forward state per key is scale-invariant and the
     // cost should track the single user_id shuffle ~linearly
     "time" -> Seq("q10_events_per_min", "q47_user_sessions",
-      "q51_asof_join", "q52_range_join", "q133_rolling_wau"),
+      "q51_asof_join", "q52_range_join", "q133_rolling_wau",
+      "q170_hll_sketch_merge"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures
