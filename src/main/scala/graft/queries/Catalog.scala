@@ -4082,6 +4082,53 @@ object Catalog {
       FROM d GROUP BY o_orderstatus, first_digit
       ORDER BY o_orderstatus, first_digit"""))
 
+  /** KLL QUANTILE-SKETCH MERGE — q170's analog for ORDER STATISTICS:
+    * per-day Datasketches KLL sketches of order-value cents merge into
+    * monthly p50/p90/p99 estimates WITHOUT re-touching orders. This is
+    * the incremental-view-maintenance path for percentiles (q107 =
+    * algebraic sums, q170 = distincts, this = quantiles): daily
+    * sketches persist as bytes and any ad-hoc window (month, quarter,
+    * trailing-28d) is a cheap `kll_merge_agg` over day rows — exact
+    * percentiles (q56/q103's nearest-rank contract) need the full
+    * value multiset and cannot re-aggregate. Spark 4.1's native
+    * `kll_sketch_agg_bigint`/`kll_merge_agg_bigint` (Datasketches
+    * KLL, k=200 ⇒ ~1.65% single-sided normalized rank error at 99%
+    * confidence) ride ordinary partial aggregation. Engine-specific
+    * sketch bytes mean no DuckDB oracle (rows-only, the q48/q61/q170
+    * class); CatalogSmokeSpec pins the load-bearing contract instead:
+    * the merged-daily estimate is an observed month value whose exact
+    * rank lands inside the KLL rank-error band around the requested
+    * quantile, and `kll_sketch_get_n` proves the merge lost no mass
+    * (Σ day n == month n exactly). Scale: one (month, day) shuffle
+    * over orders, then all re-aggregation runs on day-count rows of
+    * constant-size sketch bytes.
+    *
+    * Reference anchor: the dashboard's summary-stat queries
+    * (`dashboard/app.py:283-350`) recompute aggregates per refresh —
+    * this is the shape that makes those refreshes O(days), not
+    * O(events), at 100 TB.
+    */
+  val q171KllSketchMerge: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("bigint").as("month_idx"),
+        dayofmonth(col("o_orderdate")).as("day"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      o.groupBy(col("month_idx"), col("day"))
+        .agg(expr("kll_sketch_agg_bigint(cents, 200)").as("sk"))
+        .groupBy(col("month_idx"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("kll_merge_agg_bigint(sk, 200)").as("msk"))
+        .select(col("month_idx"), col("n_days"),
+          expr("kll_sketch_get_n_bigint(msk)").as("n_orders"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("p50_cents"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.9)").as("p90_cents"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.99)").as("p99_cents"))
+        .orderBy(col("month_idx"))
+    },
+    oracle = None)
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4193,6 +4240,7 @@ object Catalog {
     "q167_mann_whitney_u" -> q167MannWhitneyU,
     "q168_time_weighted_revenue" -> q168TimeWeightedRevenue,
     "q169_benford_audit" -> q169BenfordAudit,
+    "q171_kll_sketch_merge" -> q171KllSketchMerge,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

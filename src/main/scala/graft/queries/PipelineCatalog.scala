@@ -3476,6 +3476,224 @@ object PipelineCatalog {
     },
     oracle = None)
 
+  /** Per-SOURCE MinHash overlap estimate — q140's declared 100 TB path
+    * made real: the exact per-source distinct-shingle intersection is a
+    * full inverted-index self-join (fine while sources share the
+    * shingle cache, quadratic in corpus shingles as feeds multiply);
+    * the production estimator is one 16-permutation MinHash signature
+    * PER SOURCE — min-of-mins over the source's shingle union, a plain
+    * algebraic min aggregate that map-side combines — and signature
+    * agreement (match16/16) as the Jaccard estimate. This query is the
+    * q149 audit lifted to source granularity: estimate laid against the
+    * exact intersection with the absolute error as an exact rational
+    * (err_num/err_den, the q49/q60 never-round contract), so mixture
+    * owners can see the estimator's quality on their own corpus before
+    * trusting it at the scale where exact goes away. Deterministic
+    * arithmetic permutations (q36's) mean the DuckDB oracle replays the
+    * whole construction. Scale: signatures are one groupBy over the
+    * shingle cache (|sources|×16 output); the exact side rides q140's
+    * join and is precisely the part that drops out at 100 TB — the
+    * estimate columns alone then cost |sources|² signature compares on
+    * 16-integer rows.
+    */
+  val q172SourceMinhashOverlap: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val sig = shingleTids(s, dir).join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          min(expr(s"(1*tid + 0) % $P")).as("mh0"),
+          (1 to 15).map(i =>
+            min(expr(s"((2*$i+1)*tid + ${12345 * i}) % $P")).as(s"mh$i")): _*)
+      val srcSh = shingleRows(s, dir).join(src, Seq("doc_id"))
+        .select(col("source"), col("shingle")).distinct()
+      val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = srcSh.as("a").join(srcSh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("s1"), col("b.source").as("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+      val match16 = (0 to 15)
+        .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      sizes.select(col("source").as("s1"), col("n").as("n1"))
+        .crossJoin(broadcast(sizes.select(col("source").as("s2"), col("n").as("n2"))))
+        .filter(col("s1") < col("s2"))
+        .join(inter, Seq("s1", "s2"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .join(broadcast(sig.as("sa")), col("s1") === col("sa.source"))
+        .join(broadcast(sig.as("sb")), col("s2") === col("sb.source"))
+        .select(col("s1"), col("s2"), match16.as("match16"), col("inter"),
+          col("n1"), col("n2"),
+          (col("n1") + col("n2") - col("inter")).as("n_union"))
+        .withColumn("err_num",
+          abs(col("match16") * col("n_union") - lit(16L) * col("inter")))
+        .withColumn("err_den", lit(16L) * col("n_union"))
+        .orderBy(col("s1"), col("s2"))
+    },
+    oracle = Some(s"""
+      WITH sh0 AS ($shinglesSql),
+      e AS (SELECT DISTINCT d.source, u.s AS shingle
+            FROM sh0 JOIN documents d ON sh0.doc_id = d.doc_id,
+                 unnest(sh0.sh) AS u(s)),
+      lists AS (SELECT source, list(shingle) AS sh FROM e GROUP BY source),
+      sig AS (
+        SELECT source,
+               list_transform(range(0, 16), i -> list_min(
+                 list_transform(list_transform(sh, s -> ${polyhashSql("s")}),
+                                t -> ((2*i+1)*t + 12345*i) % $P))) AS mh
+        FROM lists),
+      sizes AS (SELECT source, CAST(len(sh) AS BIGINT) AS n FROM lists),
+      i AS (SELECT a.source AS s1, b.source AS s2,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM e a JOIN e b ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT p1.source AS s1, p2.source AS s2,
+             CAST(list_sum(list_transform(range(0, 16),
+               x -> CASE WHEN sa.mh[x+1] = sb.mh[x+1] THEN 1 ELSE 0 END))
+               AS BIGINT) AS match16,
+             CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+             p1.n AS n1, p2.n AS n2,
+             CAST(p1.n + p2.n - COALESCE(i.inter, 0) AS BIGINT) AS n_union,
+             CAST(abs(list_sum(list_transform(range(0, 16),
+                   x -> CASE WHEN sa.mh[x+1] = sb.mh[x+1] THEN 1 ELSE 0 END))
+                 * (p1.n + p2.n - COALESCE(i.inter, 0))
+                 - 16 * COALESCE(i.inter, 0)) AS BIGINT) AS err_num,
+             CAST(16 * (p1.n + p2.n - COALESCE(i.inter, 0)) AS BIGINT) AS err_den
+      FROM sizes p1 JOIN sizes p2 ON p1.source < p2.source
+      LEFT JOIN i ON i.s1 = p1.source AND i.s2 = p2.source
+      JOIN sig sa ON sa.source = p1.source
+      JOIN sig sb ON sb.source = p2.source
+      ORDER BY s1, s2"""))
+
+  /** INTER-LABELER AGREEMENT (Cohen's kappa) — every large-scale
+    * labeling pipeline (quality tiers, language ID, toxicity) runs two
+    * or more cheap annotators and needs chance-corrected agreement
+    * before trusting either; kappa is the standard statistic (Cohen
+    * 1960). The two labelers here are the repo's own independent
+    * language-ID heuristics — q42's marker-word argmax and q49's
+    * char-bigram profile argmax — so the query doubles as a drift
+    * audit between them. Emits the full confusion matrix (observed
+    * cells only) with each row carrying the shared sufficient
+    * statistics: n, agree, Σ row_k·col_k, and kappa as the exact
+    * rational kappa_num/kappa_den = (n·agree − Σrc)/(n² − Σrc) — the
+    * q49/q60 never-round contract; po and pe are one division away.
+    * Scale: both labelers are map-only over documents; the confusion
+    * rollup is ≤|langs|² rows, marginals and totals are aggregates of
+    * that tiny matrix broadcast back — no partitionless window ever
+    * sees the corpus. Headroom AT TARGET SF (q109 rule): n² crosses
+    * 2^63 at n ≈ 3·10⁹ docs — past that the kappa terms escalate to
+    * DECIMAL(38,0) canonical strings.
+    */
+  val q173LabelerAgreement: QuerySpec = {
+    val bigrams = Seq("ta", "qu", "er", "st", "ow", "in")
+    val profiles = Seq(
+      "de" -> Seq(10L, 2L, 35L, 22L, 5L, 10L),
+      "en" -> Seq(14L, 5L, 30L, 17L, 12L, 15L),
+      "es" -> Seq(12L, 15L, 31L, 18L, 3L, 11L),
+      "fr" -> Seq(11L, 18L, 33L, 16L, 4L, 12L),
+      "zh" -> Seq(12L, 4L, 30L, 24L, 8L, 10L))
+    def cntExpr(bg: String) =
+      s"((length(text) - length(replace(text, '$bg', ''))) div 2)"
+    def cntSql(bg: String) =
+      s"((length(text) - length(replace(text, '$bg', ''))) // 2)"
+    def numExpr(ws: Seq[Long], cnt: String => String) =
+      bigrams.zip(ws).map { case (bg, w) => s"$w * ${cnt(bg)}" }
+        .mkString("CAST((", " + ", ") AS BIGINT)")
+    QuerySpec(
+      fn = (s, dir) => {
+        // labeler A: q42's marker-word argmax
+        val a = Tables.documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("c_de", expr("size(filter(w, t -> t IN ('hash','sort','vector')))"))
+          .withColumn("c_en", expr("size(filter(w, t -> t IN ('the','a','table','row')))"))
+          .withColumn("c_es", expr("size(filter(w, t -> t IN ('scan','stream','filter')))"))
+          .withColumn("c_fr", expr("size(filter(w, t -> t IN ('query','window','agg')))"))
+          .withColumn("c_zh", expr("size(filter(w, t -> t IN ('merge','join','batch')))"))
+          .withColumn("mx", greatest(col("c_de"), col("c_en"), col("c_es"),
+            col("c_fr"), col("c_zh")))
+          .select(col("doc_id"),
+            when(col("c_de") === col("mx"), "de")
+              .when(col("c_en") === col("mx"), "en")
+              .when(col("c_es") === col("mx"), "es")
+              .when(col("c_fr") === col("mx"), "fr")
+              .otherwise("zh").as("lang_a"))
+        // labeler B: q49's char-bigram profile argmax
+        val scored = profiles.foldLeft(Tables.documents(s, dir)) {
+          case (d, (lang, ws)) => d.withColumn(s"s_$lang", expr(numExpr(ws, cntExpr)))
+        }
+        val mxB = greatest(profiles.map { case (l, _) => col(s"s_$l") }: _*)
+        val b = scored.select(col("doc_id"),
+          profiles.init.foldRight(lit(profiles.last._1)) { case ((l, _), els) =>
+            when(col(s"s_$l") === mxB, l).otherwise(els)
+          }.as("lang_b"))
+        val cm = a.join(b, Seq("doc_id"))
+          .groupBy(col("lang_a"), col("lang_b")).agg(count(lit(1)).as("cnt"))
+        val tot = cm.agg(sum(col("cnt")).as("n"),
+          sum(when(col("lang_a") === col("lang_b"), col("cnt")).otherwise(0L))
+            .as("agree"))
+        val rows = cm.groupBy(col("lang_a").as("lang"))
+          .agg(sum(col("cnt")).as("row_n"))
+        val cols = cm.groupBy(col("lang_b").as("lang"))
+          .agg(sum(col("cnt")).as("col_n"))
+        val sumrc = rows.join(cols, Seq("lang"), "full")
+          .agg(sum(coalesce(col("row_n"), lit(0L)) *
+            coalesce(col("col_n"), lit(0L))).as("sum_rc"))
+        cm.crossJoin(broadcast(tot)).crossJoin(broadcast(sumrc))
+          .select(col("lang_a"), col("lang_b"), col("cnt"),
+            col("n"), col("agree"), col("sum_rc"),
+            (col("n") * col("agree") - col("sum_rc")).as("kappa_num"),
+            (col("n") * col("n") - col("sum_rc")).as("kappa_den"))
+          .orderBy(col("lang_a"), col("lang_b"))
+      },
+      oracle = Some {
+        val scores = profiles.map { case (l, ws) => s"${numExpr(ws, cntSql)} AS s_$l" }
+          .mkString(", ")
+        val mx = profiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val pred = profiles.init.foldRight(s"'${profiles.last._1}'") {
+          case ((l, _), els) => s"CASE WHEN s_$l = $mx THEN '$l' ELSE $els END"
+        }
+        s"""
+        WITH a AS (
+          SELECT doc_id,
+                 CASE WHEN c_de = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'de'
+                      WHEN c_en = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'en'
+                      WHEN c_es = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'es'
+                      WHEN c_fr = greatest(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
+                      ELSE 'zh' END AS lang_a
+          FROM (SELECT doc_id,
+                 len(list_filter(string_split(text,' '), x -> x IN ('hash','sort','vector')))  AS c_de,
+                 len(list_filter(string_split(text,' '), x -> x IN ('the','a','table','row'))) AS c_en,
+                 len(list_filter(string_split(text,' '), x -> x IN ('scan','stream','filter'))) AS c_es,
+                 len(list_filter(string_split(text,' '), x -> x IN ('query','window','agg')))  AS c_fr,
+                 len(list_filter(string_split(text,' '), x -> x IN ('merge','join','batch')))  AS c_zh
+                FROM documents)),
+        b AS (
+          SELECT doc_id, $pred AS lang_b
+          FROM (SELECT doc_id, $scores FROM documents)),
+        cm AS (
+          SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS cnt
+          FROM a JOIN b USING (doc_id) GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN lang_a = lang_b THEN cnt ELSE 0 END)
+                   AS BIGINT) AS agree
+          FROM cm),
+        r AS (SELECT lang_a AS lang, CAST(sum(cnt) AS BIGINT) AS row_n
+              FROM cm GROUP BY 1),
+        c AS (SELECT lang_b AS lang, CAST(sum(cnt) AS BIGINT) AS col_n
+              FROM cm GROUP BY 1),
+        rc AS (
+          SELECT CAST(sum(COALESCE(row_n, 0) * COALESCE(col_n, 0)) AS BIGINT)
+            AS sum_rc
+          FROM r FULL JOIN c USING (lang))
+        SELECT lang_a, lang_b, cnt, n, agree, sum_rc,
+               CAST(n * agree - sum_rc AS BIGINT) AS kappa_num,
+               CAST(n * n - sum_rc AS BIGINT) AS kappa_den
+        FROM cm CROSS JOIN tot CROSS JOIN rc
+        ORDER BY lang_a, lang_b"""
+      })
+  }
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -3536,6 +3754,8 @@ object PipelineCatalog {
     "q149_minhash_estimate_audit" -> q149MinhashEstimateAudit,
     "q165_semantic_decontamination" -> q165SemanticDecontamination,
     "q170_hll_sketch_merge" -> q170HllSketchMerge,
+    "q172_source_minhash_overlap" -> q172SourceMinhashOverlap,
+    "q173_labeler_agreement" -> q173LabelerAgreement,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,

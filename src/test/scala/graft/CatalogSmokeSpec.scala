@@ -38,7 +38,7 @@ class CatalogSmokeSpec extends SparkSpec {
     // no-oracle entries must be partitioning- or sketch-dependent ops
     // sketches: engine-specific values (accuracy asserted below)
     val allowed = Set("q48_approx_distinct", "q61_approx_percentiles",
-      "q170_hll_sketch_merge")
+      "q170_hll_sketch_merge", "q171_kll_sketch_merge")
     val noOracle = Catalog.all.collect {
       case (n, s) if s.oracle.isEmpty => n
     }.toSet
@@ -82,6 +82,37 @@ class CatalogSmokeSpec extends SparkSpec {
     merged.foreach { case (m, est) =>
       val e = exact(m).toDouble
       assert(math.abs(est - e) / e < 0.06, s"month $m: est $est exact $e")
+    }
+  }
+
+  test("KLL sketch merge: no mass lost, quantiles inside the rank-error band") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf0001).select(
+      ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+        .cast("bigint").as("month_idx"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val exact = o.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val merged = Catalog.all("q171_kll_sketch_merge").fn(spark, sf0001).collect()
+    assert(merged.nonEmpty)
+    merged.foreach { r =>
+      val m = r.getLong(0)
+      val vals = exact(m)
+      // the merge lost no mass: sketch n == the month's row count
+      assert(r.getLong(2) == vals.length.toLong,
+        s"month $m: sketch n ${r.getLong(2)} != exact ${vals.length}")
+      // each quantile estimate is an OBSERVED value whose exact rank is
+      // inside a generous band around the requested quantile (KLL k=200
+      // is ~1.65% normalized rank error; band 5% absorbs tiny months
+      // where one rank step is a few percent)
+      Seq((r.getLong(3), 0.50), (r.getLong(4), 0.90), (r.getLong(5), 0.99))
+        .foreach { case (est, q) =>
+          assert(vals.contains(est), s"month $m: q=$q estimate $est unobserved")
+          val rank = vals.count(_ <= est).toDouble / vals.length
+          val step = 1.0 / vals.length
+          assert(rank >= q - 0.05 - step && rank <= q + 0.05 + step,
+            s"month $m: q=$q estimate $est has exact rank $rank")
+        }
     }
   }
 
