@@ -62,12 +62,13 @@ object ScaleSweep {
     // cost should track the single user_id shuffle ~linearly
     "time" -> Seq("q10_events_per_min", "q47_user_sessions",
       "q51_asof_join", "q52_range_join", "q133_rolling_wau",
-      "q170_hll_sketch_merge"),
+      "q170_hll_sketch_merge", "q175_audience_overlap"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures
     "corpus" -> Seq("q139_leakage_free_split", "q140_source_overlap",
-      "q141_source_semantic_similarity"),
+      "q141_source_semantic_similarity", "q172_source_minhash_overlap",
+      "q173_labeler_agreement"),
     "decode" -> Seq("q138_pixel_stats"),
     // decision-support classics (added r7): replicated facts with
     // copied-through dims — the broadcast-dim / single-fact-shuffle
@@ -76,7 +77,8 @@ object ScaleSweep {
       "q145_sole_return_suppliers", "q151_returned_revenue_customers",
       "q152_bi_nation_trade", "q153_disjunctive_revenue",
       "q154_revenue_share_parts", "q155_large_volume_orders",
-      "q157_table_digest", "q159_cheapest_supplier"),
+      "q157_table_digest", "q159_cheapest_supplier",
+      "q171_kll_sketch_merge"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

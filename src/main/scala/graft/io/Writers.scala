@@ -138,6 +138,33 @@ object Writers {
       .schema(schema.add("_corrupt_record", "string"))
       .csv(path)
 
+  /** S2 sibling, JSON-lines: the other ubiquitous ingest format for
+    * document corpora (one JSON object per line). Same PERMISSIVE
+    * contract as [[lenientCsv]]: schema enforced, malformed lines
+    * preserved whole in `_corrupt_record` instead of killing the job —
+    * the ST8 log-and-continue rule applied to batch ingest. Explicit
+    * schema (never inference) is also the scale rule: inference is a
+    * full extra pass over 100 TB before the real read.
+    */
+  def lenientJsonl(spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .json(path)
+
+  /** ORC scan/write — the second columnar format Spark ships built-in;
+    * engines that standardize on ORC (Hive-lineage warehouses) get the
+    * same predicate-pushdown + column-pruning contract parquet has
+    * (FormatsSpec asserts pushed filters reach the OrcScan). Parity
+    * write options: zstd like the parquet path.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5: partitioned JDBC scan options — the reference reads the whole
     * fact table through ONE partition (`batch_als_train.py:116-117`),
     * a scalability bug; this is the parallel-scan configuration that

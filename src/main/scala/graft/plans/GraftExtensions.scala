@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AsciiPolyHash, FloatDotProduct}
+import graft.functions.{AsciiPolyHash, FloatDotProduct, ThetaEstimate, ThetaIntersectEstimate, ThetaSketchAgg, ThetaUnionAgg}
 import graft.multimodal.{AudioHeaderMeta, ImageHeaderMeta}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.polyhashFn)
     ext.injectFunction(GraftExtensions.imageMetaFn)
     ext.injectFunction(GraftExtensions.audioMetaFn)
+    ext.injectFunction(GraftExtensions.thetaAggFn)
+    ext.injectFunction(GraftExtensions.thetaUnionFn)
+    ext.injectFunction(GraftExtensions.thetaEstimateFn)
+    ext.injectFunction(GraftExtensions.thetaIntersectFn)
     ext.injectOptimizerRule(_ => LevenshteinBandRule)
   }
 }
@@ -72,13 +76,46 @@ object GraftExtensions {
       AudioHeaderMeta(args(0))
     })
 
+  val thetaAggFn: FnDesc = (
+    FunctionIdentifier("graft_theta_agg"),
+    new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_agg"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_theta_agg(bigint|string)")
+      ThetaSketchAgg(args(0)).toAggregateExpression()
+    })
+
+  val thetaUnionFn: FnDesc = (
+    FunctionIdentifier("graft_theta_union"),
+    new ExpressionInfo(classOf[ThetaUnionAgg].getName, "graft_theta_union"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_theta_union(binary)")
+      ThetaUnionAgg(args(0)).toAggregateExpression()
+    })
+
+  val thetaEstimateFn: FnDesc = (
+    FunctionIdentifier("graft_theta_estimate"),
+    new ExpressionInfo(classOf[ThetaEstimate].getName, "graft_theta_estimate"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "graft_theta_estimate(binary)")
+      ThetaEstimate(args(0))
+    })
+
+  val thetaIntersectFn: FnDesc = (
+    FunctionIdentifier("graft_theta_intersect"),
+    new ExpressionInfo(classOf[ThetaIntersectEstimate].getName, "graft_theta_intersect"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_theta_intersect(binary, binary)")
+      ThetaIntersectEstimate(args(0), args(1))
+    })
+
   /** Register on an already-built session (tests, REPL). Functions go
     * through the function registry; the optimizer rule rides
     * `experimental.extraOptimizations` (the live-session injection
     * point — `spark.sql.extensions` only applies at session build).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(dotFn, polyhashFn, imageMetaFn, audioMetaFn).foreach {
+    Seq(dotFn, polyhashFn, imageMetaFn, audioMetaFn,
+        thetaAggFn, thetaUnionFn, thetaEstimateFn, thetaIntersectFn).foreach {
       case (id, info, builder) =>
       org.apache.spark.sql.graft.shims.registerFunction(spark, id, info, builder)
     }

@@ -3476,6 +3476,56 @@ object PipelineCatalog {
     },
     oracle = None)
 
+  /** AUDIENCE OVERLAP via THETA sketches — the set-operation question
+    * the HLL family (q48/q170) cannot answer: "how many distinct users
+    * are in segment A ∩ B?" for every event-type pair. HLL unions but
+    * never intersects; Datasketches theta sketches stay closed under
+    * union/intersection/difference, so per-segment sketches persist
+    * once and every pairwise (or k-way) overlap re-aggregates from
+    * bytes — at 100 TB the exact alternative is a distinct-pair
+    * self-join that reshuffles the fact table per report. Built on the
+    * repo's own [[graft.functions.ThetaSketchAgg]] family (native
+    * TypedImperativeAggregate, Spark's HllSketchAgg pattern; also on
+    * the SQL surface as `graft_theta_agg`/`graft_theta_intersect` via
+    * GraftExtensions). Emits per pair: both sketch estimates, the
+    * intersection estimate, and the EXACT distinct counts/intersection
+    * alongside (the estimator-quality audit, q149's layout) — the
+    * exact side is the part that drops out at scale. Engine-specific
+    * sketch hashing ⇒ rows-only at the oracle gate (the q48/q61/q170
+    * sketch rule); ThetaSketchSpec pins exactness below the retention
+    * threshold, merge losslessness, and partition-order invariance.
+    * Scale: one (event_type) shuffle builds sketches; the pair matrix
+    * is |types|²-bounded with constant-size sketch rows.
+    */
+  val q175AudienceOverlap: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import graft.functions.ThetaSketch
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(ThetaSketch.sketchAgg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_n"))
+      val exactInter = ev.distinct().as("a").join(ev.distinct().as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("exact_inter"))
+      sk.select(col("event_type").as("t1"), col("sk").as("sk1"),
+          col("exact_n").as("exact_n1"))
+        .crossJoin(broadcast(sk.select(col("event_type").as("t2"),
+          col("sk").as("sk2"), col("exact_n").as("exact_n2"))))
+        .filter(col("t1") < col("t2"))
+        .join(exactInter, Seq("t1", "t2"), "left")
+        .select(col("t1"), col("t2"),
+          round(ThetaSketch.estimate(col("sk1"))).cast("long").as("est_n1"),
+          round(ThetaSketch.estimate(col("sk2"))).cast("long").as("est_n2"),
+          round(ThetaSketch.intersectEstimate(col("sk1"), col("sk2")))
+            .cast("long").as("est_inter"),
+          col("exact_n1"), col("exact_n2"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+        .orderBy(col("t1"), col("t2"))
+    },
+    oracle = None)
+
   /** Per-SOURCE MinHash overlap estimate — q140's declared 100 TB path
     * made real: the exact per-source distinct-shingle intersection is a
     * full inverted-index self-join (fine while sources share the
@@ -3755,6 +3805,7 @@ object PipelineCatalog {
     "q165_semantic_decontamination" -> q165SemanticDecontamination,
     "q170_hll_sketch_merge" -> q170HllSketchMerge,
     "q172_source_minhash_overlap" -> q172SourceMinhashOverlap,
+    "q175_audience_overlap" -> q175AudienceOverlap,
     "q173_labeler_agreement" -> q173LabelerAgreement,
     "q47_user_sessions" -> q47UserSessions,
     "q50_corpus_curation" -> q50CorpusCuration,

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ScoringStream.RawEvent
+
+/** Streaming sketch maintenance — the continuous-ingest twin of the
+  * batch persisted-sketch tables (q170 HLL distincts, q171 KLL
+  * quantiles): per-day Datasketches HLL sketches of the active-user
+  * set maintained INCREMENTALLY as events arrive, so the day-sketch
+  * table the ad-hoc merge queries read (monthly / trailing-28d
+  * distinct estimates without re-touching events) is never more than
+  * one microbatch stale. The reference's dashboard recomputes its
+  * distinct-user stats from scratch per refresh
+  * (`dashboard/app.py:283-350`); this is the shape that makes those
+  * refreshes O(days) at 100 TB with a freshness lag of one trigger.
+  *
+  * Mechanics: an ordinary streaming aggregation — `hll_sketch_agg` is
+  * a TypedImperativeAggregate, so its partial-sketch buffer IS the
+  * state-store value for its day window; each microbatch folds only
+  * its own events into the day's sketch (update mode emits the
+  * refreshed day rows). The event-time watermark expires day state
+  * once no more late events can arrive, so state is bounded by
+  * watermark ÷ day — out-of-orderness, not stream length, sizes it
+  * (the dedupStream rule). HLL union is lossless at equal lgK, so the
+  * streamed day sketches are byte-for-byte as mergeable as batch-built
+  * ones: SketchStreamSpec pins streamed == batch estimates per day AND
+  * after a cross-day union, against a disordered multi-batch tape.
+  */
+object SketchStream {
+
+  /** Per-day HLL user sketches, maintained incrementally (update mode:
+    * each trigger re-emits the day rows its events touched).
+    */
+  def daySketches(events: Dataset[RawEvent],
+      watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(hll_sketch_agg(col("user")).as("sk"))
+      .select(col("w").getField("start").as("day_start"), col("sk"))
+}

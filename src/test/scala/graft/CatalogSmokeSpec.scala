@@ -38,7 +38,8 @@ class CatalogSmokeSpec extends SparkSpec {
     // no-oracle entries must be partitioning- or sketch-dependent ops
     // sketches: engine-specific values (accuracy asserted below)
     val allowed = Set("q48_approx_distinct", "q61_approx_percentiles",
-      "q170_hll_sketch_merge", "q171_kll_sketch_merge")
+      "q170_hll_sketch_merge", "q171_kll_sketch_merge",
+      "q175_audience_overlap")
     val noOracle = Catalog.all.collect {
       case (n, s) if s.oracle.isEmpty => n
     }.toSet
