@@ -84,7 +84,8 @@ object ScaleSweep {
     // cost should track the explode volume; q149 rides the dedup
     // family's shingle/signature cache shapes rebuilt fresh here
     "lines" -> Seq("q147_line_dedup", "q148_lm_familiarity",
-      "q149_minhash_estimate_audit", "q150_gap_fill_locf"),
+      "q149_minhash_estimate_audit", "q150_gap_fill_locf",
+      "q174_blocklist_filter"),
     // exact statistics (added late r7): the KS/MW prefix-sum kernel's
     // cost tracks the distinct-value rollup (~linear in facts here);
     // the day-rollup entries (Theil-Sen, TWAP) are calendar-bounded

@@ -4129,6 +4129,241 @@ object Catalog {
     },
     oracle = None)
 
+  /** INTER-EVENT GAP DISTRIBUTION — the dwell-time statistic behind
+    * session-timeout tuning (q47's 30-min gap threshold is exactly a
+    * quantile of this distribution) and engagement scoring: for each
+    * event, the time to the SAME user's next event (one lead window
+    * over the user shuffle, ts ties broken by event_id so the
+    * ordering — and therefore every gap — is engine-deterministic),
+    * then per event-type exact nearest-rank p50/p90/max of the gap in
+    * integer MICROSECONDS (the q103 convention; the q47/q51 rule: all
+    * event-time arithmetic runs on the integer micro epoch, never
+    * double seconds). Scale: one user_id shuffle builds gaps; the
+    * rank windows partition by event_type over the gap rows — same
+    * parallelism class as q103; at extreme per-type volumes the
+    * nearest-rank windows swap for the q166 rangePrefixSums CDF or
+    * the q61/q171 sketch path, same contract.
+    */
+  val q176InterEventGaps: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), expr("unix_micros(ts)").as("us"))
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = ev
+        .withColumn("gap_us", lead(col("us"), 1).over(wu) - col("us"))
+        .filter(col("gap_us").isNotNull)
+      val wt = Window.partitionBy(col("event_type"))
+        .orderBy(col("gap_us"), col("event_id"))
+      val grp = Window.partitionBy(col("event_type"))
+      val ranked = gaps
+        .withColumn("rn", row_number().over(wt).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(grp))
+      val p50 = ranked.filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n"), col("gap_us").as("p50_us"))
+      val p90 = ranked.filter(col("rn") === expr("n - (n div 10)"))
+        .select(col("event_type"), col("gap_us").as("p90_us"))
+      val mx = gaps.groupBy(col("event_type"))
+        .agg(max(col("gap_us")).as("max_us"))
+      p50.join(p90, "event_type").join(mx, "event_type")
+        .select(col("event_type"), col("n"), col("p50_us"), col("p90_us"),
+          col("max_us"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        epoch_ns(ts) // 1000 AS us FROM events),
+      g AS (SELECT event_type, event_id,
+                   lead(us) OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) - us AS gap_us
+            FROM e),
+      gg AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+      r AS (SELECT *,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY gap_us, event_id) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM gg),
+      p50 AS (SELECT event_type, n, gap_us AS p50_us FROM r
+              WHERE rn = (n + 1) // 2),
+      p90 AS (SELECT event_type, gap_us AS p90_us FROM r
+              WHERE rn = n - (n // 10)),
+      mx AS (SELECT event_type, CAST(max(gap_us) AS BIGINT) AS max_us
+             FROM gg GROUP BY 1)
+      SELECT event_type, n, CAST(p50_us AS BIGINT) AS p50_us,
+             CAST(p90_us AS BIGINT) AS p90_us, max_us
+      FROM p50 JOIN p90 USING (event_type) JOIN mx USING (event_type)
+      ORDER BY event_type"""))
+
+  /** ORDER ↔ LINEITEM RECONCILIATION — the cross-table consistency
+    * audit q90's single-table constraint sweep doesn't cover: does the
+    * order header's total agree with the sum of its line items, and by
+    * how much? Every warehouse runs this class of check between a
+    * rollup table and its fact source after each load. Per status:
+    * order count, orders with NO line items at all (left join, the
+    * referential gap), exact-match count, and the total absolute
+    * discrepancy — all integer cents (the fixture generator draws
+    * header totals and line prices independently, so discrepancies are
+    * the norm here and the audit is non-vacuous). Scale: one orderkey
+    * shuffle for the lineitem rollup, broadcast-free equi-join back to
+    * headers, output |statuses|-bounded. Headroom: Σ|diff| ≤ n·max
+    * cents ≈ 10¹² at sf0.1 — BIGINT-safe to ~10⁶× that (q109 rule).
+    */
+  val q177OrderReconciliation: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("cents")).as("li_cents"), count(lit(1)).as("n_lines"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("o_cents"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("li_cents").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+          sum(when(col("li_cents") === col("o_cents"), 1L).otherwise(0L))
+            .as("n_exact_match"),
+          sum(when(col("li_cents").isNotNull,
+            abs(col("o_cents") - col("li_cents"))).otherwise(0L))
+            .as("abs_diff_cents"),
+          coalesce(sum(col("n_lines")), lit(0L)).as("n_lines"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      WITH li AS (SELECT l_orderkey,
+                         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS BIGINT) AS li_cents,
+                         CAST(count(*) AS BIGINT) AS n_lines
+                  FROM lineitem GROUP BY 1),
+      o AS (SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents
+            FROM orders)
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN li.li_cents IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_no_lines,
+             CAST(sum(CASE WHEN li.li_cents = o.o_cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exact_match,
+             CAST(sum(CASE WHEN li.li_cents IS NOT NULL
+                  THEN abs(o.o_cents - li.li_cents) ELSE 0 END)
+               AS BIGINT) AS abs_diff_cents,
+             CAST(COALESCE(sum(li.n_lines), 0) AS BIGINT) AS n_lines
+      FROM o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
+  /** RFM SEGMENTATION — the classic customer-value model (recency /
+    * frequency / monetary), built the SCALE-CORRECT way: no global
+    * ntile over the customer rollup (a partitionless window moves
+    * every customer to one task — the q162 lesson), but VALUE
+    * thresholds at the 40/70 nearest-ranks per metric, computed from
+    * three tiny rank extractions and broadcast back as a 1-row join —
+    * customers then bucket by comparison, map-side. Tercile boundaries
+    * use the q103 nearest-rank convention on a deterministic total
+    * order (metric, custkey); bucket semantics are VALUE-based (equal
+    * metric ⇒ equal bucket — honest under ties, where ntile would
+    * split equal customers arbitrarily). Recency = days from the
+    * corpus max order date (broadcast scalar), so the query is
+    * reproducible from the data alone. Emits per customer the raw
+    * integer metrics, the three bucket digits (3 = best), and the
+    * concatenated segment label. Scale: one custkey shuffle for the
+    * rollup; thresholds are rank windows over the rollup — at
+    * fact-sized customer counts they swap for the q166 rangePrefixSums
+    * CDF, same value-threshold contract.
+    */
+  val q178RfmSegmentation: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val maxDay = Tables.orders(s, dir)
+        .agg(max(expr("CAST(o_orderdate AS DATE)")).as("max_d"))
+      val rfm = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .crossJoin(broadcast(maxDay))
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(expr("datediff(max_d, CAST(o_orderdate AS DATE))"))
+            .cast("bigint").as("r_days"),
+          count(lit(1)).as("f_cnt"),
+          sum(col("cents")).as("m_cents"))
+      def thresholds(metric: String, asc: Boolean): DataFrame = {
+        val ord = if (asc) col(metric).asc else col(metric).desc
+        val w = Window.orderBy(ord, col("o_custkey"))
+        // rank windows over the customer rollup: acceptable at fixture
+        // scale, rangePrefixSums past it (see scaladoc); the window is
+        // partitionless but its consumer keeps only 2 rows
+        val ranked = rfm
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        ranked.filter(col("rn") === expr("(2 * n + 4) div 5"))
+          .select(col(metric).as(s"${metric}_t1"))
+          .crossJoin(ranked.filter(col("rn") === expr("(7 * n + 9) div 10"))
+            .select(col(metric).as(s"${metric}_t2")))
+      }
+      // recency: SMALLER is better → rank ascending puts best first;
+      // frequency/monetary: larger is better → rank descending
+      val cut = thresholds("r_days", asc = true)
+        .crossJoin(thresholds("f_cnt", asc = false))
+        .crossJoin(thresholds("m_cents", asc = false))
+      rfm.crossJoin(broadcast(cut))
+        .select(col("o_custkey"), col("r_days"), col("f_cnt"), col("m_cents"),
+          when(col("r_days") <= col("r_days_t1"), 3L)
+            .when(col("r_days") <= col("r_days_t2"), 2L).otherwise(1L)
+            .as("r_bucket"),
+          when(col("f_cnt") >= col("f_cnt_t1"), 3L)
+            .when(col("f_cnt") >= col("f_cnt_t2"), 2L).otherwise(1L)
+            .as("f_bucket"),
+          when(col("m_cents") >= col("m_cents_t1"), 3L)
+            .when(col("m_cents") >= col("m_cents_t2"), 2L).otherwise(1L)
+            .as("m_bucket"))
+        .withColumn("segment", concat(col("r_bucket"), col("f_bucket"),
+          col("m_bucket")))
+        .orderBy(col("o_custkey"))
+    },
+    oracle = Some("""
+      WITH rfm AS (
+        SELECT o_custkey,
+               CAST(min(datediff('day', CAST(o_orderdate AS DATE),
+                 (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)))
+                 AS BIGINT) AS r_days,
+               CAST(count(*) AS BIGINT) AS f_cnt,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS m_cents
+        FROM orders GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+      rr AS (SELECT r_days, row_number() OVER (ORDER BY r_days, o_custkey)
+               AS rn FROM rfm),
+      fr AS (SELECT f_cnt, row_number() OVER (ORDER BY f_cnt DESC, o_custkey)
+               AS rn FROM rfm),
+      mr AS (SELECT m_cents, row_number() OVER (ORDER BY m_cents DESC,
+               o_custkey) AS rn FROM rfm),
+      cut AS (SELECT
+        (SELECT r_days FROM rr, n WHERE rn = (2 * n + 4) // 5) AS r_t1,
+        (SELECT r_days FROM rr, n WHERE rn = (7 * n + 9) // 10) AS r_t2,
+        (SELECT f_cnt FROM fr, n WHERE rn = (2 * n + 4) // 5) AS f_t1,
+        (SELECT f_cnt FROM fr, n WHERE rn = (7 * n + 9) // 10) AS f_t2,
+        (SELECT m_cents FROM mr, n WHERE rn = (2 * n + 4) // 5) AS m_t1,
+        (SELECT m_cents FROM mr, n WHERE rn = (7 * n + 9) // 10) AS m_t2)
+      SELECT o_custkey, r_days, f_cnt, m_cents,
+             CAST(CASE WHEN r_days <= r_t1 THEN 3
+                       WHEN r_days <= r_t2 THEN 2 ELSE 1 END AS BIGINT)
+               AS r_bucket,
+             CAST(CASE WHEN f_cnt >= f_t1 THEN 3
+                       WHEN f_cnt >= f_t2 THEN 2 ELSE 1 END AS BIGINT)
+               AS f_bucket,
+             CAST(CASE WHEN m_cents >= m_t1 THEN 3
+                       WHEN m_cents >= m_t2 THEN 2 ELSE 1 END AS BIGINT)
+               AS m_bucket,
+             CAST(CASE WHEN r_days <= r_t1 THEN 3
+                       WHEN r_days <= r_t2 THEN 2 ELSE 1 END AS VARCHAR) ||
+             CAST(CASE WHEN f_cnt >= f_t1 THEN 3
+                       WHEN f_cnt >= f_t2 THEN 2 ELSE 1 END AS VARCHAR) ||
+             CAST(CASE WHEN m_cents >= m_t1 THEN 3
+                       WHEN m_cents >= m_t2 THEN 2 ELSE 1 END AS VARCHAR)
+               AS segment
+      FROM rfm CROSS JOIN cut
+      ORDER BY o_custkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4241,6 +4476,9 @@ object Catalog {
     "q168_time_weighted_revenue" -> q168TimeWeightedRevenue,
     "q169_benford_audit" -> q169BenfordAudit,
     "q171_kll_sketch_merge" -> q171KllSketchMerge,
+    "q176_inter_event_gaps" -> q176InterEventGaps,
+    "q177_order_reconciliation" -> q177OrderReconciliation,
+    "q178_rfm_segmentation" -> q178RfmSegmentation,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

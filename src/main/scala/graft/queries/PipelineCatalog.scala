@@ -3476,6 +3476,66 @@ object PipelineCatalog {
     },
     oracle = None)
 
+  /** BLOCKLIST (bad-words) FILTER — the C4/RefinedWeb curation rule
+    * q124's line heuristics don't cover: drop or flag documents
+    * containing any term or phrase from a curated blocklist. Two match
+    * granularities, both map-only codegen string ops: exact TOKEN
+    * membership (word-boundary-safe — "dup" the token, not "dedup")
+    * via `size(filter(w, ...))` over the split array, and multi-word
+    * PHRASE occurrence counts via the substring-erasure identity
+    * `(len(text) − len(replace(text, p, ''))) / len(p)` (q49's trick;
+    * replace is left-to-right non-overlapping on BOTH engines, so the
+    * count is engine-exact). Per-doc audit row — counts per class plus
+    * the keep/drop verdict — rather than a silent filter, the q124
+    * report shape. Scale: pure map over documents, no shuffle at all
+    * before the presentation sort; a 10⁵-entry production blocklist
+    * swaps the inlined literals for a broadcast join on tokens (q67's
+    * asymmetric probe) + an Aho-Corasick-style codegen scan for
+    * phrases — the per-doc audit contract is unchanged.
+    */
+  val q174BlocklistFilter: QuerySpec = {
+    val terms = Seq("slow", "dup")
+    val phrases = Seq("batch batch", "the fast key")
+    QuerySpec(
+      fn = (s, dir) => {
+        val termList = terms.map(t => s"'$t'").mkString(", ")
+        val phraseCnt = phrases.zipWithIndex.map { case (p, i) =>
+          expr(s"CAST((length(text) - length(replace(text, '$p', ''))) div ${p.length} AS BIGINT)")
+            .as(s"p$i")
+        }
+        Tables.documents(s, dir)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("n_blocked_terms",
+            expr(s"CAST(size(filter(w, t -> t IN ($termList))) AS BIGINT)"))
+          .select(col("doc_id") +: col("n_blocked_terms") +: phraseCnt: _*)
+          .withColumn("n_blocked_phrases",
+            phrases.indices.map(i => col(s"p$i")).reduce(_ + _))
+          .withColumn("verdict",
+            when(col("n_blocked_terms") + col("n_blocked_phrases") > 0, "drop")
+              .otherwise("keep"))
+          .select(col("doc_id"), col("n_blocked_terms"),
+            col("n_blocked_phrases"), col("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val termList = terms.map(t => s"'$t'").mkString(", ")
+        val phraseSum = phrases
+          .map(p => s"((length(text) - length(replace(text, '$p', ''))) // ${p.length})")
+          .mkString(" + ")
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ($termList))) AS BIGINT) AS n_blocked_terms,
+                 CAST($phraseSum AS BIGINT) AS n_blocked_phrases
+          FROM documents)
+        SELECT doc_id, n_blocked_terms, n_blocked_phrases,
+               CASE WHEN n_blocked_terms + n_blocked_phrases > 0
+                    THEN 'drop' ELSE 'keep' END AS verdict
+        FROM t ORDER BY doc_id"""
+      })
+  }
+
   /** AUDIENCE OVERLAP via THETA sketches — the set-operation question
     * the HLL family (q48/q170) cannot answer: "how many distinct users
     * are in segment A ∩ B?" for every event-type pair. HLL unions but
@@ -3651,33 +3711,37 @@ object PipelineCatalog {
         .mkString("CAST((", " + ", ") AS BIGINT)")
     QuerySpec(
       fn = (s, dir) => {
-        // labeler A: q42's marker-word argmax
-        val a = Tables.documents(s, dir)
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("c_de", expr("size(filter(w, t -> t IN ('hash','sort','vector')))"))
-          .withColumn("c_en", expr("size(filter(w, t -> t IN ('the','a','table','row')))"))
-          .withColumn("c_es", expr("size(filter(w, t -> t IN ('scan','stream','filter')))"))
-          .withColumn("c_fr", expr("size(filter(w, t -> t IN ('query','window','agg')))"))
-          .withColumn("c_zh", expr("size(filter(w, t -> t IN ('merge','join','batch')))"))
-          .withColumn("mx", greatest(col("c_de"), col("c_en"), col("c_es"),
-            col("c_fr"), col("c_zh")))
-          .select(col("doc_id"),
-            when(col("c_de") === col("mx"), "de")
-              .when(col("c_en") === col("mx"), "en")
-              .when(col("c_es") === col("mx"), "es")
-              .when(col("c_fr") === col("mx"), "fr")
-              .otherwise("zh").as("lang_a"))
-        // labeler B: q49's char-bigram profile argmax
-        val scored = profiles.foldLeft(Tables.documents(s, dir)) {
+        // both labelers are map-only over the SAME row — one projection
+        // computes both (the oracle keeps the join formulation, so the
+        // compare crosses two shapes per the q94 rule)
+        val scored = profiles.foldLeft(
+          Tables.documents(s, dir)
+            .withColumn("w", split(col("text"), " "))
+            .withColumn("c_de", expr("size(filter(w, t -> t IN ('hash','sort','vector')))"))
+            .withColumn("c_en", expr("size(filter(w, t -> t IN ('the','a','table','row')))"))
+            .withColumn("c_es", expr("size(filter(w, t -> t IN ('scan','stream','filter')))"))
+            .withColumn("c_fr", expr("size(filter(w, t -> t IN ('query','window','agg')))"))
+            .withColumn("c_zh", expr("size(filter(w, t -> t IN ('merge','join','batch')))"))) {
           case (d, (lang, ws)) => d.withColumn(s"s_$lang", expr(numExpr(ws, cntExpr)))
         }
+        val mxA = greatest(col("c_de"), col("c_en"), col("c_es"),
+          col("c_fr"), col("c_zh"))
         val mxB = greatest(profiles.map { case (l, _) => col(s"s_$l") }: _*)
-        val b = scored.select(col("doc_id"),
+        val labeled = scored.select(
+          when(col("c_de") === mxA, "de")
+            .when(col("c_en") === mxA, "en")
+            .when(col("c_es") === mxA, "es")
+            .when(col("c_fr") === mxA, "fr")
+            .otherwise("zh").as("lang_a"),
           profiles.init.foldRight(lit(profiles.last._1)) { case ((l, _), els) =>
             when(col(s"s_$l") === mxB, l).otherwise(els)
           }.as("lang_b"))
-        val cm = a.join(b, Seq("doc_id"))
+        // localCheckpoint the ≤|langs|² rollup: three aggregates fan out
+        // of it below, and without the barrier each would re-run the
+        // full document scan (measured 19.6s vs 2s at the 10× sweep)
+        val cm = labeled
           .groupBy(col("lang_a"), col("lang_b")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
         val tot = cm.agg(sum(col("cnt")).as("n"),
           sum(when(col("lang_a") === col("lang_b"), col("cnt")).otherwise(0L))
             .as("agree"))
@@ -3805,6 +3869,7 @@ object PipelineCatalog {
     "q165_semantic_decontamination" -> q165SemanticDecontamination,
     "q170_hll_sketch_merge" -> q170HllSketchMerge,
     "q172_source_minhash_overlap" -> q172SourceMinhashOverlap,
+    "q174_blocklist_filter" -> q174BlocklistFilter,
     "q175_audience_overlap" -> q175AudienceOverlap,
     "q173_labeler_agreement" -> q173LabelerAgreement,
     "q47_user_sessions" -> q47UserSessions,

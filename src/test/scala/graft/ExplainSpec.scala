@@ -150,5 +150,7 @@ object ExplainSpec {
     "q166_ks_statistic" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q167_mann_whitney_u" ->
-      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count")
+      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
+    "q178_rfm_segmentation" ->
+      "threshold rank windows over the per-customer rollup (2 rows kept); rangePrefixSums is the documented fact-scale swap")
 }
