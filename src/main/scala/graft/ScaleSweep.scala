@@ -62,7 +62,8 @@ object ScaleSweep {
     // cost should track the single user_id shuffle ~linearly
     "time" -> Seq("q10_events_per_min", "q47_user_sessions",
       "q51_asof_join", "q52_range_join", "q133_rolling_wau",
-      "q170_hll_sketch_merge", "q175_audience_overlap"),
+      "q170_hll_sketch_merge", "q175_audience_overlap",
+      "q176_inter_event_gaps", "q179_touch_attribution"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures
@@ -78,7 +79,8 @@ object ScaleSweep {
       "q152_bi_nation_trade", "q153_disjunctive_revenue",
       "q154_revenue_share_parts", "q155_large_volume_orders",
       "q157_table_digest", "q159_cheapest_supplier",
-      "q171_kll_sketch_merge"),
+      "q171_kll_sketch_merge", "q177_order_reconciliation",
+      "q178_rfm_segmentation"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

@@ -4295,16 +4295,18 @@ object Catalog {
         val ranked = rfm
           .withColumn("rn", row_number().over(w).cast("bigint"))
           .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        // every extract is 1 row — broadcast so the planner emits tiny
+        // BNLJs instead of CartesianProduct exchanges over unknown sizes
         ranked.filter(col("rn") === expr("(2 * n + 4) div 5"))
           .select(col(metric).as(s"${metric}_t1"))
-          .crossJoin(ranked.filter(col("rn") === expr("(7 * n + 9) div 10"))
-            .select(col(metric).as(s"${metric}_t2")))
+          .crossJoin(broadcast(ranked.filter(col("rn") === expr("(7 * n + 9) div 10"))
+            .select(col(metric).as(s"${metric}_t2"))))
       }
       // recency: SMALLER is better → rank ascending puts best first;
       // frequency/monetary: larger is better → rank descending
       val cut = thresholds("r_days", asc = true)
-        .crossJoin(thresholds("f_cnt", asc = false))
-        .crossJoin(thresholds("m_cents", asc = false))
+        .crossJoin(broadcast(thresholds("f_cnt", asc = false)))
+        .crossJoin(broadcast(thresholds("m_cents", asc = false)))
       rfm.crossJoin(broadcast(cut))
         .select(col("o_custkey"), col("r_days"), col("f_cnt"), col("m_cents"),
           when(col("r_days") <= col("r_days_t1"), 3L)
@@ -4363,6 +4365,127 @@ object Catalog {
                AS segment
       FROM rfm CROSS JOIN cut
       ORDER BY o_custkey"""))
+
+  /** MULTI-TOUCH ATTRIBUTION — first-touch / last-touch / linear credit
+    * of purchase value to the campaign (`props.k`) of preceding click
+    * touches within a 7-day lookback, the marketing-analytics
+    * workhorse the streaming `attributionJoin` answers continuously
+    * and this answers retrospectively-exact (the stream/batch split
+    * rule). The time-range pairing uses q52's bucketed shape — touches
+    * key on their 7-day epoch, each purchase probes its own and the
+    * preceding bucket, residual filter exact — so the join is
+    * equi-join-shaped, never a BETWEEN theta-join. Model semantics,
+    * all engine-deterministic: last = max (us, event_id) touch, first
+    * = min, linear = floor(cents·10⁶ / n_touches) MICROCENTS per touch
+    * (documented truncation, ≤ n microcents dropped per purchase —
+    * deterministic integer division on both engines; the q49/q60 rule
+    * would forbid a rounded float here). Purchases with no touch in
+    * the window land on the sentinel campaign −1, so every model
+    * column partitions total purchase cents. Scale: one (user, week)
+    * shuffle, per-purchase windows over its own touch set; campaign
+    * report is |campaigns|-bounded. Headroom: cents·10⁶ ≈ 10¹³ per
+    * purchase — Σ crosses 2^63 near 10⁶ heavy purchases per campaign
+    * at sf0.1 volumes ⇒ the DECIMAL(38,0) escalation documented
+    * (q109 rule).
+    */
+  val q179TouchAttribution: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val wk = 7L * 86400L * 1000000L
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), expr("unix_micros(ts)").as("us"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val touches = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("t_us"),
+          col("event_id").as("t_id"), col("k"),
+          expr(s"us div $wk").as("bucket"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us").as("p_us"),
+          col("event_id").as("p_id"), col("cents"))
+      // q52 shape: each purchase probes its own + preceding 7-day bucket
+      val probes = purchases.select(col("user_id"), col("p_us"), col("p_id"),
+        col("cents"), explode(array(expr(s"p_us div $wk - 1"),
+          expr(s"p_us div $wk"))).as("bucket"))
+      val paired = probes.join(touches, Seq("user_id", "bucket"))
+        .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= wk)
+        .select(col("p_id"), col("cents"), col("t_us"), col("t_id"), col("k"))
+      val wLast = Window.partitionBy(col("p_id"))
+        .orderBy(col("t_us").desc, col("t_id").desc)
+      val wFirst = Window.partitionBy(col("p_id"))
+        .orderBy(col("t_us").asc, col("t_id").asc)
+      val wAll = Window.partitionBy(col("p_id"))
+      val credited = paired
+        .withColumn("rn_last", row_number().over(wLast))
+        .withColumn("rn_first", row_number().over(wFirst))
+        .withColumn("n_touch", count(lit(1)).over(wAll))
+      val attributed = credited.groupBy(col("k"))
+        .agg(
+          sum(when(col("rn_last") === 1, col("cents")).otherwise(0L))
+            .as("last_cents"),
+          sum(when(col("rn_first") === 1, col("cents")).otherwise(0L))
+            .as("first_cents"),
+          sum(expr("cents * 1000000L div n_touch")).as("linear_microcents"),
+          sum(when(col("rn_last") === 1, 1L).otherwise(0L)).as("n_purchases"))
+      val unattributed = purchases.join(
+          paired.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+        .agg(coalesce(sum(col("cents")), lit(0L)).as("u_cents"),
+          count(lit(1)).as("u_n"))
+        .select(lit(-1L).as("k"), col("u_cents").as("last_cents"),
+          col("u_cents").as("first_cents"),
+          (col("u_cents") * lit(1000000L)).as("linear_microcents"),
+          col("u_n").as("n_purchases"))
+      attributed.unionByName(unattributed)
+        .orderBy(col("k"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        epoch_ns(ts) // 1000 AS us,
+                        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      tch AS (SELECT user_id, us AS t_us, event_id AS t_id, k,
+                     us // 604800000000 AS bucket
+              FROM e WHERE event_type = 'click'),
+      pur AS (SELECT user_id, us AS p_us, event_id AS p_id, cents
+              FROM e WHERE event_type = 'purchase'),
+      probes AS (
+        SELECT user_id, p_us, p_id, cents, (p_us // 604800000000) - 1 + b
+          AS bucket
+        FROM pur, unnest([0, 1]) AS t(b)),
+      paired AS (
+        SELECT p.p_id, p.cents, t.t_us, t.t_id, t.k
+        FROM probes p JOIN tch t USING (user_id, bucket)
+        WHERE t.t_us < p.p_us AND p.p_us - t.t_us <= 604800000000),
+      credited AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY p_id
+                 ORDER BY t_us DESC, t_id DESC) AS rn_last,
+               row_number() OVER (PARTITION BY p_id
+                 ORDER BY t_us ASC, t_id ASC) AS rn_first,
+               CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_touch
+        FROM paired),
+      attributed AS (
+        SELECT k,
+               CAST(sum(CASE WHEN rn_last = 1 THEN cents ELSE 0 END)
+                 AS BIGINT) AS last_cents,
+               CAST(sum(CASE WHEN rn_first = 1 THEN cents ELSE 0 END)
+                 AS BIGINT) AS first_cents,
+               CAST(sum((cents * 1000000) // n_touch) AS BIGINT)
+                 AS linear_microcents,
+               CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_purchases
+        FROM credited GROUP BY k),
+      unattributed AS (
+        SELECT CAST(-1 AS BIGINT) AS k,
+               CAST(COALESCE(sum(cents), 0) AS BIGINT) AS last_cents,
+               CAST(COALESCE(sum(cents), 0) AS BIGINT) AS first_cents,
+               CAST(COALESCE(sum(cents), 0) * 1000000 AS BIGINT)
+                 AS linear_microcents,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM pur WHERE p_id NOT IN (SELECT p_id FROM paired))
+      SELECT * FROM attributed
+      UNION ALL SELECT * FROM unattributed
+      ORDER BY k"""))
 
   // ---------------------------------------------------------------------
   // Registry
@@ -4479,6 +4602,7 @@ object Catalog {
     "q176_inter_event_gaps" -> q176InterEventGaps,
     "q177_order_reconciliation" -> q177OrderReconciliation,
     "q178_rfm_segmentation" -> q178RfmSegmentation,
+    "q179_touch_attribution" -> q179TouchAttribution,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
