@@ -46,7 +46,7 @@ object ThetaSketch {
   private[functions] def newUnion(lgK: Int): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
 
-  private[functions] def wrap(bytes: Array[Byte]): Sketch =
+  private[graft] def wrap(bytes: Array[Byte]): Sketch =
     Sketch.wrap(Memory.wrap(bytes))
 
   import org.apache.spark.sql.graft.{shims => S}
