@@ -4487,6 +4487,151 @@ object Catalog {
       UNION ALL SELECT * FROM unattributed
       ORDER BY k"""))
 
+  /** SNAPSHOT ROW DIFF — the row-level data-regression report between
+    * two versions of a table (q136 is the statistics-level twin; q91
+    * applies changes, this AUDITS them): full-outer join by key,
+    * classify every key as added / removed / changed / unchanged, and
+    * roll up counts plus the net value delta per class. The "new"
+    * version here is derived deterministically in-query (drop keys
+    * ≡0 mod 97, bump totals on keys ≡0 mod 89 — the Synthetic.mutate
+    * classes) so the oracle replays both versions exactly and the
+    * diff logic is exercised on known ground truth; against real
+    * snapshots the derivation is just two reads. Changed-ness compares
+    * integer cents — float equality would be engine-dependent. Scale:
+    * one key shuffle for the join (or zero with both versions bucketed
+    * by key — the anti-entropy pairing q157's digests pre-screen);
+    * report is 4 rows.
+    */
+  val q180SnapshotDiff: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val v1 = Tables.orders(s, dir).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents1"))
+      val v2 = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"),
+          (expr("CAST(round(o_totalprice * 100) AS BIGINT)") +
+            when(col("o_orderkey") % 89 === 0, 500L).otherwise(0L))
+            .as("cents2"))
+      v1.join(v2, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("cents1").isNull, "added")
+            .when(col("cents2").isNull, "removed")
+            .when(col("cents1") =!= col("cents2"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("cents2"), lit(0L)) -
+            coalesce(col("cents1"), lit(0L))).as("net_delta_cents"))
+        .orderBy(col("change_type"))
+    },
+    oracle = Some("""
+      WITH v1 AS (SELECT o_orderkey,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents1
+                  FROM orders),
+      v2 AS (SELECT o_orderkey,
+                    CAST(round(o_totalprice * 100) AS BIGINT) +
+                      CASE WHEN o_orderkey % 89 = 0 THEN 500 ELSE 0 END
+                      AS cents2
+             FROM orders WHERE o_orderkey % 97 <> 0),
+      d AS (SELECT CASE WHEN cents1 IS NULL THEN 'added'
+                        WHEN cents2 IS NULL THEN 'removed'
+                        WHEN cents1 <> cents2 THEN 'changed'
+                        ELSE 'unchanged' END AS change_type,
+                   COALESCE(cents2, 0) - COALESCE(cents1, 0) AS delta
+            FROM v1 FULL OUTER JOIN v2 USING (o_orderkey))
+      SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(delta) AS BIGINT) AS net_delta_cents
+      FROM d GROUP BY change_type
+      ORDER BY change_type"""))
+
+  /** DAY-OF-WEEK SEASONALITY PROFILE — the calendar-shape report
+    * behind staffing/campaign timing and the denominator every
+    * "is today anomalous?" check needs (q82 flags spikes against a
+    * global mean; this conditions on weekday): per day-of-week the
+    * number of active calendar days, order count, revenue cents, and
+    * the day-count so mean-per-weekday reconstructs as the exact
+    * rational revenue/days (q49/q60 never-round rule). Day-of-week is
+    * computed ARITHMETICALLY from the epoch day index (epoch day 0 =
+    * Thursday → (d + 3) mod 7 gives Monday=0) — date-function weekday
+    * numbering differs across engines (Spark dayofweek is 1=Sunday,
+    * DuckDB dow 0=Sunday, isodow 1=Monday), and the integer identity
+    * sidesteps the whole dialect class. Scale: per-day rollup first
+    * (one date shuffle), weekday profile is a 7-row second rollup.
+    */
+  val q181DowSeasonality: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+          .cast("bigint").as("epoch_day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("epoch_day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("day_cents"))
+      daily
+        .withColumn("dow", pmod(col("epoch_day") + 3, lit(7)))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("n")).as("n_orders"),
+          sum(col("day_cents")).as("revenue_cents"),
+          max(col("day_cents")).as("max_day_cents"))
+        .orderBy(col("dow"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 AS epoch_day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS day_cents
+        FROM orders GROUP BY 1)
+      SELECT CAST((epoch_day + 3) % 7 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS n_orders,
+             CAST(sum(day_cents) AS BIGINT) AS revenue_cents,
+             CAST(max(day_cents) AS BIGINT) AS max_day_cents
+      FROM daily GROUP BY 1 ORDER BY dow"""))
+
+  /** GROUPED CORRELATION SUFFICIENT STATISTICS — does a deeper
+    * discount move more units, per brand? The Pearson correlation of
+    * (discount, quantity) per part brand as exact integer sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) — r reconstructs
+    * client-side; nothing transcendental or float crosses engines
+    * (the q109/q59 split). x = discount in basis points, y = whole
+    * units. This is the grouped-covariance operator q109 (per-group
+    * OLS on time) and q98 (lagged autocorrelation) both specialize;
+    * emitted raw so callers can also form covariance or slope.
+    * Scale: brand dim broadcast into the fact scan, one |brands|
+    * rollup — map-side combine does all the work. Headroom AT TARGET
+    * SF: Σx² ≤ n·10⁶, Σxy ≤ n·5·10⁴ — BIGINT-safe to n ≈ 10¹² rows
+    * per brand (q109 rule).
+    */
+  val q182DiscountQuantityCorr: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+        expr("CAST(round(l_discount * 10000) AS BIGINT)").as("x"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+      val brands = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      li.join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"),
+          sum(col("y") * col("y")).as("sum_y2"))
+        .orderBy(col("p_brand"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT p_brand,
+                        CAST(round(l_discount * 10000) AS BIGINT) AS x,
+                        CAST(round(l_quantity) AS BIGINT) AS y
+                 FROM lineitem JOIN part ON l_partkey = p_partkey)
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_x2,
+             CAST(sum(y * y) AS BIGINT) AS sum_y2
+      FROM t GROUP BY p_brand ORDER BY p_brand"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4603,6 +4748,9 @@ object Catalog {
     "q177_order_reconciliation" -> q177OrderReconciliation,
     "q178_rfm_segmentation" -> q178RfmSegmentation,
     "q179_touch_attribution" -> q179TouchAttribution,
+    "q180_snapshot_diff" -> q180SnapshotDiff,
+    "q181_dow_seasonality" -> q181DowSeasonality,
+    "q182_discount_quantity_corr" -> q182DiscountQuantityCorr,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
