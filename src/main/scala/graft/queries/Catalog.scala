@@ -4632,6 +4632,113 @@ object Catalog {
              CAST(sum(y * y) AS BIGINT) AS sum_y2
       FROM t GROUP BY p_brand ORDER BY p_brand"""))
 
+  /** MODE (most frequent value) PER GROUP — the statistical mode is a
+    * real aggregate most engines special-case (DuckDB `mode`, BigQuery
+    * APPROX_TOP_COUNT) and Spark lacks; the hash-native formulation is
+    * a (group, value) count rollup + one rank window with the
+    * DETERMINISTIC tie rule (count desc, value asc) — an arbitrary-tie
+    * mode can never hash-match across engines, so the tie rule IS the
+    * contract (q164's LPA lesson). Emits the modal order priority per
+    * status with its count, the group total, and the distinct-value
+    * count, so modal share reconstructs as the exact rational
+    * n_mode/n_total. Scale: the rollup is map-side combinable; the
+    * window partitions by group over |group|·|values| rows — domain-
+    * bounded here (q88's contingency class).
+    */
+  val q183ModePerGroup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val grp = Window.partitionBy(col("o_orderstatus"))
+      cells
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_orderstatus"))
+            .orderBy(col("cnt").desc, col("o_orderpriority").asc)))
+        .withColumn("n_total", sum(col("cnt")).over(grp))
+        .withColumn("n_values", count(lit(1)).over(grp))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"),
+          col("cnt").as("n_mode"), col("n_total"), col("n_values"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      WITH cells AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1, 2),
+      r AS (SELECT *,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                     ORDER BY cnt DESC, o_orderpriority ASC) AS rn,
+                   CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+                     AS n_total,
+                   CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+                     AS n_values
+            FROM cells)
+      SELECT o_orderstatus, o_orderpriority AS mode_priority,
+             cnt AS n_mode, n_total, n_values
+      FROM r WHERE rn = 1
+      ORDER BY o_orderstatus"""))
+
+  /** PPS SYSTEMATIC SAMPLE — probability-proportional-to-size sampling
+    * without randomness or transcendentals: order the population on a
+    * fixed frame key (partkey), prefix-sum the weights (part revenue
+    * cents), and select every item whose cumulative weight crosses a
+    * multiple of W/m — the classic systematic PPS estimator
+    * (Madow 1949), selection count per item =
+    * floor(c·m/W) − floor((c−w)·m/W), items heavier than W/m get
+    * multiple hits (their n_hits IS the inclusion multiplicity the
+    * Horvitz–Thompson estimator divides by). Exactly m total hits by
+    * telescoping, all integer arithmetic (a random-start variant adds
+    * a seeded offset < W/m — same plan). The prefix sum is the q166
+    * rangePrefixSums kernel keyed on partkey — NO single-task global
+    * sort, the whole reason PPS usually gets approximated at scale.
+    * The weighted complement of q22's uniform arithmetic sample;
+    * q68's quota sampler allocates BETWEEN strata, this samples
+    * WITHIN one. Headroom: c·m ≤ W·m ≈ 10¹⁴ at sf0.1 — BIGINT-safe
+    * to ~10⁴× (q109 rule).
+    */
+  val q184PpsSample: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val m = 100L
+      val wts = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("w"))
+        .groupBy(col("l_partkey")).agg(sum(col("w")).as("w"))
+        .filter(col("w") > 0)
+      // kernel contract: ordering key column named `cents`, summands
+      // d1/d2 — partkey is the frame order, d2 unused
+      val rollup = wts.select(col("l_partkey").as("cents"),
+        col("w").as("d1"), lit(0L).as("d2"))
+      val tot = wts.agg(sum(col("w")).as("big_w"))
+      rangePrefixSums(s, rollup)
+        .crossJoin(broadcast(tot))
+        .select(col("cents").as("l_partkey"), col("d1").as("w"),
+          col("c1").as("cum_w"), col("big_w"),
+          (expr(s"(c1 * $m) div big_w") -
+            expr(s"((c1 - d1) * $m) div big_w")).as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .orderBy(col("l_partkey"))
+    },
+    oracle = Some("""
+      WITH wts AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS w
+        FROM lineitem GROUP BY 1 HAVING sum(round(l_extendedprice * 100)) > 0),
+      c AS (SELECT l_partkey, w,
+                   CAST(sum(w) OVER (ORDER BY l_partkey
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w,
+                   CAST(sum(w) OVER () AS BIGINT) AS big_w
+            FROM wts)
+      SELECT l_partkey, w, cum_w, big_w,
+             CAST((cum_w * 100) // big_w - ((cum_w - w) * 100) // big_w
+               AS BIGINT) AS n_hits
+      FROM c
+      WHERE (cum_w * 100) // big_w - ((cum_w - w) * 100) // big_w > 0
+      ORDER BY l_partkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4751,6 +4858,8 @@ object Catalog {
     "q180_snapshot_diff" -> q180SnapshotDiff,
     "q181_dow_seasonality" -> q181DowSeasonality,
     "q182_discount_quantity_corr" -> q182DiscountQuantityCorr,
+    "q183_mode_per_group" -> q183ModePerGroup,
+    "q184_pps_sample" -> q184PpsSample,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

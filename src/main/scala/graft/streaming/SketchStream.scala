@@ -39,4 +39,22 @@ object SketchStream {
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(hll_sketch_agg(col("user")).as("sk"))
       .select(col("w").getField("start").as("day_start"), col("sk"))
+
+  /** Per-(segment, day) THETA user sketches — the overlap-capable
+    * variant: downstream consumers can INTERSECT segment sketches
+    * (q175's audience-overlap report) straight off this table, which
+    * HLL day sketches can never support. Doubles as the proof that the
+    * repo's custom [[graft.functions.ThetaSketchAgg]] (a
+    * TypedImperativeAggregate) serves as STREAMING aggregation state
+    * like any built-in — its buffer serializes into the state store at
+    * the same seam batch shuffles use. Segment = the event action here
+    * (the fixture's only categorical); any dimension column works.
+    */
+  def segmentDaySketches(events: Dataset[RawEvent],
+      watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("action"), window(col("ts"), "1 day").as("w"))
+      .agg(graft.functions.ThetaSketch.sketchAgg(col("user")).as("sk"))
+      .select(col("action"), col("w").getField("start").as("day_start"),
+        col("sk"))
 }

@@ -152,5 +152,7 @@ object ExplainSpec {
     "q167_mann_whitney_u" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q178_rfm_segmentation" ->
-      "threshold rank windows over the per-customer rollup (2 rows kept); rangePrefixSums is the documented fact-scale swap")
+      "threshold rank windows over the per-customer rollup (2 rows kept); rangePrefixSums is the documented fact-scale swap",
+    "q184_pps_sample" ->
+      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count")
 }

@@ -85,4 +85,47 @@ class SketchStreamSpec extends SparkSpec {
     assert(streamedUnion == batchDirect && streamedUnion == 4L,
       s"union: streamed $streamedUnion direct $batchDirect")
   }
+
+  test("theta segment sketches stream as state and intersect downstream") {
+    import graft.functions.ThetaSketch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // same user in both segments on day 1 → intersection must see it
+    val batch1 = Seq(
+      RawEvent(1L, "a", "click", ts(100)),
+      RawEvent(2L, "a", "click", ts(200)),
+      RawEvent(1L, "a", "view", ts(300)))
+    val batch2 = Seq(
+      RawEvent(3L, "a", "view", ts(400)),
+      RawEvent(2L, "a", "click", ts(500))) // dup (segment, user) pair
+
+    val in = MemoryStream[RawEvent]
+    val latest = scala.collection.mutable.Map.empty[(String, Long), Array[Byte]]
+    val q = SketchStream.segmentDaySketches(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest((r.getString(0), r.getTimestamp(1).getTime / 1000L)) =
+            r.getAs[Array[Byte]](2)
+        }
+      }.start()
+    try {
+      Seq(batch1, batch2).foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    assert(latest.keySet == Set(("click", 0L), ("view", 0L)))
+    val df = latest.toSeq.map { case ((seg, d), sk) => (seg, d, sk) }
+      .toDF("seg", "day", "sk")
+    val ests = df.select(col("seg"), ThetaSketch.estimate(col("sk")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ests == Map("click" -> 2.0, "view" -> 2.0), s"got $ests")
+    // overlap: click users {1,2} ∩ view users {1,3} = {1} — the
+    // set operation the HLL day-sketch table cannot answer
+    val inter = df.filter(col("seg") === "click").select(col("sk").as("a"))
+      .crossJoin(df.filter(col("seg") === "view").select(col("sk").as("b")))
+      .select(ThetaSketch.intersectEstimate(col("a"), col("b")).as("i"))
+      .head().getDouble(0)
+    assert(inter == 1.0, s"intersection $inter")
+  }
 }
