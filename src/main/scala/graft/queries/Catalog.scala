@@ -3669,8 +3669,13 @@ object Catalog {
       // strictly-higher balances = strictly-previous rows in desc order
       val localPrev = Window.partitionBy(col("pid")).orderBy(col("neg"))
         .rowsBetween(Window.unboundedPreceding, -1)
+      // eager barrier: offsets (broadcast) and the final join both read
+      // `cum` — without it the broadcast subtree can recompute the range
+      // exchange with different sampled boundaries and mis-assign every
+      // partition offset (the rangePrefixSums hazard, found via q185)
       val cum = parts.withColumn("lprev",
         coalesce(max(col("maxn_equal")).over(localPrev), lit(-1L)))
+        .localCheckpoint(true)
       val offsets = cum.groupBy(col("pid"))
         .agg(max(col("maxn_equal")).as("t"))
         .withColumn("oprev", coalesce(max(col("t")).over(
@@ -3885,9 +3890,19 @@ object Catalog {
       .withColumn("pid", spark_partition_id())
     val local = Window.partitionBy(col("pid")).orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // EAGER barrier, load-bearing for correctness: `cum` feeds both the
+    // offsets aggregate (broadcast side) and the final join. Without a
+    // materialization the broadcast subtree can RECOMPUTE the range
+    // exchange with freshly sampled boundaries — pids then disagree
+    // between the two consumers and every partition past the first gets
+    // a wrong offset (observed on q185: block-constant errors of ±10-20,
+    // one block per partition). localCheckpoint pins one boundary
+    // sample; the rollup is value-domain-sized, so the materialization
+    // is cheap.
     val cum = parts
       .withColumn("lc1", sum(col("d1")).over(local))
       .withColumn("lc2", sum(col("d2")).over(local))
+      .localCheckpoint(true)
     val offsets = cum.groupBy(col("pid"))
       .agg(sum(col("d1")).as("t1"), sum(col("d2")).as("t2"))
       .withColumn("o1", coalesce(sum(col("t1")).over(
@@ -4739,6 +4754,71 @@ object Catalog {
       WHERE (cum_w * 100) // big_w - ((cum_w - w) * 100) // big_w > 0
       ORDER BY l_partkey"""))
 
+  /** INTERVAL CONCURRENCY COUNT — how many orders are OPEN on each
+    * calendar day (placed, not yet fully shipped)? The classic
+    * interval-overlap counting problem (concurrent sessions, active
+    * loans, parallel jobs), and the naive day×interval range join is
+    * quadratic — the scalable identity is the DELTA SWEEP: +1 at each
+    * open, −1 after each close, prefix-sum the per-day deltas in day
+    * order. An order's interval is [o_orderdate, max l_shipdate];
+    * orders with no line items never close (the q177 referential gap
+    * surfaces here as a tail that never drains — real backlog
+    * reports have exactly this class). The prefix sum rides the q166
+    * rangePrefixSums kernel (d1 = net delta per day) — no single-task
+    * sort; output is |calendar days| rows with the open count and
+    * that day's open/close volumes. The event-boundary rollup is also
+    * how q92's SCD validity intervals aggregate at scale.
+    */
+  val q185OpenOrdersPerDay: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ship = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(expr("CAST(l_shipdate AS DATE)")).as("close_d"))
+      val spans = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(o_orderdate AS DATE)").as("open_d"))
+        .join(ship, col("o_orderkey") === col("l_orderkey"), "left")
+      val opens = spans.groupBy(col("open_d").as("d"))
+        .agg(count(lit(1)).as("n_open"), lit(0L).as("n_close"))
+      // close takes effect the day AFTER the last ship date
+      val closes = spans.filter(col("close_d").isNotNull)
+        .groupBy(expr("date_add(close_d, 1)").as("d"))
+        .agg(lit(0L).as("n_open"), count(lit(1)).as("n_close"))
+      val deltas = opens.unionByName(closes)
+        .groupBy(col("d"))
+        .agg(sum(col("n_open")).as("n_opened"),
+          sum(col("n_close")).as("n_closed"))
+      val rollup = deltas.select(
+        expr("datediff(d, DATE'1970-01-01')").cast("bigint").as("cents"),
+        (col("n_opened") - col("n_closed")).as("d1"),
+        col("n_opened").as("d2"))
+      rangePrefixSums(s, rollup)
+        .select(col("cents").as("epoch_day"), col("c1").as("n_open_orders"),
+          col("d2").as("n_opened"), (col("d2") - col("d1")).as("n_closed"))
+        .orderBy(col("epoch_day"))
+    },
+    oracle = Some("""
+      WITH ship AS (SELECT l_orderkey, max(CAST(l_shipdate AS DATE))
+                      AS close_d
+                    FROM lineitem GROUP BY 1),
+      spans AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS open_d,
+                       ship.close_d
+                FROM orders LEFT JOIN ship ON o_orderkey = l_orderkey),
+      deltas AS (
+        SELECT d, CAST(sum(no) AS BIGINT) AS n_opened,
+               CAST(sum(nc) AS BIGINT) AS n_closed
+        FROM (
+          SELECT open_d AS d, 1 AS no, 0 AS nc FROM spans
+          UNION ALL
+          SELECT close_d + 1, 0, 1 FROM spans WHERE close_d IS NOT NULL)
+        GROUP BY d)
+      SELECT CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT)
+               AS epoch_day,
+             CAST(sum(n_opened - n_closed) OVER (ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open_orders,
+             n_opened, n_closed
+      FROM deltas ORDER BY epoch_day"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4860,6 +4940,7 @@ object Catalog {
     "q182_discount_quantity_corr" -> q182DiscountQuantityCorr,
     "q183_mode_per_group" -> q183ModePerGroup,
     "q184_pps_sample" -> q184PpsSample,
+    "q185_open_orders_per_day" -> q185OpenOrdersPerDay,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
