@@ -3505,9 +3505,10 @@ object Catalog {
     * cover ≥ k individuals or be suppressed/generalized). The
     * quasi-identifier is (nation, market segment, 1000-unit balance
     * band — integer division on cents SHIFTED into the non-negative
-    * domain first, because Spark's `div` truncates toward zero while
-    * DuckDB's `//` floors: they disagree exactly on the negative
-    * balances the fixture contains, and agree everywhere ≥ 0); per
+    * domain first: banding semantics should not straddle zero with a
+    * double-width truncation bucket, and ≥ 0 the result is identical
+    * under every engine's division convention, so the shift removes
+    * the whole dialect question); per
     * equivalence class: its
     * size, the k=5 violation flag, and the l-DIVERSITY count over a
     * deterministic stand-in sensitive label (custkey mod 3 — the
@@ -3710,11 +3711,11 @@ object Catalog {
     * insensitive to the outlier days that wreck q109's OLS): per
     * status, the nearest-rank median of (Δcount/Δday) over all
     * sparsified-day pairs. Medians of RATIONALS need a total order
-    * both engines compute identically: the sort key is the FLOOR
-    * division (Δy·10⁹) floordiv Δx — floor, not truncation, because
-    * Δy goes negative and Spark's `div` truncates toward zero while
-    * DuckDB's `//` floors; Spark reproduces floor exactly as
-    * (a − pmod(a, b)) / b for b > 0 — refined by (Δy, Δx) so the
+    * both engines compute identically: the sort key is the scaled
+    * TRUNCATING division (Δy·10⁹) div Δx — Spark `div` and DuckDB
+    * integer `//` both truncate toward zero (measured; an earlier
+    * floor-vs-`//` pairing here survived only on tiebreak luck)
+    * — refined by (Δy, Δx) so the
     * selected element is unique, and the emitted slope is that
     * element's RAW (Δy, Δx) rational (the q49/q60 never-round rule;
     * the scaled key decides order within 10⁻⁹, documented as the
@@ -3745,11 +3746,14 @@ object Catalog {
         .select(col("a.o_orderstatus").as("o_orderstatus"),
           (col("b.n") - col("a.n")).as("dy"),
           (col("b.day_idx") - col("a.day_idx")).as("dx"))
-        // (a − pmod(a,b)) is exactly divisible by b, so `div`'s
-        // truncation IS floor here whatever the sign — and stays
-        // integer (a float division would lose exactness past 2^53)
-        .withColumn("key",
-          expr("(dy * 1000000000L - pmod(dy * 1000000000L, dx)) div dx"))
+        // plain truncating division on BOTH engines: Spark `div` and
+        // DuckDB integer `//` both truncate toward zero (measured:
+        // (-7)//4 = -1), so the scaled keys are identical by
+        // construction. The earlier floor-vs-`//` pairing only worked
+        // because trunc is monotone and the (dy, dx) tiebreaks happened
+        // to order trunc-collapsed key ties consistently — q186's
+        // negative trend terms exposed the class.
+        .withColumn("key", expr("(dy * 1000000000L) div dx"))
       val w = Window.partitionBy(col("o_orderstatus"))
       pairs
         .withColumn("rk", row_number().over(
@@ -4819,6 +4823,69 @@ object Catalog {
              n_opened, n_closed
       FROM deltas ORDER BY epoch_day"""))
 
+  /** HOLT DOUBLE-EXPONENTIAL SMOOTHING — q87's EWMA with a TREND term
+    * (Holt 1957): level l = α·y + (1−α)(l' + b'), trend
+    * b = β(l − l') + (1−β)b', one-step forecast l + b — the standard
+    * next-tier time-series smoother (an EWMA lags any trending series
+    * by design; Holt tracks it). α = β = 1/4 in integer MILLIONTHS.
+    * The trend deltas go NEGATIVE on declines, so the division
+    * convention is part of the contract: measured on THIS engine pair,
+    * Spark `div` and DuckDB integer `//` BOTH truncate toward zero
+    * ((-7)//4 = -1), so plain truncating division is hash-stable here
+    * — the q160 non-negative shift is only needed where an engine
+    * floors. Same calendar-bounded fold shape as q87
+    * (per-day rollup → one in-memory array → HOF fold → explode;
+    * oracle replays via recursive CTE with both accumulators). Scale:
+    * the fold is over the DAY rollup (|days| bounded by the calendar),
+    * not facts — the q163 windowing rule; beyond one machine's array
+    * the recurrence runs as q150's sequential-scan-per-key shape keyed
+    * by series id.
+    */
+  val q186HoltSmoothing: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("bigint").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("ds"))
+        .select(explode(expr(
+          """aggregate(ds,
+               CAST(array() AS ARRAY<STRUCT<day: BIGINT, c: BIGINT, l: BIGINT, b: BIGINT>>),
+               (acc, x) -> array_append(acc, CASE WHEN size(acc) = 0
+                 THEN named_struct('day', x.day, 'c', x.c,
+                   'l', x.c * 1000000L, 'b', 0L)
+                 ELSE named_struct('day', x.day, 'c', x.c,
+                   'l', (x.c * 1000000L + 3L * (element_at(acc, -1).l + element_at(acc, -1).b)) div 4L,
+                   'b', (((x.c * 1000000L + 3L * (element_at(acc, -1).l + element_at(acc, -1).b)) div 4L
+                          - element_at(acc, -1).l) + 3L * element_at(acc, -1).b) div 4L)
+                 END))""")).as("r"))
+        .select(col("r.day").as("day"), col("r.c").as("c"),
+          col("r.l").as("level_millionths"), col("r.b").as("trend_millionths"),
+          (col("r.l") + col("r.b")).as("forecast_millionths"))
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1),
+      d2 AS (SELECT day, c, row_number() OVER (ORDER BY day) AS rn FROM daily),
+      f AS (
+        SELECT rn, day, c, CAST(c * 1000000 AS BIGINT) AS l,
+               CAST(0 AS BIGINT) AS b
+        FROM d2 WHERE rn = 1
+        UNION ALL
+        SELECT d2.rn, d2.day, d2.c,
+               CAST((d2.c * 1000000 + 3 * (f.l + f.b)) // 4 AS BIGINT),
+               CAST((((d2.c * 1000000 + 3 * (f.l + f.b)) // 4 - f.l)
+                     + 3 * f.b) // 4 AS BIGINT)
+        FROM d2 JOIN f ON d2.rn = f.rn + 1)
+      SELECT day, c, l AS level_millionths, b AS trend_millionths,
+             CAST(l + b AS BIGINT) AS forecast_millionths
+      FROM f ORDER BY day"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4941,6 +5008,7 @@ object Catalog {
     "q183_mode_per_group" -> q183ModePerGroup,
     "q184_pps_sample" -> q184PpsSample,
     "q185_open_orders_per_day" -> q185OpenOrdersPerDay,
+    "q186_holt_smoothing" -> q186HoltSmoothing,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -154,5 +154,7 @@ object ExplainSpec {
     "q178_rfm_segmentation" ->
       "threshold rank windows over the per-customer rollup (2 rows kept); rangePrefixSums is the documented fact-scale swap",
     "q184_pps_sample" ->
+      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
+    "q185_open_orders_per_day" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count")
 }
