@@ -80,7 +80,10 @@ object ScaleSweep {
       "q154_revenue_share_parts", "q155_large_volume_orders",
       "q157_table_digest", "q159_cheapest_supplier",
       "q171_kll_sketch_merge", "q177_order_reconciliation",
-      "q178_rfm_segmentation"),
+      "q178_rfm_segmentation", "q183_mode_per_group", "q184_pps_sample",
+      "q185_open_orders_per_day", "q186_holt_smoothing",
+      "q187_hierarchy_flatten", "q180_snapshot_diff",
+      "q181_dow_seasonality", "q182_discount_quantity_corr"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

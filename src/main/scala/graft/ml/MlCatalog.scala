@@ -224,9 +224,22 @@ object MlCatalog {
 
   /** Scored validation frame (label, rawPrediction, p) behind m05's
     * metrics and m11's calibration bins — train/score once, derive
-    * both views.
+    * both views. Session-memoized: the returned frame's LINEAGE holds
+    * the FITTED model (fitting is driver-side and never re-runs), so
+    * even after scopedCaches unpersists the `.cache()`, a re-derivation
+    * only re-SCORES (map-only) — without the memo, m11 retrained the
+    * whole GBT a second time (measured 43 s vs 13 s in the full-catalog
+    * bench).
     */
+  private val gbtScoredCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Boolean), org.apache.spark.sql.DataFrame]
+
   private[graft] def gbtScored(s: SparkSession, dir: String,
+      categorical: Boolean): org.apache.spark.sql.DataFrame =
+    gbtScoredCache.getOrElseUpdate((s, dir, categorical),
+      gbtScoredBuild(s, dir, categorical))
+
+  private def gbtScoredBuild(s: SparkSession, dir: String,
       categorical: Boolean): org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, dir)
       .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
@@ -609,6 +622,8 @@ object MlCatalog {
   )
 
   /** Forget this session's trained ALS models (bench repetitions). */
-  def clearCaches(s: SparkSession): Unit =
+  def clearCaches(s: SparkSession): Unit = {
     alsCache.keys.filter(_._1 eq s).foreach(alsCache.remove)
+    gbtScoredCache.keys.filter(_._1 eq s).foreach(gbtScoredCache.remove)
+  }
 }

@@ -4886,6 +4886,60 @@ object Catalog {
              CAST(l + b AS BIGINT) AS forecast_millionths
       FROM f ORDER BY day"""))
 
+  /** HIERARCHY FLATTEN by POINTER DOUBLING — the distributed answer to
+    * the recursive CTE every warehouse uses for org charts / BOM
+    * explosions / category trees: each node starts with its parent
+    * pointer and hop distance, and every round jumps anc ← anc(anc),
+    * dist ← dist + dist(anc) — path lengths halve per round, so SIX
+    * rounds resolve any depth ≤ 2⁶⁴ hops after round-0's single step
+    * (doubling: depth d needs ⌈log₂ d⌉ rounds — 6 covers depth 64,
+    * deeper than any real product hierarchy; the q62 Components
+    * large-star/small-star technique specialized to trees). The
+    * hierarchy is synthesized from partkeys (parent = (k−1) div 4, a
+    * 4-ary tree rooted at 0) since the TPC-H fixtures carry no
+    * recursive dimension; against a real parent column only the first
+    * select changes. Emits (node, root, depth) — subtree rollups are
+    * then ordinary groupBys on root or on (root, depth). Oracle walks
+    * the same tree with a recursive CTE, so the compare crosses the
+    * sequential and logarithmic algorithms (the q94 rule). Scale: each
+    * round is one self-join on the ancestor key over |nodes| rows —
+    * O(log depth) shuffles total where the CTE's sequential chain is
+    * O(depth); the per-round table localCheckpoints (q85's loop rule).
+    */
+  val q187HierarchyFlatten: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val nodes = Tables.part(s, dir).select(col("p_partkey").as("node"))
+      var cur = nodes.select(col("node"),
+        when(col("node") === 0, 0L)
+          .otherwise(expr("(node - 1) div 4")).as("anc"),
+        when(col("node") === 0, 0L).otherwise(1L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 6) {
+        val jump = cur.select(col("node").as("j_node"),
+          col("anc").as("j_anc"), col("dist").as("j_dist"))
+        cur = cur.join(jump, col("anc") === col("j_node"))
+          .select(col("node"), col("j_anc").as("anc"),
+            (col("dist") + col("j_dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      cur.select(col("node"), col("anc").as("root"),
+          col("dist").as("depth"))
+        .orderBy(col("node"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE nodes AS (SELECT p_partkey AS node FROM part),
+      walk(node, anc, depth) AS (
+        SELECT node, node, CAST(0 AS BIGINT) FROM nodes
+        UNION ALL
+        SELECT w.node,
+               CASE WHEN w.anc = 0 THEN 0 ELSE (w.anc - 1) // 4 END,
+               w.depth + 1
+        FROM walk w WHERE w.anc <> 0)
+      SELECT node, CAST(0 AS BIGINT) AS root,
+             CAST(max(depth) AS BIGINT) AS depth
+      FROM walk GROUP BY node
+      ORDER BY node"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5009,6 +5063,7 @@ object Catalog {
     "q184_pps_sample" -> q184PpsSample,
     "q185_open_orders_per_day" -> q185OpenOrdersPerDay,
     "q186_holt_smoothing" -> q186HoltSmoothing,
+    "q187_hierarchy_flatten" -> q187HierarchyFlatten,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
