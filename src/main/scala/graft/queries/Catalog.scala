@@ -4940,6 +4940,66 @@ object Catalog {
       FROM walk GROUP BY node
       ORDER BY node"""))
 
+  /** EQUI-DEPTH HISTOGRAM — the ANALYZE histogram CBOs actually keep
+    * (q84 is equi-WIDTH, q97 is ntile row-bucketing; equi-depth bounds
+    * are VALUE thresholds at the k-quantile ranks, robust to skew
+    * where equi-width collapses into one hot bucket). Ten buckets over
+    * order-value cents: boundary i = the smallest value whose
+    * cumulative count reaches ⌈i·n/10⌉ (nearest-rank, the q103
+    * convention), emitted with its exact rank and the bucket's actual
+    * row count — the self-audit showing how close to n/10 each depth
+    * landed under ties. The CDF is the rangePrefixSums kernel over the
+    * distinct-value rollup (the q128/q161 statistics feed at any
+    * scale, no single-task sort); boundary extraction joins the
+    * 10-row rank table against the CDF — one broadcast, one shuffle.
+    */
+  val q188EquiDepthHistogram: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val rollup = Tables.orders(s, dir)
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("cents"))
+        .agg(count(lit(1)).as("d1"))
+        .withColumn("d2", lit(0L))
+      val cdf = rangePrefixSums(s, rollup)
+      val tot = rollup.agg(sum(col("d1")).as("n"))
+      val ranks = s.range(1, 11).toDF("bucket")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          expr("(bucket * n + 9) div 10").as("target_rank"))
+      cdf.crossJoin(broadcast(ranks))
+        .filter(col("c1") >= col("target_rank"))
+        .groupBy(col("bucket"), col("n"), col("target_rank"))
+        .agg(min(col("cents")).as("boundary_cents"))
+        .join(cdf.select(col("cents").as("boundary_cents"),
+          col("c1").as("exact_rank")), Seq("boundary_cents"))
+        .select(col("bucket"), col("boundary_cents"), col("target_rank"),
+          col("exact_rank"), col("n"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some("""
+      WITH rollup AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS d1
+        FROM orders GROUP BY 1),
+      cdf AS (SELECT cents,
+                     CAST(sum(d1) OVER (ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1
+              FROM rollup),
+      tot AS (SELECT CAST(sum(d1) AS BIGINT) AS n FROM rollup),
+      ranks AS (SELECT b AS bucket, n,
+                       CAST((b * n + 9) // 10 AS BIGINT) AS target_rank
+                FROM range(1, 11) t(b), tot),
+      bounds AS (
+        SELECT bucket, n, target_rank,
+               min(cents) AS boundary_cents
+        FROM cdf CROSS JOIN ranks
+        WHERE c1 >= target_rank
+        GROUP BY 1, 2, 3)
+      SELECT bucket, boundary_cents, target_rank,
+             (SELECT c1 FROM cdf WHERE cents = boundary_cents) AS exact_rank,
+             n
+      FROM bounds ORDER BY bucket"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5064,6 +5124,7 @@ object Catalog {
     "q185_open_orders_per_day" -> q185OpenOrdersPerDay,
     "q186_holt_smoothing" -> q186HoltSmoothing,
     "q187_hierarchy_flatten" -> q187HierarchyFlatten,
+    "q188_equidepth_histogram" -> q188EquiDepthHistogram,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

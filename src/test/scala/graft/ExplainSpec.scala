@@ -156,5 +156,7 @@ object ExplainSpec {
     "q184_pps_sample" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q185_open_orders_per_day" ->
+      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
+    "q188_equidepth_histogram" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count")
 }
