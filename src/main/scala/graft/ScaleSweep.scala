@@ -63,7 +63,8 @@ object ScaleSweep {
     "time" -> Seq("q10_events_per_min", "q47_user_sessions",
       "q51_asof_join", "q52_range_join", "q133_rolling_wau",
       "q170_hll_sketch_merge", "q175_audience_overlap",
-      "q176_inter_event_gaps", "q179_touch_attribution"),
+      "q176_inter_event_gaps", "q179_touch_attribution",
+      "q189_funnel_latency"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures
@@ -83,7 +84,8 @@ object ScaleSweep {
       "q178_rfm_segmentation", "q183_mode_per_group", "q184_pps_sample",
       "q185_open_orders_per_day", "q186_holt_smoothing",
       "q187_hierarchy_flatten", "q180_snapshot_diff",
-      "q181_dow_seasonality", "q182_discount_quantity_corr"),
+      "q181_dow_seasonality", "q182_discount_quantity_corr",
+      "q188_equidepth_histogram"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

@@ -5000,6 +5000,71 @@ object Catalog {
              n
       FROM bounds ORDER BY bucket"""))
 
+  /** FUNNEL CONVERSION LATENCY — how long from first signup to first
+    * subsequent purchase? The time-to-convert distribution behind
+    * every activation metric (q78 counts WHO converts; this measures
+    * HOW FAST). Per user: earliest signup, earliest purchase strictly
+    * after it (two filtered min-aggregates on one user shuffle — no
+    * ordered window needed), delay in integer MICROSECONDS; then the
+    * population n / p50 / p90 / max, with the percentiles as exact
+    * nearest-ranks extracted from a rangePrefixSums CDF over the
+    * delay rollup (the q188 boundary-extraction shape — converting
+    * users are fact-scaled, so no partitionless rank window ever sees
+    * them; the q178 lesson). Never-converting users are excluded by
+    * construction and countable via q78. One row out.
+    */
+  val q189FunnelLatency: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("signup_us"))
+      val delays = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("us") > col("signup_us"))
+        .groupBy(col("user_id"), col("signup_us"))
+        .agg(min(col("us")).as("purchase_us"))
+        .select((col("purchase_us") - col("signup_us")).as("delay_us"))
+      val rollup = delays.groupBy(col("delay_us").as("cents"))
+        .agg(count(lit(1)).as("d1")).withColumn("d2", lit(0L))
+      val cdf = rangePrefixSums(s, rollup)
+      val tot = rollup.agg(sum(col("d1")).as("n"))
+      val ranks = tot.select(col("n"),
+        expr("(n + 1) div 2").as("r50"), expr("n - (n div 10)").as("r90"))
+      val p50 = cdf.crossJoin(broadcast(ranks))
+        .filter(col("c1") >= col("r50"))
+        .agg(min(col("cents")).as("p50_us"))
+      val p90 = cdf.crossJoin(broadcast(ranks))
+        .filter(col("c1") >= col("r90"))
+        .agg(min(col("cents")).as("p90_us"))
+      val mx = delays.agg(count(lit(1)).as("n_converted"),
+        max(col("delay_us")).as("max_us"))
+      mx.crossJoin(broadcast(p50)).crossJoin(broadcast(p90))
+        .select(col("n_converted"), col("p50_us"), col("p90_us"),
+          col("max_us"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type,
+                        epoch_ns(ts) // 1000 AS us FROM events),
+      su AS (SELECT user_id, min(us) AS signup_us FROM e
+             WHERE event_type = 'signup' GROUP BY 1),
+      d AS (SELECT e.user_id,
+                   min(e.us) - any_value(su.signup_us) AS delay_us
+            FROM e JOIN su USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.us > su.signup_us
+            GROUP BY e.user_id, su.signup_us),
+      r AS (SELECT delay_us,
+                   CAST(row_number() OVER (ORDER BY delay_us) AS BIGINT)
+                     AS rn,
+                   CAST(count(*) OVER () AS BIGINT) AS n
+            FROM d)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_converted,
+             (SELECT CAST(delay_us AS BIGINT) FROM r
+              WHERE rn = (n + 1) // 2) AS p50_us,
+             (SELECT CAST(delay_us AS BIGINT) FROM r
+              WHERE rn = n - (n // 10)) AS p90_us,
+             (SELECT CAST(max(delay_us) AS BIGINT) FROM d) AS max_us"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5125,6 +5190,7 @@ object Catalog {
     "q186_holt_smoothing" -> q186HoltSmoothing,
     "q187_hierarchy_flatten" -> q187HierarchyFlatten,
     "q188_equidepth_histogram" -> q188EquiDepthHistogram,
+    "q189_funnel_latency" -> q189FunnelLatency,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -158,5 +158,7 @@ object ExplainSpec {
     "q185_open_orders_per_day" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q188_equidepth_histogram" ->
+      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
+    "q189_funnel_latency" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count")
 }
