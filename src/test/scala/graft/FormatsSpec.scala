@@ -40,6 +40,26 @@ class FormatsSpec extends SparkSpec {
     assert(q.count() == expected)
   }
 
+  test("hive-partitioned write prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/orders"
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+
+    val q = spark.read.parquet(dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning —
+    // at 100 TB the difference between listing one partition and
+    // scanning the table), NOT in PushedFilters/post-scan Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"partition pruning missing:\n$plan")
+    val expected = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(q.count() == expected)
+  }
+
   test("lenient JSON-lines: good rows parse, malformed lines dead-letter") {
     val dir = Files.createTempDirectory("graft_jsonl").toFile
     val f = new java.io.File(dir, "docs.jsonl")
