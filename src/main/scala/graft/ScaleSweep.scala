@@ -85,7 +85,11 @@ object ScaleSweep {
       "q185_open_orders_per_day", "q186_holt_smoothing",
       "q187_hierarchy_flatten", "q180_snapshot_diff",
       "q181_dow_seasonality", "q182_discount_quantity_corr",
-      "q188_equidepth_histogram"),
+      "q188_equidepth_histogram", "q190_shipping_priority",
+      "q191_priority_checking", "q192_forecast_revenue",
+      "q193_market_share", "q194_nation_year_profit",
+      "q195_promo_revenue", "q196_supplier_relationship",
+      "q197_part_promotion"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

@@ -5066,6 +5066,306 @@ object Catalog {
              (SELECT CAST(max(delay_us) AS BIGINT) FROM d) AS max_us"""))
 
   // ---------------------------------------------------------------------
+  // TPC-H decision-support completion (Q3/Q4/Q6/Q8/Q9/Q14/Q16/Q20
+  // shapes on the fixture schema — with q142-q159 this closes the
+  // full 22-query suite; adaptations per query where the fixture
+  // lacks a column are noted inline)
+  // ---------------------------------------------------------------------
+
+  private val revE4 =
+    "CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)"
+
+  /** TPC-H Q3 shipping priority: top-10 highest-value orders for one
+    * market segment, ordered before the cutoff but (partially)
+    * shipped after it. Revenue in the q153 e4 integer grid; dims
+    * broadcast into the fact scan; the head is TakeOrdered with the
+    * full (rev desc, epoch_day, orderkey) total order. The fixture
+    * has no o_shippriority — o_orderpriority rides along instead.
+    */
+  val q190ShippingPriority: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val cust = broadcast(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < "1998-01-01")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')")
+            .cast("bigint").as("order_day"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > "1998-01-01")
+        .select(col("l_orderkey"), expr(revE4).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("order_day"), col("o_orderpriority"))
+        .agg(sum(col("rev")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("order_day"), col("l_orderkey"))
+        .limit(10)
+    },
+    oracle = Some(s"""
+      SELECT l_orderkey,
+             CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS BIGINT) AS order_day,
+             o_orderpriority,
+             CAST(sum($revE4) AS BIGINT) AS revenue_e4
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue_e4 DESC, order_day, l_orderkey
+      LIMIT 10"""))
+
+  /** TPC-H Q4 order-priority checking: priority counts for a
+    * quarter's orders having AT LEAST ONE qualifying line — the
+    * EXISTS planned as a left-semi join (one probe, no fan-out
+    * however many lines match). The fixture lacks
+    * l_commitdate/l_receiptdate, so "late delivery" becomes
+    * "contains a returned line" (l_returnflag = 'R') — the same
+    * exists-per-order shape.
+    */
+  val q191PriorityChecking: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ret = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= "1998-01-01" &&
+          col("o_orderdate") < "1998-07-01")
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        AND o_orderdate < TIMESTAMP '1998-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q6 forecast-revenue change: the pure scan-filter-agg probe
+    * (no join at all) — what additional revenue if discounts in a
+    * band had been eliminated. sum(extprice·discount) on the e4
+    * integer grid; the predicate set (year + discount band + qty cap)
+    * must reach the parquet scan as pushed filters.
+    */
+  val q192ForecastRevenue: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1998-01-01" &&
+          col("l_shipdate") < "1999-01-01" &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr(
+            "CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)"))
+            .as("revenue_e4")),
+    oracle = Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+               AS BIGINT)) AS BIGINT) AS revenue_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24"""))
+
+  /** TPC-H Q8 national market share: per year, NATION_1-supplied
+    * revenue vs all revenue delivered to ASIA-region customers — the
+    * share ships as the exact rational (num_e4, den_e4), never a
+    * rounded float (q115's shares rule). Two dim chains on one fact
+    * pass: customer→nation→region gates the market, supplier→nation
+    * tests the share side; all four dims broadcast, the fact shuffles
+    * once for the (year) rollup.
+    */
+  val q193MarketShare: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val nat = Tables.nation(s, dir)
+      val marketNations = broadcast(nat
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("mkt_nk")))
+      val cust = broadcast(Tables.customer(s, dir)
+        .join(marketNations, col("c_nationkey") === col("mkt_nk"))
+        .select(col("c_custkey")))
+      val supNation = broadcast(Tables.supplier(s, dir)
+        .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("sup_nation")))
+      val ord = Tables.orders(s, dir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("yr"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), expr(revE4).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("yr"))
+        .agg(sum(when(col("sup_nation") === "NATION_1", col("rev"))
+          .otherwise(0L)).as("num_e4"),
+          sum(col("rev")).as("den_e4"))
+        .orderBy(col("yr"))
+    },
+    oracle = Some(s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CASE WHEN sn.n_name = 'NATION_1' THEN $revE4
+                           ELSE 0 END) AS BIGINT) AS num_e4,
+             CAST(sum($revE4) AS BIGINT) AS den_e4
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1 ORDER BY yr"""))
+
+  /** TPC-H Q9 product-type profit shape: revenue by (supplier nation,
+    * order year). The fixture has no partsupp/ps_supplycost, so the
+    * profit term reduces to the revenue side — the plan shape (two
+    * dim chains into one fact rollup over nation × year) is Q9's;
+    * line counts ride along. Dims broadcast, one (nation, year)
+    * rollup shuffle.
+    */
+  val q194NationYearProfit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val supNation = broadcast(Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      val ordYear = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("yr"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), expr(revE4).as("rev"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .join(ordYear, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("yr"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rev")).as("revenue_e4"))
+        .orderBy(col("n_name"), col("yr"))
+    },
+    oracle = Some(s"""
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum($revE4) AS BIGINT) AS revenue_e4
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2 ORDER BY n_name, yr"""))
+
+  /** TPC-H Q14 promo revenue share: per order year, revenue from
+    * PROMO-type parts vs all revenue — the share as the exact
+    * rational (promo_e4, total_e4); the fixture's p_type domain
+    * carries 'PROMO' literally. Part dim broadcast; one (year)
+    * rollup.
+    */
+  val q195PromoRevenue: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pt = broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_type")))
+      val ordYear = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("yr"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), expr(revE4).as("rev"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(ordYear, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("yr"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0L))
+          .as("promo_e4"),
+          sum(col("rev")).as("total_e4"))
+        .orderBy(col("yr"))
+    },
+    oracle = Some(s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN $revE4 ELSE 0 END)
+               AS BIGINT) AS promo_e4,
+             CAST(sum($revE4) AS BIGINT) AS total_e4
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY yr"""))
+
+  /** TPC-H Q16 parts/supplier relationship: distinct suppliers able
+    * to ship each (brand, size) class, excluding one brand and a
+    * complained-about supplier set (the NOT IN planned as an
+    * anti-join; the fixture has no complaints text, so the excluded
+    * set is the deterministic suffix rule s_name LIKE '%7'). Count
+    * distinct over the (brand, size, supplier) dedup rollup; total
+    * order (cnt desc, brand, size) for the report.
+    */
+  val q196SupplierRelationship: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_name").like("%7")).select(col("s_suppkey"))
+      val pt = broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#45")
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .select(col("p_brand"), col("p_size"), col("l_suppkey")).distinct()
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+    oracle = Some("""
+      SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+               AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#45'
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%7')
+      GROUP BY 1, 2
+      ORDER BY supplier_cnt DESC, p_brand, p_size"""))
+
+  /** TPC-H Q20 potential part promotion: suppliers who moved real
+    * volume of a named part class in a year — the chained
+    * IN-subqueries planned as one semi-join cascade (parts LIKE →
+    * qualifying lines → per-supplier volume HAVING → supplier dim).
+    * The fixture lacks partsupp/ps_availqty, so the "excess stock"
+    * test becomes a shipped-quantity threshold — the same
+    * semi-join-chain shape. Integer quantities throughout.
+    */
+  val q197PartPromotion: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val bigParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("large%")).select(col("p_partkey")))
+      val vol = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1998-01-01" &&
+          col("l_shipdate") < "1999-01-01")
+        .join(bigParts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("qty_1998"))
+        .filter(col("qty_1998") > 50L)
+      Tables.supplier(s, dir)
+        .join(vol, col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("qty_1998"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some("""
+      SELECT s_suppkey, s_name, qty_1998
+      FROM supplier
+      JOIN (SELECT l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+              AS qty_1998
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'large%')
+            GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 50) v
+        ON s_suppkey = v.l_suppkey
+      ORDER BY s_suppkey"""))
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -5191,6 +5491,14 @@ object Catalog {
     "q187_hierarchy_flatten" -> q187HierarchyFlatten,
     "q188_equidepth_histogram" -> q188EquiDepthHistogram,
     "q189_funnel_latency" -> q189FunnelLatency,
+    "q190_shipping_priority" -> q190ShippingPriority,
+    "q191_priority_checking" -> q191PriorityChecking,
+    "q192_forecast_revenue" -> q192ForecastRevenue,
+    "q193_market_share" -> q193MarketShare,
+    "q194_nation_year_profit" -> q194NationYearProfit,
+    "q195_promo_revenue" -> q195PromoRevenue,
+    "q196_supplier_relationship" -> q196SupplierRelationship,
+    "q197_part_promotion" -> q197PartPromotion,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
