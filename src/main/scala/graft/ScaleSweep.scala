@@ -64,7 +64,7 @@ object ScaleSweep {
       "q51_asof_join", "q52_range_join", "q133_rolling_wau",
       "q170_hll_sketch_merge", "q175_audience_overlap",
       "q176_inter_event_gaps", "q179_touch_attribution",
-      "q189_funnel_latency"),
+      "q189_funnel_latency", "q198_event_trigrams"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures
@@ -89,7 +89,7 @@ object ScaleSweep {
       "q191_priority_checking", "q192_forecast_revenue",
       "q193_market_share", "q194_nation_year_profit",
       "q195_promo_revenue", "q196_supplier_relationship",
-      "q197_part_promotion"),
+      "q197_part_promotion", "q199_cohort_ltv"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

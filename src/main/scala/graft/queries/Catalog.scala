@@ -5365,6 +5365,94 @@ object Catalog {
         ON s_suppkey = v.l_suppkey
       ORDER BY s_suppkey"""))
 
+  /** SEQUENTIAL PATTERN MINING (order-3) — the most frequent
+    * event-type TRIGRAMS across per-user journeys, one level above
+    * q96's first-order transition matrix (a Markov-1 model cannot see
+    * that signup→view→purchase outranks view→view→purchase when both
+    * share their bigrams — exactly what onboarding-flow analysis
+    * needs). Two leads over one user-ordered window (ts, event_id
+    * tiebreaks — engine-deterministic sequences), trigram counts map-
+    * side combine on a |types|³-bounded domain, top-20 by the total
+    * (count desc, trigram) order via TakeOrdered. Scale: one user
+    * shuffle, rollup bounded by the type-domain cube (125 here), the
+    * q117 candidate-bounding argument applied to sequences.
+    */
+  val q198EventTrigrams: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH e AS (SELECT user_id, event_type, event_id,
+                        epoch_ns(ts) // 1000 AS us FROM events),
+      seq AS (SELECT event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, t1, t2, t3
+      LIMIT 20"""))
+
+  /** COHORT LTV CURVES — cumulative revenue per acquisition cohort by
+    * account age: cohort = the month of a customer's FIRST order,
+    * age = months since it; per (cohort, age) cell the active-buyer
+    * count, that month's revenue, and the RUNNING cumulative revenue
+    * (the LTV curve every growth model is fit to; q79 counts
+    * retention, this weighs it). Month index is epoch-anchored
+    * integer arithmetic (q79's no-week-start-trap rule); the running
+    * sum is a frame over the cohort×age ROLLUP (calendar-bounded —
+    * never the facts). Scale: one custkey shuffle for first-order
+    * months, one (cohort, age) rollup; output |months|² cells max.
+    */
+  val q199CohortLtv: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        ((year(col("o_orderdate")) - 1970) * 12 + month(col("o_orderdate")) - 1)
+          .cast("bigint").as("m"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+      val cells = o.join(first, Seq("o_custkey"))
+        .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("age_m"))
+        .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+          sum(col("cents")).as("revenue_cents"))
+      cells.withColumn("cum_revenue_cents",
+          sum(col("revenue_cents")).over(
+            Window.partitionBy(col("cohort_m")).orderBy(col("age_m"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("cohort_m"), col("age_m"))
+    },
+    oracle = Some("""
+      WITH o AS (SELECT o_custkey,
+                        CAST((year(o_orderdate) - 1970) * 12
+                          + month(o_orderdate) - 1 AS BIGINT) AS m,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      f AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1),
+      cells AS (
+        SELECT cohort_m, o.m - f.cohort_m AS age_m,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_buyers,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM o JOIN f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2)
+      SELECT cohort_m, age_m, n_buyers, revenue_cents,
+             CAST(sum(revenue_cents) OVER (PARTITION BY cohort_m
+               ORDER BY age_m ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_revenue_cents
+      FROM cells ORDER BY cohort_m, age_m"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5499,6 +5587,8 @@ object Catalog {
     "q195_promo_revenue" -> q195PromoRevenue,
     "q196_supplier_relationship" -> q196SupplierRelationship,
     "q197_part_promotion" -> q197PartPromotion,
+    "q198_event_trigrams" -> q198EventTrigrams,
+    "q199_cohort_ltv" -> q199CohortLtv,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
