@@ -1,0 +1,41 @@
+package graft
+
+/** Results must not depend on the partition layout — the failure class
+  * behind the rangePrefixSums boundary-recompute bug (block-constant
+  * offset errors) and the reason every rank/fold in the catalog
+  * carries explicit tiebreaks. Representative queries from each risky
+  * family (prefix-sum kernel, global-order extraction, deterministic
+  * shuffle, iterative pointer jumping) run under different
+  * shuffle-partition counts and must return IDENTICAL row sequences.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val names = Seq(
+    "q166_ks_statistic",        // prefix-sum kernel, offsets + totals
+    "q184_pps_sample",          // kernel + threshold crossings
+    "q185_open_orders_per_day", // kernel over delta sweep
+    "q163_theil_sen_trend",     // scaled-key median extraction
+    "q122_deterministic_shuffle", // seeded corpus ordering contract
+    "q187_hierarchy_flatten")   // iterative localCheckpoint loop
+
+  test("representative queries are shuffle-partition invariant") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    def runAll(parts: String): Map[String, Seq[String]] = {
+      conf.set("spark.sql.shuffle.partitions", parts)
+      try names.map { n =>
+        queries.Catalog.clearCaches(spark)
+        n -> queries.Catalog.all(n).fn(spark, sf0001)
+          .collect().map(_.toString).toSeq
+      }.toMap
+      finally conf.set("spark.sql.shuffle.partitions", saved)
+    }
+    val at3 = runAll("3")
+    val at7 = runAll("7")
+    names.foreach { n =>
+      assert(at3(n) == at7(n),
+        s"$n differs across partition counts: " +
+          s"${at3(n).zip(at7(n)).find { case (a, b) => a != b }}")
+    }
+  }
+}
