@@ -89,7 +89,8 @@ object ScaleSweep {
       "q191_priority_checking", "q192_forecast_revenue",
       "q193_market_share", "q194_nation_year_profit",
       "q195_promo_revenue", "q196_supplier_relationship",
-      "q197_part_promotion", "q199_cohort_ltv"),
+      "q197_part_promotion", "q199_cohort_ltv",
+      "q200_supplier_lead_time"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

@@ -5453,6 +5453,63 @@ object Catalog {
                AS cum_revenue_cents
       FROM cells ORDER BY cohort_m, age_m"""))
 
+  /** SUPPLIER LEAD-TIME PROFILE — order-to-ship latency per supplier
+    * (the logistics SLA table: who ships fast, who drags): per
+    * supplier the line count, total/max lead days as integers, and
+    * the exact nearest-rank MEDIAN lead time (q103's convention,
+    * window partitioned by supplier with (days, orderkey, linenumber)
+    * tiebreaks — fact-sized input but supplier-partitioned, so it
+    * parallelizes like q103). Mean ships as the rational
+    * (sum_days, n_lines), never divided (q49/q60). Lead time is pure
+    * DATE arithmetic on both engines — no timestamp-zone surface.
+    * Scale: one suppkey shuffle; at extreme per-supplier volumes the
+    * median swaps for the q166 CDF or q171 KLL path per the q176
+    * note.
+    */
+  val q200SupplierLeadTime: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(l_shipdate AS DATE)").as("sd"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          expr("CAST(o_orderdate AS DATE)").as("od")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          expr("datediff(sd, od)").cast("bigint").as("days"))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("days"), col("l_orderkey"), col("l_linenumber"))
+      val grp = Window.partitionBy(col("l_suppkey"))
+      li.withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(grp))
+        .withColumn("sum_days", sum(col("days")).over(grp))
+        .withColumn("max_days", max(col("days")).over(grp))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("l_suppkey"), col("n").as("n_lines"),
+          col("sum_days"), col("days").as("median_days"), col("max_days"))
+        .orderBy(col("l_suppkey"))
+    },
+    oracle = Some("""
+      WITH li AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(datediff('day', CAST(o_orderdate AS DATE),
+                 CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      r AS (SELECT *,
+                   CAST(row_number() OVER (PARTITION BY l_suppkey
+                     ORDER BY days, l_orderkey, l_linenumber) AS BIGINT)
+                     AS rn,
+                   CAST(count(*) OVER (PARTITION BY l_suppkey) AS BIGINT)
+                     AS n,
+                   CAST(sum(days) OVER (PARTITION BY l_suppkey) AS BIGINT)
+                     AS sum_days,
+                   CAST(max(days) OVER (PARTITION BY l_suppkey) AS BIGINT)
+                     AS max_days
+            FROM li)
+      SELECT l_suppkey, n AS n_lines, sum_days, days AS median_days,
+             max_days
+      FROM r WHERE rn = (n + 1) // 2
+      ORDER BY l_suppkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5589,6 +5646,7 @@ object Catalog {
     "q197_part_promotion" -> q197PartPromotion,
     "q198_event_trigrams" -> q198EventTrigrams,
     "q199_cohort_ltv" -> q199CohortLtv,
+    "q200_supplier_lead_time" -> q200SupplierLeadTime,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
