@@ -86,6 +86,44 @@ class SketchStreamSpec extends SparkSpec {
       s"union: streamed $streamedUnion direct $batchDirect")
   }
 
+  test("day sketches run on the RocksDB state store (production provider)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[RawEvent]
+      val latest = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+      val q = SketchStream.daySketches(in.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            latest(r.getTimestamp(0).getTime / 1000L) = r.getAs[Array[Byte]](1)
+          }
+        }.start()
+      try {
+        in.addData(RawEvent(1L, "a", "click", ts(100)),
+          RawEvent(2L, "a", "view", ts(200)))
+        q.processAllAvailable()
+        in.addData(RawEvent(3L, "a", "click", ts(300)),
+          RawEvent(1L, "a", "view", ts(400))) // dup user folds into state
+        q.processAllAvailable()
+      } finally q.stop()
+      // the HLL buffer round-tripped through RocksDB across batches:
+      // estimate over day 0 must see users {1,2,3} exactly
+      val est = latest.toSeq.toDF("day", "sk")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+      assert(est == 3L, s"got $est")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("theta segment sketches stream as state and intersect downstream") {
     import graft.functions.ThetaSketch
     import spark.implicits._
