@@ -5510,6 +5510,271 @@ object Catalog {
       FROM r WHERE rn = (n + 1) // 2
       ORDER BY l_suppkey"""))
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the customer→part
+    * purchase BIPARTITE graph — the centrality q85's PageRank cannot
+    * express: a purchase graph has two distinct roles, customers as
+    * HUBS (aggregating taste breadth) and parts as AUTHORITIES
+    * (aggregating demand), and HITS scores them by mutual
+    * reinforcement. Two full rounds at a FIXED iteration count (the
+    * q85/q127/q164 fixed-round contract) with UNNORMALIZED integer
+    * mass — h₀ = 1, a = Σ h over a part's buyers, h = Σ a over a
+    * customer's parts — so the DuckDB oracle replays every half-round
+    * as a chained CTE with zero float drift (the usual L2
+    * normalization only rescales within a round; ranks are preserved,
+    * so it stays client-side with the transcendentals per the q59
+    * rule). Top-20 of each role with the (score desc, id) total
+    * order. Scale: the distinct (cust, part) edge list shuffles ONCE
+    * and is materialized (localCheckpoint) so four half-rounds scan
+    * fixed blocks; each half-round broadcasts a vertex-sized score
+    * table into a map-side edge join + one groupBy on the other
+    * endpoint — the q85 Pregel shape, the adjacency never re-shuffles;
+    * score mass grows ~ d̄⁴ after two rounds (≈10¹² at mean degree
+    * 10³) — DECIMAL(38,0) before 2^63 per the q109 rule; vertex
+    * tables past the broadcast threshold degrade to a shuffle join,
+    * same plan.
+    */
+  val q201HitsScores: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      def half(scores: DataFrame, from: String, to: String): DataFrame =
+        edges.join(broadcast(scores), from)
+          .groupBy(col(to)).agg(sum(col("s")).as("s"))
+      val a1 = edges.groupBy(col("p")).agg(count(lit(1)).as("s")) // h₀ = 1
+      val h1 = half(a1, "p", "c")
+      val a2 = half(h1, "c", "p")
+      val h2 = half(a2, "p", "c")
+      def top(scores: DataFrame, id: String, kind: String): DataFrame =
+        scores.orderBy(col("s").desc, col(id)).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("s").desc, col(id))).cast("bigint"))
+          .select(lit(kind).as("kind"), col("rnk"), col(id).as("id"),
+            col("s").as("score"))
+      top(a2, "p", "authority").unionByName(top(h2, "c", "hub"))
+        .orderBy(col("kind"), col("rnk"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM e GROUP BY 1),
+      h1 AS (SELECT e.c, CAST(sum(a1.s) AS BIGINT) AS s
+             FROM e JOIN a1 USING (p) GROUP BY 1),
+      a2 AS (SELECT e.p, CAST(sum(h1.s) AS BIGINT) AS s
+             FROM e JOIN h1 USING (c) GROUP BY 1),
+      h2 AS (SELECT e.c, CAST(sum(a2.s) AS BIGINT) AS s
+             FROM e JOIN a2 USING (p) GROUP BY 1),
+      ta AS (SELECT 'authority' AS kind,
+                    CAST(row_number() OVER (ORDER BY s DESC, p) AS BIGINT)
+                      AS rnk,
+                    p AS id, s AS score
+             FROM a2),
+      th AS (SELECT 'hub' AS kind,
+                    CAST(row_number() OVER (ORDER BY s DESC, c) AS BIGINT)
+                      AS rnk,
+                    c AS id, s AS score
+             FROM h2)
+      SELECT kind, rnk, id, score FROM ta WHERE rnk <= 20
+      UNION ALL
+      SELECT kind, rnk, id, score FROM th WHERE rnk <= 20
+      ORDER BY kind, rnk"""))
+
+  /** Shared calendar day rollup for the change-point / forecast-audit /
+    * interpolation family: daily revenue cents per order status. Facts
+    * reduce in ONE map-side-combined shuffle; everything downstream
+    * works on the calendar-bounded (status, day) table.
+    */
+  private def statusDailyCents(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("bigint").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+
+  private val statusDailyCentsSql = """
+        SELECT o_orderstatus AS status,
+               CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS c
+        FROM orders GROUP BY 1, 2"""
+
+  /** CUSUM change-point detection on daily revenue per status — the
+    * retrospective mean-shift locator (Page 1954 statistic, Pettitt's
+    * nonparametric shape): the centered cumulative sum
+    * S_k = P_k − (k/n)·T peaks where the series' mean most likely
+    * shifted. Cross-multiplied by n into pure BIGINT
+    * (dev_k = |n·P_k − k·T|) so no fraction ever forms; the change
+    * point is the dev-argmax day with the EARLIEST-day tie rule (an
+    * arbitrary-tie argmax can never hash-match — the q183 mode
+    * lesson). Emits the raw peak numerator beside its implicit /n
+    * denominator (n_days) per the q49/q60 rational contract. Scale:
+    * facts reduce to the calendar-bounded rollup in one shuffle;
+    * prefix sum and argmax are status-partitioned windows over
+    * ≤|days| rows. BIGINT headroom AT TARGET SF: n is CALENDAR
+    * bounded, so n·P grows only with total revenue — 2^63 at ~4·10⁴×
+    * the sf0.1 corpus; DECIMAL(38,0) past that (q109 rule).
+    */
+  val q202CusumChangepoint: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = statusDailyCents(s, dir)
+      val w = Window.partitionBy(col("status")).orderBy(col("day"))
+      val cum = daily
+        .withColumn("k", row_number().over(w).cast("bigint"))
+        .withColumn("pk", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val totals = daily.groupBy(col("status"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total_cents"))
+      val pick = Window.partitionBy(col("status"))
+        .orderBy(col("dev").desc, col("day"))
+      cum.join(broadcast(totals), "status")
+        .withColumn("dev",
+          abs(col("n_days") * col("pk") - col("k") * col("total_cents")))
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("status"), col("n_days"), col("total_cents"),
+          col("day").as("cp_day"), col("dev").as("cusum_num"))
+        .orderBy(col("status"))
+    },
+    oracle = Some(s"""
+      WITH daily AS ($statusDailyCentsSql),
+      cum AS (
+        SELECT status, day, c,
+               CAST(row_number() OVER w AS BIGINT) AS k,
+               CAST(sum(c) OVER (PARTITION BY status ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pk
+        FROM daily WINDOW w AS (PARTITION BY status ORDER BY day)),
+      t AS (SELECT status, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(c) AS BIGINT) AS total_cents
+            FROM daily GROUP BY 1),
+      dev AS (SELECT cum.status, t.n_days, t.total_cents, cum.day,
+                     abs(t.n_days * cum.pk - cum.k * t.total_cents) AS dev
+              FROM cum JOIN t ON cum.status = t.status),
+      r AS (SELECT *, row_number() OVER (PARTITION BY status
+              ORDER BY dev DESC, day) AS rn FROM dev)
+      SELECT status, n_days, total_cents, day AS cp_day,
+             CAST(dev AS BIGINT) AS cusum_num
+      FROM r WHERE rn = 1 ORDER BY status"""))
+
+  /** Forecast-accuracy audit: one-step backtests of the seasonal-naive
+    * (ŷ_t = y_{t−7}) and naive (ŷ_t = y_{t−1}) forecasters on daily
+    * revenue per status — the MASE numerator/denominator sufficient
+    * statistics (Hyndman & Koehler 2006), the yardstick every real
+    * forecaster (q87's EWMA, q186's Holt) must beat. Lags are
+    * CALENDAR lags: day−1 / day−7 must exist as dates, not as "rows
+    * back" — a row-frame lag silently shortens across calendar gaps —
+    * so both backtests are equi-joins of the day rollup against
+    * itself shifted, never gap-blind window frames. Σ|err| and n ship
+    * raw per horizon; MASE = (sae7/n7)/(sae1/n1) reconstructs
+    * client-side (q49/q60 no-rounded-rationals contract). Scale: the
+    * rollup is calendar-bounded, both self-joins broadcast; facts
+    * shuffle once.
+    */
+  val q203ForecastAccuracy: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = statusDailyCents(s, dir)
+      def backtest(lag: Int, nCol: String, saeCol: String): DataFrame =
+        daily.join(
+            broadcast(daily.select(col("status"),
+              (col("day") + lit(lag.toLong)).as("day"), col("c").as("prev"))),
+            Seq("status", "day"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as(nCol),
+            sum(abs(col("c") - col("prev"))).as(saeCol))
+      backtest(1, "n1", "sae_naive")
+        .join(backtest(7, "n7", "sae_seasonal"), "status")
+        .select(col("status"), col("n1"), col("sae_naive"),
+          col("n7"), col("sae_seasonal"))
+        .orderBy(col("status"))
+    },
+    oracle = Some(s"""
+      WITH daily AS ($statusDailyCentsSql),
+      l1 AS (SELECT a.status, CAST(count(*) AS BIGINT) AS n1,
+                    CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sae_naive
+             FROM daily a JOIN daily b
+               ON a.status = b.status AND a.day = b.day + 1
+             GROUP BY 1),
+      l7 AS (SELECT a.status, CAST(count(*) AS BIGINT) AS n7,
+                    CAST(sum(abs(a.c - b.c)) AS BIGINT) AS sae_seasonal
+             FROM daily a JOIN daily b
+               ON a.status = b.status AND a.day = b.day + 7
+             GROUP BY 1)
+      SELECT status, n1, sae_naive, n7, sae_seasonal
+      FROM l1 JOIN l7 USING (status) ORDER BY status"""))
+
+  /** Calendar gap-fill with LINEAR interpolation per status — q150's
+    * LOCF sibling for continuous-valued series (a carried-forward
+    * value is right for state, a line for flows): each missing
+    * calendar day gets the chord between its observed neighbors as
+    * the EXACT rational (prev·(next_day−d) + next·(d−prev_day)) over
+    * (next_day − prev_day) — integer numerator/denominator, never
+    * divided (a float slope would round differently per engine; the
+    * q49/q60 contract). Observed days ship as (c, 1); `observed`
+    * flags them as 1/0 integers. Neighbor lookup is two
+    * last/first(ignoreNulls) running frames over ONE sort of the
+    * calendar expansion — the q150 shape; interior gaps always have
+    * both neighbors because the expansion spans exactly
+    * [min(day), max(day)] per status. Scale: the expansion is
+    * calendar-bounded (|days|·|status| rows regardless of fact
+    * volume); facts shuffle once into the rollup.
+    */
+  val q205LinearInterpolation: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = statusDailyCents(s, dir)
+      val cal = daily.groupBy(col("status"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("status"), explode(expr("sequence(d0, d1)")).as("day"))
+      val w = Window.partitionBy(col("status")).orderBy(col("day"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      cal.join(daily, Seq("status", "day"), "left")
+        .withColumn("pd", last(when(col("c").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("pv", last(col("c"), ignoreNulls = true).over(wPrev))
+        .withColumn("nd", first(when(col("c").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("nv", first(col("c"), ignoreNulls = true).over(wNext))
+        .select(col("status"), col("day"),
+          when(col("c").isNotNull, 1L).otherwise(0L).as("observed"),
+          when(col("c").isNotNull, col("c"))
+            .otherwise(col("pv") * (col("nd") - col("day")) +
+              col("nv") * (col("day") - col("pd"))).as("val_num"),
+          when(col("c").isNotNull, lit(1L))
+            .otherwise(col("nd") - col("pd")).as("val_den"))
+        .orderBy(col("status"), col("day"))
+    },
+    oracle = Some(s"""
+      WITH daily AS ($statusDailyCentsSql),
+      span AS (SELECT status, min(day) AS d0, max(day) AS d1
+               FROM daily GROUP BY 1),
+      cal AS (SELECT status, CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+              FROM span),
+      j AS (SELECT cal.status, cal.day, daily.c
+            FROM cal LEFT JOIN daily USING (status, day)),
+      f AS (SELECT status, day, c,
+                   last_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+                     OVER wp AS pd,
+                   last_value(c IGNORE NULLS) OVER wp AS pv,
+                   first_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS)
+                     OVER wn AS nd,
+                   first_value(c IGNORE NULLS) OVER wn AS nv
+            FROM j
+            WINDOW wp AS (PARTITION BY status ORDER BY day
+                          ROWS UNBOUNDED PRECEDING),
+                   wn AS (PARTITION BY status ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT status, day,
+             CAST(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS observed,
+             CAST(CASE WHEN c IS NOT NULL THEN c
+                       ELSE pv * (nd - day) + nv * (day - pd) END AS BIGINT)
+               AS val_num,
+             CAST(CASE WHEN c IS NOT NULL THEN 1 ELSE nd - pd END AS BIGINT)
+               AS val_den
+      FROM f ORDER BY status, day"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5647,6 +5912,10 @@ object Catalog {
     "q198_event_trigrams" -> q198EventTrigrams,
     "q199_cohort_ltv" -> q199CohortLtv,
     "q200_supplier_lead_time" -> q200SupplierLeadTime,
+    "q201_hits_scores" -> q201HitsScores,
+    "q202_cusum_changepoint" -> q202CusumChangepoint,
+    "q203_forecast_accuracy" -> q203ForecastAccuracy,
+    "q205_linear_interpolation" -> q205LinearInterpolation,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -553,6 +553,65 @@ object PipelineCatalog {
       WHERE rank <= 3
       ORDER BY vec_id, rank"""))
 
+  /** Reciprocal best match (mutual top-1 nearest neighbor) — the
+    * entity-resolution / bitext-mining pairing rule (the ancestor of
+    * Artetxe & Schwenk 2019's margin mining): a pair links only when
+    * each vector is the OTHER's single nearest neighbor, which kills
+    * the hub-match false positives a one-directional top-1 keeps (a
+    * hub vector near everything matches many rows; almost none match
+    * it back). Best-match uses q39's total order (rounded cosine
+    * desc, neighbor id) so ties cannot diverge cross-engine; the
+    * mutual check is a self-join of the one-row-per-vector best table
+    * on (a,b)=(b,a) with a<b canonicalization. Scale: exact top-1
+    * here is the q39 brute-force baseline (the oracle-checkable
+    * contract); at corpus scale the best table comes from q40's LSH /
+    * m09's IVF candidate cut instead — the mutual self-join stage is
+    * vector-count-sized either way and hash-partitions on a_id.
+    */
+  val q204MutualKnn: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("nb"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cosine").desc, col("b_id"))
+      val best = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+        .withColumn("cosine", round(
+          graft.functions.VectorExpressions.dotF(col("ae"), col("be")) /
+            (col("na") * col("nb")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+      best.as("x").join(best.as("y"),
+          col("x.a_id") === col("y.b_id") && col("x.b_id") === col("y.a_id") &&
+            col("x.a_id") < col("x.b_id"))
+        .select(col("x.a_id").as("a_id"), col("x.b_id").as("b_id"),
+          col("x.cosine").as("cosine"))
+        .orderBy(col("a_id"))
+    },
+    oracle = Some(s"""
+      WITH e AS ($normSql),
+      sim AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i ->
+                   CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      best AS (
+        SELECT a_id, b_id, cosine
+        FROM (SELECT a_id, b_id, cosine,
+                     row_number() OVER (PARTITION BY a_id
+                       ORDER BY cosine DESC, b_id) AS rn
+              FROM sim) t
+        WHERE rn = 1)
+      SELECT x.a_id AS a_id, x.b_id AS b_id, x.cosine AS cosine
+      FROM best x JOIN best y
+        ON x.a_id = y.b_id AND x.b_id = y.a_id AND x.a_id < x.b_id
+      ORDER BY a_id"""))
+
   /** Hyperplane-LSH candidate pairs with exact cosine, computed ONCE
     * per (session, fixture) and shared by q40 (top-k ANN) and q57
     * (near-dup pair join): 8 hash tables × 4 deterministic random
@@ -3834,6 +3893,7 @@ object PipelineCatalog {
     "q37_simhash" -> q37Simhash,
     "q38_simhash_pairs" -> q38SimhashPairs,
     "q39_embedding_knn" -> q39EmbeddingKnn,
+    "q204_mutual_knn" -> q204MutualKnn,
     "q40_embedding_lsh_ann" -> q40EmbeddingLshAnn,
     "q41_embedding_neardup" -> q41EmbeddingNearDup,
     "q57_embedding_neardup_ann" -> q57EmbeddingNearDupAnn,
