@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** S18 as a first-class DataSource V2 table: the reference generates
+  * synthetic interactions with a driver-side Python loop
+  * (`scripts/add_synthetic_data.py:29-150`); at 100 TB the generator
+  * itself is a distributed job, so this connector exposes it as a real
+  * pushdown-capable scan —
+  *
+  *   spark.read.format("graft-synthetic")
+  *     .option("rows", n).option("partitions", p).load()
+  *
+  * with schema (user_id, item_id, n_click, n_view, truth, event_ts)
+  * mirroring [[Synthetic.interactions]]' engagement-tier semantics.
+  *
+  * Two genuine scan-level optimizations, spec'd in SyntheticV2Spec:
+  *
+  *  - COLUMN PRUNING ([[SupportsPushDownRequiredColumns]]): the reader
+  *    materializes only requested fields — a `select(user_id)` never
+  *    computes the tier draws. The pruned schema is visible as the
+  *    BatchScan's ReadSchema, exactly like a parquet scan.
+  *  - PARTITION PRUNING via filter pushdown
+  *    ([[SupportsPushDownFilters]]): `user_id` is MONOTONE in the row
+  *    index (`user_id = idx / rowsPerUser`), so conjunctive
+  *    `=`/`<`/`<=`/`>`/`>=` predicates on it translate to a row-index
+  *    interval; `planInputPartitions` intersects that interval with the
+  *    contiguous per-partition index ranges and drops empty ones — a
+  *    selective point lookup touches ONE partition of however many the
+  *    table declares. Pushed predicates are still re-evaluated by Spark
+  *    (pushFilters keeps them as post-scan filters), so pruning is a
+  *    pure optimization and can never change results.
+  *
+  * Rows are deterministic in (seed, idx) via a SplitMix64 stream —
+  * independent of partition count, so `partitions` is a pure layout
+  * knob (the partition-layout-invariance contract every fixture
+  * generator here obeys). At cluster scale each partition is one task
+  * generating rows straight into the downstream pipeline — no staging
+  * write, no driver bottleneck, no shuffle.
+  */
+class SyntheticV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-synthetic"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticV2.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SyntheticV2.SynTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SyntheticV2 {
+  val schema: StructType = StructType(Seq(
+    StructField("user_id", LongType, nullable = false),
+    StructField("item_id", LongType, nullable = false),
+    StructField("n_click", LongType, nullable = false),
+    StructField("n_view", LongType, nullable = false),
+    StructField("truth", IntegerType, nullable = false),
+    StructField("event_ts", LongType, nullable = false)))
+
+  /** SplitMix64 (Steele et al. 2014) — the stream cell for row idx /
+    * draw j. Pure function of (seed, idx, j): layout-independent.
+    */
+  private[graft] def mix(seed: Long, idx: Long, j: Long): Long = {
+    var z = seed + (idx * 8 + j) * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform double in [0, 1) from the top 53 bits. */
+  private[graft] def unit(seed: Long, idx: Long, j: Long): Double =
+    (mix(seed, idx, j) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** The full row formula for spec expectations —
+    * [[Synthetic.interactions]]' semantics keyed by row index: the
+    * tier draw drives both the counters and the pass label.
+    */
+  private[graft] def row(seed: Long, idx: Long, rowsPerUser: Long,
+      nItems: Long): Seq[Any] =
+    (0 to 5).map(f => field(f, seed, idx, rowsPerUser, nItems))
+
+  private final class SynTable(options: CaseInsensitiveStringMap)
+      extends Table with SupportsRead {
+    private val rows = options.getLong("rows", 1000L)
+    private val partitions = options.getInt("partitions", 8)
+    private val rowsPerUser = options.getLong("rowsPerUser", 100L)
+    private val nItems = options.getLong("items", 1000L)
+    private val seed = options.getLong("seed", 42L)
+
+    override def name(): String = s"graft_synthetic($rows)"
+    override def schema(): StructType = SyntheticV2.schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+
+    override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+      new SynScanBuilder(rows, partitions, rowsPerUser, nItems, seed)
+  }
+
+  private final class SynScanBuilder(rows: Long, partitions: Int,
+      rowsPerUser: Long, nItems: Long, seed: Long)
+      extends ScanBuilder
+      with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+    private var required: StructType = SyntheticV2.schema
+    private var pushed: Array[Filter] = Array.empty
+    // inclusive user_id bounds accumulated from conjunctive predicates
+    private var userLo: Long = Long.MinValue
+    private var userHi: Long = Long.MaxValue
+
+    /** Accept a predicate iff it tightens the user_id interval. */
+    private def absorb(f: Filter): Boolean = f match {
+      case EqualTo("user_id", v: Long) =>
+        userLo = math.max(userLo, v); userHi = math.min(userHi, v); true
+      case GreaterThan("user_id", v: Long) =>
+        userLo = math.max(userLo, v + 1); true
+      case GreaterThanOrEqual("user_id", v: Long) =>
+        userLo = math.max(userLo, v); true
+      case LessThan("user_id", v: Long) =>
+        userHi = math.min(userHi, v - 1); true
+      case LessThanOrEqual("user_id", v: Long) =>
+        userHi = math.min(userHi, v); true
+      case And(l, r) =>
+        // both sides must absorb or neither (no partial credit — a
+        // half-absorbed And would under-report what pruning used)
+        val snapshot = (userLo, userHi)
+        if (absorb(l) && absorb(r)) true
+        else { userLo = snapshot._1; userHi = snapshot._2; false }
+      case _ => false
+    }
+
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      pushed = filters.filter(absorb)
+      // every filter stays post-scan: pruning is an optimization, the
+      // engine re-checks semantics — results can never change
+      filters
+    }
+    override def pushedFilters(): Array[Filter] = pushed
+
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+
+    override def build(): Scan =
+      new SynScan(rows, partitions, rowsPerUser, nItems, seed, required,
+        userLo, userHi)
+  }
+
+  private final case class SynInputPartition(start: Long, end: Long)
+      extends InputPartition
+
+  private final class SynScan(rows: Long, partitions: Int, rowsPerUser: Long,
+      nItems: Long, seed: Long, required: StructType,
+      userLo: Long, userHi: Long) extends Scan with Batch {
+
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-synthetic rows=$rows userBounds=[$userLo, $userHi]"
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      // user_id = idx / rowsPerUser ⇒ the pushed user interval is the
+      // idx interval [userLo·rpu, (userHi+1)·rpu) — clamp with care
+      // around Long extremes, then intersect the contiguous splits.
+      val idxLo =
+        if (userLo <= 0L) 0L
+        else if (userLo > rows / rowsPerUser) rows
+        else userLo * rowsPerUser
+      val idxHi =
+        if (userHi == Long.MaxValue || userHi >= rows / rowsPerUser) rows
+        else if (userHi < 0L) 0L
+        else math.min(rows, (userHi + 1) * rowsPerUser)
+      val per = math.max(1L, (rows + partitions - 1) / partitions)
+      (0 until partitions).iterator
+        .map { p =>
+          val s = math.max(p * per, idxLo)
+          val e = math.min(math.min((p + 1) * per, rows), idxHi)
+          SynInputPartition(s, e)
+        }
+        .filter(ip => ip.start < ip.end)
+        .toArray[InputPartition]
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SynReaderFactory(rowsPerUser, nItems, seed,
+        required.fieldNames.map(SyntheticV2.schema.fieldIndex))
+  }
+
+  /** One field of row idx — pruned columns are never computed (the
+    * draws for a dropped counter simply don't happen; the stream is
+    * indexed by (idx, draw), so skipping draws can't shift neighbors).
+    */
+  private def field(f: Int, seed: Long, idx: Long, rowsPerUser: Long,
+      nItems: Long): Any = f match {
+    case 0 => idx / rowsPerUser // user_id — MONOTONE in idx
+    case 1 => java.lang.Long.remainderUnsigned(mix(seed, idx, 1), nItems)
+    case 2 => (unit(seed, idx, 0) * 20 + unit(seed, idx, 2) * 5).toLong
+    case 3 => (unit(seed, idx, 0) * 40 + unit(seed, idx, 3) * 10).toLong
+    case 4 => if (unit(seed, idx, 4) < unit(seed, idx, 0) * 0.8) 0 else 1
+    case 5 => 1700000000L + idx % 86400L
+  }
+
+  private final class SynReaderFactory(rowsPerUser: Long, nItems: Long,
+      seed: Long, fieldIdx: Array[Int]) extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val sp = p.asInstanceOf[SynInputPartition]
+      new PartitionReader[InternalRow] {
+        private var idx = sp.start - 1
+        override def next(): Boolean = { idx += 1; idx < sp.end }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(fieldIdx.toSeq.map(f =>
+            field(f, seed, idx, rowsPerUser, nItems)))
+        override def close(): Unit = ()
+      }
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.SyntheticV2
+
+/** The DataSource V2 synthetic-interactions connector (S18 at scan
+  * level): schema, determinism, column pruning reaching the scan,
+  * filter-pushdown partition pruning, and result parity under pruning.
+  */
+class SyntheticV2Spec extends SparkSpec {
+
+  private def load(rows: Long = 10000L, partitions: Int = 8): DataFrame =
+    spark.read.format("graft-synthetic")
+      .option("rows", rows).option("partitions", partitions)
+      .load()
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("ServiceLoader short name resolves; schema and counts are exact") {
+    val df = load()
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("user_id", "item_id", "n_click", "n_view", "truth", "event_ts"))
+    assert(df.count() === 10000L)
+    // rowsPerUser=100 default: users 0..99, 100 rows each
+    val u = df.groupBy("user_id").count().agg(
+      min("user_id"), max("user_id"), min("count"), max("count"))
+      .head()
+    assert(u.getLong(0) === 0L && u.getLong(1) === 99L)
+    assert(u.getLong(2) === 100L && u.getLong(3) === 100L)
+  }
+
+  test("rows are deterministic in (seed, idx) and layout-independent") {
+    val a = load(partitions = 8).collect().map(_.toSeq).sortBy(_.toString)
+    val b = load(partitions = 3).collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq === b.toSeq)
+    // spot-check one row against the published formula
+    val r17 = load().filter(col("event_ts") === lit(1700000000L + 17L))
+      .filter(col("user_id") === 0L).head().toSeq
+    assert(r17 === SyntheticV2.row(42L, 17L, 100L, 1000L))
+  }
+
+  test("column pruning reaches the scan (ReadSchema = requested fields)") {
+    val pruned = scanOf(load().select("user_id", "truth"))
+    assert(pruned.scan.readSchema().fieldNames.toSeq === Seq("user_id", "truth"))
+    val full = scanOf(load())
+    assert(full.scan.readSchema().fieldNames.length === 6)
+  }
+
+  test("user_id predicates prune partitions; results unchanged") {
+    val base = load(rows = 10000L, partitions = 8) // 1250 rows/partition
+    assert(scanOf(base).inputRDD.getNumPartitions === 8)
+    // users 40..44 = idx [4000, 4500) — entirely inside partition 3
+    val f = base.filter(col("user_id") >= 40L && col("user_id") < 45L)
+    assert(scanOf(f).inputRDD.getNumPartitions === 1)
+    assert(f.count() === 500L)
+    // pruning must be a pure optimization: same rows as a post-filter
+    // over the unpruned table (collected without pushdown via a
+    // non-prunable predicate alias)
+    val unpruned = base.withColumn("u2", col("user_id") + 0L)
+      .filter(col("u2") >= 40L && col("u2") < 45L).drop("u2")
+    assert(f.collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      unpruned.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // point lookup touches one partition; empty interval touches none
+    val pt = base.filter(col("user_id") === 7L)
+    assert(scanOf(pt).inputRDD.getNumPartitions === 1)
+    assert(pt.count() === 100L)
+    val none = base.filter(col("user_id") > 1000L)
+    assert(none.count() === 0L)
+  }
+
+  test("non-user_id predicates are not absorbed and still apply") {
+    val base = load(rows = 10000L, partitions = 8)
+    val f = base.filter(col("truth") === 0)
+    assert(scanOf(f).inputRDD.getNumPartitions === 8)
+    val n0 = f.count()
+    assert(n0 > 0L && n0 < 10000L)
+  }
+}
