@@ -5775,6 +5775,83 @@ object Catalog {
                AS val_den
       FROM f ORDER BY status, day"""))
 
+  /** Offline recommender evaluation: precision/recall@k sufficient
+    * statistics for the popularity recommender on a leakage-free
+    * holdout — the eval harness the reference never builds (its
+    * dashboard SIMULATES metrics; M12's q-series computes real ones
+    * for the classifier, this does it for the RECOMMENDER surface).
+    * Deterministic 20% holdout by affine polyhash of the (customer,
+    * part) pair (q122's RNG-free split contract; keys pre-reduced mod
+    * P so the product can't overflow at target-SF key ranges); the
+    * popular-top-50 list trains on the REMAINING pairs only (split
+    * BEFORE counting — counting first would leak the holdout into the
+    * ranking). Output: one row per rank 1..50 with the part, its
+    * train count, holdout hits at that rank, cumulative hits, and the
+    * holdout totals — precision@k = cum_hits/(k·n_test_users),
+    * recall@k = cum_hits/n_test_pairs, and corpus-level DCG@k all
+    * reconstruct client-side (gain depends only on rank; the log2
+    * stays out of the contract per the q59 rule). Scale: one edge
+    * shuffle + a map-side-combined part rollup cut by TakeOrdered;
+    * the 50-row list broadcasts into the holdout probe; the
+    * cumulative window rides the 50-row result (allowlisted).
+    */
+  val q206RankingMetrics: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val edges = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .withColumn("is_test",
+          pmod(pmod(col("c"), lit(P)) * 1103515245L +
+            pmod(col("p"), lit(P)) * 12345L + 987L, lit(P)) % 5L === 0L)
+        .localCheckpoint(true) // feeds the train rollup AND the probe
+      val popular = edges.filter(!col("is_test"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n_train"))
+        .orderBy(col("n_train").desc, col("p")).limit(50)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n_train").desc, col("p"))).cast("bigint"))
+      val test = edges.filter(col("is_test"))
+      val totals = test.agg(count(lit(1)).as("n_test_pairs"),
+        countDistinct(col("c")).as("n_test_users"))
+      val hitsByRank = test.join(broadcast(popular), "p")
+        .groupBy(col("rnk")).agg(count(lit(1)).as("h"))
+      popular.join(hitsByRank, Seq("rnk"), "left")
+        .withColumn("hits", coalesce(col("h"), lit(0L)))
+        .withColumn("cum_hits", sum(col("hits")).over(
+          Window.orderBy(col("rnk"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(totals))
+        .select(col("rnk"), col("p").as("part"), col("n_train"), col("hits"),
+          col("cum_hits"), col("n_test_pairs"), col("n_test_users"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      s AS (SELECT c, p,
+                   ((c % 2147483647) * 1103515245 +
+                    (p % 2147483647) * 12345 + 987)
+                     % 2147483647 % 5 = 0 AS is_test
+            FROM e),
+      pop AS (SELECT p, CAST(count(*) AS BIGINT) AS n_train,
+                     CAST(row_number() OVER (ORDER BY count(*) DESC, p)
+                       AS BIGINT) AS rnk
+              FROM s WHERE NOT is_test GROUP BY p
+              ORDER BY n_train DESC, p LIMIT 50),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_test_pairs,
+                   CAST(count(DISTINCT c) AS BIGINT) AS n_test_users
+            FROM s WHERE is_test),
+      h AS (SELECT pop.rnk, CAST(count(*) AS BIGINT) AS h
+            FROM s JOIN pop ON s.p = pop.p WHERE s.is_test GROUP BY pop.rnk)
+      SELECT pop.rnk, pop.p AS part, pop.n_train,
+             CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+             CAST(sum(coalesce(h.h, 0)) OVER (ORDER BY pop.rnk
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hits,
+             t.n_test_pairs, t.n_test_users
+      FROM pop LEFT JOIN h ON pop.rnk = h.rnk CROSS JOIN t
+      ORDER BY pop.rnk"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5916,6 +5993,7 @@ object Catalog {
     "q202_cusum_changepoint" -> q202CusumChangepoint,
     "q203_forecast_accuracy" -> q203ForecastAccuracy,
     "q205_linear_interpolation" -> q205LinearInterpolation,
+    "q206_ranking_metrics" -> q206RankingMetrics,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -3867,6 +3867,36 @@ object PipelineCatalog {
       })
   }
 
+  /** Good–Turing frequency-of-frequencies over the corpus unigram
+    * counts — N_r = how many distinct tokens occur exactly r times,
+    * the sufficient statistic of every count-smoothing estimator
+    * (Good 1953; Katz backoff; and the unseen-mass estimate
+    * N_1/N that Heaps-law vocabulary planning reads). Two chained
+    * map-side-combined rollups: token → count r, then r → type count;
+    * `mass` = r·N_r lets Σ mass reconcile against the corpus token
+    * total as a self-audit. All integers, total order on r. Scale:
+    * the first rollup is the q70 word-count shuffle; the second runs
+    * on the vocabulary-sized table and its key domain is the count
+    * support (≈ O(√corpus) distinct r values by Zipf) — both
+    * map-side-combine to near-nothing.
+    */
+  val q208GoodTuring: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+        .groupBy(col("r")).agg(count(lit(1)).as("n_types"))
+        .withColumn("mass", col("r") * col("n_types"))
+        .orderBy(col("r"))
+    },
+    oracle = Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY 1)
+      SELECT r, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(r * count(*) AS BIGINT) AS mass
+      FROM c GROUP BY r ORDER BY r"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -3894,6 +3924,7 @@ object PipelineCatalog {
     "q38_simhash_pairs" -> q38SimhashPairs,
     "q39_embedding_knn" -> q39EmbeddingKnn,
     "q204_mutual_knn" -> q204MutualKnn,
+    "q208_good_turing" -> q208GoodTuring,
     "q40_embedding_lsh_ann" -> q40EmbeddingLshAnn,
     "q41_embedding_neardup" -> q41EmbeddingNearDup,
     "q57_embedding_neardup_ann" -> q57EmbeddingNearDupAnn,

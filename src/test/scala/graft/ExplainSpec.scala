@@ -155,6 +155,8 @@ object ExplainSpec {
       "threshold rank windows over the per-customer rollup (2 rows kept); rangePrefixSums is the documented fact-scale swap",
     "q184_pps_sample" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
+    "q206_ranking_metrics" ->
+      "cumulative-hits window over the limit-50 popular cut joined with its per-rank hit rollup; rank domain fixed at k=50",
     "q185_open_orders_per_day" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q188_equidepth_histogram" ->
