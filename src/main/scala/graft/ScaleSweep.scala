@@ -49,10 +49,13 @@ object ScaleSweep {
     // O(n²/k_centroids), linear when centroids scale with n — the
     // hyperplane-LSH q40 keeps its oracle-pinned (k=4, L=8) knobs,
     // whose Σbucket² candidate volume is quadratic in n by contract
+    // q204 keeps the q39 brute-force top-1 contract (quadratic by
+    // construction — the LSH/IVF candidate cut is its documented swap),
+    // so its 10× point measures the honest cost of the exact baseline
     "ann" -> Seq("q40_embedding_lsh_ann", "q57_embedding_neardup_ann",
-      "m09_ivf_ann", "q165_semantic_decontamination"),
+      "m09_ivf_ann", "q165_semantic_decontamination", "q204_mutual_knn"),
     "graph" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
-      "q164_label_propagation"),
+      "q164_label_propagation", "q201_hits_scores"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),
@@ -70,7 +73,7 @@ object ScaleSweep {
     // this family actually measures
     "corpus" -> Seq("q139_leakage_free_split", "q140_source_overlap",
       "q141_source_semantic_similarity", "q172_source_minhash_overlap",
-      "q173_labeler_agreement"),
+      "q173_labeler_agreement", "q208_good_turing"),
     "decode" -> Seq("q138_pixel_stats"),
     // decision-support classics (added r7): replicated facts with
     // copied-through dims — the broadcast-dim / single-fact-shuffle
@@ -90,7 +93,9 @@ object ScaleSweep {
       "q193_market_share", "q194_nation_year_profit",
       "q195_promo_revenue", "q196_supplier_relationship",
       "q197_part_promotion", "q199_cohort_ltv",
-      "q200_supplier_lead_time"),
+      "q200_supplier_lead_time", "q202_cusum_changepoint",
+      "q203_forecast_accuracy", "q205_linear_interpolation",
+      "q206_ranking_metrics"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup
