@@ -5852,6 +5852,51 @@ object Catalog {
       FROM pop LEFT JOIN h ON pop.rnk = h.rnk CROSS JOIN t
       ORDER BY pop.rnk"""))
 
+  /** NATIVE RECURSIVE CTE — hierarchy transitive closure on Spark 4.1's
+    * `WITH RECURSIVE` (UnionLoop): every (node, proper-ancestor, hops)
+    * pair of the q187 synthesized 4-ary part tree, the BOM-explosion /
+    * org-rollup edge list q187's pointer-doubling summary (root+depth
+    * only) doesn't emit. This entry exists for the SQL SURFACE: a user
+    * porting warehouse recursive SQL runs it UNCHANGED on Spark 4.1
+    * (modulo `div` spelling), and the DuckDB oracle is the same
+    * recursion — two engines' native recursion compared row-for-row.
+    * Scale contract stated honestly: native recursion executes
+    * O(depth) sequential rounds, each one distributed join/scan over
+    * the frontier — right for shallow trees (any real product
+    * hierarchy) and for migration compatibility; for extreme depth
+    * q187's O(log d)-round pointer doubling remains the engine's
+    * declared swap. Closure size is Σ node depth ≈ n·log₄ n rows —
+    * emit-bounded, not a blowup, because the tree is O(log n) deep.
+    */
+  val q207RecursiveClosure: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      Tables.part(s, dir).select(col("p_partkey").as("node"))
+        .createOrReplaceTempView("graft_q207_nodes")
+      s.sql("""
+        WITH RECURSIVE walk(node, anc, hops) AS (
+          SELECT node, node, CAST(0 AS BIGINT) FROM graft_q207_nodes
+          UNION ALL
+          SELECT w.node,
+                 CASE WHEN w.anc = 0 THEN 0 ELSE (w.anc - 1) div 4 END,
+                 w.hops + 1
+          FROM walk w WHERE w.anc <> 0)
+        SELECT node, anc, hops FROM walk
+        WHERE hops >= 1
+        ORDER BY node, hops""")
+    },
+    oracle = Some("""
+      WITH RECURSIVE nodes AS (SELECT p_partkey AS node FROM part),
+      walk(node, anc, hops) AS (
+        SELECT node, node, CAST(0 AS BIGINT) FROM nodes
+        UNION ALL
+        SELECT w.node,
+               CASE WHEN w.anc = 0 THEN 0 ELSE (w.anc - 1) // 4 END,
+               w.hops + 1
+        FROM walk w WHERE w.anc <> 0)
+      SELECT node, CAST(anc AS BIGINT) AS anc, hops FROM walk
+      WHERE hops >= 1
+      ORDER BY node, hops"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -5994,6 +6039,7 @@ object Catalog {
     "q203_forecast_accuracy" -> q203ForecastAccuracy,
     "q205_linear_interpolation" -> q205LinearInterpolation,
     "q206_ranking_metrics" -> q206RankingMetrics,
+    "q207_recursive_closure" -> q207RecursiveClosure,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
