@@ -5897,6 +5897,92 @@ object Catalog {
       WHERE hops >= 1
       ORDER BY node, hops"""))
 
+  /** GROUPING SETS with an IRREGULAR set list — the grouping-set shape
+    * `rollup` (q53) and `cube` (q81) cannot express: ((status, pri),
+    * (pri, year), (status), ()) mixes two different drill paths in one
+    * pass, the real-world "this dashboard needs these four grains"
+    * case. GROUPING() flags ship per column (cast BIGINT on both
+    * engines) because NULL is ambiguous — it can be a real NULL key or
+    * a super-aggregate placeholder, and the flag is the only reliable
+    * discriminator; the total order leads with the flags for the same
+    * reason. Revenue accumulates in integer cents (the grand-total row
+    * sums the whole table — float addition order would flip last
+    * digits cross-engine; the q53 lesson, taken further). Scale: one
+    * expand + hash-agg pass — Spark's Expand multiplies rows by the
+    * set count BEFORE partial aggregation, so the shuffle carries only
+    * the (tiny) grouped domain per set, never 4× the facts.
+    */
+  val q209GroupingSets: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("pri"),
+          year(col("o_orderdate")).cast("bigint").as("y"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .createOrReplaceTempView("graft_q209_orders")
+      s.sql("""
+        SELECT status, pri, y,
+               CAST(grouping(status) AS BIGINT) AS g_s,
+               CAST(grouping(pri) AS BIGINT) AS g_p,
+               CAST(grouping(y) AS BIGINT) AS g_y,
+               count(*) AS n, sum(cents) AS total_cents
+        FROM graft_q209_orders
+        GROUP BY GROUPING SETS ((status, pri), (pri, y), (status), ())
+        ORDER BY g_s, g_p, g_y, status NULLS FIRST, pri NULLS FIRST,
+                 y NULLS FIRST""")
+    },
+    oracle = Some("""
+      WITH o AS (SELECT o_orderstatus AS status, o_orderpriority AS pri,
+                        CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT status, pri, y,
+             CAST(GROUPING(status) AS BIGINT) AS g_s,
+             CAST(GROUPING(pri) AS BIGINT) AS g_p,
+             CAST(GROUPING(y) AS BIGINT) AS g_y,
+             count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM o
+      GROUP BY GROUPING SETS ((status, pri), (pri, y), (status), ())
+      ORDER BY g_s, g_p, g_y, status NULLS FIRST, pri NULLS FIRST,
+               y NULLS FIRST"""))
+
+  /** Hilbert-curve data layout — [[graft.operators.Hilbert]], the
+    * locality-preserving upgrade over q83's Morton code (consecutive
+    * Hilbert indexes are ALWAYS grid neighbors — unit Manhattan step,
+    * property-tested in HilbertSpec — where the Z-curve jumps across
+    * the plane at power-of-two seams; same buckets as q83 so the two
+    * layouts compare directly). The index builds through one
+    * projection per level (chained attributes, never an exponentially
+    * self-referencing expression) and the oracle replays the identical
+    * rotate/flip walk as chained CTEs. The layout half
+    * (`Hilbert.layoutByH`: range shuffle + local sort → disjoint
+    * per-file index ranges) is the 100 TB rewrite job, one shuffle.
+    */
+  val q210HilbertLayout: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 256).as("xb"),
+          least(expr("CAST(floor(o_totalprice / 2500.0) AS BIGINT)"),
+            lit(255L)).as("yb"))
+      graft.operators.Hilbert
+        .withHilbert(base, col("xb"), col("yb"), 8, "h_value")
+        .orderBy(col("h_value"), col("o_orderkey"))
+    },
+    oracle = Some(s"""
+      WITH hl_in AS (
+        SELECT o_orderkey,
+               o_custkey % 256 AS xb,
+               least(CAST(floor(o_totalprice / 2500.0) AS BIGINT), 255) AS yb,
+               o_custkey % 256 AS x,
+               least(CAST(floor(o_totalprice / 2500.0) AS BIGINT), 255) AS y,
+               CAST(0 AS BIGINT) AS d
+        FROM orders),
+      ${graft.operators.Hilbert.hilbertCtesSql(8,
+        Seq("o_orderkey", "xb", "yb"))}
+      SELECT o_orderkey, xb, yb, CAST(d AS BIGINT) AS h_value
+      FROM hl0 ORDER BY h_value, o_orderkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6040,6 +6126,8 @@ object Catalog {
     "q205_linear_interpolation" -> q205LinearInterpolation,
     "q206_ranking_metrics" -> q206RankingMetrics,
     "q207_recursive_closure" -> q207RecursiveClosure,
+    "q209_grouping_sets" -> q209GroupingSets,
+    "q210_hilbert_layout" -> q210HilbertLayout,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
