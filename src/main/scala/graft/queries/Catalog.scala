@@ -5983,6 +5983,128 @@ object Catalog {
       SELECT o_orderkey, xb, yb, CAST(d AS BIGINT) AS h_value
       FROM hl0 ORDER BY h_value, o_orderkey"""))
 
+  /** ROLLING 28-day OLS trend per status — q109's global regression
+    * localized: the slope of daily revenue over a VALUE-BASED RANGE
+    * frame of the day index ([-27, 0] — calendar days, so gaps shrink
+    * the frame exactly as q114's revenue window; a ROWS frame would
+    * silently stretch across gaps), the windowed trend detector
+    * monitoring dashboards plot. The five sufficient sums
+    * (n, Σx, Σy, Σxy, Σx²) accumulate per frame and the slope ships
+    * as the exact integer rational (n·Σxy − Σx·Σy, n·Σxx − Σx²) —
+    * never divided (q49/q60). Day index anchored at the fixture's
+    * 1992 floor (the q109 lesson): with x ≤ |calendar| and n ≤ 28,
+    * the cross products stay ≤ ~10¹⁴ at sf0.1 and scale only with
+    * revenue — DECIMAL(38,0) at ~10⁴× (q109 rule). Scale: facts
+    * reduce to the calendar-bounded rollup in one shuffle; all five
+    * window sums share ONE status-partitioned sort.
+    */
+  val q211RollingOls: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("status"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+            .cast("bigint").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      val w = Window.partitionBy(col("status")).orderBy(col("day"))
+        .rangeBetween(-27, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("day")).over(w))
+        .withColumn("sy", sum(col("c")).over(w))
+        .withColumn("sxy", sum(col("day") * col("c")).over(w))
+        .withColumn("sxx", sum(col("day") * col("day")).over(w))
+        .select(col("status"), col("day"), col("c"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .orderBy(col("status"), col("day"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT o_orderstatus AS status,
+               CAST(date_diff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS c
+        FROM orders GROUP BY 1, 2),
+      f AS (SELECT status, day, c,
+                   CAST(count(*) OVER w AS BIGINT) AS n,
+                   CAST(sum(day) OVER w AS BIGINT) AS sx,
+                   CAST(sum(c) OVER w AS BIGINT) AS sy,
+                   CAST(sum(day * c) OVER w AS BIGINT) AS sxy,
+                   CAST(sum(day * day) OVER w AS BIGINT) AS sxx
+            FROM daily
+            WINDOW w AS (PARTITION BY status ORDER BY day
+                         RANGE BETWEEN 27 PRECEDING AND CURRENT ROW))
+      SELECT status, day, c, n,
+             CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+      FROM f ORDER BY status, day"""))
+
+  /** Tukey-fence outlier audit per status — the box-plot rule
+    * (Tukey 1977) on order-value cents: quartiles by nearest rank
+    * (the q103 convention, value-exact, no interpolation), fences at
+    * Q1 − 1.5·IQR / Q3 + 1.5·IQR CROSS-MULTIPLIED by 2 so the half
+    * never materializes (2·cents < 5·Q1 − 3·Q3, 2·cents > 5·Q3 −
+    * 3·Q1 — pure BIGINT). Complements q103's median/MAD (robust
+    * center/spread) with the robust TAIL rule every data-quality
+    * screen applies. Scale: one rank-window pass per status over the
+    * facts (the q103 class — rangePrefixSums is the documented
+    * extreme-volume swap), quartile rows broadcast back as a 3-row
+    * join; counting is map-side.
+    */
+  val q212TukeyFences: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderkey"))
+      val w = Window.partitionBy(col("status"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      val grp = Window.partitionBy(col("status"))
+      val ranked = o
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .withColumn("n", count(lit(1)).over(grp))
+      val quartiles = ranked
+        .filter(col("rn") === expr("(n + 3) div 4") ||
+          col("rn") === expr("(3 * n + 3) div 4"))
+        .groupBy(col("status"), col("n"))
+        .agg(min(col("cents")).as("q1"), max(col("cents")).as("q3"))
+      o.join(broadcast(quartiles), "status")
+        .groupBy(col("status"), col("n"), col("q1"), col("q3"))
+        .agg(
+          sum(when(col("cents") * 2 < lit(5L) * col("q1") - lit(3L) * col("q3"),
+            1L).otherwise(0L)).as("n_below"),
+          sum(when(col("cents") * 2 > lit(5L) * col("q3") - lit(3L) * col("q1"),
+            1L).otherwise(0L)).as("n_above"))
+        .select(col("status"), col("n"), col("q1"), col("q3"),
+          col("n_below"), col("n_above"))
+        .orderBy(col("status"))
+    },
+    oracle = Some("""
+      WITH o AS (SELECT o_orderstatus AS status,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        o_orderkey
+                 FROM orders),
+      r AS (SELECT status, cents,
+                   CAST(row_number() OVER (PARTITION BY status
+                     ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+                   CAST(count(*) OVER (PARTITION BY status) AS BIGINT) AS n
+            FROM o),
+      q AS (SELECT status, n,
+                   CAST(min(cents) AS BIGINT) AS q1,
+                   CAST(max(cents) AS BIGINT) AS q3
+            FROM r
+            WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+            GROUP BY status, n)
+      SELECT o.status, q.n, q.q1, q.q3,
+             CAST(sum(CASE WHEN o.cents * 2 < 5 * q.q1 - 3 * q.q3
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+             CAST(sum(CASE WHEN o.cents * 2 > 5 * q.q3 - 3 * q.q1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+      FROM o JOIN q ON o.status = q.status
+      GROUP BY o.status, q.n, q.q1, q.q3
+      ORDER BY o.status"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6128,6 +6250,8 @@ object Catalog {
     "q207_recursive_closure" -> q207RecursiveClosure,
     "q209_grouping_sets" -> q209GroupingSets,
     "q210_hilbert_layout" -> q210HilbertLayout,
+    "q211_rolling_ols" -> q211RollingOls,
+    "q212_tukey_fences" -> q212TukeyFences,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
