@@ -6105,6 +6105,70 @@ object Catalog {
       GROUP BY o.status, q.n, q.q1, q.q3
       ORDER BY o.status"""))
 
+  /** POISSON BOOTSTRAP of mean order value per status — the only
+    * bootstrap that survives 100 TB (Chamandy et al., Google 2012;
+    * Kleiner et al.'s BLB is its batched cousin): classic multinomial
+    * resampling needs a global draw per replicate, but Poisson(1)
+    * weights are ROW-LOCAL — each row independently contributes
+    * w ~ Poisson(1) copies to each replicate, so B=32 resamples are
+    * one map-side ×(B+1) expand + a partial-aggregated rollup, no
+    * shuffle of the facts beyond |status|·B rows. Determinism (q122's
+    * RNG-free rule): the uniform draw is the affine polyhash of
+    * (orderkey, replicate) and the Poisson inverse-CDF is four FIXED
+    * integer thresholds (⌊P·cdf(k)⌋, k<4 — the 0.37% tail truncates
+    * to w=4 identically on both engines, a documented approximation).
+    * Replicate −1 carries the observed sample (w=1) so the CI centers
+    * itself; mean_b = sum_cents/n client-side, CI = replicate
+    * quantiles (q59 rule — no division crosses engines). Keys
+    * pre-reduced mod P for target-SF product headroom (q206 rule).
+    */
+  val q213PoissonBootstrap: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val reps = s.range(-1, 32).toDF("b")
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("status"),
+          col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .crossJoin(broadcast(reps))
+        .withColumn("h", pmod(pmod(col("o_orderkey"), lit(P)) * 1103515245L +
+          col("b") * 12345L + 54321L, lit(P)))
+        .withColumn("w",
+          when(col("b") === -1L, 1L)
+            .when(col("h") < 790015083L, 0L)
+            .when(col("h") < 1580030167L, 1L)
+            .when(col("h") < 1975037709L, 2L)
+            .when(col("h") < 2106706890L, 3L)
+            .otherwise(4L))
+        .groupBy(col("status"), col("b"))
+        .agg(sum(col("w")).as("n_resampled"),
+          sum(col("w") * col("cents")).as("sum_cents"))
+        .orderBy(col("status"), col("b"))
+    },
+    oracle = Some("""
+      WITH reps AS (SELECT CAST(unnest(range(-1, 32)) AS BIGINT) AS b),
+      x AS (
+        SELECT o.o_orderstatus AS status, r.b,
+               CASE WHEN r.b = -1 THEN 1
+                    ELSE CASE
+                      WHEN ((o.o_orderkey % 2147483647) * 1103515245 +
+                            r.b * 12345 + 54321) % 2147483647 < 790015083 THEN 0
+                      WHEN ((o.o_orderkey % 2147483647) * 1103515245 +
+                            r.b * 12345 + 54321) % 2147483647 < 1580030167 THEN 1
+                      WHEN ((o.o_orderkey % 2147483647) * 1103515245 +
+                            r.b * 12345 + 54321) % 2147483647 < 1975037709 THEN 2
+                      WHEN ((o.o_orderkey % 2147483647) * 1103515245 +
+                            r.b * 12345 + 54321) % 2147483647 < 2106706890 THEN 3
+                      ELSE 4 END
+               END AS w,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o CROSS JOIN reps r)
+      SELECT status, b,
+             CAST(sum(w) AS BIGINT) AS n_resampled,
+             CAST(sum(w * cents) AS BIGINT) AS sum_cents
+      FROM x GROUP BY status, b
+      ORDER BY status, b"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6252,6 +6316,7 @@ object Catalog {
     "q210_hilbert_layout" -> q210HilbertLayout,
     "q211_rolling_ols" -> q211RollingOls,
     "q212_tukey_fences" -> q212TukeyFences,
+    "q213_poisson_bootstrap" -> q213PoissonBootstrap,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
