@@ -3897,6 +3897,76 @@ object PipelineCatalog {
              CAST(r * count(*) AS BIGINT) AS mass
       FROM c GROUP BY r ORDER BY r"""))
 
+  /** Kneser–Ney continuation counts — the smoothing statistic that
+    * separates KN from every count-based interpolation (Kneser & Ney
+    * 1995; Chen & Goodman 1999): a word's continuation probability is
+    * driven by how many DISTINCT left contexts it follows (N1+(·w)),
+    * not how often it occurs ("Francisco" is frequent but continues
+    * almost nothing). Per corpus token: distinct left contexts,
+    * distinct right continuations, raw count — plus the global bigram
+    * type count (the KN denominator) broadcast onto every row. All
+    * integer; the discounted probability assembles client-side (q59
+    * rule). Document boundaries do not leak: bigrams pair only
+    * ADJACENT tokens within one document (posexplode positions).
+    * Scale: one bigram rollup (map-side-combined, vocab²-bounded
+    * keys), two distinct-count rollups over it, broadcast totals —
+    * the q72 pair-statistic shape one level up.
+    */
+  val q214KneserNeyStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "tok")))
+      // adjacent pairing as ONE lead window over (doc, pos) — a single
+      // doc shuffle where the equivalent self-join would shuffle twice
+      val bi = toks
+        .withColumn("w2", lead(col("tok"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("tok").as("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+      val types = bi.agg(count(lit(1)).as("bigram_types"))
+      val contLeft = bi.groupBy(col("w2").as("tok"))
+        .agg(countDistinct(col("w1")).as("cont_left"))
+      val contRight = bi.groupBy(col("w1").as("tok"))
+        .agg(countDistinct(col("w2")).as("cont_right"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      counts
+        .join(contLeft, Seq("tok"), "left")
+        .join(contRight, Seq("tok"), "left")
+        .crossJoin(broadcast(types))
+        .select(col("tok"), col("cnt"),
+          coalesce(col("cont_left"), lit(0L)).as("cont_left"),
+          coalesce(col("cont_right"), lit(0L)).as("cont_right"),
+          col("bigram_types"))
+        .orderBy(col("tok"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, t.tok, CAST(t.pos AS BIGINT) AS pos
+        FROM (SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok,
+                     unnest(range(len(string_split(text, ' ')))) AS pos
+              FROM documents) t(doc_id, tok, pos)),
+      bi AS (SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS n
+             FROM toks a JOIN toks b
+               ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+             GROUP BY 1, 2),
+      ty AS (SELECT CAST(count(*) AS BIGINT) AS bigram_types FROM bi),
+      cl AS (SELECT w2 AS tok, CAST(count(DISTINCT w1) AS BIGINT) AS cont_left
+             FROM bi GROUP BY 1),
+      cr AS (SELECT w1 AS tok, CAST(count(DISTINCT w2) AS BIGINT) AS cont_right
+             FROM bi GROUP BY 1),
+      c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+      SELECT c.tok, c.cnt,
+             CAST(coalesce(cl.cont_left, 0) AS BIGINT) AS cont_left,
+             CAST(coalesce(cr.cont_right, 0) AS BIGINT) AS cont_right,
+             ty.bigram_types
+      FROM c LEFT JOIN cl ON c.tok = cl.tok
+             LEFT JOIN cr ON c.tok = cr.tok
+             CROSS JOIN ty
+      ORDER BY c.tok"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -3925,6 +3995,7 @@ object PipelineCatalog {
     "q39_embedding_knn" -> q39EmbeddingKnn,
     "q204_mutual_knn" -> q204MutualKnn,
     "q208_good_turing" -> q208GoodTuring,
+    "q214_kneser_ney_stats" -> q214KneserNeyStats,
     "q40_embedding_lsh_ann" -> q40EmbeddingLshAnn,
     "q41_embedding_neardup" -> q41EmbeddingNearDup,
     "q57_embedding_neardup_ann" -> q57EmbeddingNearDupAnn,
