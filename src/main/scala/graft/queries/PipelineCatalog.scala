@@ -3967,6 +3967,68 @@ object PipelineCatalog {
              CROSS JOIN ty
       ORDER BY c.tok"""))
 
+  /** Empirical Heaps'-law curve — cumulative vocabulary size vs corpus
+    * prefix (Heaps 1978): the measurement behind this repo's own
+    * scale contract (the near-dup families' Σdf² bound stays linear
+    * only while vocabulary GROWS with the corpus — BASELINE.md's
+    * fixed-vocab saturation mode is exactly a flat Heaps curve).
+    * Prefixes are doc-id deciles; per decile the prefix's doc count,
+    * token count, and distinct-type count. Exact and
+    * scan-light: each token's FIRST document (min doc_id) reduces the
+    * corpus to one vocab-sized rollup, and every decile's vocabulary
+    * is then `count(fd ≤ cutoff)` over that rollup against a
+    * broadcast 10-row cutoff table — the corpus is never re-scanned
+    * per prefix (the naive per-prefix distinct re-count is 10 corpus
+    * passes). The b/K Heaps parameters fit client-side (log-log —
+    * the q59 transcendental rule). Scale: two map-side-combined
+    * shuffles (first-doc min, per-doc token counts), then
+    * domain-sized joins.
+    */
+  val q215HeapsLaw: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val bounds = Tables.documents(s, dir)
+        .agg(max(col("doc_id")).as("mx"), count(lit(1)).as("n_docs"))
+      val cuts = s.range(1, 11).toDF("decile")
+        .crossJoin(broadcast(bounds))
+        .select(col("decile"),
+          expr("(decile * (mx + 1)) div 10 - 1").as("cutoff"))
+      val firsts = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      val vocab = cuts.join(firsts, col("fd") <= col("cutoff"), "left")
+        .groupBy(col("decile"), col("cutoff"))
+        .agg(count(col("tok")).as("vocab"))
+      val volume = cuts.join(perDoc, col("doc_id") <= col("cutoff"), "left")
+        .groupBy(col("decile"), col("cutoff"))
+        .agg(count(col("doc_id")).as("docs"),
+          coalesce(sum(col("nt")), lit(0L)).as("tokens"))
+      vocab.join(volume, Seq("decile", "cutoff"))
+        .select(col("decile"), col("docs"), col("tokens"), col("vocab"))
+        .orderBy(col("decile"))
+    },
+    oracle = Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+      b AS (SELECT max(doc_id) AS mx FROM documents),
+      cuts AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile),
+      c2 AS (SELECT decile, (decile * (mx + 1)) // 10 - 1 AS cutoff
+             FROM cuts, b),
+      firsts AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt
+                 FROM toks GROUP BY 1),
+      v AS (SELECT c2.decile, c2.cutoff, CAST(count(f.tok) AS BIGINT) AS vocab
+            FROM c2 LEFT JOIN firsts f ON f.fd <= c2.cutoff
+            GROUP BY 1, 2),
+      w AS (SELECT c2.decile, c2.cutoff,
+                   CAST(count(p.doc_id) AS BIGINT) AS docs,
+                   CAST(coalesce(sum(p.nt), 0) AS BIGINT) AS tokens
+            FROM c2 LEFT JOIN perdoc p ON p.doc_id <= c2.cutoff
+            GROUP BY 1, 2)
+      SELECT v.decile, w.docs, w.tokens, v.vocab
+      FROM v JOIN w ON v.decile = w.decile
+      ORDER BY v.decile"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -3996,6 +4058,7 @@ object PipelineCatalog {
     "q204_mutual_knn" -> q204MutualKnn,
     "q208_good_turing" -> q208GoodTuring,
     "q214_kneser_ney_stats" -> q214KneserNeyStats,
+    "q215_heaps_law" -> q215HeapsLaw,
     "q40_embedding_lsh_ann" -> q40EmbeddingLshAnn,
     "q41_embedding_neardup" -> q41EmbeddingNearDup,
     "q57_embedding_neardup_ann" -> q57EmbeddingNearDupAnn,
