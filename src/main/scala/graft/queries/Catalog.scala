@@ -6169,6 +6169,69 @@ object Catalog {
       FROM x GROUP BY status, b
       ORDER BY status, b"""))
 
+  /** CLAMPED running balance — the non-linear prefix recurrence
+    * B_d = min(cap, max(0, B_{d−1} + net_d)) behind inventory
+    * balances, token-bucket rate limiters and bounded backlog
+    * simulations. Unlike a running SUM (a window frame) or the
+    * EWMA/Holt class (linear recurrences with closed-form windowed
+    * forms), clamping makes every step depend on the clamped previous
+    * state — no frame expresses it, so it runs as q87's sequential
+    * `aggregate` HOF over the day-ordered array, replayed by the
+    * oracle as a recursive CTE with LEAST/GREATEST. The signed input
+    * is q202's centered deviation net_d = n·c_d − T (integer, zero
+    * mean by construction) and cap = T, so the balance is the
+    * "revenue backlog vs trend" bounded walk. Scale: the DISTRIBUTED
+    * work is the
+    * calendar-bounded rollup (one map-side-combined shuffle); the
+    * fold input is ≤|days| rows per status — one task folding it is
+    * O(days), never O(rows) (q87's contract).
+    */
+  val q216ClampedBalance: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = statusDailyCents(s, dir)
+      val totals = daily.groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("t"))
+      daily.join(broadcast(totals), "status")
+        .select(col("status"), col("day"),
+          (col("n") * col("c") - col("t")).as("net"), col("t"))
+        .groupBy(col("status"), col("t"))
+        .agg(sort_array(collect_list(struct(col("day"), col("net"))))
+          .as("ds"))
+        .select(col("status"), col("t"), explode(expr(
+          """aggregate(ds,
+               CAST(array() AS ARRAY<STRUCT<day: BIGINT, net: BIGINT,
+                                            bal: BIGINT>>),
+               (acc, x) -> array_append(acc, named_struct(
+                 'day', x.day, 'net', x.net,
+                 'bal', least(t, greatest(CAST(0 AS BIGINT),
+                   CASE WHEN size(acc) = 0 THEN x.net
+                        ELSE element_at(acc, -1).bal + x.net END)))))"""))
+          .as("r"))
+        .select(col("status"), col("r.day").as("day"),
+          col("r.net").as("net"), col("r.bal").as("balance"))
+        .orderBy(col("status"), col("day"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE daily AS ($statusDailyCentsSql),
+      tot AS (SELECT status, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS t
+              FROM daily GROUP BY 1),
+      d2 AS (SELECT d.status, d.day,
+                    CAST(tot.n * d.c - tot.t AS BIGINT) AS net, tot.t,
+                    row_number() OVER (PARTITION BY d.status
+                      ORDER BY d.day) AS rn
+             FROM daily d JOIN tot ON d.status = tot.status),
+      f AS (
+        SELECT status, rn, day, net, t,
+               CAST(least(t, greatest(0, net)) AS BIGINT) AS bal
+        FROM d2 WHERE rn = 1
+        UNION ALL
+        SELECT d2.status, d2.rn, d2.day, d2.net, d2.t,
+               CAST(least(d2.t, greatest(0, f.bal + d2.net)) AS BIGINT)
+        FROM d2 JOIN f ON d2.status = f.status AND d2.rn = f.rn + 1)
+      SELECT status, day, net, bal AS balance
+      FROM f ORDER BY status, day"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6317,6 +6380,7 @@ object Catalog {
     "q211_rolling_ols" -> q211RollingOls,
     "q212_tukey_fences" -> q212TukeyFences,
     "q213_poisson_bootstrap" -> q213PoissonBootstrap,
+    "q216_clamped_balance" -> q216ClampedBalance,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
