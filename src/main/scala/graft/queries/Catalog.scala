@@ -6232,6 +6232,81 @@ object Catalog {
       SELECT status, day, net, bal AS balance
       FROM f ORDER BY status, day"""))
 
+  /** Simpson's-paradox audit — does the POOLED discount↔quantity
+    * association contradict the per-brand (stratified) ones? The
+    * aggregation trap every metrics review hits (Simpson 1951;
+    * Bickel's admissions case): a confounder (brand) can flip the
+    * pooled slope's sign even when every stratum agrees. Association
+    * = the OLS slope-numerator sign (n·Σxy − Σx·Σy — the covariance
+    * numerator, integer-exact on basis-point discounts × unit
+    * quantities, the q182 statistics), emitted per brand beside the
+    * pooled value with ±1/0 sign flags and the agreement verdict —
+    * the audit row is "this stratum disagrees with the headline".
+    * Scale: one fact pass groups the five sums per brand; the pooled
+    * row is a second rollup OF THE BRAND ROLLUP (sums of sums — no
+    * second fact pass), broadcast back onto |brands| rows. n·Σxy
+    * crosses 2^63 near 100× the sf0.1 facts — DECIMAL(38,0)
+    * escalation per the q109 rule.
+    */
+  val q217SimpsonsAudit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          expr("CAST(round(l_discount * 10000) AS BIGINT)").as("x"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+      val byBrand = li.groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"))
+      val pooled = byBrand.agg(
+          sum(col("n")).as("pn"), sum(col("sx")).as("psx"),
+          sum(col("sy")).as("psy"), sum(col("sxy")).as("psxy"))
+        .select((col("pn") * col("psxy") - col("psx") * col("psy"))
+          .as("pooled_num"))
+        .select(col("pooled_num"), signum(col("pooled_num"))
+          .cast("bigint").as("pooled_sign"))
+      byBrand
+        .select(col("brand"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"))
+        .withColumn("slope_sign", signum(col("slope_num")).cast("bigint"))
+        .crossJoin(broadcast(pooled))
+        .withColumn("agrees_with_pooled",
+          when(col("slope_sign") === col("pooled_sign"), 1L).otherwise(0L))
+        .select(col("brand"), col("n"), col("slope_num"), col("slope_sign"),
+          col("pooled_num"), col("pooled_sign"), col("agrees_with_pooled"))
+        .orderBy(col("brand"))
+    },
+    oracle = Some("""
+      WITH li AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(l.l_discount * 10000) AS BIGINT) AS x,
+               CAST(round(l.l_quantity) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      g AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM li GROUP BY 1),
+      p AS (SELECT CAST(sum(n) AS BIGINT) AS pn,
+                   CAST(sum(sx) AS BIGINT) AS psx,
+                   CAST(sum(sy) AS BIGINT) AS psy,
+                   CAST(sum(sxy) AS BIGINT) AS psxy
+            FROM g),
+      p2 AS (SELECT CAST(pn * psxy - psx * psy AS BIGINT) AS pooled_num,
+                    CAST(sign(pn * psxy - psx * psy) AS BIGINT)
+                      AS pooled_sign
+             FROM p)
+      SELECT g.brand, g.n,
+             CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT) AS slope_num,
+             CAST(sign(g.n * g.sxy - g.sx * g.sy) AS BIGINT) AS slope_sign,
+             p2.pooled_num, p2.pooled_sign,
+             CAST(CASE WHEN sign(g.n * g.sxy - g.sx * g.sy) = p2.pooled_sign
+                       THEN 1 ELSE 0 END AS BIGINT) AS agrees_with_pooled
+      FROM g CROSS JOIN p2
+      ORDER BY g.brand"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6381,6 +6456,7 @@ object Catalog {
     "q212_tukey_fences" -> q212TukeyFences,
     "q213_poisson_bootstrap" -> q213PoissonBootstrap,
     "q216_clamped_balance" -> q216ClampedBalance,
+    "q217_simpsons_audit" -> q217SimpsonsAudit,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

@@ -16,7 +16,10 @@ class DeterminismSpec extends SparkSpec {
     "q185_open_orders_per_day", // kernel over delta sweep
     "q163_theil_sen_trend",     // scaled-key median extraction
     "q122_deterministic_shuffle", // seeded corpus ordering contract
-    "q187_hierarchy_flatten")   // iterative localCheckpoint loop
+    "q187_hierarchy_flatten",   // iterative localCheckpoint loop
+    "q213_poisson_bootstrap",   // row-local hash weights ⇒ layout-free
+    "q216_clamped_balance",     // sequential clamped fold over sort_array
+    "q201_hits_scores")         // iterative broadcast-Pregel rounds
 
   test("representative queries are shuffle-partition invariant") {
     val conf = spark.conf
