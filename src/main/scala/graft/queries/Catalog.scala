@@ -6307,6 +6307,75 @@ object Catalog {
       FROM g CROSS JOIN p2
       ORDER BY g.brand"""))
 
+  /** CUPED experiment-readout statistics (Deng et al. 2013) — the
+    * variance-reduction technique every modern experimentation
+    * platform applies: adjust the experiment metric by a pre-period
+    * covariate, cutting CI width by the metric's autocorrelation.
+    * Units are customers, deterministically split 50/50 by affine
+    * polyhash of custkey (q122's RNG-free rule — replayable, and the
+    * SRM check is real because the split is genuinely hash-based);
+    * metric y = customer's total order cents, covariate x = account
+    * balance cents (the pre-period stand-in the fixture offers). Per
+    * variant: n and the five cross-sums as exact integers — θ =
+    * cov(x,y)/var(x), adjusted means, variance reduction, and the
+    * sample-ratio-mismatch test all reconstruct client-side (q59
+    * rule; none of those divisions may cross engines). Scale: orders
+    * reduce per customer in one shuffle, the customer dim joins on
+    * the same key, and the output is two rows — partial aggregation
+    * does everything. Headroom (q109 rule): Σy² is per-customer cents
+    * SQUARED summed — past 2^63 at the GATE SF already — so Σxy/Σy²
+    * accumulate in DECIMAL(38,0) and ship as canonical digit strings;
+    * Σx² stays BIGINT until ~300× the sf0.1 corpus.
+    */
+  val q218CupedStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("y"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("x"))
+        .join(spend, Seq("custkey"))
+        .withColumn("variant",
+          when(pmod(pmod(col("custkey"), lit(P)) * 1103515245L + 12345L,
+            lit(P)) % 2L === 0L, "A").otherwise("B"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          // Σxy and Σy² overflow BIGINT already at the gate SF (y² is
+          // per-customer cents SQUARED) — accumulate in DECIMAL(38,0)
+          // and emit canonical digit strings, the q109 emission class
+          sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").cast("string").as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_xx"),
+          sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").cast("string").as("sum_yy"))
+        .orderBy(col("variant"))
+    },
+    oracle = Some("""
+      WITH spend AS (
+        SELECT o_custkey AS custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+        FROM orders GROUP BY 1),
+      u AS (SELECT c.c_custkey AS custkey,
+                   CAST(round(c.c_acctbal * 100) AS BIGINT) AS x, s.y,
+                   CASE WHEN ((c.c_custkey % 2147483647) * 1103515245
+                              + 12345) % 2147483647 % 2 = 0
+                        THEN 'A' ELSE 'B' END AS variant
+            FROM customer c JOIN spend s ON c.c_custkey = s.custkey)
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS DECIMAL(38,0)) AS VARCHAR) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_xx,
+             CAST(CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS DECIMAL(38,0)) AS VARCHAR) AS sum_yy
+      FROM u GROUP BY variant
+      ORDER BY variant"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6457,6 +6526,7 @@ object Catalog {
     "q213_poisson_bootstrap" -> q213PoissonBootstrap,
     "q216_clamped_balance" -> q216ClampedBalance,
     "q217_simpsons_audit" -> q217SimpsonsAudit,
+    "q218_cuped_stats" -> q218CupedStats,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
