@@ -6376,6 +6376,83 @@ object Catalog {
       FROM u GROUP BY variant
       ORDER BY variant"""))
 
+  /** QUANTILE TREATMENT EFFECT — per-decile boundary difference of the
+    * q218 experiment's metric between variants: a mean shift (q218's
+    * readout) says nothing about WHERE the distribution moved, and
+    * tail-heavy effects invert decisions a mean alone would make
+    * (Athey & Imbens' heterogeneous-effect motivation, at the
+    * distribution level). Per interior decile: each variant's exact
+    * nearest-rank boundary (q103/q188 convention) and the integer
+    * cents difference. The two-variant CDF is ONE pass of the shared
+    * [[rangePrefixSums]] kernel — the (d1, d2) slots carry the A/B
+    * counts exactly as q166/q167 carry the F/O samples — so the whole
+    * query is the q188 equi-depth machinery run two-sample: one cents
+    * shuffle + one range exchange, 9-row broadcast rank table, no
+    * single-task sort anywhere.
+    */
+  val q219QuantileEffect: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val rollup = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .withColumn("va",
+          pmod(pmod(col("o_custkey"), lit(P)) * 1103515245L + 12345L,
+            lit(P)) % 2L === 0L)
+        .groupBy(col("cents"))
+        .agg(sum(when(col("va"), 1L).otherwise(0L)).as("d1"),
+          sum(when(!col("va"), 1L).otherwise(0L)).as("d2"))
+      val cdf = rangePrefixSums(s, rollup)
+      val totals = rollup.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      val ranks = s.range(1, 10).toDF("decile")
+        .crossJoin(broadcast(totals))
+        .select(col("decile"),
+          expr("(decile * n1 + 9) div 10").as("t1"),
+          expr("(decile * n2 + 9) div 10").as("t2"))
+      def boundary(cCol: String, tCol: String, out: String): DataFrame =
+        cdf.crossJoin(broadcast(ranks))
+          .filter(col(cCol) >= col(tCol))
+          .groupBy(col("decile"))
+          .agg(min(col("cents")).as(out))
+      boundary("c1", "t1", "boundary_a")
+        .join(boundary("c2", "t2", "boundary_b"), "decile")
+        .select(col("decile"), col("boundary_a"), col("boundary_b"),
+          (col("boundary_b") - col("boundary_a")).as("qte_cents"))
+        .orderBy(col("decile"))
+    },
+    oracle = Some("""
+      WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1),
+      r AS (SELECT cents,
+                   CAST(sum(CASE WHEN ((o_custkey % 2147483647) * 1103515245
+                                       + 12345) % 2147483647 % 2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                   CAST(sum(CASE WHEN ((o_custkey % 2147483647) * 1103515245
+                                       + 12345) % 2147483647 % 2 = 0
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS d2
+            FROM spend GROUP BY 1),
+      cdf AS (SELECT cents,
+                     CAST(sum(d1) OVER w AS BIGINT) AS c1,
+                     CAST(sum(d2) OVER w AS BIGINT) AS c2
+              FROM r WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+      t AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+                   CAST(sum(d2) AS BIGINT) AS n2 FROM r),
+      ranks AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile),
+      rk AS (SELECT decile, (decile * n1 + 9) // 10 AS t1,
+                    (decile * n2 + 9) // 10 AS t2
+             FROM ranks, t),
+      ba AS (SELECT rk.decile, CAST(min(cdf.cents) AS BIGINT) AS boundary_a
+             FROM cdf JOIN rk ON cdf.c1 >= rk.t1 GROUP BY 1),
+      bb AS (SELECT rk.decile, CAST(min(cdf.cents) AS BIGINT) AS boundary_b
+             FROM cdf JOIN rk ON cdf.c2 >= rk.t2 GROUP BY 1)
+      SELECT ba.decile, ba.boundary_a, bb.boundary_b,
+             CAST(bb.boundary_b - ba.boundary_a AS BIGINT) AS qte_cents
+      FROM ba JOIN bb ON ba.decile = bb.decile
+      ORDER BY ba.decile"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6527,6 +6604,7 @@ object Catalog {
     "q216_clamped_balance" -> q216ClampedBalance,
     "q217_simpsons_audit" -> q217SimpsonsAudit,
     "q218_cuped_stats" -> q218CupedStats,
+    "q219_quantile_effect" -> q219QuantileEffect,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
