@@ -6453,6 +6453,65 @@ object Catalog {
       FROM ba JOIN bb ON ba.decile = bb.decile
       ORDER BY ba.decile"""))
 
+  /** Kaplan–Meier churn-survival sufficient statistics (Kaplan & Meier
+    * 1958) — the right-censoring-aware lifetime table a naive "average
+    * customer lifetime" silently biases low (still-active customers
+    * truncate their own lifetimes): per distinct lifetime t, the
+    * churn events d_t, censorings c_t, and the at-risk count
+    * n_t = Σ_{u≥t}(d_u + c_u). Lifetime = days between a customer's
+    * first and last order; censored if the last order falls within
+    * 30 days of the corpus end (they may still be active). All
+    * integers — the product-limit curve S(t) = Π(1 − d/n) is a
+    * product of rationals and stays client-side (q49/q60: never
+    * round, and a cumulative product's numerator explodes — the
+    * per-t table IS the portable statistic). The at-risk count is a
+    * REVERSE running sum over the lifetime rollup (calendar-bounded —
+    * ≤ |days| rows, allowlisted; the rangePrefixSums kernel on the
+    * negated key is the fact-scale swap). Scale: one custkey shuffle
+    * to lifetimes, one rollup, domain-sized window.
+    */
+  val q220SurvivalStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      val endDate = o.agg(max(col("d")).as("corpus_end"))
+      val lifetimes = o.groupBy(col("o_custkey"))
+        .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+        .crossJoin(broadcast(endDate))
+        .select(
+          datediff(col("last_d"), col("first_d")).cast("bigint").as("t"),
+          (datediff(col("corpus_end"), col("last_d")) < 30).as("censored"))
+      val rollup = lifetimes.groupBy(col("t"))
+        .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d_events"),
+          sum(when(col("censored"), 1L).otherwise(0L)).as("c_censored"))
+      val w = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rollup
+        .withColumn("n_at_risk",
+          sum(col("d_events") + col("c_censored")).over(w))
+        .select(col("t"), col("d_events"), col("c_censored"),
+          col("n_at_risk"))
+        .orderBy(col("t"))
+    },
+    oracle = Some("""
+      WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+                 FROM orders),
+      e AS (SELECT max(d) AS corpus_end FROM o),
+      lt AS (SELECT CAST(date_diff('day', min(d), max(d)) AS BIGINT) AS t,
+                    date_diff('day', max(d),
+                      (SELECT corpus_end FROM e)) < 30 AS censored
+             FROM o GROUP BY o_custkey),
+      r AS (SELECT t,
+                   CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                     AS d_events,
+                   CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c_censored
+            FROM lt GROUP BY 1)
+      SELECT t, d_events, c_censored,
+             CAST(sum(d_events + c_censored) OVER (ORDER BY t DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+      FROM r ORDER BY t"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6605,6 +6664,7 @@ object Catalog {
     "q217_simpsons_audit" -> q217SimpsonsAudit,
     "q218_cuped_stats" -> q218CupedStats,
     "q219_quantile_effect" -> q219QuantileEffect,
+    "q220_survival_stats" -> q220SurvivalStats,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

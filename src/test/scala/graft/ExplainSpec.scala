@@ -157,6 +157,10 @@ object ExplainSpec {
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q206_ranking_metrics" ->
       "cumulative-hits window over the limit-50 popular cut joined with its per-rank hit rollup; rank domain fixed at k=50",
+    "q219_quantile_effect" ->
+      "offset prefix-sum over per-partition totals (rangePrefixSums kernel); bounded by the shuffle partition count",
+    "q220_survival_stats" ->
+      "reverse at-risk sum over the lifetime rollup; lifetime domain is calendar-bounded (≤|days| rows) — rangePrefixSums on the negated key is the fact-scale swap",
     "q185_open_orders_per_day" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q188_equidepth_histogram" ->
