@@ -99,7 +99,8 @@ object ScaleSweep {
       "q209_grouping_sets", "q210_hilbert_layout",
       "q211_rolling_ols", "q212_tukey_fences", "q213_poisson_bootstrap",
       "q216_clamped_balance", "q217_simpsons_audit", "q218_cuped_stats",
-      "q219_quantile_effect", "q220_survival_stats"),
+      "q219_quantile_effect", "q220_survival_stats",
+      "q221_seasonal_anomaly"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

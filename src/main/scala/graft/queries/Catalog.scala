@@ -6512,6 +6512,57 @@ object Catalog {
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
       FROM r ORDER BY t"""))
 
+  /** Seasonally-conditioned anomaly ranking — the top-20 days whose
+    * revenue deviates most from THEIR OWN WEEKDAY's mean: q82's
+    * global-mean spike test flags every Saturday when weekends run
+    * hot, and q181's profile shows the seasonality but not the
+    * outliers; conditioning the deviation on the weekday is the
+    * monitoring composition that separates "weekend" from "anomaly".
+    * Weekday from the epoch-day identity ((d+3) mod 7 — the q181
+    * dialect-proof arithmetic), deviation cross-multiplied into
+    * BIGINT (dev = n_w·c_d − T_w, the q202 trick conditioned per
+    * weekday), ranked by |dev| with the earliest-day tie rule and
+    * emitted beside its n_w denominator — never divided. Scale: one
+    * calendar-bounded rollup, a 7-row broadcast join, TakeOrdered 20.
+    */
+  val q221SeasonalAnomaly: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("bigint").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+        .withColumn("weekday", pmod(col("day") + 3L, lit(7L)))
+      val wk = daily.groupBy(col("weekday"))
+        .agg(count(lit(1)).as("n_w"), sum(col("c")).as("t_w"))
+      daily.join(broadcast(wk), "weekday")
+        .withColumn("dev", col("n_w") * col("c") - col("t_w"))
+        .orderBy(abs(col("dev")).desc, col("day")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(abs(col("dev")).desc, col("day"))).cast("bigint"))
+        .select(col("rnk"), col("day"), col("weekday"), col("c"),
+          col("n_w"), col("dev"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS c
+        FROM orders GROUP BY 1),
+      d2 AS (SELECT day, c, (day + 3) % 7 AS weekday FROM daily),
+      wk AS (SELECT weekday, CAST(count(*) AS BIGINT) AS n_w,
+                    CAST(sum(c) AS BIGINT) AS t_w
+             FROM d2 GROUP BY 1),
+      dev AS (SELECT d2.day, d2.weekday, d2.c, wk.n_w,
+                     CAST(wk.n_w * d2.c - wk.t_w AS BIGINT) AS dev
+              FROM d2 JOIN wk ON d2.weekday = wk.weekday),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY abs(dev) DESC, day)
+                        AS BIGINT) AS rnk
+            FROM dev)
+      SELECT rnk, day, weekday, c, n_w, dev
+      FROM r WHERE rnk <= 20 ORDER BY rnk"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6665,6 +6716,7 @@ object Catalog {
     "q218_cuped_stats" -> q218CupedStats,
     "q219_quantile_effect" -> q219QuantileEffect,
     "q220_survival_stats" -> q220SurvivalStats,
+    "q221_seasonal_anomaly" -> q221SeasonalAnomaly,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
