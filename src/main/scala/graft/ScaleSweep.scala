@@ -55,7 +55,7 @@ object ScaleSweep {
     "ann" -> Seq("q40_embedding_lsh_ann", "q57_embedding_neardup_ann",
       "m09_ivf_ann", "q165_semantic_decontamination", "q204_mutual_knn"),
     "graph" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
-      "q164_label_propagation", "q201_hits_scores"),
+      "q164_label_propagation", "q201_hits_scores", "q222_bfs_distances"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),

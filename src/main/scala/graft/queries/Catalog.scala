@@ -6563,6 +6563,77 @@ object Catalog {
       SELECT rnk, day, weekday, c, n_w, dev
       FROM r WHERE rnk <= 20 ORDER BY rnk"""))
 
+  /** Multi-source BFS distance distribution — hop counts from four
+    * deterministic landmark parts over the co-purchase graph, the
+    * shortest-path primitive the graph family lacked (PageRank ranks,
+    * components label, k-core peels — none measures DISTANCE; landmark
+    * BFS is how production graphs estimate distances when all-pairs is
+    * impossible). FOUR fixed rounds (the q85/q127/q164 contract) of
+    * frontier expansion: next = Γ(frontier) minus already-reached
+    * (anti-join), every round one edge join over the frontier — the
+    * textbook Pregel BFS, per-round tables localCheckpointed (q85's
+    * loop rule). Landmarks = the four smallest vertex ids, replayable.
+    * Output: nodes-at-distance-d per landmark (≤ 4·5 rows; a dense
+    * co-purchase graph saturates by hop 2-3, which the counts show).
+    * The oracle replays every round as chained CTEs with NOT EXISTS
+    * dedup — two independent BFS implementations. Scale: rides the
+    * shared coPairCounts adjacency; frontier joins shuffle the
+    * frontier, never the full reach set.
+    */
+  val q222BfsDistances: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pairs = coPairCounts(s, dir)
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val landmarks = edges.select(col("src").as("node")).distinct()
+        .orderBy(col("node")).limit(4)
+        .select(col("node").as("landmark"), col("node"),
+          lit(0L).as("dist"))
+      var reached = landmarks.localCheckpoint(true)
+      var frontier = reached
+      for (r <- 1 to 4) {
+        val next = frontier.join(edges, col("node") === col("src"))
+          .select(col("landmark"), col("dst").as("node")).distinct()
+          .join(reached, Seq("landmark", "node"), "left_anti")
+          .withColumn("dist", lit(r.toLong))
+          .localCheckpoint(true)
+        reached = reached.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+      reached.groupBy(col("landmark"), col("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("landmark"), col("dist"))
+    },
+    oracle = Some {
+      val rounds = (1 to 4).map { r =>
+        s"""f$r AS (SELECT DISTINCT p.landmark, e.dst AS node
+              FROM r${r - 1} p JOIN edges e ON p.node = e.src
+              WHERE p.dist = ${r - 1}),
+      n$r AS (SELECT f$r.landmark, f$r.node, CAST($r AS BIGINT) AS dist
+              FROM f$r
+              WHERE NOT EXISTS (SELECT 1 FROM r${r - 1} x
+                WHERE x.landmark = f$r.landmark AND x.node = f$r.node)),
+      r$r AS (SELECT * FROM r${r - 1} UNION ALL SELECT * FROM n$r)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+      pairs AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+                FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS (SELECT src, dst FROM pairs
+                UNION ALL SELECT dst, src FROM pairs),
+      lms AS (SELECT node FROM (SELECT DISTINCT src AS node FROM edges)
+              ORDER BY node LIMIT 4),
+      r0 AS (SELECT node AS landmark, node, CAST(0 AS BIGINT) AS dist
+             FROM lms),
+      $rounds
+      SELECT landmark, dist, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM r4 GROUP BY landmark, dist
+      ORDER BY landmark, dist"""
+    })
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6717,6 +6788,7 @@ object Catalog {
     "q219_quantile_effect" -> q219QuantileEffect,
     "q220_survival_stats" -> q220SurvivalStats,
     "q221_seasonal_anomaly" -> q221SeasonalAnomaly,
+    "q222_bfs_distances" -> q222BfsDistances,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
