@@ -6634,6 +6634,49 @@ object Catalog {
       ORDER BY landmark, dist"""
     })
 
+  /** Engagement distribution + stickiness sufficient statistics — the
+    * "power-user curve" product analytics reads before any average:
+    * the histogram of users by distinct active days (an average hides
+    * whether 10 daily users or 300 one-timers produce the same DAU),
+    * plus each bucket's contribution to the corpus DAU/MAU numerator
+    * (Σ user-days — stickiness = Σactive_days / (n_users · |days|)
+    * reconstructs client-side as an exact rational). Scale: one
+    * user_id shuffle to per-user distinct-day counts (the q110
+    * machinery's first stage), then a map-side-combined histogram on
+    * the calendar-bounded active-day domain.
+    */
+  val q223ActivityHistogram: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+        .groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+      val span = Tables.events(s, dir)
+        .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+          .cast("bigint") + 1L).as("span_days"))
+      perUser.groupBy(col("active_days"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("user_days", col("active_days") * col("n_users"))
+        .crossJoin(broadcast(span))
+        .select(col("active_days"), col("n_users"), col("user_days"),
+          col("span_days"))
+        .orderBy(col("active_days"))
+    },
+    oracle = Some("""
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                  FROM events),
+      pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS active_days
+             FROM ud GROUP BY 1),
+      sp AS (SELECT CAST(date_diff('day', min(CAST(ts AS DATE)),
+                      max(CAST(ts AS DATE))) + 1 AS BIGINT) AS span_days
+             FROM events)
+      SELECT pu.active_days, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(pu.active_days * count(*) AS BIGINT) AS user_days,
+             sp.span_days
+      FROM pu CROSS JOIN sp
+      GROUP BY pu.active_days, sp.span_days
+      ORDER BY pu.active_days"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6789,6 +6832,7 @@ object Catalog {
     "q220_survival_stats" -> q220SurvivalStats,
     "q221_seasonal_anomaly" -> q221SeasonalAnomaly,
     "q222_bfs_distances" -> q222BfsDistances,
+    "q223_activity_histogram" -> q223ActivityHistogram,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
