@@ -67,7 +67,8 @@ object ScaleSweep {
       "q51_asof_join", "q52_range_join", "q133_rolling_wau",
       "q170_hll_sketch_merge", "q175_audience_overlap",
       "q176_inter_event_gaps", "q179_touch_attribution",
-      "q189_funnel_latency", "q198_event_trigrams", "q223_activity_histogram"),
+      "q189_funnel_latency", "q198_event_trigrams", "q223_activity_histogram",
+      "q224_native_sessions"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures

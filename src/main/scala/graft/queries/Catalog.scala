@@ -6677,6 +6677,49 @@ object Catalog {
       GROUP BY pu.active_days, sp.span_days
       ORDER BY pu.active_days"""))
 
+  /** NATIVE `session_window` in batch mode, oracle-matched against the
+    * manual gap-islands formulation — the operator-vs-composition
+    * parity check: q47 builds 30-minute sessions BY HAND (lag + break
+    * flags + running session ids) and the streaming layer uses the
+    * native operator, so this entry proves Spark's built-in session
+    * semantics and the hand rollup agree row-for-row against DuckDB
+    * (which has no session operator and must replay the manual form).
+    * Boundary semantics pinned exactly: an event extends a session iff
+    * its time is STRICTLY inside the previous event's [t, t+gap) —
+    * diff ≥ gap breaks — and the emitted `end` is last_event + gap
+    * (the native operator's definition). Scale: the native operator
+    * plans one user shuffle + in-partition merge, the same profile as
+    * the manual window chain.
+    */
+  val q224NativeSessions: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us")),
+    oracle = Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      m AS (SELECT user_id, us,
+                   CASE WHEN lag(us) OVER w IS NULL
+                          OR us - lag(us) OVER w >= 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      g AS (SELECT user_id, us,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m)
+      SELECT user_id,
+             CAST(min(us) AS BIGINT) AS start_us,
+             CAST(max(us) + 30 * 60 * 1000000 AS BIGINT) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, sid
+      ORDER BY user_id, start_us"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6833,6 +6876,7 @@ object Catalog {
     "q221_seasonal_anomaly" -> q221SeasonalAnomaly,
     "q222_bfs_distances" -> q222BfsDistances,
     "q223_activity_histogram" -> q223ActivityHistogram,
+    "q224_native_sessions" -> q224NativeSessions,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
