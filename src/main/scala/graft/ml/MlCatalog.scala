@@ -239,8 +239,12 @@ object MlCatalog {
     gbtScoredCache.getOrElseUpdate((s, dir, categorical),
       gbtScoredBuild(s, dir, categorical))
 
-  private def gbtScoredBuild(s: SparkSession, dir: String,
-      categorical: Boolean): org.apache.spark.sql.DataFrame = {
+  /** Featurized (train, valid) split shared by m05's model and m13's
+    * learning curve — one place for the feature contract.
+    */
+  private[graft] def gbtData(s: SparkSession, dir: String,
+      categorical: Boolean): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
     val li = Tables.lineitem(s, dir)
       .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
     val withBrand = li
@@ -256,6 +260,12 @@ object MlCatalog {
       .setOutputCol("features")
     val Array(train, valid) = feats.transform(indexed)
       .select("label", "features").randomSplit(Array(0.8, 0.2), seed = 42L)
+    (train, valid)
+  }
+
+  private def gbtScoredBuild(s: SparkSession, dir: String,
+      categorical: Boolean): org.apache.spark.sql.DataFrame = {
+    val (train, valid) = gbtData(s, dir, categorical)
     val model = new GBTClassifier()
       .setMaxIter(10).setMaxDepth(4).setStepSize(0.05).setSeed(42L)
       .fit(train.cache())
@@ -288,6 +298,46 @@ object MlCatalog {
             round(avg(col("label")), 6).as("frac_pos"))
           .orderBy(col("bin"))
       },
+    oracle = None)
+
+  /** Learning curve — validation AUC at 25/50/100% of the training
+    * set (nested prefixes, so each budget strictly contains the
+    * smaller one): the "do we need more data" ML-ops readout that
+    * decides between labeling spend and model work (a flat curve says
+    * the model is capacity- or feature-bound, a climbing one says
+    * data-bound). Same features/params/seed as m05, so the 100% point
+    * is m05's model retrained. Rows-only like every model-float entry
+    * (m* allowlist class); MlSpec band-asserts shape + determinism of
+    * the integer columns. Scale: 3 fits over nested samples — fitting
+    * cost is the m05 profile ×, at most, 1.75.
+    */
+  private[graft] def learningCurve(s: SparkSession,
+      dir: String): Seq[(Long, Long, Double)] = {
+    val (train, valid) = gbtData(s, dir, categorical = true)
+    val Array(p25, p25b, p50) =
+      train.randomSplit(Array(0.25, 0.25, 0.5), seed = 7L)
+    val vc = valid.cache()
+    Seq(25L -> p25, 50L -> p25.unionByName(p25b), 100L -> train).map {
+      case (pct, t) =>
+        val tc = t.cache()
+        val model = new GBTClassifier()
+          .setMaxIter(10).setMaxDepth(4).setStepSize(0.05).setSeed(42L)
+          .fit(tc)
+        val auc = new BinaryClassificationEvaluator()
+          .setMetricName("areaUnderROC")
+          .setRawPredictionCol("rawPrediction")
+          .evaluate(model.transform(vc))
+        (pct, tc.count(), auc)
+    }
+  }
+
+  val m13LearningCurve: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      scopedCaches(s) {
+        learningCurve(s, dir).toDF("train_frac_pct", "n_train", "valid_auc")
+      }
+    },
     oracle = None)
 
   /** M12 confusion matrix of a deterministic rule-based classifier
@@ -618,6 +668,7 @@ object MlCatalog {
     "m09_ivf_ann" -> m09IvfAnn,
     "m10_semdedup" -> m10SemDedup,
     "m11_calibration_bins" -> m11CalibrationBins,
+    "m13_learning_curve" -> m13LearningCurve,
     "q64_model_registry" -> q64ModelRegistry,
   )
 

@@ -48,6 +48,24 @@ class MlSpec extends SparkSpec {
     assert(math.abs(acc - 0.647875) < 0.05, s"accuracy $acc drifted from 0.647875")
   }
 
+  test("m13 learning curve: nested budgets, sane AUC band, no leaked caches") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val rows = MlCatalog.all("m13_learning_curve").fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(25L, 50L, 100L))
+    // nested prefixes: each budget strictly contains the smaller one
+    assert(rows(0)._2 < rows(1)._2 && rows(1)._2 < rows(2)._2,
+      s"train sizes not increasing: ${rows.map(_._2).toSeq}")
+    // AUC stays in a sane band at every budget (the fixture's weak
+    // signal pins ~0.53 at 100% per docs/GBT_CONTRACT.md)
+    rows.foreach { case (pct, _, auc) =>
+      assert(auc > 0.45 && auc <= 1.0, s"auc $auc out of band at $pct%")
+    }
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "m13 leaked persisted RDDs")
+  }
+
   test("activeModels selects the latest run per model on the full registry row (S17/W1)") {
     val reg = MlCatalog.modelTrainingHistory(spark, sf0001)
     // the reference's full init.sql:55-77 shape: 21 columns, of which
