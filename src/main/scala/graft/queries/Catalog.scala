@@ -6720,6 +6720,97 @@ object Catalog {
       FROM g GROUP BY user_id, sid
       ORDER BY user_id, start_us"""))
 
+  /** Trending-now ranking — recency-weighted part popularity with a
+    * LINEAR 30-day decay (weight = max(0, 30 − age_days), exact
+    * integers — an exponential half-life needs transcendentals or
+    * power-of-two rationals, and the linear ramp is the standard
+    * integer-exact stand-in): the "what's hot" ranking every home
+    * page runs, where raw popularity (q09/A10) can't distinguish a
+    * rising item from a fading giant. Age anchors to the corpus max
+    * ship date (one broadcast scalar — at 100 TB the anchor is
+    * `current_date`, same plan). Weighted and raw counts ship side by
+    * side so the rank DIVERGENCE from plain popularity is visible.
+    * Scale: one scan with a map-side-combined part rollup,
+    * TakeOrdered 20 — no global sort.
+    */
+  val q225TrendingParts: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val mx = Tables.lineitem(s, dir)
+        .agg(max(to_date(col("l_shipdate"))).as("mx"))
+      Tables.lineitem(s, dir)
+        .crossJoin(broadcast(mx))
+        .select(col("l_partkey"),
+          greatest(lit(0L),
+            lit(30L) - datediff(col("mx"), to_date(col("l_shipdate")))
+              .cast("bigint")).as("w"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("w")).as("trend_score"), count(lit(1)).as("n_lines"))
+        .filter(col("trend_score") > 0L)
+        .orderBy(col("trend_score").desc, col("l_partkey")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("trend_score").desc, col("l_partkey")))
+          .cast("bigint"))
+        .select(col("rnk"), col("l_partkey"), col("trend_score"),
+          col("n_lines"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS mx FROM lineitem),
+      w AS (SELECT l_partkey,
+                   greatest(0, 30 - date_diff('day',
+                     CAST(l_shipdate AS DATE), mx.mx)) AS w
+            FROM lineitem, mx),
+      g AS (SELECT l_partkey, CAST(sum(w) AS BIGINT) AS trend_score,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM w GROUP BY 1 HAVING sum(w) > 0),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY trend_score DESC,
+                        l_partkey) AS BIGINT) AS rnk
+            FROM g)
+      SELECT rnk, l_partkey, trend_score, n_lines
+      FROM r WHERE rnk <= 20 ORDER BY rnk"""))
+
+  /** Market-concentration audit — Herfindahl–Hirschman sufficient
+    * statistics of supplier revenue per nation: HHI = Σ share² =
+    * Σr²/(Σr)², the antitrust/marketplace concentration index that
+    * complements q93's Gini (Gini measures inequality of the
+    * distribution, HHI how close the market is to monopoly — a
+    * two-supplier 50/50 market is perfectly equal yet highly
+    * concentrated). Σr and n ship as BIGINT; Σr² is cents SQUARED
+    * summed — the q218 class, past 2^63 just beyond the gate SF — so
+    * it accumulates in DECIMAL(38,0) and ships as canonical digit
+    * strings; HHI reconstructs client-side (q59 rule). Scale: one
+    * lineitem⋈supplier rollup to (nation, supplier) revenue — the
+    * supplier dim broadcasts — then a |nations|-sized second rollup.
+    */
+  val q226MarketConcentration: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val bySupp = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nationkey"), col("s_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("r"))
+      bySupp.groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("r")).as("total_cents"),
+          sum(col("r").cast("decimal(19,0)") * col("r").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").cast("string").as("sum_sq_cents"))
+        .orderBy(col("nationkey"))
+    },
+    oracle = Some("""
+      WITH bs AS (
+        SELECT s.s_nationkey AS nationkey, s.s_suppkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS r
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2)
+      SELECT nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(r) AS BIGINT) AS total_cents,
+             CAST(CAST(sum(CAST(r AS DECIMAL(19,0)) * CAST(r AS DECIMAL(19,0)))
+               AS DECIMAL(38,0)) AS VARCHAR) AS sum_sq_cents
+      FROM bs GROUP BY nationkey
+      ORDER BY nationkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6877,6 +6968,8 @@ object Catalog {
     "q222_bfs_distances" -> q222BfsDistances,
     "q223_activity_histogram" -> q223ActivityHistogram,
     "q224_native_sessions" -> q224NativeSessions,
+    "q225_trending_parts" -> q225TrendingParts,
+    "q226_market_concentration" -> q226MarketConcentration,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
