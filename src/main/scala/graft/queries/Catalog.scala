@@ -6811,6 +6811,45 @@ object Catalog {
       FROM bs GROUP BY nationkey
       ORDER BY nationkey"""))
 
+  /** NATIVE UNPIVOT parity — the wide→long melt through Spark's
+    * built-in `unpivot` (Spark 3.4+) matched against DuckDB's native
+    * `UNPIVOT`, aggregated per measure: q128 melts BY HAND (stack
+    * expressions) for its ANALYZE pass, so this entry pins the native
+    * operator's semantics cross-engine the way q224 pins
+    * session_window — the operator-vs-composition rule applied to the
+    * melt. Four lineitem measures fold to (metric, value) and roll up
+    * to per-metric n/sum/min/max (decimal-summed — the q53
+    * order-independence rule; the mean stays client-side as total/n
+    * rather than shipping a corpus-wide double average).
+    * Scale: Expand + hash agg, one pass; the melt multiplies rows 4×
+    * BEFORE partial aggregation, which map-side-combines to 4 rows.
+    */
+  val q227NativeUnpivot: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array.empty[Column],
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("metric")),
+    oracle = Some("""
+      SELECT metric, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             min(value) AS lo, max(value) AS hi
+      FROM (
+        UNPIVOT (SELECT l_quantity, l_extendedprice, l_discount, l_tax
+                 FROM lineitem)
+        ON l_quantity, l_extendedprice, l_discount, l_tax
+        INTO NAME metric VALUE value)
+      GROUP BY metric
+      ORDER BY metric"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6970,6 +7009,7 @@ object Catalog {
     "q224_native_sessions" -> q224NativeSessions,
     "q225_trending_parts" -> q225TrendingParts,
     "q226_market_concentration" -> q226MarketConcentration,
+    "q227_native_unpivot" -> q227NativeUnpivot,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
