@@ -99,7 +99,8 @@ object SyntheticV2 {
     override def name(): String = s"graft_synthetic($rows)"
     override def schema(): StructType = SyntheticV2.schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
 
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
       new SynScanBuilder(rows, partitions, rowsPerUser, nItems, seed)
@@ -156,6 +157,14 @@ object SyntheticV2 {
   private final case class SynInputPartition(start: Long, end: Long)
       extends InputPartition
 
+  /** Streaming offset = "rows emitted so far" (a bounded, replayable
+    * cursor over the deterministic row index).
+    */
+  private final case class SynOffset(n: Long)
+      extends org.apache.spark.sql.connector.read.streaming.Offset {
+    override def json(): String = n.toString
+  }
+
   private final class SynScan(rows: Long, partitions: Int, rowsPerUser: Long,
       nItems: Long, seed: Long, required: StructType,
       userLo: Long, userHi: Long) extends Scan with Batch {
@@ -164,6 +173,43 @@ object SyntheticV2 {
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-synthetic rows=$rows userBounds=[$userLo, $userHi]"
+
+    /** MICRO-BATCH read path: the same deterministic index space
+      * consumed incrementally — each batch is the index range
+      * (lastOffset, lastOffset + rowsPerBatch], so replaying a batch
+      * from its offsets reproduces its rows EXACTLY (the connector's
+      * rows are pure functions of (seed, idx)): the source-side half
+      * of exactly-once. Bounded: latestOffset stops at `rows`, so a
+      * query over this source drains and finishes — the S18 generator
+      * as a replayable stream instead of a driver loop.
+      */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+        import org.apache.spark.sql.connector.read.streaming.Offset
+        private val rowsPerBatch = math.max(1L, rows / math.max(1, partitions))
+        override def initialOffset(): Offset = SynOffset(0L)
+        override def latestOffset(): Offset = SynOffset(rows)
+        override def deserializeOffset(json: String): Offset =
+          SynOffset(json.toLong)
+        override def commit(end: Offset): Unit = ()
+        override def stop(): Unit = ()
+        override def planInputPartitions(start: Offset,
+            end: Offset): Array[InputPartition] = {
+          val s0 = start.asInstanceOf[SynOffset].n
+          val e0 = end.asInstanceOf[SynOffset].n
+          // split the batch range into `partitions` contiguous slices
+          val span = e0 - s0
+          val per = math.max(1L, (span + partitions - 1) / partitions)
+          (0 until partitions).iterator
+            .map(p => SynInputPartition(s0 + p * per,
+              math.min(s0 + (p + 1) * per, e0)))
+            .filter(ip => ip.start < ip.end)
+            .toArray[InputPartition]
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          SynScan.this.createReaderFactory()
+      }
 
     override def planInputPartitions(): Array[InputPartition] = {
       // user_id = idx / rowsPerUser ⇒ the pushed user interval is the

@@ -73,6 +73,21 @@ class SyntheticV2Spec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("micro-batch stream drains the bounded index space and equals the batch read") {
+    val dir = java.nio.file.Files.createTempDirectory("synv2_ckpt").toString
+    val stream = spark.readStream.format("graft-synthetic")
+      .option("rows", 5000L).option("partitions", 4).load()
+    val name = s"synv2_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", dir).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).collect().map(_.toSeq).sortBy(_.toString)
+    val batch = load(rows = 5000L, partitions = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(streamed.length === 5000)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("non-user_id predicates are not absorbed and still apply") {
     val base = load(rows = 10000L, partitions = 8)
     val f = base.filter(col("truth") === 0)
