@@ -74,7 +74,8 @@ object ScaleSweep {
     // this family actually measures
     "corpus" -> Seq("q139_leakage_free_split", "q140_source_overlap",
       "q141_source_semantic_similarity", "q172_source_minhash_overlap",
-      "q173_labeler_agreement", "q208_good_turing", "q214_kneser_ney_stats", "q215_heaps_law"),
+      "q173_labeler_agreement", "q208_good_turing", "q214_kneser_ney_stats", "q215_heaps_law",
+      "q228_dataset_datasheet"),
     "decode" -> Seq("q138_pixel_stats"),
     // decision-support classics (added r7): replicated facts with
     // copied-through dims — the broadcast-dim / single-fact-shuffle

@@ -4029,6 +4029,64 @@ object PipelineCatalog {
       FROM v JOIN w ON v.decile = w.decile
       ORDER BY v.decile"""))
 
+  /** Per-source dataset datasheet (Gebru et al. 2021's "datasheets for
+    * datasets", the quantitative half): the one-row-per-source summary
+    * a corpus release actually publishes — volume (docs, tokens,
+    * chars), language profile (distinct langs, dominant lang under the
+    * q183 deterministic tie rule with its count), and redundancy
+    * (docs minus distinct texts = exact-duplicate surplus within the
+    * source). Composes the corpus statistics the catalog computes
+    * separately into the release artifact. Scale: one doc scan feeds
+    * a (source, lang) rollup (mode via a source-partitioned rank
+    * window over ≤|sources|·|langs| rows) and a per-source rollup
+    * with distinct-text count — two map-side-combined shuffles on a
+    * 20-key domain.
+    */
+  val q228DatasetDatasheet: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val base = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("text")).as("n_distinct_texts"))
+        .withColumn("n_exact_dup_docs", col("n_docs") - col("n_distinct_texts"))
+      val langMode = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("n").as("top_lang_docs"))
+      base.join(langMode, "source")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("n_langs"), col("top_lang"),
+          col("top_lang_docs"), col("n_exact_dup_docs"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(*) - count(DISTINCT text) AS BIGINT)
+                 AS n_exact_dup_docs
+        FROM documents GROUP BY 1),
+      lm AS (SELECT source, lang AS top_lang,
+                    CAST(n AS BIGINT) AS top_lang_docs
+             FROM (SELECT source, lang, count(*) AS n,
+                          row_number() OVER (PARTITION BY source
+                            ORDER BY count(*) DESC, lang) AS rn
+                   FROM documents GROUP BY source, lang) t
+             WHERE rn = 1)
+      SELECT base.source, n_docs, n_tokens, n_chars, n_langs,
+             top_lang, top_lang_docs, n_exact_dup_docs
+      FROM base JOIN lm ON base.source = lm.source
+      ORDER BY base.source"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -4059,6 +4117,7 @@ object PipelineCatalog {
     "q208_good_turing" -> q208GoodTuring,
     "q214_kneser_ney_stats" -> q214KneserNeyStats,
     "q215_heaps_law" -> q215HeapsLaw,
+    "q228_dataset_datasheet" -> q228DatasetDatasheet,
     "q40_embedding_lsh_ann" -> q40EmbeddingLshAnn,
     "q41_embedding_neardup" -> q41EmbeddingNearDup,
     "q57_embedding_neardup_ann" -> q57EmbeddingNearDupAnn,
