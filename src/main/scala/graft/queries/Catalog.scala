@@ -6850,6 +6850,47 @@ object Catalog {
       GROUP BY metric
       ORDER BY metric"""))
 
+  /** SLA compliance by order priority — the ops scorecard q200's
+    * supplier profile doesn't give: per priority class, how many
+    * lines shipped within 7 / 30 / 90 days of the order, as exact
+    * integer counts beside the total (compliance rates are rationals
+    * reconstructed client-side, q49/q60 rule — a rounded percentage
+    * hides exactly the near-misses an SLA review argues about).
+    * Priorities ordered by their own leading digit so URGENT leads
+    * the report. Scale: one orderkey join (fact-fact shuffle), then a
+    * map-side-combined rollup on the 5-key priority domain.
+    */
+  val q229SlaCompliance: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("bigint").as("days"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("days") <= 7L, 1L).otherwise(0L)).as("within_7d"),
+          sum(when(col("days") <= 30L, 1L).otherwise(0L)).as("within_30d"),
+          sum(when(col("days") <= 90L, 1L).otherwise(0L)).as("within_90d"),
+          max(col("days")).as("worst_days"))
+        .orderBy(col("priority")),
+    oracle = Some("""
+      SELECT o.o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) <= 7 THEN 1 ELSE 0 END)
+               AS BIGINT) AS within_7d,
+             CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END)
+               AS BIGINT) AS within_30d,
+             CAST(sum(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END)
+               AS BIGINT) AS within_90d,
+             CAST(max(date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE))) AS BIGINT) AS worst_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -7010,6 +7051,7 @@ object Catalog {
     "q225_trending_parts" -> q225TrendingParts,
     "q226_market_concentration" -> q226MarketConcentration,
     "q227_native_unpivot" -> q227NativeUnpivot,
+    "q229_sla_compliance" -> q229SlaCompliance,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
