@@ -45,13 +45,13 @@ object ScaleSweep {
       "q35_ngram_jaccard_neardup", "q36_minhash_lsh_neardup", "q62_dedup_components",
       "q65_incremental_dedup", "q66_repetition_stats", "q74_substring_dedup",
       "q86_bloom_decontamination", "q50_corpus_curation"),
-    // m09 is the DECLARED scale path for ANN: IVF probe cost is
-    // O(n²/k_centroids), linear when centroids scale with n — the
-    // hyperplane-LSH q40 keeps its oracle-pinned (k=4, L=8) knobs,
-    // whose Σbucket² candidate volume is quadratic in n by contract
-    // q204 keeps the q39 brute-force top-1 contract (quadratic by
-    // construction — the LSH/IVF candidate cut is its documented swap),
-    // so its 10× point measures the honest cost of the exact baseline
+    // m09 is one scale path for ANN (IVF probe cost O(n²/k_centroids),
+    // linear when centroids scale with n); the hyperplane-LSH q40 keeps
+    // its oracle-pinned (k=4, L=8) knobs, whose Σbucket² candidate
+    // volume is quadratic in n by contract. q204 and q165 (round 8) run
+    // on the ADAPTIVE multi-probe cut (k grows with log n, ~32-vector
+    // buckets) — their 10× points should track the linear O(L·k·32·n)
+    // candidate volume, not the old brute-force quadratic
     "ann" -> Seq("q40_embedding_lsh_ann", "q57_embedding_neardup_ann",
       "m09_ivf_ann", "q165_semantic_decontamination", "q204_mutual_knn"),
     "graph" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",

@@ -105,4 +105,60 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(rows.sameElements(again))
   }
+
+  test("composed mutual-NN (q204) keeps >=0.85 recall vs the exact brute-force mutual pairs") {
+    // exact best-per-vector comes from q39's brute-force top-k (rank 1
+    // rows use the identical (cosine desc, neighbor) total order) — the
+    // in-tree recall oracle for the LSH-composed q204
+    val best = PipelineCatalog.q39EmbeddingKnn.fn(spark, sf001)
+      .filter(col("rank") === 1)
+      .select("vec_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exactMutual = best.collect {
+      case (a, b) if a < b && best.get(b).contains(a) => (a, b)
+    }.toSet
+    val composed = PipelineCatalog.q204MutualKnn.fn(spark, sf001)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactMutual.size >= 100, s"fixture mutual pairs: ${exactMutual.size}")
+    val hit = exactMutual.count(composed)
+    // measured 0.93-0.94 on the isotropic n=500 fixtures (k=4, L=8,
+    // Hamming<=1 multi-probe); floor pinned with slack for regeneration
+    assert(hit >= exactMutual.size * 0.85,
+      s"composed mutual-NN recall too low: $hit/${exactMutual.size}")
+  }
+
+  test("composed semantic decontamination (q165) has precision 1.0 and >=0.85 flag recall") {
+    import graft.functions.VectorExpressions.dotF
+    val emb = Tables.embeddings(spark, sf001)
+    val bench = emb.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("bid"), col("embedding").as("be"))
+    val exactFlags = emb.filter(col("vec_id") % 7 =!= 3)
+      .crossJoin(broadcast(bench))
+      .withColumn("dot", dotF(col("embedding"), col("be")))
+      .filter(col("dot") >= 0.3)
+      .select("vec_id", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // replicate the composed flag set: candidate pairs that exact-verify
+    // above threshold are exactly what n_flagged counts, so compare at
+    // pair granularity via the per-vector output totals
+    val out = PipelineCatalog.q165SemanticDecontamination.fn(spark, sf001)
+      .select("vec_id", "n_flagged", "max_dot").collect()
+    // one audit row per train vector: the candidate cut left nobody out
+    assert(out.length == emb.filter(col("vec_id") % 7 =!= 3).count())
+    val flaggedPerVec = exactFlags.groupBy(_._1).view.mapValues(_.size)
+    var hit = 0L
+    out.foreach { r =>
+      val n = r.getLong(1)
+      // precision 1.0: survivors are exact-verified, so the composed
+      // count can never exceed the brute-force count
+      assert(n <= flaggedPerVec.getOrElse(r.getLong(0), 0),
+        s"vec ${r.getLong(0)}: composed n_flagged $n exceeds exact")
+      hit += n
+    }
+    assert(exactFlags.size >= 100, s"fixture flag pairs: ${exactFlags.size}")
+    // measured 0.90-0.91 at n=500; floor pinned with regeneration slack
+    assert(hit >= exactFlags.size * 0.85,
+      s"composed flag recall too low: $hit/${exactFlags.size}")
+  }
 }
