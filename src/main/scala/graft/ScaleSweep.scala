@@ -143,13 +143,17 @@ object ScaleSweep {
     // SWEEP_FAMILIES=classic,lines restricts to named families — a new
     // family can be measured without re-paying the whole suite (the
     // full sweep stays the round-cadence default). Unset = all.
+    // SWEEP_ONLY=q166_...,q85_... further restricts to named queries
+    // (the mult=100 spot-check runs three kernels, not whole families).
     val only = sys.env.get("SWEEP_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val onlyQ = sys.env.get("SWEEP_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     sweepFamilies.filter(f => only.forall(_.contains(f._1)))
       .foreach { case (family, names) =>
       queries.Catalog.clearCaches(spark)
       System.gc()
-      names.foreach { name =>
+      names.filter(n => onlyQ.forall(_.contains(n))).foreach { name =>
         val t0 = System.nanoTime()
         try {
           queries.Catalog.all(name).fn(spark, outDir)

@@ -62,7 +62,8 @@ object Writers {
     * against live Derby and asserts first-writer-wins).
     */
   def upsertJdbc(batch: DataFrame, url: String, driver: String, table: String,
-      keys: Seq[String], orderCols: Seq[String], batchSize: Int = 5000): Unit = {
+      keys: Seq[String], orderCols: Seq[String], batchSize: Int = 5000,
+      dialect: UpsertDialect = MergeDialect): Unit = {
     val cols = batch.schema.fieldNames.toSeq
     def q(c: String) = "\"" + c + "\""
     val stage = table + "_STG_" +
@@ -113,15 +114,45 @@ object Writers {
         }
       }
       withConn { conn =>
-        val onClause = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
         conn.createStatement().executeUpdate(
-          s"""MERGE INTO $table t USING $stage s
-             |ON $onClause
-             |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
-             |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin)
+          upsertStatementSql(dialect, table, stage, cols, keys))
       }
     } finally withConn { conn =>
       conn.createStatement().executeUpdate(s"DROP TABLE $stage")
+    }
+  }
+
+  /** Dialect for [[upsertJdbc]]'s final set-based statement. */
+  sealed trait UpsertDialect
+  /** Standard `MERGE INTO ... WHEN NOT MATCHED` — Derby (the live
+    * spec's engine), Oracle, DB2, SQL Server, Postgres 15+. */
+  case object MergeDialect extends UpsertDialect
+  /** Postgres-native `INSERT ... SELECT ... ON CONFLICT (pk) DO
+    * NOTHING` — the reference's exact statement
+    * (`etl/load_users_from_minio.py:93-97`), required on Postgres
+    * < 15 where MERGE doesn't exist. Same first-writer-wins
+    * semantics: conflicting keys are skipped, not updated. */
+  case object PostgresOnConflictDialect extends UpsertDialect
+
+  /** The insert-if-absent statement per dialect — pure SQL generation,
+    * unit-tested without a server (JdbcSpec drives the merge form live
+    * on embedded Derby; no Postgres exists in this environment, so the
+    * ON CONFLICT form is verified at the SQL level only).
+    */
+  private[graft] def upsertStatementSql(dialect: UpsertDialect, table: String,
+      stage: String, cols: Seq[String], keys: Seq[String]): String = {
+    def q(c: String) = "\"" + c + "\""
+    dialect match {
+      case MergeDialect =>
+        val onClause = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+        s"""MERGE INTO $table t USING $stage s
+           |ON $onClause
+           |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+           |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+      case PostgresOnConflictDialect =>
+        s"""INSERT INTO $table (${cols.map(q).mkString(", ")})
+           |SELECT ${cols.map(q).mkString(", ")} FROM $stage
+           |ON CONFLICT (${keys.map(q).mkString(", ")}) DO NOTHING""".stripMargin
     }
   }
 

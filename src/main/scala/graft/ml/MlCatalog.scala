@@ -190,7 +190,11 @@ object MlCatalog {
           .toDF("valid_auc", "valid_logloss", "valid_accuracy_at_06")
       }
     },
-    oracle = None)
+    oracle = None,
+    // rows-only timing line in the committed bench: the single most
+    // expensive catalog entry (full GBT train per rep) must sit under
+    // a committed envelope, not only in sweep snapshots
+    headline = true)
 
   /** Shared GBT train/eval body for m05 and its spec. `categorical`
     * toggles the reference's categorical item feature

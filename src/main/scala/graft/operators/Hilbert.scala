@@ -57,11 +57,13 @@ object Hilbert {
     cur.drop("__hx", "__hy", "__hrx", "__hry", "__hnx")
   }
 
-  /** The same per-level walk as chained ANSI SQL CTEs: `headCte` must
-    * expose columns (…passthrough…, x, y) — returns the CTE chain text
-    * whose final CTE `hl0` carries (…passthrough…, d). `xorFn` spells
-    * the engine's bitwise-xor (DuckDB `xor(a, b)`, Spark `a ^ b` —
-    * both accept the functional form via these templates).
+  /** The same per-level walk as chained SQL CTEs: the head CTE `hl_in`
+    * must expose columns (…passthrough…, d, x, y) — returns the CTE
+    * chain text whose final CTE `hl0` carries (…passthrough…, d). The
+    * template hardcodes the functional `xor(a, b)` spelling, which
+    * DuckDB accepts and Spark SQL does not (Spark spells it `a ^ b`) —
+    * this emitter is DuckDB-oracle-only; the Spark side runs the
+    * Column-based walk above.
     */
   def hilbertCtesSql(bits: Int, passthrough: Seq[String]): String = {
     require(bits >= 1 && bits <= 31)

@@ -5529,9 +5529,12 @@ object Catalog {
     * table into a map-side edge join + one groupBy on the other
     * endpoint — the q85 Pregel shape, the adjacency never re-shuffles;
     * score mass grows ~ d̄⁴ after two rounds (≈10¹² at mean degree
-    * 10³) — DECIMAL(38,0) before 2^63 per the q109 rule; vertex
-    * tables past the broadcast threshold degrade to a shuffle join,
-    * same plan.
+    * 10³) — DECIMAL(38,0) before 2^63 per the q109 rule. The explicit
+    * `broadcast()` hint below is honored by Spark REGARDLESS of size,
+    * so at corpus scale — where a customer-sized score table would
+    * overwhelm the driver — the hint must be DROPPED (let AQE choose;
+    * the join then degrades to a shuffle join with the same edge-side
+    * plan), not merely expected to degrade on its own.
     */
   val q201HitsScores: QuerySpec = QuerySpec(
     fn = (s, dir) => {
@@ -5579,7 +5582,8 @@ object Catalog {
       SELECT kind, rnk, id, score FROM ta WHERE rnk <= 20
       UNION ALL
       SELECT kind, rnk, id, score FROM th WHERE rnk <= 20
-      ORDER BY kind, rnk"""))
+      ORDER BY kind, rnk"""),
+    headline = true)
 
   /** Shared calendar day rollup for the change-point / forecast-audit /
     * interpolation family: daily revenue cents per order status. Facts
@@ -5850,7 +5854,8 @@ object Catalog {
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hits,
              t.n_test_pairs, t.n_test_users
       FROM pop LEFT JOIN h ON pop.rnk = h.rnk CROSS JOIN t
-      ORDER BY pop.rnk"""))
+      ORDER BY pop.rnk"""),
+    headline = true)
 
   /** NATIVE RECURSIVE CTE — hierarchy transitive closure on Spark 4.1's
     * `WITH RECURSIVE` (UnionLoop): every (node, proper-ancestor, hops)
@@ -6167,7 +6172,8 @@ object Catalog {
              CAST(sum(w) AS BIGINT) AS n_resampled,
              CAST(sum(w * cents) AS BIGINT) AS sum_cents
       FROM x GROUP BY status, b
-      ORDER BY status, b"""))
+      ORDER BY status, b"""),
+    headline = true)
 
   /** CLAMPED running balance — the non-linear prefix recurrence
     * B_d = min(cap, max(0, B_{d−1} + net_d)) behind inventory

@@ -122,6 +122,50 @@ object PipelineCatalog {
           list_transform(string_split_regex($in, ''), c -> CAST(ascii(c) AS BIGINT))),
           (acc, x) -> (acc*31 + x) % $P)"""
 
+  /** Gravano/PPJoin prefix-filter CTE chain for the ORACLE side — the
+    * same lossless candidate bound the Spark side's [[prefixRows]]
+    * applies (pigeonhole: J(A,B) ≥ 0.8 forces the rarity-ordered
+    * ⌊n/5⌋+1 prefixes to collide under ANY shared total order; df=1
+    * prefix rows can't collide in a self-join, property-tested in
+    * FuzzyBoundProps). Added round 8 so the sf0.1 DuckDB replay stops
+    * being the unfiltered O(n²) form that blew the 120 s budget on 9
+    * entries — the bound changes COST only, never the verified pair
+    * set. Emits: shp(doc_id, sh) non-empty shingle sets; pinv the
+    * exploded inverted index with set size n; ppref each doc's
+    * prefix rows. */
+  private val prefixCtesSql = s"""
+      shp0 AS ($shinglesSql),
+      shp AS (SELECT doc_id, sh FROM shp0 WHERE len(sh) > 0),
+      pinv AS (SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n FROM shp),
+      pdf AS (SELECT shingle, count(*) AS df FROM pinv GROUP BY shingle),
+      ppref AS (
+        SELECT doc_id, shingle FROM (
+          SELECT i.doc_id, i.shingle, d.df, i.n,
+                 row_number() OVER (PARTITION BY i.doc_id
+                   ORDER BY d.df, i.shingle) AS pos
+          FROM pinv i JOIN pdf d USING (shingle)) z
+        WHERE pos <= (n // 5) + 1 AND df > 1)"""
+
+  /** [[prefixCtesSql]] extended to the verified 0.8-jaccard pair set:
+    * `pairs(d1, d2, jaccard)` — candidates from the prefix self-join,
+    * exact jaccard verify on candidates only. Same rows as the old
+    * all-pairs form (the bound is lossless), budget-friendly at any
+    * SF. */
+  private val prefixPairsSql = s"""
+      $prefixCtesSql,
+      pcand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM ppref a JOIN ppref b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.d1, c.d2,
+               round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM pcand c JOIN shp a ON c.d1 = a.doc_id
+                     JOIN shp b ON c.d2 = b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8)"""
+
   // ---------------------------------------------------------------------
   // Deduplication family
   // ---------------------------------------------------------------------
@@ -249,14 +293,8 @@ object PipelineCatalog {
   val q35NgramJaccardNearDup: QuerySpec = QuerySpec(
     fn = (s, dir) => ngramNearDupPairs(s, dir),
     oracle = Some(s"""
-      WITH sh AS ($shinglesSql)
-      SELECT a.doc_id AS d1, b.doc_id AS d2,
-             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+      WITH $prefixPairsSql
+      SELECT d1, d2, jaccard FROM pairs
       ORDER BY d1, d2"""),
     headline = true)
 
@@ -302,14 +340,18 @@ object PipelineCatalog {
         .orderBy(col("src"), col("dst"))
     },
     oracle = Some(s"""
-      WITH sh AS ($shinglesSql)
-      SELECT a.doc_id AS src, b.doc_id AS dst,
+      WITH $prefixCtesSql,
+      ccand AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM ppref a JOIN pinv b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id)
+      SELECT c.src, c.dst,
              CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
              CAST(len(a.sh) AS BIGINT) AS n_src,
              CAST(len(b.sh) AS BIGINT) AS n_dst
-      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-      WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        AND 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
+      FROM ccand c JOIN shp a ON c.src = a.doc_id
+                   JOIN shp b ON c.dst = b.doc_id
+      WHERE 5 * len(list_intersect(a.sh, b.sh)) >= 4 * len(a.sh)
       ORDER BY src, dst"""))
 
   /** Near-dup CLUSTERING: connected components over the verified
@@ -334,13 +376,7 @@ object PipelineCatalog {
         .select(col("node").as("doc_id"), col("lbl").as("rep_id"))
         .orderBy(col("doc_id")),
     oracle = Some(s"""
-      WITH RECURSIVE sh AS ($shinglesSql),
-      pairs AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(a.sh) > 0 AND len(b.sh) > 0
-          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      WITH RECURSIVE $prefixPairsSql,
       edges AS (
         SELECT d1 AS src, d2 AS dst FROM pairs
         UNION ALL SELECT d2, d1 FROM pairs),
@@ -2000,13 +2036,7 @@ object PipelineCatalog {
         .orderBy(col("doc_id"))
     },
     oracle = Some(s"""
-      WITH RECURSIVE sh AS ($shinglesSql),
-      pairs AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(a.sh) > 0 AND len(b.sh) > 0
-          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      WITH RECURSIVE $prefixPairsSql,
       edges AS (
         SELECT d1 AS src, d2 AS dst FROM pairs
         UNION ALL SELECT d2, d1 FROM pairs),
@@ -2061,13 +2091,7 @@ object PipelineCatalog {
         .orderBy(col("doc_id"))
     },
     oracle = Some(s"""
-      WITH RECURSIVE sh AS ($shinglesSql),
-      pairs AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(a.sh) > 0 AND len(b.sh) > 0
-          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      WITH RECURSIVE $prefixPairsSql,
       edges AS (
         SELECT d1 AS src, d2 AS dst FROM pairs
         UNION ALL SELECT d2, d1 FROM pairs),
@@ -2247,13 +2271,7 @@ object PipelineCatalog {
         .orderBy(col("csize"))
     },
     oracle = Some(s"""
-      WITH RECURSIVE sh AS ($shinglesSql),
-      pairs AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(a.sh) > 0 AND len(b.sh) > 0
-          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      WITH RECURSIVE $prefixPairsSql,
       edges AS (
         SELECT d1 AS src, d2 AS dst FROM pairs
         UNION ALL SELECT d2, d1 FROM pairs),
@@ -2309,14 +2327,18 @@ object PipelineCatalog {
         .orderBy(col("doc_id"))
     },
     oracle = Some(s"""
-      WITH sh AS ($shinglesSql),
+      WITH $prefixCtesSql,
+      bcand AS (
+        SELECT DISTINCT a.doc_id AS bd, b.doc_id AS cd
+        FROM ppref a JOIN ppref b
+          ON a.shingle = b.shingle
+         AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
       near AS (
-        SELECT a.doc_id AS bd, b.doc_id AS cd
-        FROM sh a JOIN sh b
-          ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-         AND len(a.sh) > 0 AND len(b.sh) > 0
-         AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        SELECT c.bd, c.cd
+        FROM bcand c JOIN shp a ON c.bd = a.doc_id
+                     JOIN shp b ON c.cd = b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
       ex AS (
         SELECT x.doc_id AS bd, y.doc_id AS cd
         FROM documents x JOIN documents y
@@ -2419,13 +2441,7 @@ object PipelineCatalog {
         .orderBy(col("doc_id"))
     },
     oracle = Some(s"""
-      WITH sh AS ($shinglesSql),
-      pairs AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(a.sh) > 0 AND len(b.sh) > 0
-          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      WITH $prefixPairsSql,
       reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
       q AS (
         SELECT doc_id, lang,
@@ -2577,14 +2593,18 @@ object PipelineCatalog {
         .orderBy(col("doc_id"))
     },
     oracle = Some(s"""
-      WITH sh AS ($shinglesSql),
+      WITH $prefixCtesSql,
+      bcand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM ppref a JOIN ppref b
+          ON a.shingle = b.shingle
+         AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
       near AS (
-        SELECT a.doc_id AS d1, CAST(count(*) AS BIGINT) AS n_near
-        FROM sh a JOIN sh b
-          ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-         AND len(a.sh) > 0 AND len(b.sh) > 0
-         AND len(list_intersect(a.sh, b.sh)) * 1.0 /
-             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        SELECT c.d1, CAST(count(*) AS BIGINT) AS n_near
+        FROM bcand c JOIN shp a ON c.d1 = a.doc_id
+                     JOIN shp b ON c.d2 = b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
         GROUP BY 1),
       ex AS (
         SELECT x.doc_id AS ed, CAST(count(*) AS BIGINT) AS n_exact
@@ -3575,7 +3595,8 @@ object PipelineCatalog {
       FROM cand
       JOIN sig sa ON d1 = sa.doc_id
       JOIN sig sb ON d2 = sb.doc_id
-      ORDER BY d1, d2"""))
+      ORDER BY d1, d2"""),
+    headline = true)
 
   /** SEMANTIC decontamination — the embedding-space complement of the
     * n-gram probes (q67 lexical, q86 Bloom): a paraphrased benchmark

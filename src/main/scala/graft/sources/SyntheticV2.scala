@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -38,6 +38,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    table declares. Pushed predicates are still re-evaluated by Spark
   *    (pushFilters keeps them as post-scan filters), so pruning is a
   *    pure optimization and can never change results.
+  *  - LIMIT pushdown ([[SupportsPushDownLimit]]): an unordered LIMIT n
+  *    truncates the index space — generation work for the tail never
+  *    happens (Spark keeps its own GlobalLimit, so semantics hold).
+  *  - PLANNER STATISTICS ([[SupportsReportStatistics]]): post-pruning
+  *    row count + bytes reach the optimizer, so a generator-backed
+  *    dimension under the broadcast threshold actually broadcasts
+  *    (without this, DSv2 relations default to
+  *    spark.sql.defaultSizeInBytes and never would).
   *
   * Rows are deterministic in (seed, idx) via a SplitMix64 stream —
   * independent of partition count, so `partitions` is a pure layout
@@ -109,13 +117,28 @@ object SyntheticV2 {
   private final class SynScanBuilder(rows: Long, partitions: Int,
       rowsPerUser: Long, nItems: Long, seed: Long)
       extends ScanBuilder
-      with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+      with SupportsPushDownLimit {
 
     private var required: StructType = SyntheticV2.schema
     private var pushed: Array[Filter] = Array.empty
+    private var limit: Long = Long.MaxValue
     // inclusive user_id bounds accumulated from conjunctive predicates
     private var userLo: Long = Long.MinValue
     private var userHi: Long = Long.MaxValue
+
+    /** LIMIT pushdown: an unordered LIMIT n may return ANY n rows, so
+      * truncating the deterministic index space to its first n rows is
+      * a valid (and maximally cheap) implementation — generation work
+      * for the dropped tail never happens. Spark only offers the limit
+      * when nothing between scan and limit re-orders or filters beyond
+      * what it re-checks itself, and it keeps its own GlobalLimit
+      * (isPartiallyPushed default), so semantics cannot change.
+      */
+    override def pushLimit(n: Int): Boolean = {
+      limit = math.min(limit, n.toLong)
+      true
+    }
 
     /** Accept a predicate iff it tightens the user_id interval. */
     private def absorb(f: Filter): Boolean = f match {
@@ -150,8 +173,8 @@ object SyntheticV2 {
       required = requiredSchema
 
     override def build(): Scan =
-      new SynScan(rows, partitions, rowsPerUser, nItems, seed, required,
-        userLo, userHi)
+      new SynScan(math.min(rows, limit), partitions, rowsPerUser, nItems,
+        seed, required, userLo, userHi)
   }
 
   private final case class SynInputPartition(start: Long, end: Long)
@@ -167,37 +190,81 @@ object SyntheticV2 {
 
   private final class SynScan(rows: Long, partitions: Int, rowsPerUser: Long,
       nItems: Long, seed: Long, required: StructType,
-      userLo: Long, userHi: Long) extends Scan with Batch {
+      userLo: Long, userHi: Long)
+      extends Scan with Batch with SupportsReportStatistics {
 
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-synthetic rows=$rows userBounds=[$userLo, $userHi]"
 
+    /** Planner-visible statistics ([[SupportsReportStatistics]]): row
+      * count AFTER pushed pruning (the limit cap and the user_id index
+      * interval both shrink it) and a bytes estimate from the pruned
+      * column widths — what AQE and the broadcast-threshold rule need
+      * from any real 100 TB table provider. Without this a DSv2
+      * relation defaults to spark.sql.defaultSizeInBytes (huge), so a
+      * generator-backed dimension would never broadcast.
+      */
+    override def estimateStatistics(): Statistics = new Statistics {
+      private val nRows = {
+        val (lo, hi) = idxWindow
+        math.max(0L, hi - lo)
+      }
+      // LongType/IntegerType fixed widths + per-row object overhead
+      private val rowBytes = math.max(8, required.fields.map(_.dataType
+        .defaultSize).sum) + 8
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(nRows * rowBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(nRows)
+    }
+
     /** MICRO-BATCH read path: the same deterministic index space
-      * consumed incrementally — each batch is the index range
-      * (lastOffset, lastOffset + rowsPerBatch], so replaying a batch
-      * from its offsets reproduces its rows EXACTLY (the connector's
-      * rows are pure functions of (seed, idx)): the source-side half
-      * of exactly-once. Bounded: latestOffset stops at `rows`, so a
+      * consumed incrementally — `latestOffset` admits at most
+      * `rowsPerBatch` rows past the high-water mark (the admission
+      * control round 7 documented but did not enforce: it returned
+      * `rows` outright, so the whole table arrived in one batch), and
+      * each batch is the index range (highWater, highWater +
+      * rowsPerBatch], so replaying a batch from its offsets reproduces
+      * its rows EXACTLY (the connector's rows are pure functions of
+      * (seed, idx)): the source-side half of exactly-once. The
+      * high-water mark advances when a batch is PLANNED (not on call —
+      * repeated latestOffset probes between batches must be
+      * idempotent; and not on commit alone — the engine probes for new
+      * data before committing the previous batch, which would
+      * deadlock admission) and absorbs any offset restored through
+      * `deserializeOffset`, so a checkpoint restart resumes past the
+      * recovered offset instead of stalling behind it. Bounded:
+      * admission stops at `rows`, so a
       * query over this source drains and finishes — the S18 generator
       * as a replayable stream instead of a driver loop.
+      * SyntheticV2Spec asserts the table arrives across >1 batch.
       */
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       new org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
         import org.apache.spark.sql.connector.read.streaming.Offset
         private val rowsPerBatch = math.max(1L, rows / math.max(1, partitions))
+        // max offset observed: committed batches, checkpoint restores
+        private var highWater = 0L
         override def initialOffset(): Offset = SynOffset(0L)
-        override def latestOffset(): Offset = SynOffset(rows)
-        override def deserializeOffset(json: String): Offset =
-          SynOffset(json.toLong)
-        override def commit(end: Offset): Unit = ()
+        override def latestOffset(): Offset =
+          SynOffset(math.min(rows, highWater + rowsPerBatch))
+        override def deserializeOffset(json: String): Offset = {
+          val n = json.toLong
+          highWater = math.max(highWater, n)
+          SynOffset(n)
+        }
+        override def commit(end: Offset): Unit =
+          highWater = math.max(highWater,
+            end.asInstanceOf[SynOffset].n)
         override def stop(): Unit = ()
         override def planInputPartitions(start: Offset,
             end: Offset): Array[InputPartition] = {
           val s0 = start.asInstanceOf[SynOffset].n
           val e0 = end.asInstanceOf[SynOffset].n
+          highWater = math.max(highWater, e0)
           // split the batch range into `partitions` contiguous slices
           val span = e0 - s0
           val per = math.max(1L, (span + partitions - 1) / partitions)
@@ -211,10 +278,12 @@ object SyntheticV2 {
           SynScan.this.createReaderFactory()
       }
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      // user_id = idx / rowsPerUser ⇒ the pushed user interval is the
-      // idx interval [userLo·rpu, (userHi+1)·rpu) — clamp with care
-      // around Long extremes, then intersect the contiguous splits.
+    /** The row-index interval the pushed user_id bounds select —
+      * user_id = idx / rowsPerUser ⇒ [userLo·rpu, (userHi+1)·rpu),
+      * clamped with care around Long extremes. Shared by partition
+      * planning and the statistics report.
+      */
+    private def idxWindow: (Long, Long) = {
       val idxLo =
         if (userLo <= 0L) 0L
         else if (userLo > rows / rowsPerUser) rows
@@ -223,6 +292,11 @@ object SyntheticV2 {
         if (userHi == Long.MaxValue || userHi >= rows / rowsPerUser) rows
         else if (userHi < 0L) 0L
         else math.min(rows, (userHi + 1) * rowsPerUser)
+      (idxLo, idxHi)
+    }
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val (idxLo, idxHi) = idxWindow
       val per = math.max(1L, (rows + partitions - 1) / partitions)
       (0 until partitions).iterator
         .map { p =>

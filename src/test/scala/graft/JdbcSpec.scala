@@ -89,4 +89,33 @@ class JdbcSpec extends SparkSpec {
     assert(agg.count() == 7)
     assert(agg.agg(sum("n")).head().getLong(0) == 100L)
   }
+
+  test("upsert statement generation covers both dialects (S4, Postgres form)") {
+    import graft.io.Writers
+    val cols = Seq("user_id", "name", "age")
+    val keys = Seq("user_id")
+    val merge = Writers.upsertStatementSql(Writers.MergeDialect,
+      "users", "users_STG_x", cols, keys)
+    assert(merge ==
+      """MERGE INTO users t USING users_STG_x s
+        |ON t."user_id" = s."user_id"
+        |WHEN NOT MATCHED THEN INSERT ("user_id", "name", "age")
+        |VALUES (s."user_id", s."name", s."age")""".stripMargin)
+    // the reference's exact Postgres statement shape
+    // (etl/load_users_from_minio.py:93-97): conflicting keys skipped
+    val pg = Writers.upsertStatementSql(Writers.PostgresOnConflictDialect,
+      "users", "users_STG_x", cols, keys)
+    assert(pg ==
+      """INSERT INTO users ("user_id", "name", "age")
+        |SELECT "user_id", "name", "age" FROM users_STG_x
+        |ON CONFLICT ("user_id") DO NOTHING""".stripMargin)
+    // composite key: every key participates in the conflict target /
+    // match clause
+    val merge2 = Writers.upsertStatementSql(Writers.MergeDialect,
+      "t2", "s2", Seq("a", "b", "v"), Seq("a", "b"))
+    assert(merge2.contains("""t."a" = s."a" AND t."b" = s."b""""))
+    val pg2 = Writers.upsertStatementSql(Writers.PostgresOnConflictDialect,
+      "t2", "s2", Seq("a", "b", "v"), Seq("a", "b"))
+    assert(pg2.contains("""ON CONFLICT ("a", "b") DO NOTHING"""))
+  }
 }

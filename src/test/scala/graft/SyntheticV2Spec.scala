@@ -95,4 +95,67 @@ class SyntheticV2Spec extends SparkSpec {
     val n0 = f.count()
     assert(n0 > 0L && n0 < 10000L)
   }
+
+  test("micro-batch stream consumes incrementally (>1 batch), not one giant batch") {
+    val dir = java.nio.file.Files.createTempDirectory("synv2_inc").toString
+    val stream = spark.readStream.format("graft-synthetic")
+      .option("rows", 5000L).option("partitions", 4).load()
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        batchSizes.synchronized { batchSizes += ((id, df.count())) }; ()
+      }
+      .option("checkpointLocation", dir).start()
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batchSizes.synchronized(batchSizes.filter(_._2 > 0L))
+    // rowsPerBatch = rows/partitions = 1250 ⇒ exactly 4 admission steps
+    assert(nonEmpty.length > 1,
+      s"table arrived in ${nonEmpty.length} batch(es): $batchSizes")
+    assert(nonEmpty.map(_._2).sum === 5000L)
+    assert(nonEmpty.map(_._2).max <= 1250L,
+      s"admission cap exceeded: $batchSizes")
+  }
+
+  test("planner statistics reach the optimizer and reflect pushed pruning") {
+    val base = load(rows = 10000L, partitions = 8)
+    val full = base.queryExecution.optimizedPlan.stats
+    assert(full.rowCount.contains(BigInt(10000)),
+      s"full-scan rowCount ${full.rowCount}")
+    // pushed user_id bounds shrink the reported stats (500 of 10000
+    // rows): the V2ScanRelation re-plans stats after pushdown
+    val f = base.filter(col("user_id") >= 40L && col("user_id") < 45L)
+    val pruned = f.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats
+    }.getOrElse(fail("no DataSourceV2ScanRelation in optimized plan"))
+    assert(pruned.rowCount.contains(BigInt(500)),
+      s"pruned rowCount ${pruned.rowCount}")
+    assert(pruned.sizeInBytes < full.sizeInBytes)
+    // the payoff: a generator-backed dimension under the broadcast
+    // threshold gets BROADCAST (without statistics it reports
+    // defaultSizeInBytes and never would)
+    val dim = load(rows = 100L, partitions = 2)
+    val fact = load(rows = 10000L, partitions = 8)
+    val joined = fact.join(dim.select(col("user_id").as("u2")),
+      col("user_id") === col("u2"))
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, "small synthetic dim was not broadcast:\n" +
+      joined.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("pushed LIMIT truncates generation (scan emits only the capped index space)") {
+    val lim = load(rows = 100000L, partitions = 8).limit(7)
+    // the scan itself must shrink: with the limit pushed, planned rows
+    // = min(100000, 7), split ceil(7/8)=1 row per slice ⇒ 7 one-row
+    // partitions instead of 8 × 12500-row ones, visible without
+    // executing the query
+    val scan = scanOf(lim)
+    assert(scan.inputRDD.getNumPartitions === 7,
+      s"limit not pushed: ${scan.inputRDD.getNumPartitions} partitions")
+    assert(lim.count() === 7L)
+    // limited rows are the PREFIX of the deterministic index space
+    assert(lim.collect().map(_.toSeq).toSet ===
+      (0L until 7L).map(SyntheticV2.row(42L, _, 100L, 1000L)).toSet)
+  }
 }

@@ -46,7 +46,9 @@ def parse_envelope(baseline_md):
     if len(cells) < 2:
         raise SystemExit("LOADED ENVELOPE row has no value cell: " + row[:80])
     out = {}
-    for qm in re.finditer(r"(q\d+)\s+([0-9.]+)", cells[1]):
+    # [qm]: ML catalog entries (m05 GBT) sit in the committed envelope
+    # alongside the qNN queries since round 8
+    for qm in re.finditer(r"([qm]\d+)\s+([0-9.]+)", cells[1]):
         name, secs = qm.group(1), float(qm.group(2))
         if name in out:
             raise SystemExit(f"duplicate envelope entry for {name} — "

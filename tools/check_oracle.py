@@ -32,6 +32,37 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def compare(ours_cols, ours, ref_cols, ref):
+    """Single comparison rule for BOTH gates (check_oracle and
+    check_oracle_budget import this): column-name set, row count, then
+    positional values — NULL==NaN, floats exact, everything else by
+    canonical string (so Decimal scale mismatches fail). Returns None
+    on match, else a diagnostic string."""
+    if ours_cols != ref_cols:
+        return f"columns differ: {ours_cols} vs {ref_cols}"
+    n_ours = len(ours[ours_cols[0]]) if ours_cols else 0
+    n_ref = len(ref[ref_cols[0]]) if ref_cols else 0
+    if n_ours != n_ref:
+        return f"row count {n_ours} vs {n_ref}"
+    for c in ours_cols:
+        for i, (x, y) in enumerate(zip(ours[c], ref[c])):
+            if x is None and y is None:
+                continue
+            xna = x is None or (isinstance(x, float) and math.isnan(x))
+            yna = y is None or (isinstance(y, float) and math.isnan(y))
+            if xna and yna:
+                continue
+            if xna != yna:
+                return f"col {c} row {i}: {x!r} vs {y!r} (null mismatch)"
+            if isinstance(x, float) or isinstance(y, float):
+                if x != y:
+                    diff = abs(float(x) - float(y))
+                    return f"col {c} row {i}: {x!r} vs {y!r} (diff {diff:g})"
+            elif str(x) != str(y):
+                return f"col {c} row {i}: {x!r} vs {y!r}"
+    return None
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -51,44 +82,13 @@ def main(sf_dir, out_dir):
         except Exception as e:
             failures.append((name, f"oracle SQL failed: {e}"))
             continue
-        if ours_cols != ref_cols:
-            failures.append((name, f"columns differ: {ours_cols} vs {ref_cols}"))
-            continue
-        n_ours = len(ours[ours_cols[0]]) if ours_cols else 0
-        n_ref = len(ref[ref_cols[0]]) if ref_cols else 0
-        if n_ours != n_ref:
-            failures.append((name, f"row count {n_ours} vs {n_ref}"))
-            continue
         # driver sorts columns by name then hashes values; we compare
         # positionally (both sides carry the same total ORDER BY)
-        bad = None
-        for c in ours_cols:
-            a = ours[c]
-            b = ref[c]
-            for i, (x, y) in enumerate(zip(a, b)):
-                if x is None and y is None:
-                    continue
-                xna = x is None or (isinstance(x, float) and math.isnan(x))
-                yna = y is None or (isinstance(y, float) and math.isnan(y))
-                if xna and yna:
-                    continue
-                if xna != yna:
-                    bad = f"col {c} row {i}: {x!r} vs {y!r} (null mismatch)"
-                    break
-                if isinstance(x, float) or isinstance(y, float):
-                    if x != y:
-                        diff = abs(float(x) - float(y))
-                        bad = f"col {c} row {i}: {x!r} vs {y!r} (diff {diff:g})"
-                        break
-                elif str(x) != str(y):
-                    bad = f"col {c} row {i}: {x!r} vs {y!r}"
-                    break
-            if bad:
-                break
+        bad = compare(ours_cols, ours, ref_cols, ref)
         if bad:
             failures.append((name, bad))
         else:
-            print(f"  OK   {name} ({n_ours} rows)")
+            print(f"  OK   {name} ({len(ours[ours_cols[0]]) if ours_cols else 0} rows)")
     print()
     if failures:
         for name, why in failures:

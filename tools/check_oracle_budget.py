@@ -2,12 +2,16 @@
 """check_oracle with a per-entry wall-clock budget: entries whose DuckDB
 oracle exceeds the budget are SKIPPED (named), not failed — for salvaging
 a full-catalog sf0.1 pass on a slow container where the handful of
-all-pairs oracles would run for hours (they are verified separately)."""
-import json, sys, threading
+all-pairs oracles would run for hours (they are verified separately).
+
+Value comparison is check_oracle.compare — ONE rule for both gates, so a
+budget-skipped entry re-checked here can never get a different verdict
+than the unbudgeted gate would give."""
+import json, os, sys, threading
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_oracle import TABLES, compare
 
 def fetch_named(cur):
     cols = [d[0] for d in cur.description]
@@ -38,25 +42,10 @@ def main(sf_dir, out_dir, budget_s):
                 failures.append((name, f"oracle SQL failed: {e}"))
             continue
         timer.cancel()
-        if ours_cols != ref_cols:
-            failures.append((name, f"columns differ: {ours_cols} vs {ref_cols}")); continue
-        n_o = len(ours[ours_cols[0]]) if ours_cols else 0
-        n_r = len(ref[ref_cols[0]]) if ref_cols else 0
-        if n_o != n_r:
-            failures.append((name, f"row count {n_o} vs {n_r}")); continue
-        bad = None
-        for c in ours_cols:
-            for i, (a, b) in enumerate(zip(ours[c], ref[c])):
-                ea = str(a) if not isinstance(a, float) else a
-                eb = str(b) if not isinstance(b, float) else b
-                if isinstance(a, float) and isinstance(b, float):
-                    if not (a == b or (a != a and b != b)):
-                        bad = f"{c}[{i}]: {a} vs {b}"; break
-                elif ea != eb:
-                    bad = f"{c}[{i}]: {a!r} vs {b!r}"; break
-            if bad: break
+        bad = compare(ours_cols, ours, ref_cols, ref)
         if bad: failures.append((name, bad))
         else:
+            n_o = len(ours[ours_cols[0]]) if ours_cols else 0
             ok += 1; print(f"  OK   {name} ({n_o} rows)", flush=True)
     print(f"\n{ok} matched, {len(skipped)} skipped over budget: {','.join(skipped)}")
     if failures:
