@@ -75,7 +75,13 @@ object ScaleSweep {
     "corpus" -> Seq("q139_leakage_free_split", "q140_source_overlap",
       "q141_source_semantic_similarity", "q172_source_minhash_overlap",
       "q173_labeler_agreement", "q208_good_turing", "q214_kneser_ney_stats", "q215_heaps_law",
-      "q228_dataset_datasheet"),
+      "q228_dataset_datasheet",
+      // round-8 additions: q230/q233 roll up to |sources|/|cells| rows,
+      // q231 rides the inverted index + one min-rollup, q232 one source
+      // shuffle, q234 the shared verified-pair/component kernel
+      "q230_mixture_weights", "q231_accession_novelty",
+      "q232_quality_calibration", "q233_raking_weights",
+      "q234_dedup_token_ledger"),
     "decode" -> Seq("q138_pixel_stats"),
     // decision-support classics (added r7): replicated facts with
     // copied-through dims — the broadcast-dim / single-fact-shuffle

@@ -882,11 +882,18 @@ object PipelineCatalog {
     * and raising L (more tables) is the recall knob that leaves the
     * per-bucket bound untouched.
     */
+  private val annBucketCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, Int)]
   private val annCandCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def annCandidates(s: SparkSession, dir: String): DataFrame =
-    annCandCache.getOrElseUpdate((s, dir), {
+  /** The shared bucket table (vec_id, tbl, bucket) plus the adaptive
+    * bit width k — built once per (session, fixture) and consumed by
+    * both the all-pairs cut ([[annCandidates]], q204) and q165's
+    * asymmetric train→bench cut.
+    */
+  private def annBuckets(s: SparkSession, dir: String): (DataFrame, Int) =
+    annBucketCache.getOrElseUpdate((s, dir), {
       def plane(g: Long): Seq[Double] = (1 to 64).map { d =>
         val h1 = ((g * 64 + d) * 1103515245L + 12345L) % P
         val h2 = (h1 * 1103515245L + 12345L) % P
@@ -905,26 +912,34 @@ object PipelineCatalog {
         .select(col("vec_id"),
           posexplode(col("buckets")).as(Seq("tbl", "bucket")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // explode first, flip in the NEXT select (generators can't nest)
-      val probes = tb
-        .select(col("vec_id"), col("tbl"), col("bucket"),
-          explode(typedLit((-1 until k).toList)).as("f"))
-        .select(col("vec_id"), col("tbl"),
-          when(col("f") === -1, col("bucket"))
-            .otherwise(expr("bucket ^ shiftleft(CAST(1 AS BIGINT), f)"))
-            .as("bucket"))
-      val cand = probes.as("x").join(tb.as("y"),
-          col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") =!= col("y.vec_id"))
-        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-        .distinct()
+      (tb, k)
+    })
+
+  /** Multi-probe (Hamming ≤ 1) expansion of a bucket-table subset:
+    * each row probes its own bucket plus the k single-bit flips.
+    * Explode first, flip in the NEXT select (generators can't nest).
+    */
+  private def annProbes(tb: DataFrame, k: Int): DataFrame =
+    tb.select(col("vec_id"), col("tbl"), col("bucket"),
+        explode(typedLit((-1 until k).toList)).as("f"))
+      .select(col("vec_id"), col("tbl"),
+        when(col("f") === -1, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(CAST(1 AS BIGINT), f)"))
+          .as("bucket"))
+
+  private def annCandidatesFrom(probeSide: DataFrame, indexSide: DataFrame,
+      k: Int): DataFrame =
+    annProbes(probeSide, k).as("x").join(indexSide.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+
+  private def annCandidates(s: SparkSession, dir: String): DataFrame =
+    annCandCache.getOrElseUpdate((s, dir), {
+      val (tb, k) = annBuckets(s, dir)
+      annCandidatesFrom(tb, tb, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize eagerly so the bucket table (persisted only for the
-      // probe/index double-consumption above) can be dropped here rather
-      // than leak past clearCaches
-      cand.count()
-      tb.unpersist(blocking = false)
-      cand
     })
 
   /** DuckDB replica of [[annCandidates]]: WITH-clause body emitting
@@ -3630,8 +3645,15 @@ object PipelineCatalog {
   val q165SemanticDecontamination: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val dots = annCandidates(s, dir)
-        .filter(col("a_id") % 7 =!= 3 && col("b_id") % 7 === 3)
+      // asymmetric cut: probe ONLY train rows against ONLY the bench
+      // rows of the shared bucket table — 1/|B|-fraction join inputs
+      // and output vs filtering the all-pairs set after the fact
+      // (identical final pair set: the filters commute with the
+      // bucket equi-join and the distinct)
+      val (tb, k) = annBuckets(s, dir)
+      val dots = annCandidatesFrom(
+          tb.filter(col("vec_id") % 7 =!= 3),
+          tb.filter(col("vec_id") % 7 === 3), k)
         .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ae")),
           "a_id")
         .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("be")),
@@ -4255,6 +4277,217 @@ object PipelineCatalog {
       FROM base JOIN lm ON base.source = lm.source
       ORDER BY base.source"""))
 
+  /** CORPUS MIXTURE WEIGHTS — temperature-scaled source sampling (the
+    * data-mixing step every multi-source LLM pretraining run performs;
+    * α = 0.5 is the classic multilingual temperature of Conneau &
+    * Lample 2019): per source, weight = n_tokens^α, mixing rate =
+    * w / Σw, and an integer ppm budget. Float discipline: sqrt is
+    * IEEE-exact (the normSql precedent, NOT the transcendental class),
+    * the Σw fold runs LEFT-TO-RIGHT over the source-sorted weight list
+    * on BOTH engines (the CLAUDE.md sequential-fold rule — a
+    * partition-order Σ would diverge), and the ppm budget applies
+    * floor only — so every float ships raw and bit-equal. Scale: one
+    * map-side-combined rollup to |sources| rows (20 here, thousands at
+    * 100 TB), then all arithmetic is source-count-sized on the driver
+    * of the plan, nothing fact-sized shuffles twice.
+    */
+  val q230MixtureWeights: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val per = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+      val tot = per.agg(expr(
+        """aggregate(array_sort(collect_list(struct(source, weight))),
+             cast(0.0 as double), (a, x) -> a + x.weight)""").as("tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+          (col("weight") / col("tot")).as("mix_rate"),
+          floor(col("weight") / col("tot") * lit(1000000.0))
+            .cast("long").as("budget_ppm"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs, n_tokens,
+                   sqrt(CAST(n_tokens AS DOUBLE)) AS weight
+            FROM per),
+      tot AS (SELECT list_reduce(list_prepend(0.0,
+                       list(weight ORDER BY source)), (a, b) -> a + b) AS tot
+              FROM w)
+      SELECT source, n_docs, n_tokens, weight,
+             weight / tot AS mix_rate,
+             CAST(floor(weight / tot * 1000000.0) AS BIGINT) AS budget_ppm
+      FROM w, tot ORDER BY source"""))
+
+  /** FIRST-OCCURRENCE NOVELTY (accession order) — per doc, how many of
+    * its distinct shingles appear for the FIRST time in the corpus
+    * (min doc_id over the shingle's postings = this doc). The data-
+    * ordering/curriculum signal: a corpus sorted by accession shows a
+    * declining novelty curve as templates saturate (Heaps's law, q215,
+    * viewed per-document), and a doc with near-zero novel shingles is
+    * pure template — q60's df=1 uniqueness is the COMPLEMENT view
+    * (unique forever vs first-seen). Integer outputs only (the novelty
+    * ratio is a small-denominator rational — emit the pair). Scale:
+    * one groupBy(shingle) min + one join back on the persisted
+    * inverted index — the q35 exchange, reused.
+    */
+  val q231AccessionNovelty: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val inv = shingleRows(s, dir)
+      val first = inv.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      inv.join(first, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH sh0 AS ($shinglesSql),
+      sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+      inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+      f AS (SELECT shingle, min(doc_id) AS first_doc FROM inv GROUP BY 1)
+      SELECT i.doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = i.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+      FROM inv i JOIN f USING (shingle)
+      GROUP BY i.doc_id ORDER BY doc_id"""))
+
+  /** WITHIN-SOURCE QUALITY CALIBRATION — each doc's quality rank
+    * inside its own source (the per-domain percentile a global
+    * threshold like q50's 0.55 ignores: a web-scrape source and a
+    * books source have incomparable absolute scores, so curation
+    * quotas are taken per source at a RANK cut). percent_rank's
+    * (rank−1)/(n−1) is a small-denominator rational — the contract
+    * emits the integer pair (rank_below, n_minus_1) per the q49/q60
+    * rule. Total order inside a source: (quality_score, doc_id) —
+    * the score is already rounded to 6, so the sort key is
+    * cross-engine deterministic. Scale: one hash shuffle on source +
+    * a per-partition sort; no global sort anywhere.
+    */
+  val q232QualityCalibration: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val q = qualityScored(Tables.documents(s, dir))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_score"), col("doc_id"))
+      q.select(col("source"), col("doc_id"), col("quality_score"))
+        .withColumn("rank_below", (row_number().over(w) - 1).cast("long"))
+        .withColumn("n_minus_1",
+          (count(lit(1)).over(Window.partitionBy(col("source"))) - 1)
+            .cast("long"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    oracle = Some("""
+      WITH q AS (
+        SELECT doc_id, source,
+               round(0.4 * least(len(w) / 100.0, 1.0)
+                 + 0.3 * (1.0 - len(list_filter(w, x -> x IN ('the','a'))) * 1.0 / len(w))
+                 + 0.3 * least(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b)
+                     * 1.0 / len(w) / 6.0, 1.0), 6) AS quality_score
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))
+      SELECT source, doc_id, quality_score,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY quality_score, doc_id) - 1 AS BIGINT) AS rank_below,
+             CAST(count(*) OVER (PARTITION BY source) - 1 AS BIGINT)
+               AS n_minus_1
+      FROM q ORDER BY source, doc_id"""))
+
+  /** RAKING WEIGHTS (one IPF step) — importance-resampling weights
+    * that pull the (source × lang) joint toward the product of its own
+    * marginals (Deming–Stephan iterative proportional fitting, step
+    * 1): weight(s,l) = target/actual = (n_s·n_l)/(n·n_sl). The
+    * mixture-correction op a pretraining pipeline applies when one
+    * source over-represents a language. EXACT integer rationals —
+    * n ≤ fixture sizes keeps n_s·n_l ≤ n² far under 2^63 at any
+    * plausible source/lang cardinality (the q109 headroom rule:
+    * numerators are CELL-COUNT products, not fact-value products).
+    * Scale: one rollup to |cells| rows + two broadcast marginal
+    * joins.
+    */
+  val q233RakingWeights: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cells = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_cell"))
+      val bySrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val n = d.count()
+      cells.join(broadcast(bySrc), "source")
+        .join(broadcast(byLang), "lang")
+        .select(col("source"), col("lang"), col("n_cell"),
+          (col("n_src") * col("n_lang")).as("w_num"),
+          (lit(n) * col("n_cell")).as("w_den"))
+        .orderBy(col("source"), col("lang"))
+    },
+    oracle = Some("""
+      WITH cells AS (SELECT source, lang, count(*) AS n_cell
+                     FROM documents GROUP BY 1, 2),
+      s AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+      l AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents)
+      SELECT c.source, c.lang, c.n_cell,
+             CAST(s.n_src * l.n_lang AS BIGINT) AS w_num,
+             CAST(n.n * c.n_cell AS BIGINT) AS w_den
+      FROM cells c JOIN s USING (source) JOIN l USING (lang), n
+      ORDER BY c.source, c.lang"""))
+
+  /** DEDUP-AWARE TOKEN ACCOUNTING — the per-source before/after ledger
+    * a dedup stage must publish (q135's corpus-level yield broken down
+    * by source, at token granularity): docs and tokens in total vs in
+    * the near-dup cluster REPRESENTATIVES only (a doc is kept iff its
+    * q62 min-label component label is itself — singletons self-label,
+    * so untouched docs count as kept). Cross-source clusters charge
+    * the loss to the member's own source, which is exactly the
+    * attribution a data-sourcing contract needs. Scale: rides the
+    * shared verified-pair + component kernel (q35/q62 caches); the
+    * accounting itself is one map-side-combined rollup to |sources|.
+    */
+  val q234DedupTokenLedger: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val comps = graft.operators.Components
+        .connectedComponents(ngramNearDupPairs(s, dir)
+          .select(col("d1"), col("d2")))
+        .select(col("node").as("doc_id"), col("lbl"))
+      Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("kept", coalesce(col("lbl"), col("doc_id")) === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("source"))
+    },
+    oracle = Some(s"""
+      WITH RECURSIVE $prefixPairsSql,
+      edges AS (
+        SELECT d1 AS src, d2 AS dst FROM pairs
+        UNION ALL SELECT d2, d1 FROM pairs),
+      reach(node, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src),
+      comp AS (SELECT node AS doc_id, min(lbl) AS lbl FROM reach GROUP BY node),
+      d AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   coalesce(comp.lbl, doc_id) = doc_id AS kept
+            FROM documents LEFT JOIN comp USING (doc_id))
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+             CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM d GROUP BY source ORDER BY source"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -4328,6 +4561,11 @@ object PipelineCatalog {
     "q50_corpus_curation" -> q50CorpusCuration,
     "q51_asof_join" -> q51AsofJoin,
     "q52_range_join" -> q52RangeJoin,
+    "q230_mixture_weights" -> q230MixtureWeights,
+    "q231_accession_novelty" -> q231AccessionNovelty,
+    "q232_quality_calibration" -> q232QualityCalibration,
+    "q233_raking_weights" -> q233RakingWeights,
+    "q234_dedup_token_ledger" -> q234DedupTokenLedger,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,
@@ -4335,11 +4573,15 @@ object PipelineCatalog {
     * this between reps so every rep pays the full pipeline cost —
     * otherwise rep 2+ of q35/q40/q50/q57 would time a cache hit.
     */
-  def clearCaches(s: SparkSession): Unit =
+  def clearCaches(s: SparkSession): Unit = {
     Seq(shingleRowCache, prefixRowCache, nearDupPairCache, lshScoredCache,
         annCandCache).foreach { c =>
       c.keys.filter(_._1 eq s).foreach { k =>
         c.remove(k).foreach(_.unpersist(blocking = true))
       }
     }
+    annBucketCache.keys.filter(_._1 eq s).foreach { k =>
+      annBucketCache.remove(k).foreach(_._1.unpersist(blocking = true))
+    }
+  }
 }
