@@ -6897,6 +6897,95 @@ object Catalog {
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1 ORDER BY 1"""))
 
+  /** NATIVE LATERAL JOIN — correlated top-3 customers per region on
+    * Spark 4.1's `LATERAL` subquery (SPARK-34382 surface; the
+    * decorrelator rewrites the per-row ORDER BY + LIMIT into a
+    * partitioned window under the hood) vs DuckDB's native LATERAL —
+    * the q224/q227 operator-vs-composition rule applied to the
+    * correlated-subquery SQL surface: a user porting warehouse LATERAL
+    * SQL runs it UNCHANGED, and the engine must plan it as the window
+    * composition (q19's shape), not a nested loop per region. Exact
+    * integer cents; (bal_cents desc, c_custkey) total order inside
+    * and outside the lateral. Scale: decorrelation turns this into
+    * one customer⋈nation broadcast join + one per-region window —
+    * nothing re-executes per outer row.
+    */
+  val q235LateralTopk: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      Tables.region(s, dir).createOrReplaceTempView("graft_q235_region")
+      Tables.nation(s, dir).createOrReplaceTempView("graft_q235_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("graft_q235_customer")
+      s.sql("""
+        SELECT r.r_regionkey AS region_key, t.c_custkey, t.bal_cents
+        FROM graft_q235_region r,
+        LATERAL (
+          SELECT c.c_custkey,
+                 CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM graft_q235_customer c
+          JOIN graft_q235_nation n ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          ORDER BY bal_cents DESC, c.c_custkey
+          LIMIT 3
+        ) t
+        ORDER BY region_key, bal_cents DESC, c_custkey""")
+    },
+    oracle = Some("""
+      SELECT r.r_regionkey AS region_key, t.c_custkey, t.bal_cents
+      FROM region r JOIN LATERAL (
+        SELECT c.c_custkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY bal_cents DESC, c.c_custkey
+        LIMIT 3
+      ) t ON TRUE
+      ORDER BY region_key, bal_cents DESC, c_custkey"""))
+
+  /** VARIANT SHREDDING — Spark 4's semi-structured type end-to-end:
+    * build a nested JSON payload (object, nested object, array) per
+    * order, `parse_json` it into a VARIANT, then shred typed values
+    * back out with `variant_get` path expressions — object field as
+    * BIGINT, nested field as STRING, DOUBLE round-trip, array index,
+    * and a missing path (NULL, the lenient half). The oracle is
+    * CROSS-ALGORITHM: DuckDB never sees JSON — it selects the same
+    * values straight from the base columns, so the check proves the
+    * whole build→parse→shred pipeline is lossless (including the
+    * double: Jackson emits shortest-round-trip literals, so p comes
+    * back bit-equal). Timestamps enter the payload pre-formatted as
+    * 'yyyy-MM-dd' strings — never as raw JSON timestamps, whose
+    * serialization is engine-configurable. Scale: pure per-row map,
+    * no shuffle before the presentation sort; at 100 TB VARIANT
+    * columns land in parquet with shredded subcolumns and these same
+    * paths prune to them.
+    */
+  val q236VariantShred: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("payload", to_json(struct(
+          col("o_custkey").as("cust"),
+          struct(col("o_orderstatus").as("s"),
+            col("o_totalprice").as("p")).as("meta"),
+          array(col("o_orderpriority"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd")).as("tags"))))
+        .withColumn("v", expr("parse_json(payload)"))
+        .select(
+          col("o_orderkey"),
+          expr("variant_get(v, '$.cust', 'bigint')").as("cust"),
+          expr("variant_get(v, '$.meta.s', 'string')").as("status"),
+          expr("variant_get(v, '$.meta.p', 'double')").as("total_price"),
+          expr("variant_get(v, '$.tags[1]', 'string')").as("order_day"),
+          expr("try_variant_get(v, '$.meta.missing', 'bigint')").as("absent"))
+        .orderBy(col("o_orderkey")),
+    oracle = Some("""
+      SELECT o_orderkey,
+             o_custkey AS cust,
+             o_orderstatus AS status,
+             o_totalprice AS total_price,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+             CAST(NULL AS BIGINT) AS absent
+      FROM orders ORDER BY o_orderkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -7058,6 +7147,8 @@ object Catalog {
     "q226_market_concentration" -> q226MarketConcentration,
     "q227_native_unpivot" -> q227NativeUnpivot,
     "q229_sla_compliance" -> q229SlaCompliance,
+    "q235_lateral_topk" -> q235LateralTopk,
+    "q236_variant_shred" -> q236VariantShred,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
