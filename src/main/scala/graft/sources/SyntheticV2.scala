@@ -4,8 +4,9 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,6 +67,11 @@ class SyntheticV2 extends TableProvider with DataSourceRegister {
 }
 
 object SyntheticV2 {
+  /** Last batch-partition count planned by any SynScan in this JVM —
+    * spec observability for runtime filtering (driver-side only). */
+  private[graft] val lastPlannedPartitions =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
+
   val schema: StructType = StructType(Seq(
     StructField("user_id", LongType, nullable = false),
     StructField("item_id", LongType, nullable = false),
@@ -190,13 +196,52 @@ object SyntheticV2 {
 
   private final class SynScan(rows: Long, partitions: Int, rowsPerUser: Long,
       nItems: Long, seed: Long, required: StructType,
-      userLo: Long, userHi: Long)
-      extends Scan with Batch with SupportsReportStatistics {
+      private var userLo: Long, private var userHi: Long)
+      extends Scan with Batch
+      with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"graft-synthetic rows=$rows userBounds=[$userLo, $userHi]"
+
+    /** RUNTIME filtering ([[SupportsRuntimeV2Filtering]]) — the DSv2
+      * analog of dynamic partition pruning: when this table is the
+      * fact side of an equi-join on user_id and the dim side carries a
+      * selective predicate, Spark plants a runtime IN filter from the
+      * materialized dim keys and calls [[filter]] before re-planning
+      * partitions. The IN set tightens the user interval to its HULL
+      * [min, max] (pruning to the hull is lossless — the engine still
+      * applies the join itself), so a 3-key probe against a
+      * 1000-user generator touches only the partitions those users
+      * live in. At 100 TB this is the difference between scanning the
+      * fact table and scanning the joined slice of it.
+      */
+    override def filterAttributes(): Array[NamedReference] =
+      Array(Expressions.column("user_id"))
+
+    override def filter(predicates: Array[Predicate]): Unit =
+      predicates.foreach { p =>
+        if (p.name() == "IN") {
+          val ch = p.children()
+          val onUser = ch.headOption.exists {
+            case nr: NamedReference =>
+              nr.fieldNames().sameElements(Array("user_id"))
+            case _ => false
+          }
+          if (onUser) {
+            val vals = ch.drop(1).collect {
+              case l: Literal[_] => l.value()
+            }.collect { case x: java.lang.Long => x.longValue() }
+            // only act when EVERY member parsed — a partially-decoded
+            // IN list could otherwise over-prune
+            if (vals.nonEmpty && vals.length == ch.length - 1) {
+              userLo = math.max(userLo, vals.min)
+              userHi = math.min(userHi, vals.max)
+            }
+          }
+        }
+      }
 
     /** Planner-visible statistics ([[SupportsReportStatistics]]): row
       * count AFTER pushed pruning (the limit cap and the user_id index
@@ -298,7 +343,7 @@ object SyntheticV2 {
     override def planInputPartitions(): Array[InputPartition] = {
       val (idxLo, idxHi) = idxWindow
       val per = math.max(1L, (rows + partitions - 1) / partitions)
-      (0 until partitions).iterator
+      val planned = (0 until partitions).iterator
         .map { p =>
           val s = math.max(p * per, idxLo)
           val e = math.min(math.min((p + 1) * per, rows), idxHi)
@@ -306,6 +351,11 @@ object SyntheticV2 {
         }
         .filter(ip => ip.start < ip.end)
         .toArray[InputPartition]
+      // observability for SyntheticV2Spec: runtime filtering re-plans
+      // partitions AFTER filter(), so the last recorded count is the
+      // post-runtime-prune one
+      lastPlannedPartitions.set(planned.length)
+      planned
     }
 
     override def createReaderFactory(): PartitionReaderFactory =

@@ -144,6 +144,39 @@ class SyntheticV2Spec extends SparkSpec {
       joined.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("runtime IN filter from a joined dim prunes fact partitions (DSv2 dynamic pruning)") {
+    // fact: 100k rows, users 0..999, 8 partitions of 125 users each
+    val fact = load(rows = 100000L, partitions = 8)
+    // dim keys derive from a REAL source behind a selective predicate
+    // on a NON-join column — with the predicate on the join key itself,
+    // InferFiltersFromConstraints copies it onto the fact statically
+    // and no runtime filter is needed; this shape forces the dynamic
+    // path. Surviving keys are pmod(custkey, 45) ⊆ [0, 44] — the hull
+    // lives entirely in the first of 8 fact partitions.
+    val dim = Tables.customer(spark, sf001)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(pmod(col("c_custkey"), lit(45)).cast("long").as("user_id"))
+      .distinct()
+    val joined = fact.join(dim, "user_id")
+    // the optimizer must have planted a DPP subquery on the fact side
+    assert(joined.queryExecution.optimizedPlan.toString
+      .contains("dynamicpruning"), "no DPP filter planted:\n" +
+      joined.queryExecution.optimizedPlan.toString.take(1500))
+    SyntheticV2.lastPlannedPartitions.set(-1)
+    val n = joined.count()
+    // the LAST partition planning happened after filter(): the 8-way
+    // fact scan collapsed to the single partition holding users 0-44
+    assert(SyntheticV2.lastPlannedPartitions.get() === 1,
+      s"runtime filter did not prune: ${SyntheticV2.lastPlannedPartitions.get()} partitions planned")
+    // results equal the statically-filtered formulation (pruning to
+    // the hull is lossless; the join re-applies exact keys)
+    val expected = load(rows = 100000L, partitions = 8)
+      .join(dim.withColumn("u2", col("user_id") + 0L).drop("user_id"),
+        col("user_id") === col("u2"))
+      .count()
+    assert(n === expected && n > 0L)
+  }
+
   test("pushed LIMIT truncates generation (scan emits only the capped index space)") {
     val lim = load(rows = 100000L, partitions = 8).limit(7)
     // the scan itself must shrink: with the limit pushed, planned rows
