@@ -4488,6 +4488,130 @@ object PipelineCatalog {
              CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** DETERMINISTIC MIXTURE SAMPLER — q230's temperature-scaled rates
+    * EXECUTED: thin each source to its share of a 50 %-of-corpus token
+    * budget, keeping a doc iff its arithmetic content hash lands under
+    * the source's keep-rate (q122's RNG-free rule — re-runs and
+    * engines agree doc-for-doc, no Bernoulli draw anywhere). Per
+    * source: target_tokens = (w_s/Σw)·(0.5·Σtokens), keep_ppm =
+    * ⌊min(1, target/actual)·10⁶⌋ — the float chain is the q230 class
+    * (IEEE-exact sqrt, source-sorted sequential Σw fold, exact-rounded
+    * mult/div, floor last), so both engines compute the identical ppm
+    * and the identical kept set. Emits the per-source ledger the
+    * sampled corpus ships with. Scale: the rollup is |sources|-sized
+    * and broadcast back over one map pass — the sampler itself is
+    * shuffle-free.
+    */
+  val q237MixtureSample: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("h", pmod(
+          graft.functions.VectorExpressions.polyHash(col("text")),
+          lit(1000000L)))
+      val per = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+      val tot = per.agg(
+        expr("""aggregate(array_sort(collect_list(struct(source, weight))),
+               cast(0.0 as double), (a, x) -> a + x.weight)""").as("tot_w"),
+        sum(col("n_tokens")).as("tot_tok"))
+      val budgets = per.crossJoin(broadcast(tot))
+        .withColumn("keep_ppm", floor(
+          least(lit(1.0), (col("weight") / col("tot_w")) *
+            (lit(0.5) * col("tot_tok").cast("double")) /
+            col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("keep_ppm"))
+      d.join(broadcast(budgets), "source")
+        .withColumn("kept", col("h") < col("keep_ppm"))
+        .groupBy(col("source"))
+        .agg(first(col("n_docs")).as("n_docs"),
+          first(col("n_tokens")).as("n_tokens"),
+          first(col("keep_ppm")).as("keep_ppm"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+        .orderBy(col("source"))
+    },
+    oracle = Some(s"""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               ${polyhashSql("text")} % 1000000 AS h
+        FROM documents),
+      per AS (SELECT source, count(*) AS n_docs,
+                     CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              FROM d GROUP BY source),
+      w AS (SELECT source, n_docs, n_tokens,
+                   sqrt(CAST(n_tokens AS DOUBLE)) AS weight FROM per),
+      tot AS (SELECT list_reduce(list_prepend(0.0,
+                       list(weight ORDER BY source)), (a, b) -> a + b) AS tot_w,
+                     CAST(sum(n_tokens) AS BIGINT) AS tot_tok
+              FROM w),
+      b AS (SELECT source, n_docs, n_tokens,
+                   CAST(floor(least(1.0, (weight / tot_w) *
+                     (0.5 * CAST(tot_tok AS DOUBLE)) /
+                     CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+                     AS keep_ppm
+            FROM w, tot)
+      SELECT b.source, b.n_docs, b.n_tokens, b.keep_ppm,
+             CAST(sum(CASE WHEN d.h < b.keep_ppm THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN d.h < b.keep_ppm THEN d.n_tok ELSE 0 END)
+               AS BIGINT) AS kept_tokens
+      FROM d JOIN b USING (source)
+      GROUP BY b.source, b.n_docs, b.n_tokens, b.keep_ppm
+      ORDER BY b.source"""))
+
+  /** MATRYOSHKA TRUNCATION AUDIT (Kusupati et al. 2022) — for every
+    * planted near-dup pair (q41's exact ≥0.45 set), the cosine at
+    * prefix dimensions 16 / 32 / 64: the measurement behind serving a
+    * 100 TB embedding corpus at a fraction of the bandwidth (store 64,
+    * search 16, rerank 64 — the audit says what the 16-dim search
+    * loses). Raw doubles: slice preserves fold order, every fold is
+    * the sequential left-to-right kernel both engines share, sqrt is
+    * IEEE-exact — the q63/q129 no-rounding class... except the pair
+    * list itself, which reuses q41's rounded-cosine ≥0.45 contract.
+    * Scale: pair-list-sized (near-dup pairs, not all pairs) ×3 fixed-
+    * cost dots.
+    */
+  val q238MatryoshkaAudit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import graft.functions.VectorExpressions.{dotF, normF}
+      val e = Tables.embeddings(s, dir)
+      def cosAt(k: Int) =
+        (dotF(expr(s"slice(ae, 1, $k)"), expr(s"slice(be, 1, $k)")) /
+          (normF(expr(s"slice(ae, 1, $k)")) * normF(expr(s"slice(be, 1, $k)"))))
+          .as(s"cos$k")
+      q41EmbeddingNearDup.fn(s, dir).select(col("d1"), col("d2"))
+        .join(e.select(col("vec_id").as("d1"), col("embedding").as("ae")), "d1")
+        .join(e.select(col("vec_id").as("d2"), col("embedding").as("be")), "d2")
+        .select(col("d1"), col("d2"), cosAt(16), cosAt(32), cosAt(64))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH e AS ($normSql),
+      pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               a.embedding AS ae, b.embedding AS be
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_reduce(list_prepend(0.0,
+                list_transform(range(1, 65), i ->
+                  CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) >= 0.45)
+      SELECT d1, d2,
+             ${Seq(16, 32, 64).map { k =>
+               s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${k + 1}),
+                    i -> CAST(ae[i] AS DOUBLE) * CAST(be[i] AS DOUBLE))),
+                    (acc, v) -> acc + v) /
+                  (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${k + 1}),
+                     i -> CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE))),
+                     (acc, v) -> acc + v)) *
+                   sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, ${k + 1}),
+                     i -> CAST(be[i] AS DOUBLE) * CAST(be[i] AS DOUBLE))),
+                     (acc, v) -> acc + v))) AS cos$k"""
+             }.mkString(",\n             ")}
+      FROM pairs ORDER BY d1, d2"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -4566,6 +4690,8 @@ object PipelineCatalog {
     "q232_quality_calibration" -> q232QualityCalibration,
     "q233_raking_weights" -> q233RakingWeights,
     "q234_dedup_token_ledger" -> q234DedupTokenLedger,
+    "q237_mixture_sample" -> q237MixtureSample,
+    "q238_matryoshka_audit" -> q238MatryoshkaAudit,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,
