@@ -4612,6 +4612,88 @@ object PipelineCatalog {
              }.mkString(",\n             ")}
       FROM pairs ORDER BY d1, d2"""))
 
+  /** CONTAMINATION REPORT — the union rule over all three probe
+    * families, per training doc: q67's lexical ≥5-gram flag, q86's
+    * Bloom any-hit flag (one-sided — can only over-flag), and q165's
+    * semantic any-candidate-above-0.3 flag (vec_id aligns with doc_id,
+    * the q141 mapping; docs outside the embedded subset carry 0), with
+    * verdict = ANY — the report a decontamination stage actually acts
+    * on, because paraphrase leaks dodge n-grams and lexical leaks
+    * dodge embeddings (each probe's misses are the others' catches).
+    * Pure COMPOSITION of the three verified pipelines (their session
+    * caches shared, nothing recomputed) + three left joins on doc_id.
+    * Scale: each probe is itself scale-shaped (broadcast gram set /
+    * constant Bloom bits / linear LSH cut); the report adds doc-count-
+    * sized joins only.
+    */
+  val q240ContaminationReport: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val lex = q67Decontamination.fn(s, dir)
+        .select(col("doc_id"), col("contaminated").as("lex_flag"))
+      val bloom = q86BloomDecontamination.fn(s, dir)
+        .select(col("doc_id"),
+          (col("n_bloom") > 0).cast("bigint").as("bloom_flag"))
+      val sem = q165SemanticDecontamination.fn(s, dir)
+        .select(col("vec_id").as("doc_id"),
+          (col("n_flagged") > 0).cast("bigint").as("sem_flag"))
+      Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"))
+        .join(lex, Seq("doc_id"), "left")
+        .join(bloom, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lex_flag"), lit(0L)).as("lex_flag"),
+          coalesce(col("bloom_flag"), lit(0L)).as("bloom_flag"),
+          coalesce(col("sem_flag"), lit(0L)).as("sem_flag"))
+        .withColumn("contaminated",
+          greatest(col("lex_flag"), col("bloom_flag"), col("sem_flag")))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH $annCandSql,
+      tc AS (SELECT a_id, b_id FROM cand
+             WHERE a_id % 7 <> 3 AND b_id % 7 = 3),
+      sems AS (SELECT DISTINCT vec_id FROM (
+          SELECT tc.a_id AS vec_id,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(range(1, 65), i ->
+                     CAST(t.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                   (acc, v) -> acc + v) AS dot
+          FROM tc JOIN embeddings t ON tc.a_id = t.vec_id
+                  JOIN embeddings b ON tc.b_id = b.vec_id) z
+        WHERE dot >= 0.3),
+      sh2 AS ($shinglesSql),
+      bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh2 WHERE doc_id % 7 = 3),
+      tr AS (SELECT doc_id, unnest(sh) AS g FROM sh2 WHERE doc_id % 7 <> 3),
+      ov AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM tr JOIN bench ON tr.g = bench.g GROUP BY 1),
+      bt AS (SELECT ${polyhashSql("g")} AS tid FROM bench),
+      bits AS (SELECT DISTINCT i, ((2*i + 1) * tid + 12345*i) % $P % 65536 AS b
+               FROM bt, (SELECT unnest([0, 1, 2]) AS i)),
+      trh AS (SELECT doc_id, g, ${polyhashSql("g")} AS tid FROM tr),
+      pr AS (SELECT doc_id, g, i, ((2*i + 1) * tid + 12345*i) % $P % 65536 AS b
+             FROM trh, (SELECT unnest([0, 1, 2]) AS i)),
+      hit AS (SELECT doc_id, g FROM pr JOIN bits USING (i, b)
+              GROUP BY doc_id, g HAVING count(*) = 3),
+      nb AS (SELECT DISTINCT doc_id FROM hit)
+      SELECT d.doc_id,
+             CAST(CASE WHEN coalesce(ov.n_overlap, 0) >= 5 THEN 1 ELSE 0 END
+               AS BIGINT) AS lex_flag,
+             CAST(CASE WHEN nb.doc_id IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS bloom_flag,
+             CAST(CASE WHEN sems.vec_id IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS sem_flag,
+             CAST(CASE WHEN coalesce(ov.n_overlap, 0) >= 5
+                         OR nb.doc_id IS NOT NULL
+                         OR sems.vec_id IS NOT NULL
+                  THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      FROM documents d
+      LEFT JOIN ov ON d.doc_id = ov.doc_id
+      LEFT JOIN nb ON d.doc_id = nb.doc_id
+      LEFT JOIN sems ON d.doc_id = sems.vec_id
+      WHERE d.doc_id % 7 <> 3
+      ORDER BY d.doc_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
@@ -4692,6 +4774,7 @@ object PipelineCatalog {
     "q234_dedup_token_ledger" -> q234DedupTokenLedger,
     "q237_mixture_sample" -> q237MixtureSample,
     "q238_matryoshka_audit" -> q238MatryoshkaAudit,
+    "q240_contamination_report" -> q240ContaminationReport,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,
