@@ -53,7 +53,10 @@ object ScaleSweep {
     // buckets) — their 10× points should track the linear O(L·k·32·n)
     // candidate volume, not the old brute-force quadratic
     "ann" -> Seq("q40_embedding_lsh_ann", "q57_embedding_neardup_ann",
-      "m09_ivf_ann", "q165_semantic_decontamination", "q204_mutual_knn"),
+      "m09_ivf_ann", "q165_semantic_decontamination", "q204_mutual_knn",
+      // r8: q238 is near-dup-pair-sized; q240 composes the LSH cut with
+      // the two shingle probes (shares this family's session caches)
+      "q238_matryoshka_audit", "q240_contamination_report"),
     "graph" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
       "q164_label_propagation", "q201_hits_scores", "q222_bfs_distances"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
@@ -81,7 +84,7 @@ object ScaleSweep {
       // shuffle, q234 the shared verified-pair/component kernel
       "q230_mixture_weights", "q231_accession_novelty",
       "q232_quality_calibration", "q233_raking_weights",
-      "q234_dedup_token_ledger"),
+      "q234_dedup_token_ledger", "q237_mixture_sample"),
     "decode" -> Seq("q138_pixel_stats"),
     // decision-support classics (added r7): replicated facts with
     // copied-through dims — the broadcast-dim / single-fact-shuffle
@@ -108,7 +111,7 @@ object ScaleSweep {
       "q211_rolling_ols", "q212_tukey_fences", "q213_poisson_bootstrap",
       "q216_clamped_balance", "q217_simpsons_audit", "q218_cuped_stats",
       "q225_trending_parts", "q226_market_concentration", "q227_native_unpivot",
-      "q229_sla_compliance",
+      "q229_sla_compliance", "q235_lateral_topk", "q236_variant_shred",
       "q219_quantile_effect", "q220_survival_stats",
       "q221_seasonal_anomaly"),
     // line/token-granular curation (added r7): rows grow 10× but the

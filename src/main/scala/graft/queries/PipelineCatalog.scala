@@ -4570,31 +4570,44 @@ object PipelineCatalog {
     * loses). Raw doubles: slice preserves fold order, every fold is
     * the sequential left-to-right kernel both engines share, sqrt is
     * IEEE-exact — the q63/q129 no-rounding class... except the pair
-    * list itself, which reuses q41's rounded-cosine ≥0.45 contract.
-    * Scale: pair-list-sized (near-dup pairs, not all pairs) ×3 fixed-
-    * cost dots.
+    * list itself, which keeps q41's rounded-cosine ≥0.45 contract.
+    * The pair DERIVATION rides the adaptive multi-probe cut
+    * ([[annCandidates]] + exact verify — the q204 composition, NOT
+    * q41's O(n²) cross join: at cosine ≥0.45 the Hamming≤1 curve
+    * gives ≈0.998 per-pair recall at the gate SF, and the oracle
+    * replays the identical candidate arithmetic so the audited pair
+    * set is hash-exact at every SF). Scale: candidate-volume-bounded
+    * pair derivation + ×3 fixed-cost dots per surviving pair.
     */
   val q238MatryoshkaAudit: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       import graft.functions.VectorExpressions.{dotF, normF}
-      val e = Tables.embeddings(s, dir)
+      val e = withNorm(Tables.embeddings(s, dir))
       def cosAt(k: Int) =
         (dotF(expr(s"slice(ae, 1, $k)"), expr(s"slice(be, 1, $k)")) /
           (normF(expr(s"slice(ae, 1, $k)")) * normF(expr(s"slice(be, 1, $k)"))))
           .as(s"cos$k")
-      q41EmbeddingNearDup.fn(s, dir).select(col("d1"), col("d2"))
-        .join(e.select(col("vec_id").as("d1"), col("embedding").as("ae")), "d1")
-        .join(e.select(col("vec_id").as("d2"), col("embedding").as("be")), "d2")
+      annCandidates(s, dir)
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id").as("d1"), col("b_id").as("d2"))
+        .join(e.select(col("vec_id").as("d1"), col("embedding").as("ae"),
+          col("nrm").as("na")), "d1")
+        .join(e.select(col("vec_id").as("d2"), col("embedding").as("be"),
+          col("nrm").as("nb")), "d2")
+        .filter(round(dotF(col("ae"), col("be")) /
+          (col("na") * col("nb")), 6) >= 0.45)
         .select(col("d1"), col("d2"), cosAt(16), cosAt(32), cosAt(64))
         .orderBy(col("d1"), col("d2"))
     },
     oracle = Some(s"""
-      WITH e AS ($normSql),
+      WITH $annCandSql,
       pairs AS (
-        SELECT a.vec_id AS d1, b.vec_id AS d2,
+        SELECT c.a_id AS d1, c.b_id AS d2,
                a.embedding AS ae, b.embedding AS be
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE round(list_reduce(list_prepend(0.0,
+        FROM cand c JOIN e0 a ON c.a_id = a.vec_id
+                    JOIN e0 b ON c.b_id = b.vec_id
+        WHERE c.a_id < c.b_id
+          AND round(list_reduce(list_prepend(0.0,
                 list_transform(range(1, 65), i ->
                   CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
                 (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) >= 0.45)

@@ -106,6 +106,19 @@ class DedupSpec extends SparkSpec {
     assert(rows.sameElements(again))
   }
 
+  test("matryoshka audit (q238) pairs keep >=0.9 recall vs q41's exact near-dup set") {
+    val exact = PipelineCatalog.q41EmbeddingNearDup.fn(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val audited = PipelineCatalog.q238MatryoshkaAudit.fn(spark, sf001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // exact verify on candidates -> never a false pair
+    assert(audited.subsetOf(exact), s"false pairs: ${audited -- exact}")
+    // at cosine >=0.45 the Hamming<=1 multi-probe curve is ~0.998/pair
+    val hit = exact.count(audited)
+    assert(hit >= exact.size * 0.9, s"audit pair recall $hit/${exact.size}")
+  }
+
   test("composed mutual-NN (q204) keeps >=0.85 recall vs the exact brute-force mutual pairs") {
     // exact best-per-vector comes from q39's brute-force top-k (rank 1
     // rows use the identical (cosine desc, neighbor) total order) — the
