@@ -57,6 +57,28 @@ object Bench {
   /** Cumulative count of whole-stage-codegen compilations in this JVM. */
   private def codegenCompiles(): Long =
     org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+
+  /** Cumulative shuffle-write / spill bytes across all completed stages
+    * — the per-query deltas are the bench's plan-cost attribution (a
+    * query whose time grows with data but whose shuffle bytes don't is
+    * compute-bound; one shuffling more than its input re-partitions
+    * too much; any nonzero spill at sf0.1 flags an executor-memory
+    * cliff long before 100 TB would). Listener events are async, so
+    * snapshots drain the bus first ([[org.apache.spark.graft.SparkShims]]).
+    */
+  private final class StageMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -80,7 +102,15 @@ object Bench {
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val gcDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
     val cgDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
+    val swDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
+    val spDeltas = scala.collection.mutable.Map.empty[String, Vector[Long]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val stageMetrics = new StageMetricsListener
+    spark.sparkContext.addSparkListener(stageMetrics)
+    def drainedShuffleSpill(): (Long, Long) = {
+      org.apache.spark.graft.SparkShims.drainListenerBus(spark.sparkContext)
+      (stageMetrics.shuffleWrite.get(), stageMetrics.spill.get())
+    }
     // full untimed warm-up pass: every selected query runs once so JIT +
     // codegen compilation is paid before any timed rep (a failure here is
     // logged but not recorded — the timed reps classify it)
@@ -96,6 +126,7 @@ object Bench {
       // from the previous pass are actually freed before timing resumes
       System.gc()
       names.foreach { case (name, spec) =>
+        val (sw0, sp0) = drainedShuffleSpill()
         val gc0 = gcMillis(); val cg0 = codegenCompiles()
         val t0 = System.nanoTime()
         val ok =
@@ -103,13 +134,18 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         val gcd = gcMillis() - gc0; val cgd = codegenCompiles() - cg0
+        val (sw1, sp1) = drainedShuffleSpill()
         if (ok) {
           times(name) = times.getOrElse(name, Vector()) :+ dt
           gcDeltas(name) = gcDeltas.getOrElse(name, Vector()) :+ gcd
           cgDeltas(name) = cgDeltas.getOrElse(name, Vector()) :+ cgd
+          swDeltas(name) = swDeltas.getOrElse(name, Vector()) :+ ((sw1 - sw0) >> 20)
+          spDeltas(name) = spDeltas.getOrElse(name, Vector()) :+ ((sp1 - sp0) >> 20)
         } else failed += name
         System.err.println(
-          f"[bench] rep $rep $name $dt%.2fs gc=${gcd}ms cg=$cgd${if (ok) "" else " (failed)"}")
+          f"[bench] rep $rep $name $dt%.2fs gc=${gcd}ms cg=$cgd " +
+            f"shufW=${(sw1 - sw0) >> 20}MB spill=${(sp1 - sp0) >> 20}MB" +
+            (if (ok) "" else " (failed)"))
       }
     }
     def best(v: Vector[Double]): Double = v.min
@@ -134,6 +170,8 @@ object Bench {
     val repTimes = perRep(times, (d: Double) => f"$d%.3f")
     val gcJson = perRep(gcDeltas, (l: Long) => l.toString)
     val cgJson = perRep(cgDeltas, (l: Long) => l.toString)
+    val swJson = perRep(swDeltas, (l: Long) => l.toString)
+    val spJson = perRep(spDeltas, (l: Long) => l.toString)
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // within-rep shared caches: the FIRST member listed pays the build
     // cost, later members time a cache hit (see scaladoc)
@@ -164,7 +202,7 @@ object Bench {
     // driver's tail window and the round's bench parse came back null).
     // The full per-rep distribution/attribution stays on the earlier
     // "diagnostics" line for humans and tools/check_bench.py.
-    println(f"""{"diagnostics":true,"rep_times":$repTimes,"gc_ms":$gcJson,"codegen_compiles":$cgJson,"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)}}""")
+    println(f"""{"diagnostics":true,"rep_times":$repTimes,"gc_ms":$gcJson,"codegen_compiles":$cgJson,"shuffle_write_mb":$swJson,"spill_mb":$spJson,"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)}}""")
     val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stat":"min","reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
     // BENCH_ALL's ~150-query map would overflow the tail window too —
     // drop the per-query detail (it survives via rep_times above) before
