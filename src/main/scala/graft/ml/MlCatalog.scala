@@ -344,6 +344,60 @@ object MlCatalog {
     },
     oracle = None)
 
+  /** K-FOLD CROSS-VALIDATION (k=5) — the variance readout a single
+    * m05-style holdout can't give: per-fold validation AUC over
+    * DETERMINISTIC arithmetic folds (fold = (7·orderkey + linenumber)
+    * mod 5 — the q122 RNG-free rule, so folds are disjoint, covering,
+    * and identical across runs/engines/partitionings, unlike
+    * randomSplit, whose assignment is partition-dependent). Estimator
+    * is logistic regression over m05's exact feature set — fast enough
+    * for 5 fits, and it puts the BATCH LR surface next to the
+    * streaming one (ModelRegistry trains the same family per
+    * microbatch). Rows-only (model floats, the m* class); MlSpec
+    * asserts fold disjointness/coverage via the integer columns and a
+    * sane AUC band. Scale: 5 fits over 4/5 slices each — feature
+    * assembly is one pass, fold filters are map-side.
+    */
+  private[graft] def crossValidation(s: SparkSession,
+      dir: String): Seq[(Long, Long, Long, Double)] = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      .withColumn("fold",
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(5)).cast("int"))
+    val withBrand = li
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val indexed = new StringIndexer().setInputCol("p_brand")
+      .setOutputCol("brand_idx").setStringOrderType("alphabetAsc")
+      .fit(withBrand).transform(withBrand)
+    val feats = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_linenumber", "brand_idx"))
+      .setOutputCol("features")
+    val all = feats.transform(indexed).select("fold", "label", "features").cache()
+    try {
+      (0 until 5).map { f =>
+        val train = all.filter(col("fold") =!= f)
+        val valid = all.filter(col("fold") === f)
+        val model = new org.apache.spark.ml.classification.LogisticRegression()
+          .setMaxIter(20).setRegParam(0.01)
+          .fit(train)
+        val auc = new BinaryClassificationEvaluator()
+          .setMetricName("areaUnderROC")
+          .setRawPredictionCol("rawPrediction")
+          .evaluate(model.transform(valid))
+        (f.toLong, train.count(), valid.count(), auc)
+      }
+    } finally { all.unpersist(); () }
+  }
+
+  val m14CrossValidation: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      crossValidation(s, dir).toDF("fold", "n_train", "n_valid", "valid_auc")
+    },
+    oracle = None)
+
   /** M12 confusion matrix of a deterministic rule-based classifier
     * (predict 'returned' when discount > 0.05) — real counts, fully
     * oracle-checked. One small-key shuffle.
@@ -673,6 +727,7 @@ object MlCatalog {
     "m10_semdedup" -> m10SemDedup,
     "m11_calibration_bins" -> m11CalibrationBins,
     "m13_learning_curve" -> m13LearningCurve,
+    "m14_cross_validation" -> m14CrossValidation,
     "q64_model_registry" -> q64ModelRegistry,
   )
 

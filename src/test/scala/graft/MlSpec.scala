@@ -66,6 +66,26 @@ class MlSpec extends SparkSpec {
       "m13 leaked persisted RDDs")
   }
 
+  test("m14 cross-validation: deterministic disjoint covering folds, sane AUC band") {
+    val rows = MlCatalog.all("m14_cross_validation").fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0L to 4L), s"folds: ${rows.map(_._1).toSeq}")
+    // disjoint + covering: every row is in exactly one validation fold,
+    // so n_train + n_valid is the SAME total for every fold
+    val totals = rows.map(r => r._2 + r._3).distinct
+    assert(totals.length == 1, s"fold totals differ: ${rows.toSeq}")
+    assert(rows.map(_._3).sum == totals.head,
+      s"validation folds don't partition the data: ${rows.toSeq}")
+    rows.foreach { case (f, _, nv, auc) =>
+      assert(nv > 0, s"empty fold $f")
+      assert(auc > 0.45 && auc <= 1.0, s"auc $auc out of band at fold $f")
+    }
+    // arithmetic folds: identical integer columns on a second run
+    val again = MlCatalog.all("m14_cross_validation").fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == rows.map(r => (r._1, r._2, r._3)).toSeq)
+  }
+
   test("activeModels selects the latest run per model on the full registry row (S17/W1)") {
     val reg = MlCatalog.modelTrainingHistory(spark, sf0001)
     // the reference's full init.sql:55-77 shape: 21 columns, of which
