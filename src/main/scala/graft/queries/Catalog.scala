@@ -6775,6 +6775,65 @@ object Catalog {
       SELECT rnk, l_partkey, trend_score, n_lines
       FROM r WHERE rnk <= 20 ORDER BY rnk"""))
 
+  /** EXPONENTIAL half-life trending — the decay q225's scaladoc
+    * deferred ("an exponential half-life needs transcendentals OR
+    * power-of-two rationals"): weight halves per day of age as the
+    * exact DYADIC integer 2^(20−age) for age ≤ 20 (older lines
+    * contribute 0), so the score is a plain BIGINT sum — no doubles,
+    * no transcendentals, no fold-order sensitivity, and both engines
+    * agree bit-for-bit by integer arithmetic alone (shiftleft on the
+    * Spark side, power(2, k) cast to BIGINT — exact for k ≤ 62 — on
+    * the oracle side). Exponential vs linear matters at the top of the
+    * ranking: a part with 5 lines yesterday outranks one with 40 lines
+    * two weeks ago under the half-life but not under q225's ramp.
+    * Integer headroom AT TARGET SF per the q109 rule: 2^20 max weight
+    * × n_lines < 2^63 holds to ~8.8×10¹² fact rows — beyond any
+    * plausible 100 TB lineitem count; widening the window instead of
+    * the corpus is what would overflow (each extra day doubles the
+    * peak weight), so the window, not the data, is the budgeted knob.
+    * Scale: identical plan shape to q225 — broadcast scalar anchor,
+    * one map-side-combined part rollup, TakeOrdered 20.
+    */
+  val q241HalfLifeTrending: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val mx = Tables.lineitem(s, dir)
+        .agg(max(to_date(col("l_shipdate"))).as("mx"))
+      Tables.lineitem(s, dir)
+        .crossJoin(broadcast(mx))
+        .withColumn("age",
+          datediff(col("mx"), to_date(col("l_shipdate"))).cast("bigint"))
+        .select(col("l_partkey"),
+          when(col("age") <= 20L,
+            expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(20 - age AS INT)) AS BIGINT)"))
+            .otherwise(lit(0L)).as("w"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("w")).as("decay_score"), count(lit(1)).as("n_lines"))
+        .filter(col("decay_score") > 0L)
+        .orderBy(col("decay_score").desc, col("l_partkey")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("decay_score").desc, col("l_partkey")))
+          .cast("bigint"))
+        .select(col("rnk"), col("l_partkey"), col("decay_score"),
+          col("n_lines"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS mx FROM lineitem),
+      w AS (SELECT l_partkey,
+                   CASE WHEN date_diff('day', CAST(l_shipdate AS DATE), mx.mx) <= 20
+                        THEN CAST(power(2, 20 - date_diff('day',
+                               CAST(l_shipdate AS DATE), mx.mx)) AS BIGINT)
+                        ELSE 0 END AS w
+            FROM lineitem, mx),
+      g AS (SELECT l_partkey, CAST(sum(w) AS BIGINT) AS decay_score,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM w GROUP BY 1 HAVING sum(w) > 0),
+      r AS (SELECT *, CAST(row_number() OVER (ORDER BY decay_score DESC,
+                        l_partkey) AS BIGINT) AS rnk
+            FROM g)
+      SELECT rnk, l_partkey, decay_score, n_lines
+      FROM r WHERE rnk <= 20 ORDER BY rnk"""))
+
   /** Market-concentration audit — Herfindahl–Hirschman sufficient
     * statistics of supplier revenue per nation: HHI = Σ share² =
     * Σr²/(Σr)², the antitrust/marketplace concentration index that
@@ -7149,6 +7208,7 @@ object Catalog {
     "q229_sla_compliance" -> q229SlaCompliance,
     "q235_lateral_topk" -> q235LateralTopk,
     "q236_variant_shred" -> q236VariantShred,
+    "q241_half_life_trending" -> q241HalfLifeTrending,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
