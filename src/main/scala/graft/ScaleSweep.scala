@@ -58,7 +58,9 @@ object ScaleSweep {
       // the two shingle probes (shares this family's session caches)
       "q238_matryoshka_audit", "q240_contamination_report"),
     "graph" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
-      "q164_label_propagation", "q201_hits_scores", "q222_bfs_distances"),
+      "q164_label_propagation", "q201_hits_scores", "q222_bfs_distances",
+      // r8: q243 re-runs the oriented wedge join with centers kept
+      "q243_clustering_buckets"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),
@@ -112,7 +114,7 @@ object ScaleSweep {
       "q216_clamped_balance", "q217_simpsons_audit", "q218_cuped_stats",
       "q225_trending_parts", "q226_market_concentration", "q227_native_unpivot",
       "q229_sla_compliance", "q235_lateral_topk", "q236_variant_shred",
-      "q241_half_life_trending",
+      "q241_half_life_trending", "q242_group_topk",
       "q219_quantile_effect", "q220_survival_stats",
       "q221_seasonal_anomaly"),
     // line/token-granular curation (added r7): rows grow 10× but the

@@ -21,9 +21,11 @@ import graft.multimodal.{AudioHeaderMeta, ImageHeaderMeta}
   * One semantics-preserving optimizer rule is injected —
   * [[LevenshteinBandRule]], which rewrites bounded `levenshtein`
   * predicates to the banded-DP thresholded kernel behind a free
-  * length-band prefilter. No SparkStrategy / physical operator is
-  * injected on purpose: the engine's whole relational surface lowers
-  * to stock Catalyst operators (SURVEY.md §4 — Catalyst already
+  * length-band prefilter — and ONE planner strategy,
+  * [[GroupTopKStrategy]], for the single relational shape stock
+  * Catalyst cannot lower efficiently (per-group top-k without a full
+  * per-group sort; see [[GroupTopK]]). Everything else lowers to stock
+  * Catalyst operators on purpose (SURVEY.md §4 — Catalyst already
   * performs every other rewrite this workload can use).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -37,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.thetaEstimateFn)
     ext.injectFunction(GraftExtensions.thetaIntersectFn)
     ext.injectOptimizerRule(_ => LevenshteinBandRule)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }
 

@@ -1637,6 +1637,76 @@ object Catalog {
                    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
                AS tri_cnt"""))
 
+  /** Local clustering by degree bucket — per-vertex triangle counts
+    * rolled up into q131-style log2(degree) buckets: the curve that
+    * tells a curation pipeline whether its similarity graph's hubs are
+    * genuinely dense communities (flat curve) or spurious megahubs
+    * (local coefficient collapsing as degree grows — the signature of
+    * boilerplate/stop-shingle contamination in a near-dup graph).
+    * Spark enumerates each triangle EXACTLY ONCE at its lowest-
+    * (degree,id) corner via the q94 degree-ordered orientation (kept
+    * O(m^{3/2}) under any hub skew), retains the wedge CENTER through
+    * the closing-edge left-semi probe, and explodes each triangle to
+    * its three corners for the per-vertex rollup; per-bucket sums of
+    * triangles and wedges C(d,2) ship as exact integers (the local
+    * coefficient 2·tri/(d(d-1)) and the bucket mean reconstruct
+    * client-side, q59 rule). The oracle recounts triangles through the
+    * INDEPENDENT id-ordered 3-way self-join (the q94 cross-algorithm
+    * rule) and explodes corners in SQL. Scale: the wedge join is the
+    * q94 kernel; the explode triples triangle rows (≪ edges), and the
+    * bucket rollup is ≤ 64 rows. BIGINT headroom: Σ C(d,2) per bucket
+    * is the q94 wedge bound, documented there.
+    */
+  val q243ClusteringBuckets: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = coEdges(s, dir)
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val du = deg.select(col("x").as("u"), col("d").as("du"))
+      val dv = deg.select(col("x").as("v"), col("d").as("dv"))
+      val oriented = e.join(du, "u").join(dv, "v").select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.src").as("c"), col("e1.dst").as("u"),
+          col("e2.dst").as("v"))
+      val tris = wedges.join(e, Seq("u", "v"), "left_semi")
+      val perVertex = tris
+        .select(explode(array(col("c"), col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("tri"))
+      deg.join(perVertex, Seq("x"), "left")
+        .select((length(expr("bin(d)")) - 1).cast("bigint").as("bucket"),
+          col("d"), coalesce(col("tri"), lit(0L)).as("tri"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vertices"),
+          sum(col("tri")).as("sum_tri"),
+          sum(expr("(d * (d - 1)) div 2")).as("sum_wedges"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+              GROUP BY x),
+      t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pv AS (SELECT x, CAST(count(*) AS BIGINT) AS tri
+             FROM (SELECT a AS x FROM t UNION ALL SELECT b FROM t
+                   UNION ALL SELECT c FROM t)
+             GROUP BY x),
+      j AS (SELECT CAST(length(bin(deg.d)) - 1 AS BIGINT) AS bucket,
+                   deg.d AS d, COALESCE(pv.tri, 0) AS tri
+            FROM deg LEFT JOIN pv ON pv.x = deg.x)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_vertices,
+             CAST(sum(tri) AS BIGINT) AS sum_tri,
+             CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS sum_wedges
+      FROM j GROUP BY bucket ORDER BY bucket"""))
+
   /** Item-item "customers also bought" similarity — the recsys core the
     * reference approximates with raw co-occurrence counts
     * (core-logic/train_module.py:397-413) — upgraded to exact Jaccard
@@ -6834,6 +6904,55 @@ object Catalog {
       SELECT rnk, l_partkey, decay_score, n_lines
       FROM r WHERE rnk <= 20 ORDER BY rnk"""))
 
+  /** Per-group top-k through the CUSTOM physical operator
+    * ([[graft.plans.GroupTopK]] — logical node → SparkStrategy →
+    * partial/final exec pair): top-3 lineitems per supplier by exact
+    * price cents. The stock lowering of this shape (q19's window
+    * row_number, q235's LATERAL) shuffles every lineitem row on the key
+    * and fully sorts each group; the operator's map-side bounded heaps
+    * emit ≤ |suppliers|·3 rows per input partition into the exchange
+    * and never sort — O(n log k), the aggregate-shaped plan a 100 TB
+    * top-N-per-key needs (reference sites: per-slice nlargest
+    * dashboard/app.py:1183,1286). The order key is the BIGINT cents
+    * value on BOTH engines (comparing raw doubles on one side and
+    * rounded cents on the other could split ties differently), with
+    * (orderkey, linenumber) making it total. The residual rank label
+    * rides a window over the ≤3-rows-per-key survivor set — thousands
+    * of rows, not the corpus. GroupTopKSpec pins parity with the window
+    * lowering, the no-SortExec/bounded-exchange plan shape, and
+    * exchange elision on pre-clustered input; ScaleSweep times operator
+    * vs window form at 10×.
+    */
+  val q242GroupTopK: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val cents = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_cents"))
+      graft.plans.GroupTopK.topKPerKey(cents,
+          Seq(col("l_suppkey")),
+          Seq(col("price_cents").desc, col("l_orderkey"), col("l_linenumber")),
+          k = 3)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("l_suppkey"))
+            .orderBy(col("price_cents").desc, col("l_orderkey"),
+              col("l_linenumber"))).cast("bigint"))
+        .select(col("l_suppkey"), col("rnk"), col("l_orderkey"),
+          col("l_linenumber"), col("price_cents"))
+        .orderBy(col("l_suppkey"), col("rnk"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS price_cents
+                 FROM lineitem),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY l_suppkey
+                        ORDER BY price_cents DESC, l_orderkey, l_linenumber)
+                        AS BIGINT) AS rnk
+            FROM c)
+      SELECT l_suppkey, rnk, l_orderkey, l_linenumber, price_cents
+      FROM r WHERE rnk <= 3
+      ORDER BY l_suppkey, rnk"""))
+
   /** Market-concentration audit — Herfindahl–Hirschman sufficient
     * statistics of supplier revenue per nation: HHI = Σ share² =
     * Σr²/(Σr)², the antitrust/marketplace concentration index that
@@ -7209,6 +7328,8 @@ object Catalog {
     "q235_lateral_topk" -> q235LateralTopk,
     "q236_variant_shred" -> q236VariantShred,
     "q241_half_life_trending" -> q241HalfLifeTrending,
+    "q242_group_topk" -> q242GroupTopK,
+    "q243_clustering_buckets" -> q243ClusteringBuckets,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

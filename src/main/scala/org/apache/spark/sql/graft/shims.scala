@@ -21,6 +21,36 @@ object shims {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
 
+  /** Column → catalyst Expression through the session's converter —
+    * unlike [[expression]] (a lazy `ColumnNodeExpression` wrapper, fine
+    * inside Dataset API calls which convert it themselves), this eagerly
+    * lowers the column node tree (incl. `.desc` sort-order nodes) to
+    * real catalyst expressions, which a CUSTOM logical node needs: the
+    * analyzer resolves `UnresolvedAttribute`s inside unknown operators,
+    * but never converts column-node wrappers there.
+    */
+  def catalystExpression(spark: org.apache.spark.sql.SparkSession,
+      c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
+  /** Wrap a (possibly custom) logical plan as a DataFrame — the seam a
+    * custom logical operator needs to enter the public Dataset API
+    * (classic `Dataset.ofRows` is `private[sql]` on Spark 4).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame (resolved attributes —
+    * what a custom logical node's key/order expressions must reference).
+    */
+  def analyzedPlan(df: org.apache.spark.sql.Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
   /** The materialized RDD behind a `localCheckpoint(true)`d Dataset.
     * `Dataset.unpersist` is a no-op for checkpoint blocks (they are not
     * registered with the CacheManager), so eager per-round freeing in
