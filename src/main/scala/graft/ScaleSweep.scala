@@ -86,7 +86,10 @@ object ScaleSweep {
       // shuffle, q234 the shared verified-pair/component kernel
       "q230_mixture_weights", "q231_accession_novelty",
       "q232_quality_calibration", "q233_raking_weights",
-      "q234_dedup_token_ledger", "q237_mixture_sample"),
+      "q234_dedup_token_ledger", "q237_mixture_sample",
+      // r8: q244 is two word-count-shaped rollups + vertex-sized score
+      // joins — tracks the bigram explode volume
+      "q244_textrank_keywords"),
     "decode" -> Seq("q138_pixel_stats"),
     // decision-support classics (added r7): replicated facts with
     // copied-through dims — the broadcast-dim / single-fact-shuffle

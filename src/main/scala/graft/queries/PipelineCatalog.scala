@@ -4174,6 +4174,83 @@ object PipelineCatalog {
     * shuffles (first-doc min, per-doc token counts), then
     * domain-sized joins.
     */
+  /** TextRank keyword centrality (Mihalcea & Tarau 2004) — graph-based
+    * keyword extraction over the token ADJACENCY graph: vertices are
+    * tokens, undirected edges weighted by adjacent-bigram counts
+    * (window = 1, self-pairs dropped), and importance is two rounds of
+    * UNNORMALIZED weighted power iteration from r₀ = 1 — exactly the
+    * q201-HITS integer-mass contract applied to text (the usual 0.85
+    * damping and degree normalization only rescale scores within a
+    * round on a connected graph; ranks at the top-20 cut are what the
+    * pipeline consumes, so the transcendental-free integer form
+    * hash-matches across engines). r₁(v) = Σ incident weights; r₂(v) =
+    * Σ_{u~v} w(u,v)·r₁(u). Headroom AT TARGET SF (q109 rule): r₂ is
+    * bounded by (Σw)² ≈ (corpus tokens)², past 2^63 at ~3·10⁹ tokens —
+    * far below 100 TB — so r₂ accumulates in DECIMAL(38,0), orders as
+    * a decimal, and ships as canonical digit strings; r₁ stays BIGINT.
+    * Scale: bigram explode behind the shingleRows Exchange barrier,
+    * one (a,b) edge rollup, two vertex-sized score joins onto the edge
+    * list (the q201 Pregel shape — score table broadcasts while vocab
+    * is dim-sized, degrades to a key shuffle at corpus vocab), top-20
+    * TakeOrdered, rank window over 20 rows.
+    */
+  val q244TextrankKeywords: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(expr(
+          """CASE WHEN size(w) >= 2 THEN
+               transform(sequence(0, size(w)-2),
+                 i -> named_struct('w1', w[i], 'w2', w[i+1]))
+             ELSE array() END""")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val edges = bg
+        .select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wgt"))
+      val adj = edges.select(col("a").as("src"), col("b").as("dst"), col("wgt"))
+        .unionAll(
+          edges.select(col("b").as("src"), col("a").as("dst"), col("wgt")))
+      val r1 = adj.groupBy(col("dst").as("tok")).agg(sum(col("wgt")).as("r1"))
+      val r2 = adj
+        .join(r1.select(col("tok").as("src"), col("r1").as("rs")), "src")
+        .groupBy(col("dst").as("tok"))
+        .agg(sum(col("wgt").cast("decimal(19,0)") * col("rs").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("r2"))
+      r1.join(r2, "tok")
+        .orderBy(col("r2").desc, col("tok")).limit(20)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("r2").desc, col("tok"))).cast("bigint"))
+        .select(col("rnk"), col("tok"), col("r1"),
+          col("r2").cast("string").as("r2"))
+        .orderBy(col("rnk"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+      b AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i]))   AS w1,
+                   unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+            FROM d WHERE len(w) >= 2),
+      e AS (SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+                   CAST(count(*) AS BIGINT) AS wgt
+            FROM b WHERE w1 <> w2 GROUP BY 1, 2),
+      adj AS (SELECT a AS src, b AS dst, wgt FROM e
+              UNION ALL SELECT b AS src, a AS dst, wgt FROM e),
+      r1 AS (SELECT dst AS tok, CAST(sum(wgt) AS BIGINT) AS r1
+             FROM adj GROUP BY 1),
+      r2 AS (SELECT adj.dst AS tok,
+                    CAST(sum(CAST(adj.wgt AS DECIMAL(19,0))
+                             * CAST(r1.r1 AS DECIMAL(19,0)))
+                      AS DECIMAL(38,0)) AS r2
+             FROM adj JOIN r1 ON r1.tok = adj.src GROUP BY 1),
+      top AS (SELECT r1.tok, r1.r1, r2.r2
+              FROM r1 JOIN r2 ON r2.tok = r1.tok
+              ORDER BY r2.r2 DESC, r1.tok LIMIT 20)
+      SELECT CAST(row_number() OVER (ORDER BY r2 DESC, tok) AS BIGINT) AS rnk,
+             tok, r1, CAST(r2 AS VARCHAR) AS r2
+      FROM top ORDER BY rnk"""))
+
   val q215HeapsLaw: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val toks = Tables.documents(s, dir)
@@ -4788,6 +4865,7 @@ object PipelineCatalog {
     "q237_mixture_sample" -> q237MixtureSample,
     "q238_matryoshka_audit" -> q238MatryoshkaAudit,
     "q240_contamination_report" -> q240ContaminationReport,
+    "q244_textrank_keywords" -> q244TextrankKeywords,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,
