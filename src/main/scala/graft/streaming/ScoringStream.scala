@@ -181,6 +181,24 @@ object ScoringStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user", "item", "action", "ts")
 
+  /** RETRY dedup — `dropDuplicatesWithinWatermark` (Spark 3.5+), the
+    * native operator for the case [[dedupStream]] cannot express: an
+    * at-least-once producer RE-STAMPS the timestamp on redelivery
+    * (reference `run_producer.py` regenerates `created_at` per send
+    * attempt), so the duplicate rows differ on `ts` and a
+    * ts-inclusive `dropDuplicates` key passes both. Here the dedup key
+    * EXCLUDES the event time; the engine keeps per-key state until the
+    * watermark passes the FIRST-SEEN event time + delay, dropping any
+    * re-stamped retry landing inside that horizon. State is bounded by
+    * the live keys inside one watermark window (vs `dropDuplicates`
+    * without ts in the key, which keeps every key forever); a key
+    * recurring AFTER expiry is a legitimately new event and emits
+    * again — both behaviors pinned in StreamingSpec.
+    */
+  def dedupRetriesStream(events: Dataset[RawEvent], watermark: String): Dataset[RawEvent] =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user", "item", "action")
+
   /** Stream-static enrichment — the third streaming join shape beside
     * stream-stream (attributionJoin) and keyed-state lookup (ST2): each
     * microbatch left-joins a STATIC dimension table. No streaming state

@@ -225,6 +225,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark-scoped retry dedup drops re-stamped duplicates, re-admits after expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = ScoringStream.dedupRetriesStream(input.toDS(), "10 seconds")
+      .writeStream.format("memory").queryName("retry_deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // producer retry re-stamps ts: same logical event, ts 100 then 103
+      input.addData(RawEvent(1L, "c", "click", ts(100)),
+        RawEvent(1L, "c", "click", ts(103)))
+      q.processAllAvailable()
+      // cross-batch retry still inside the watermark horizon
+      input.addData(RawEvent(1L, "c", "click", ts(105)))
+      q.processAllAvailable()
+      assert(spark.table("retry_deduped").count() == 1)
+      // advance the watermark far past expiry with an unrelated key...
+      input.addData(RawEvent(9L, "z", "view", ts(1000)))
+      q.processAllAvailable()
+      // ...then the SAME key again: legitimately new, must emit again
+      input.addData(RawEvent(1L, "c", "click", ts(1001)))
+      q.processAllAvailable()
+      val rows = spark.table("retry_deduped").collect()
+      assert(rows.length == 3) // first click, unrelated view, re-admitted click
+      assert(rows.count(r => r.getLong(0) == 1L) == 2)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dim into each microbatch (left join keeps unknowns)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
