@@ -391,6 +391,40 @@ object MlCatalog {
     } finally { all.unpersist(); () }
   }
 
+  /** PCA explained-variance curve over the embedding table — the
+    * dimensionality audit COMPLEMENTING q238's Matryoshka truncation
+    * audit: q238 measures what PREFIX truncation of the stored vectors
+    * costs on neighbor structure; this measures what an OPTIMAL linear
+    * re-basis could capture at each rank, so the gap between the two
+    * curves is exactly the headroom a Matryoshka re-training would buy
+    * the index. Fits `spark.ml.feature.PCA` (k = 16 of dim 64) and
+    * emits (component, explained_var, cum_var) with the cumulative sum
+    * folded on the DRIVER over the k-row spectrum (no window over a
+    * local relation). Rows-only by the sketch rule — eigenvalues of a
+    * float covariance are not cross-engine-replayable arithmetic;
+    * MlSpec pins determinism across refits, the non-increasing
+    * spectrum, and the cum ≤ 1 invariant. Scale: covariance
+    * accumulation is one treeAggregate over d×d partial Grams (d=64 →
+    * 4 KB per task); the eigendecomposition is driver-side on the d×d
+    * matrix — independent of row count, the classic tall-skinny shape.
+    */
+  val m15PcaVariance: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables.embeddings(s, dir)
+        .select(array_to_vector(col("embedding")).as("features"))
+      val model = new PCA().setInputCol("features").setOutputCol("pc")
+        .setK(16).fit(e)
+      val ev = model.explainedVariance.toArray
+      val cum = ev.scanLeft(0.0)(_ + _).tail
+      ev.zip(cum).zipWithIndex
+        .map { case ((v, c), i) => (i.toLong + 1L, v, c) }
+        .toSeq.toDF("component", "explained_var", "cum_var")
+    },
+    oracle = None)
+
   val m14CrossValidation: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       import s.implicits._
@@ -728,6 +762,7 @@ object MlCatalog {
     "m11_calibration_bins" -> m11CalibrationBins,
     "m13_learning_curve" -> m13LearningCurve,
     "m14_cross_validation" -> m14CrossValidation,
+    "m15_pca_variance" -> m15PcaVariance,
     "q64_model_registry" -> q64ModelRegistry,
   )
 

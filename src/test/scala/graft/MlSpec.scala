@@ -86,6 +86,27 @@ class MlSpec extends SparkSpec {
     assert(again.toSeq == rows.map(r => (r._1, r._2, r._3)).toSeq)
   }
 
+  test("m15 PCA variance: non-increasing spectrum, cum <= 1, deterministic refit") {
+    val rows = MlCatalog.all("m15_pca_variance").fn(spark, sf0001)
+      .orderBy("component").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 16)
+    assert(rows.map(_._1).toSeq == (1L to 16L))
+    val ev = rows.map(_._2)
+    assert(ev.forall(v => v >= 0.0 && v <= 1.0))
+    assert(ev.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      s"spectrum not sorted: ${ev.mkString(", ")}")
+    assert(rows.last._3 <= 1.0 + 1e-9)
+    // cum_var is the running sum of explained_var
+    rows.foldLeft(0.0) { case (acc, (_, v, c)) =>
+      assert(math.abs(acc + v - c) < 1e-12); acc + v
+    }
+    // covariance eigendecomposition is deterministic given the same rows
+    val again = MlCatalog.all("m15_pca_variance").fn(spark, sf0001)
+      .orderBy("component").collect().map(_.getDouble(1))
+    assert(ev.zip(again).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("activeModels selects the latest run per model on the full registry row (S17/W1)") {
     val reg = MlCatalog.modelTrainingHistory(spark, sf0001)
     // the reference's full init.sql:55-77 shape: 21 columns, of which
