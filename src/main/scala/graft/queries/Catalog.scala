@@ -1523,6 +1523,120 @@ object Catalog {
                AS is_current
       FROM v ORDER BY o_custkey, version"""))
 
+  /** POINT-IN-TIME feature join — the feature-store "time travel"
+    * correctness shape (reference: the as-of `history_snapshot` cut in
+    * train_module.py:387-395): every lineitem probes its customer's
+    * q92-style SCD2 version timeline AT THE SHIP DATE, matching the
+    * latest version with valid_from ≤ ship_day — never a later one
+    * (feature leakage) and never missing an INTERVENING version created
+    * by another order of the same customer between order date and ship
+    * date (stale features). The audit payload is `n_crossed`: probes
+    * whose matched version comes from a DIFFERENT order than the line's
+    * own — exactly the rows a naive "join features by order" pipeline
+    * gets wrong. Implementation is the q51 union-marker as-of kernel
+    * (version and probe rows union into ONE custkey-partitioned window
+    * ordered by (day, marker, version); last non-null version ≤ each
+    * probe), so there is no range-join explosion and no per-probe
+    * subquery — one custkey shuffle, one sort. FIXTURE QUIRK this
+    * query surfaces (and must stay correct under): the driver's dates
+    * are NOT TPC-H-consistent — 29k of 60k lines ship BEFORE their own
+    * order date, and (l_orderkey, l_linenumber) is NOT unique — so (a)
+    * probes older than the customer's first version are REAL and land
+    * in bucket −1 as cold-start probes (a leaking implementation would
+    * hand them the future version instead), and (b) the oracle cannot
+    * key a row_number on the probe id: it aggregates DISTINCT probe
+    * tuples with a multiplicity count and weights the rollup by it —
+    * which doubles as the cross-algorithm check (group-max match vs
+    * the window walk). Ages roll up into q131-style log2 buckets.
+    * Scale: window state is one row; the custkey key domain bounds the
+    * partition (the q92 class).
+    */
+  val q245PitFeatures: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val vers = Tables.orders(s, dir)
+        .select(col("o_custkey").as("ck"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("bigint").as("day"),
+          col("o_orderkey").as("vok"))
+        .withColumn("ver", row_number().over(
+          Window.partitionBy(col("ck")).orderBy(col("day"), col("vok")))
+          .cast("bigint"))
+      val probes = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("bigint").as("day"),
+          col("l_orderkey"), col("l_linenumber"))
+      val nulL = lit(null).cast("bigint")
+      val unioned = vers
+        .select(col("ck"), col("day"), lit(0L).as("is_probe"), col("ver"),
+          col("vok"), nulL.as("l_orderkey"), nulL.as("l_linenumber"))
+        .unionByName(probes
+          .select(col("ck"), col("day"), lit(1L).as("is_probe"),
+            nulL.as("ver"), nulL.as("vok"),
+            col("l_orderkey"), col("l_linenumber")))
+      val w = Window.partitionBy(col("ck"))
+        .orderBy(col("day"), col("is_probe"), col("ver"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val matched = unioned
+        .withColumn("m_day",
+          last(when(col("is_probe") === 0L, col("day")), ignoreNulls = true).over(w))
+        .withColumn("m_vok",
+          last(when(col("is_probe") === 0L, col("vok")), ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1L)
+      matched
+        .select(
+          when(col("m_day").isNull, lit(-1L))
+            .otherwise((length(expr("bin(day - m_day + 1)")) - 1).cast("bigint"))
+            .as("bucket"),
+          (col("day") - col("m_day")).as("age"),
+          when(col("m_vok").isNotNull && col("m_vok") =!= col("l_orderkey"), 1L)
+            .otherwise(0L).as("crossed"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("crossed")).as("n_crossed"),
+          coalesce(min(col("age")), lit(-1L)).as("min_age"),
+          coalesce(max(col("age")), lit(-1L)).as("max_age"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some("""
+      WITH v AS (SELECT o_custkey AS ck,
+                        CAST(date_diff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                        o_orderkey AS vok,
+                        CAST(row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+                          AS BIGINT) AS ver
+                 FROM orders),
+      p AS (SELECT o.o_custkey AS ck,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(l.l_shipdate AS DATE)) AS BIGINT) AS day,
+                   l.l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, 3),
+      m AS (SELECT p.ck, p.day, p.l_orderkey, p.cnt, max(v.day) AS vday
+            FROM p LEFT JOIN v ON v.ck = p.ck AND v.day <= p.day
+            GROUP BY 1, 2, 3, 4),
+      mv AS (SELECT ck, day AS vday, vok,
+                    row_number() OVER (PARTITION BY ck, day
+                         ORDER BY ver DESC) AS rn
+             FROM v),
+      a AS (SELECT CASE WHEN m.vday IS NULL THEN CAST(-1 AS BIGINT)
+                        ELSE CAST(length(bin(m.day - m.vday + 1)) - 1 AS BIGINT)
+                   END AS bucket,
+                   m.day - m.vday AS age, m.cnt,
+                   CASE WHEN mv.vok IS NOT NULL AND mv.vok <> m.l_orderkey
+                        THEN m.cnt ELSE 0 END AS crossed
+            FROM m LEFT JOIN mv
+              ON mv.ck = m.ck AND mv.vday = m.vday AND mv.rn = 1)
+      SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_lines,
+             CAST(sum(crossed) AS BIGINT) AS n_crossed,
+             CAST(coalesce(min(age), -1) AS BIGINT) AS min_age,
+             CAST(coalesce(max(age), -1) AS BIGINT) AS max_age
+      FROM a GROUP BY bucket ORDER BY bucket"""))
+
   /** Gini concentration of order value per status — the inequality
     * measure a marketplace / data-mix monitor tracks — as EXACT integer
     * sufficient statistics: with per-status ranks i over cents x_i,
@@ -7330,6 +7444,7 @@ object Catalog {
     "q241_half_life_trending" -> q241HalfLifeTrending,
     "q242_group_topk" -> q242GroupTopK,
     "q243_clustering_buckets" -> q243ClusteringBuckets,
+    "q245_pit_features" -> q245PitFeatures,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
