@@ -199,6 +199,31 @@ object ScoringStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user", "item", "action")
 
+  /** Streaming → JDBC upsert sink: the "at-least-once source +
+    * idempotent keyed sink = effectively exactly-once" production
+    * pattern (the reference pairs its consumer loop with keyed
+    * Postgres writes — run_consumer.py:159-192 +
+    * etl/load_users_from_minio.py:93-97). foreachBatch hands every
+    * micro-batch to [[graft.io.Writers.upsertJdbc]] (set-based MERGE,
+    * insert-if-absent): a batch REPLAYED after a crash-restart — the
+    * exact duplication foreachBatch's at-least-once contract permits —
+    * matches every key and inserts nothing, so the table converges to
+    * the same rows as an uninterrupted run. Scale: per batch one
+    * window dedup + partitioned batched INSERTs into a staging table
+    * and ONE set-based MERGE — no per-row round-trips.
+    */
+  def upsertSink(events: Dataset[RawEvent], url: String, driver: String,
+      table: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[RawEvent], _: Long) =>
+        graft.io.Writers.upsertJdbc(batch.toDF(), url, driver, table,
+          keys = Seq("user", "item", "action", "ts"),
+          orderCols = Seq("user", "item", "action", "ts"))
+      }
+      .start()
+
   /** Stream-static enrichment — the third streaming join shape beside
     * stream-stream (attributionJoin) and keyed-state lookup (ST2): each
     * microbatch left-joins a STATIC dimension table. No streaming state
