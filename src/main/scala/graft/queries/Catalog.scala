@@ -4106,6 +4106,102 @@ object Catalog {
       .drop("lc1", "lc2", "o1", "o2", "pid")
   }
 
+  /** Lateness of each row's event time behind the running high-water
+    * mark of all STRICTLY-EARLIER accessions — the q162 distributed
+    * prefix max with a RANGE frame (ties on the accession key see the
+    * same predecessor set on both engines, so duplicate accession keys
+    * — lineitem's replicated orderkeys — stay deterministic) and the
+    * q185 eager-barrier rule. Input (acc, tv) integer pairs; output one
+    * `late = max(0, prevmax − tv)` per row.
+    */
+  private def accessionLateness(s: SparkSession, rows: DataFrame): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val parts = rows.repartitionByRange(p, col("acc"))
+      .withColumn("pid", spark_partition_id())
+    val localPrev = Window.partitionBy(col("pid")).orderBy(col("acc"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val cum = parts
+      .withColumn("lprev", coalesce(max(col("tv")).over(localPrev), lit(0L)))
+      .localCheckpoint(true)
+    val offsets = cum.groupBy(col("pid"))
+      .agg(max(col("tv")).as("t"))
+      .withColumn("oprev", coalesce(max(col("t")).over(
+        Window.orderBy(col("pid")).rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("oprev"))
+    cum.join(broadcast(offsets), "pid")
+      .select(greatest(lit(0L),
+        greatest(col("lprev"), col("oprev")) - col("tv")).as("late"))
+  }
+
+  /** Watermark-lag audit — the measurement every `withWatermark(delay)`
+    * in the streaming layer depends on but none of the batch catalog
+    * produced: how OUT-OF-ORDER does each feed arrive? Lateness of row
+    * i = max(0, max_{j≺i} t_j − t_i) over the feed's ACCESSION order —
+    * how far behind the high-water mark the row lands, the exact
+    * quantity a watermark delay must dominate for the ST9 operators to
+    * never drop it. Two feeds through the shared [[accessionLateness]]
+    * kernel: `events` in event_id order (FINDING: the fixture feed is
+    * perfectly ordered — one bucket-0 row saying "watermark 0
+    * suffices" IS the audit's answer there) and `lineitem` ship dates
+    * in ORDERKEY accession order — the backfill-ingest shape, heavily
+    * disordered (the fixture ships lines up to years behind the
+    * running mark), which exercises the full bucket curve. The global
+    * running max never uses a partitionless window (the q162 O(n²)/
+    * single-task class): range-partition on the accession key,
+    * strictly-previous RANGE-frame local max (tie-deterministic under
+    * lineitem's duplicate orderkeys), per-partition offsets
+    * prefix-maxed behind a broadcast, q185 eager barrier. Lateness in
+    * whole SECONDS on integer arithmetic for both feeds (micros÷10⁶;
+    * day-gaps ×86400), q131-style log2 buckets per feed; the top
+    * nonempty bucket's max_late_s is that feed's watermark floor and
+    * p99 reconstructs client-side from the counts. Scale: one range
+    * exchange per feed; state is one row per partition.
+    */
+  val q246WatermarkLag: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id").as("acc"), expr("unix_micros(ts)").as("tv"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("acc"),
+          datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+            .cast("bigint").as("tv"))
+      val evLate = accessionLateness(s, ev)
+        .select(lit("events").as("feed"), expr("late div 1000000").as("late_s"))
+      val liLate = accessionLateness(s, li)
+        .select(lit("lineitem_ship").as("feed"), (col("late") * 86400L).as("late_s"))
+      evLate.unionByName(liLate)
+        .select(col("feed"),
+          (length(expr("bin(late_s + 1)")) - 1).cast("bigint").as("bucket"),
+          col("late_s"))
+        .groupBy(col("feed"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("late_s")).as("min_late_s"),
+          max(col("late_s")).as("max_late_s"))
+        .orderBy(col("feed"), col("bucket"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT event_id AS acc, epoch_us(ts) AS tv FROM events),
+      me AS (SELECT greatest(0, coalesce(max(tv) OVER (ORDER BY acc
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      - tv) // 1000000 AS late_s
+             FROM e),
+      l AS (SELECT l_orderkey AS acc,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS tv
+            FROM lineitem),
+      ml AS (SELECT greatest(0, coalesce(max(tv) OVER (ORDER BY acc
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      - tv) * 86400 AS late_s
+             FROM l),
+      u AS (SELECT 'events' AS feed, late_s FROM me
+            UNION ALL SELECT 'lineitem_ship' AS feed, late_s FROM ml)
+      SELECT feed, CAST(length(bin(late_s + 1)) - 1 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(late_s) AS BIGINT) AS min_late_s,
+             CAST(max(late_s) AS BIGINT) AS max_late_s
+      FROM u GROUP BY feed, bucket ORDER BY feed, bucket"""))
+
   val q166KsStatistic: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val rollup = foValueRollup(s, dir)
@@ -7445,6 +7541,7 @@ object Catalog {
     "q242_group_topk" -> q242GroupTopK,
     "q243_clustering_buckets" -> q243ClusteringBuckets,
     "q245_pit_features" -> q245PitFeatures,
+    "q246_watermark_lag" -> q246WatermarkLag,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
