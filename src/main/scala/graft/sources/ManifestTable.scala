@@ -1,0 +1,303 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The WRITE half of the DSv2 connector surface (SyntheticV2 covers the
+  * read half): a table format with the OBJECT-STORE-SAFE commit
+  * protocol every 100 TB sink needs —
+  *
+  *   df.write.format("graft-manifest").option("path", dir)
+  *     .mode("append" | "overwrite").save()   // DSv2: explicit mode only
+  *   spark.read.format("graft-manifest").option("path", dir)
+  *     [.option("version", n)].load()
+  *
+  * Commit protocol (the Iceberg/Delta shape in miniature, derived from
+  * the published snapshot-isolation design, not any implementation):
+  *  1. every task writes its rows to `_staging/<queryId>/part-...` —
+  *     never into the data directory;
+  *  2. task commit returns the staged file as a [[WriterCommitMessage]];
+  *     a FAILED or speculatively-duplicated task's files simply never
+  *     appear in any message (abort deletes them, but even an orphan
+  *     left behind is invisible — readers trust only the manifest);
+  *  3. driver-side `BatchWrite.commit` renames the staged files into
+  *     the data dir and then publishes `manifest-<v+1>` via
+  *     write-temp-then-atomic-rename — the ONE atomic commit point.
+  *     Append lists the previous snapshot's files plus the new ones;
+  *     truncate (SaveMode.Overwrite) lists only the new ones, leaving
+  *     prior data files in place but unreferenced.
+  *
+  * What that buys, spec'd in ManifestTableSpec: ATOMIC visibility (a
+  * reader sees the whole write or none of it), SNAPSHOT ISOLATION (a
+  * scan planned against manifest v keeps returning v's rows even if a
+  * concurrent overwrite publishes v+1 mid-read), TIME TRAVEL
+  * (`option("version", n)` reads any retained snapshot — overwrite is
+  * non-destructive), and orphan immunity (a crashed task's staging
+  * litter is never read). File payload is TSV with backslash escapes —
+  * deliberately trivial, because the CONTRACT under test is the commit
+  * protocol, not the encoding; production would swap parquet files in
+  * the same manifest frame. Local `java.io` file ops stand in for the
+  * Hadoop FileSystem calls (same rename-based protocol; on real object
+  * stores the final rename becomes a conditional PUT of the manifest).
+  *
+  * Types supported: the fixture scalar set (BIGINT/INT/DOUBLE/BOOLEAN/
+  * STRING); anything else fails fast at write planning.
+  */
+class ManifestTable extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-manifest"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = ManifestTable.pathOf(options)
+    ManifestTable.readManifest(dir, ManifestTable.versionOf(options))
+      .map(m => StructType.fromDDL(m.schemaDdl))
+      .getOrElse(sys.error(s"graft-manifest: no manifest under $dir — " +
+        "write first or pass an explicit schema"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ManifestTable.MTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+object ManifestTable {
+
+  private def pathOf(o: CaseInsensitiveStringMap): String = {
+    val p = o.get("path")
+    require(p != null && p.nonEmpty, "graft-manifest requires option(\"path\")")
+    p
+  }
+
+  private def versionOf(o: CaseInsensitiveStringMap): Option[Long] =
+    Option(o.get("version")).map(_.toLong)
+
+  /** One committed snapshot: schema + the exact data files it covers. */
+  final case class Manifest(version: Long, schemaDdl: String, files: Seq[String])
+
+  private def manifestFile(dir: String, v: Long) = new File(dir, f"manifest-$v%09d")
+
+  /** Latest (or exact) committed snapshot, or None on an empty table. */
+  def readManifest(dir: String, version: Option[Long]): Option[Manifest] = {
+    val d = new File(dir)
+    if (!d.isDirectory) return None
+    val versions = d.listFiles((f: File) => f.getName.startsWith("manifest-"))
+      .map(_.getName.stripPrefix("manifest-").toLong).sorted
+    val pick = version match {
+      case Some(v) =>
+        require(versions.contains(v),
+          s"graft-manifest: version $v not in ${versions.mkString(",")}")
+        v
+      case None if versions.isEmpty => return None
+      case None => versions.last
+    }
+    val lines = Files.readAllLines(manifestFile(dir, pick).toPath,
+      StandardCharsets.UTF_8).asScala.toSeq
+    val kv = lines.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+    }
+    Some(Manifest(pick,
+      kv.collectFirst { case ("schema", s) => s }.get,
+      kv.collect { case ("file", f) => f }))
+  }
+
+  private val okTypes: Set[DataType] =
+    Set(LongType, IntegerType, DoubleType, BooleanType, StringType)
+
+  // ---- row codec: TSV with \t \n \\ escapes, \N for NULL -------------
+  private def encode(row: InternalRow, schema: StructType): String =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i)) "\\N"
+      else f.dataType match {
+        case LongType => row.getLong(i).toString
+        case IntegerType => row.getInt(i).toString
+        case DoubleType => java.lang.Double.toString(row.getDouble(i))
+        case BooleanType => row.getBoolean(i).toString
+        case StringType => row.getUTF8String(i).toString
+          .replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+        case t => sys.error(s"unsupported type $t")
+      }
+    }.mkString("\t")
+
+  private def decode(line: String, schema: StructType): InternalRow = {
+    // split on unescaped tabs, then unescape per field
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '\\' && i + 1 < line.length) {
+        line.charAt(i + 1) match {
+          case 't' => sb.append('\t'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'N' => sb.append("\u0000NULL\u0000"); i += 2
+          case o => sb.append(o); i += 2
+        }
+      } else if (c == '\t') { parts += sb.toString; sb.setLength(0); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    parts += sb.toString
+    val vals = schema.fields.zip(parts).map { case (f, raw) =>
+      if (raw == "\u0000NULL\u0000") null
+      else f.dataType match {
+        case LongType => java.lang.Long.valueOf(raw)
+        case IntegerType => java.lang.Integer.valueOf(raw)
+        case DoubleType => java.lang.Double.valueOf(raw)
+        case BooleanType => java.lang.Boolean.valueOf(raw)
+        case StringType => UTF8String.fromString(raw)
+        case t => sys.error(s"unsupported type $t")
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  // ---- table ---------------------------------------------------------
+  private final class MTable(schema0: StructType, options: CaseInsensitiveStringMap)
+      extends Table with SupportsRead with SupportsWrite {
+    private val dir = pathOf(options)
+    // snapshot pinned at TABLE resolution (load()): scans planned from
+    // this DataFrame keep reading this version even if later commits
+    // publish newer manifests — snapshot isolation, the Delta/Iceberg
+    // analysis-time-snapshot semantics
+    private val snapshot = readManifest(dir, versionOf(options))
+    override def name(): String = s"graft_manifest($dir)"
+    override def schema(): StructType = schema0
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE)
+
+    override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new MScan(dir, schema0,
+          snapshot.map(_.files).getOrElse(Nil))
+      }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      info.schema().fields.foreach { f =>
+        require(okTypes.contains(f.dataType),
+          s"graft-manifest: unsupported column type ${f.dataType} (${f.name})")
+      }
+      new WriteBuilder with SupportsTruncate {
+        private var doTruncate = false
+        override def truncate(): WriteBuilder = { doTruncate = true; this }
+        override def build(): Write = new Write {
+          override def toBatch: BatchWrite =
+            new MBatchWrite(dir, info.schema(), info.queryId(), doTruncate)
+        }
+      }
+    }
+  }
+
+  // ---- write path ----------------------------------------------------
+  private final case class StagedFile(name: String, rows: Long)
+      extends WriterCommitMessage
+
+  private final class MBatchWrite(dir: String, schema: StructType,
+      queryId: String, truncate: Boolean) extends BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new MWriterFactory(dir, schema, queryId)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val staged = messages.collect { case StagedFile(n, _) if n.nonEmpty => n }
+      val dataDir = new File(dir, "data"); dataDir.mkdirs()
+      val moved = staged.map { s =>
+        val from = Paths.get(dir, "_staging", queryId, s)
+        val to = Paths.get(dir, "data", s)
+        Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+        s"data/$s"
+      }
+      val prev = readManifest(dir, None)
+      val files = if (truncate) moved.toSeq
+        else prev.map(_.files).getOrElse(Nil) ++ moved
+      val v = prev.map(_.version + 1).getOrElse(1L)
+      val body = (Seq(s"version=$v", s"schema=${schema.toDDL}") ++
+        files.map(f => s"file=$f")).mkString("", "\n", "\n")
+      // write-temp-then-rename: the single atomic commit point
+      val tmp = Paths.get(dir, s".manifest-$v.$queryId.tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestFile(dir, v).toPath, StandardCopyOption.ATOMIC_MOVE)
+      cleanupStaging()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      cleanupStaging()
+
+    private def cleanupStaging(): Unit = {
+      val st = new File(new File(dir, "_staging"), queryId)
+      Option(st.listFiles()).foreach(_.foreach(_.delete()))
+      st.delete()
+    }
+  }
+
+  private final class MWriterFactory(dir: String, schema: StructType,
+      queryId: String) extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      new DataWriter[InternalRow] {
+        private val name = f"part-$partitionId%05d-$taskId"
+        private var out: java.io.BufferedWriter = _
+        private var rows = 0L
+        override def write(record: InternalRow): Unit = {
+          if (out == null) {
+            val st = new File(new File(dir, "_staging"), queryId)
+            st.mkdirs()
+            out = Files.newBufferedWriter(new File(st, name).toPath,
+              StandardCharsets.UTF_8)
+          }
+          out.write(encode(record, schema)); out.write('\n'); rows += 1
+        }
+        override def commit(): WriterCommitMessage = {
+          if (out != null) out.close()
+          StagedFile(if (rows > 0) name else "", rows)
+        }
+        override def abort(): Unit = {
+          if (out != null) out.close()
+          new File(new File(new File(dir, "_staging"), queryId), name).delete()
+        }
+        override def close(): Unit = if (out != null) { out.close(); out = null }
+      }
+  }
+
+  // ---- read path -----------------------------------------------------
+  private final case class MInputPartition(file: String) extends InputPartition
+
+  private final class MScan(dir: String, schema: StructType, files: Seq[String])
+      extends Scan with Batch {
+    override def readSchema(): StructType = schema
+    override def toBatch: Batch = this
+    override def description(): String = s"graft-manifest ${files.length} files"
+    override def planInputPartitions(): Array[InputPartition] =
+      files.map(f => MInputPartition(new File(dir, f).getAbsolutePath)).toArray
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val s = schema
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private val it = Files.readAllLines(
+              Paths.get(p.asInstanceOf[MInputPartition].file),
+              StandardCharsets.UTF_8).iterator()
+            private var cur: InternalRow = _
+            override def next(): Boolean =
+              if (it.hasNext) { cur = decode(it.next(), s); true } else false
+            override def get(): InternalRow = cur
+            override def close(): Unit = ()
+          }
+      }
+    }
+  }
+}
