@@ -18,18 +18,24 @@ import org.apache.spark.sql.graft.shims
   * per-user top-N spark_jobs/batch_als_train.py).
   *
   * The stock lowering (`row_number().over(partitionBy(key).orderBy(o))
-  * <= k`, the q19/q235 shape) shuffles EVERY input row on the key and
-  * then fully sorts every group — O(n log n) comparisons and an n-row
-  * exchange to keep k rows per key. This operator is the aggregate-shaped
-  * alternative: a PARTIAL pass keeps a bounded k-row heap per key inside
-  * each input partition (map-side combine, no sort), the exchange then
-  * carries at most keysPerPartition·k rows, and a FINAL pass merges the
-  * partial heaps after a hash-clustering exchange — O(n log k) total,
-  * no SortExec anywhere.  At 100 TB this is the difference between
-  * shuffling the corpus and shuffling ≈ |keys|·k rows. Measured on the
-  * 10× sweep fixture (6M lineitems, 1k supplier keys, local[32], warm
-  * page cache, noop sink): operator 1.5-1.8 s vs window lowering
-  * 4.2-4.5 s — the exchange drops from 6M rows to ≤ 32·1000·3.
+  * <= k`, the q19/q235 shape) improved in SPARK-37099: Catalyst's
+  * WindowGroupLimit inserts partial/final per-group limits around the
+  * exchange (ExplainSpec pins it on q19), so the shuffle already
+  * carries ≈ keys·k rows. What it CANNOT remove is the sort:
+  * WindowGroupLimitExec requires sorted children, so every input
+  * partition still FULLY SORTS all its rows (O(n log n) map-side)
+  * before the limit can trim, and the final side sorts again for the
+  * window itself. This operator is the aggregate-shaped alternative: a
+  * PARTIAL pass keeps a bounded k-row heap per key inside each input
+  * partition (map-side combine, NO sort), the exchange carries at most
+  * keysPerPartition·k rows, and a FINAL pass merges the partial heaps
+  * after a hash-clustering exchange — O(n log k) total, no SortExec
+  * anywhere in the plan.  At 100 TB this is the difference between
+  * sorting the corpus per task and never sorting at all. Measured on
+  * the 10× sweep fixture (6M lineitems, 1k supplier keys, local[32],
+  * warm page cache, noop sink) AGAINST the WindowGroupLimit-optimized
+  * stock plan: operator 1.5-1.8 s vs 4.2-4.5 s — the gap is the
+  * map-side sort the stock plan keeps.
   *
   * Memory contract: per-task state is bounded by
   * distinctKeysInPartition × k row copies — the hash-aggregate class.

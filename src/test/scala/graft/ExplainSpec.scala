@@ -166,5 +166,7 @@ object ExplainSpec {
     "q188_equidepth_histogram" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q189_funnel_latency" ->
-      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count")
+      "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
+    "q246_watermark_lag" ->
+      "offset prefix-MAX over per-partition high-water marks (accessionLateness kernel, two feeds); bounded by the shuffle partition count")
 }
