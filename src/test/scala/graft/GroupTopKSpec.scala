@@ -108,6 +108,35 @@ class GroupTopKSpec extends SparkSpec {
     assert(emitted <= 37L * 3, s"partial emitted $emitted rows")
   }
 
+  test("seeded randomized parity with the window lowering across k and layouts") {
+    // partition-layout invariance: the partial/final split must give the
+    // same multiset whatever the input placement
+    for (seed <- Seq(11L, 42L, 97L); k <- Seq(1, 2, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 2000).map { i =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(40).toLong, i.toLong)
+      }
+      val base = rows.toDF("k", "v", "id")
+      val layouts = Seq(base.coalesce(1), base.repartition(3),
+        base.repartition(17), base.repartitionByRange(4, col("v")),
+        base.repartition(4, col("k")))
+      val expected = base
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rn") <= k).select("k", "v", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      layouts.foreach { df =>
+        val got = GroupTopK.topKPerKey(df,
+            Seq(col("k")), Seq(col("v").desc, col("id")), k)
+          .select("k", "v", "id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted.toSeq
+        assert(got == expected, s"seed=$seed k=$k layout mismatch")
+      }
+    }
+  }
+
   test("composite and expression keys group correctly") {
     val got = GroupTopK.topKPerKey(sample,
         Seq(col("k") % 2L, col("k") % 3L), Seq(col("id").desc), 2)
