@@ -40,7 +40,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ImageHeaders {
 
-  /** Parsed header geometry. `fmt` ∈ png|jpeg|gif|bmp. */
+  /** Parsed header geometry. `fmt` ∈ png|jpeg|gif|bmp|webp|tiff. */
   final case class Meta(fmt: String, width: Int, height: Int, channels: Int)
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
@@ -61,6 +61,12 @@ object ImageHeaders {
     else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') parseGif(b)
     else if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') parseBmp(b)
+    else if (b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+      b(11) == 'P') parseWebp(b)
+    else if (b.length >= 14 &&
+      ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M')))
+      parseTiff(b)
     else null
   }
 
@@ -133,6 +139,70 @@ object ImageHeaders {
       case _ => return null
     }
     Meta("bmp", w, h, channels)
+  }
+
+  /** WebP = RIFF container; all three frame kinds: lossy VP8 (sync-coded
+    * 14-bit dims), lossless VP8L (a packed LE u32: width−1 in bits
+    * 0-13, height−1 in 14-27, alpha hint bit 28), extended VP8X
+    * (24-bit LE canvas−1 fields, alpha = flags bit 4).
+    */
+  private def parseWebp(b: Array[Byte]): Meta = {
+    val cc = (b(12), b(13), b(14), b(15))
+    cc match {
+      case ('V', 'P', '8', ' ') if b.length >= 30 &&
+          u8(b, 23) == 0x9d && u8(b, 24) == 0x01 && u8(b, 25) == 0x2a =>
+        val w = le16(b, 26) & 0x3fff
+        val h = le16(b, 28) & 0x3fff
+        if (w == 0 || h == 0) null else Meta("webp", w, h, 3)
+      case ('V', 'P', '8', 'L') if u8(b, 20) == 0x2f =>
+        val bits = le32(b, 21).toLong & 0xffffffffL
+        val w = (bits & 0x3fff).toInt + 1
+        val h = ((bits >> 14) & 0x3fff).toInt + 1
+        Meta("webp", w, h, if (((bits >> 28) & 1L) == 1L) 4 else 3)
+      case ('V', 'P', '8', 'X') if b.length >= 30 =>
+        val w = (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16)) + 1
+        val h = (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16)) + 1
+        Meta("webp", w, h, if ((u8(b, 20) & 0x10) != 0) 4 else 3)
+      case _ => null
+    }
+  }
+
+  /** TIFF: endian tag (II little / MM big) + magic 42 + IFD walk over
+    * 12-byte entries — ImageWidth (256), ImageLength (257),
+    * SamplesPerPixel (277, default 1); inline SHORT values sit in the
+    * FIRST two bytes of the value field under both endiannesses
+    * (left-justified per the spec). Every offset bounds-checked; null
+    * on any violation, never a throw.
+    */
+  private def parseTiff(b: Array[Byte]): Meta = {
+    val le = b(0) == 'I'
+    def r16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+    def r32(i: Int): Long =
+      if (le) le32(b, i).toLong & 0xffffffffL else be32(b, i)
+    if (r16(2) != 42) return null
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = r16(ifd.toInt)
+    var w = -1; var h = -1; var spp = 1
+    var i = 0
+    while (i < n) {
+      val e = ifd.toInt + 2 + 12 * i
+      if (e + 12 > b.length) return null
+      val tag = r16(e)
+      val v = r16(e + 2) match {
+        case 3 => r16(e + 8)          // SHORT, inline
+        case 4 => r32(e + 8).toInt    // LONG, inline
+        case _ => -1                  // other types: not a geometry tag
+      }
+      tag match {
+        case 256 => w = v
+        case 257 => h = v
+        case 277 => spp = v
+        case _ => ()
+      }
+      i += 1
+    }
+    if (w <= 0 || h <= 0 || spp <= 0) null else Meta("tiff", w, h, spp)
   }
 
   /** Struct row for the Catalyst expression (shared by interpreted and

@@ -1415,6 +1415,78 @@ object PipelineCatalog {
                        ELSE 3 END AS BIGINT) AS channels
       FROM documents ORDER BY doc_id"""))
 
+  /** q119's sibling over the round-8 container additions: WebP
+    * LOSSLESS (VP8L — geometry is a PACKED little-endian u32, width−1
+    * in bits 0-13, height−1 in 14-27, alpha hint bit 28: the one
+    * header in the family whose fields are not byte-aligned, so the
+    * assembler computes the packed word arithmetically and byte-swaps
+    * it into LE on BOTH engines) and TIFF in BOTH byte orders (II
+    * little / MM big — same IFD, the 12-byte entries and inline SHORT
+    * values flip endianness wholesale; a parser that hardcodes either
+    * order fails exactly one of the two variants). Per row the query
+    * assembles genuine container bytes via codegen hex/unhex with
+    * geometry from doc fields, parses them back with
+    * [[graft.multimodal.ImageHeaders]], and the oracle recomputes the
+    * expected geometry directly — any packing/offset/endian defect
+    * hash-mismatches. Scale: map-only codegen, no shuffle before the
+    * presentation sort.
+    */
+  val q247ContainerDecode: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(16) + col("doc_id") % 1000).cast("bigint").as("w"),
+          (lit(16) + length(col("text")) % 1000).cast("bigint").as("h"))
+      val whex4 = lpad(hex(col("w")), 4, "0")
+      val hhex4 = lpad(hex(col("h")), 4, "0")
+      def le16(hex4: org.apache.spark.sql.Column) =
+        concat(substring(hex4, 3, 2), substring(hex4, 1, 2))
+      def le32(hex8: org.apache.spark.sql.Column) =
+        concat(substring(hex8, 7, 2), substring(hex8, 5, 2),
+          substring(hex8, 3, 2), substring(hex8, 1, 2))
+      // VP8L packed word: (w−1) | (h−1)<<14 | alpha<<28
+      val bits = (col("w") - 1) + (col("h") - 1) * lit(16384L) +
+        (col("doc_id") % 2) * lit(268435456L)
+      val bitsLe = le32(lpad(hex(bits), 8, "0"))
+      // SamplesPerPixel: grayscale for even ids, RGB for odd
+      val sppLe = when(col("doc_id") % 2 === 0, lit("0100")).otherwise(lit("0300"))
+      val sppBe = when(col("doc_id") % 2 === 0, lit("0001")).otherwise(lit("0003"))
+      val payloadHex = when(col("doc_id") % 3 === 0,
+          // RIFF | size | WEBP | VP8L | chunk size | 0x2F | packed LE u32
+          concat(lit("52494646" + "24000000" + "57454250" + "5650384C" +
+            "0D000000" + "2F"), bitsLe))
+        .when(col("doc_id") % 3 === 1,
+          // II LE TIFF: magic 42, IFD@8, 3 SHORT entries (256/257/277)
+          concat(lit("49492A00" + "08000000" + "0300" +
+            "00010300" + "01000000"), le16(whex4), lit("0000" +
+            "01010300" + "01000000"), le16(hhex4), lit("0000" +
+            "15010300" + "01000000"), sppLe, lit("0000" + "00000000")))
+        .otherwise(
+          // MM BE TIFF: same IFD, every field big-endian
+          concat(lit("4D4D002A" + "00000008" + "0003" +
+            "01000003" + "00000001"), whex4, lit("0000" +
+            "01010003" + "00000001"), hhex4, lit("0000" +
+            "01150003" + "00000001"), sppBe, lit("0000" + "00000000")))
+      docs.withColumn("m",
+          graft.multimodal.ImageHeaders.imageMeta(unhex(payloadHex)))
+        .select(col("doc_id"),
+          col("m.fmt").as("fmt"),
+          col("m.width").cast("bigint").as("width"),
+          col("m.height").cast("bigint").as("height"),
+          col("m.channels").cast("bigint").as("channels"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'webp' ELSE 'tiff' END AS fmt,
+             CAST(16 + doc_id % 1000 AS BIGINT) AS width,
+             CAST(16 + length(text) % 1000 AS BIGINT) AS height,
+             CAST(CASE WHEN doc_id % 3 = 0
+                       THEN CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END
+                       ELSE CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END
+                  END AS BIGINT) AS channels
+      FROM documents ORDER BY doc_id"""))
+
   /** PII detection + redaction — the curation pass every shipped
     * training corpus runs (emails, phone numbers, IP addresses →
     * typed placeholders, with per-doc match counts for the removal
@@ -4866,6 +4938,7 @@ object PipelineCatalog {
     "q238_matryoshka_audit" -> q238MatryoshkaAudit,
     "q240_contamination_report" -> q240ContaminationReport,
     "q244_textrank_keywords" -> q244TextrankKeywords,
+    "q247_container_decode" -> q247ContainerDecode,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,

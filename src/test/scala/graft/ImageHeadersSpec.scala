@@ -87,6 +87,63 @@ class ImageHeadersSpec extends SparkSpec {
     assert(ImageHeaders.parse(bmp(8, 8, 16)) == null) // 5-6-5 unsupported
   }
 
+  test("webp: all three frame kinds (lossy sync code, lossless packed word, extended canvas)") {
+    def riff(fourcc: String, tail: Int*): Array[Byte] =
+      ("RIFF".getBytes ++ bytes(0x24, 0, 0, 0) ++ "WEBP".getBytes ++
+        fourcc.getBytes ++ bytes(0x0d, 0, 0, 0) ++ bytes(tail: _*))
+    // VP8 lossy: 3-byte frame tag, sync 9D 01 2A, 14-bit LE dims
+    val lossy = riff("VP8 ", 0, 0, 0, 0x9d, 0x01, 0x2a,
+      0x20, 0x01, 0xf0, 0x00) // w=0x120=288, h=0xf0=240
+    assert(ImageHeaders.parse(lossy) == Meta("webp", 288, 240, 3))
+    // VP8L lossless: 0x2F then packed (w-1) | (h-1)<<14 | alpha<<28
+    def vp8l(w: Int, h: Int, alpha: Int): Array[Byte] = {
+      val bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+      riff("VP8L", 0x2f, bits & 0xff, (bits >> 8) & 0xff,
+        (bits >> 16) & 0xff, (bits >>> 24) & 0xff)
+    }
+    assert(ImageHeaders.parse(vp8l(800, 600, 0)) == Meta("webp", 800, 600, 3))
+    assert(ImageHeaders.parse(vp8l(16383, 1, 1)) == Meta("webp", 16383, 1, 4))
+    // VP8X extended: flags byte (bit 4 = alpha), 24-bit LE canvas-1
+    def vp8x(w: Int, h: Int, flags: Int): Array[Byte] =
+      riff("VP8X", flags, 0, 0, 0,
+        (w - 1) & 0xff, ((w - 1) >> 8) & 0xff, ((w - 1) >> 16) & 0xff,
+        (h - 1) & 0xff, ((h - 1) >> 8) & 0xff, ((h - 1) >> 16) & 0xff)
+    assert(ImageHeaders.parse(vp8x(100000, 2, 0x10)) == Meta("webp", 100000, 2, 4))
+    assert(ImageHeaders.parse(vp8x(5, 5, 0x00)) == Meta("webp", 5, 5, 3))
+    // broken sync code → null, no throw
+    val badSync = riff("VP8 ", 0, 0, 0, 0x9d, 0x01, 0x2b, 1, 0, 1, 0)
+    assert(ImageHeaders.parse(badSync) == null)
+  }
+
+  test("tiff: IFD walk under both byte orders; truncation never throws") {
+    def entryLe(tag: Int, v: Int) = bytes(tag & 0xff, tag >> 8, 3, 0,
+      1, 0, 0, 0, v & 0xff, v >> 8, 0, 0)
+    def entryBe(tag: Int, v: Int) = bytes(tag >> 8, tag & 0xff, 0, 3,
+      0, 0, 0, 1, v >> 8, v & 0xff, 0, 0)
+    val le = "II".getBytes ++ bytes(42, 0, 8, 0, 0, 0, 3, 0) ++
+      entryLe(256, 321) ++ entryLe(257, 123) ++ entryLe(277, 3) ++
+      bytes(0, 0, 0, 0)
+    assert(ImageHeaders.parse(le) == Meta("tiff", 321, 123, 3))
+    val be = "MM".getBytes ++ bytes(0, 42, 0, 0, 0, 8, 0, 3) ++
+      entryBe(256, 321) ++ entryBe(257, 123) ++ entryBe(277, 1) ++
+      bytes(0, 0, 0, 0)
+    assert(ImageHeaders.parse(be) == Meta("tiff", 321, 123, 1))
+    // SamplesPerPixel absent → defaults to 1
+    val noSpp = "II".getBytes ++ bytes(42, 0, 8, 0, 0, 0, 2, 0) ++
+      entryLe(256, 9) ++ entryLe(257, 7) ++ bytes(0, 0, 0, 0)
+    assert(ImageHeaders.parse(noSpp) == Meta("tiff", 9, 7, 1))
+    // IFD pointing past the buffer / entry count overrunning → null
+    val badIfd = "II".getBytes ++ bytes(42, 0, 0xff, 0, 0, 0)
+    assert(ImageHeaders.parse(badIfd ++ bytes(0, 0, 0, 0, 0, 0, 0, 0)) == null)
+    val overrun = "II".getBytes ++ bytes(42, 0, 8, 0, 0, 0, 9, 0) ++
+      entryLe(256, 9)
+    assert(ImageHeaders.parse(overrun) == null)
+    // wrong magic → null
+    val badMagic = "II".getBytes ++ bytes(41, 0, 8, 0, 0, 0, 0, 0) ++
+      bytes(0, 0, 0, 0)
+    assert(ImageHeaders.parse(badMagic) == null)
+  }
+
   test("garbage never throws") {
     assert(ImageHeaders.parse(null) == null)
     assert(ImageHeaders.parse(Array.empty[Byte]) == null)
