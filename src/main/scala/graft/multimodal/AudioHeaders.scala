@@ -55,7 +55,27 @@ object AudioHeaders {
       parseWav(b)
     else if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
       parseAu(b)
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      parseFlac(b)
     else null
+  }
+
+  /** FLAC STREAMINFO — the bit-packed layout (VP8L's audio sibling):
+    * after the `fLaC` magic the first metadata block must be type 0
+    * (STREAMINFO); its byte-18 word packs sample rate (20 bits),
+    * channels−1 (3), bits-per-sample−1 (5) and the high 4 bits of the
+    * total-sample count — none byte-aligned. Sample rate 0 is invalid
+    * per the spec (it marks non-audio) → null.
+    */
+  private def parseFlac(b: Array[Byte]): Meta = {
+    if (b.length < 22) return null
+    if ((u8(b, 4) & 0x7f) != 0) return null // first block must be STREAMINFO
+    val word = (u8(b, 18).toLong << 24) | (u8(b, 19) << 16) |
+      (u8(b, 20) << 8) | u8(b, 21)
+    val rate = (word >>> 12).toInt            // 20 bits
+    val channels = ((word >>> 9) & 0x7).toInt + 1
+    val bits = ((word >>> 4) & 0x1f).toInt + 1
+    if (rate == 0) null else Meta("flac", rate, channels, bits)
   }
 
   private def parseWav(b: Array[Byte]): Meta = {

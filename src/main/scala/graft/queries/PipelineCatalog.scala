@@ -1640,6 +1640,46 @@ object PipelineCatalog {
     * Scale: map-only codegen (one expression per row, no shuffle
     * before the presentation sort).
     */
+  /** FLAC STREAMINFO decode — q123's bit-packed sibling (and the audio
+    * parallel of q247's VP8L): the byte-18 word packs sample rate
+    * (20 bits), channels−1 (3) and bits-per-sample−1 (5) with NO byte
+    * alignment, so the assembler builds the packed big-endian word
+    * arithmetically on both engines (rate·2¹² + (ch−1)·2⁹ +
+    * (bps−1)·2⁴) and any shift/mask defect in the parser
+    * hash-mismatches. Channels sweep the full 3-bit range (1-8).
+    * Scale: map-only codegen, the q119/q123/q247 class.
+    */
+  val q248FlacDecode: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(8000) + (col("doc_id") % 1000) * 37).cast("bigint").as("rate"),
+          (lit(1) + col("doc_id") % 8).cast("bigint").as("ch"),
+          (lit(8) + (col("doc_id") % 3) * 8).cast("bigint").as("bits"))
+      val word = col("rate") * lit(4096L) + (col("ch") - 1) * lit(512L) +
+        (col("bits") - 1) * lit(16L)
+      val payloadHex = concat(
+        // fLaC | STREAMINFO block header (type 0, len 34) | min/max
+        // blocksize | min/max framesize | packed word | sample-count lo
+        lit("664C6143" + "00" + "000022" + "1000" + "1000" +
+          "000000" + "000000"),
+        lpad(hex(word), 8, "0"), lit("00000000"))
+      docs.withColumn("m",
+          graft.multimodal.AudioHeaders.audioMeta(unhex(payloadHex)))
+        .select(col("doc_id"),
+          col("m.fmt").as("fmt"),
+          col("m.sample_rate").cast("bigint").as("sample_rate"),
+          col("m.channels").cast("bigint").as("channels"),
+          col("m.bits_per_sample").cast("bigint").as("bits_per_sample"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id, 'flac' AS fmt,
+             CAST(8000 + (doc_id % 1000) * 37 AS BIGINT) AS sample_rate,
+             CAST(1 + doc_id % 8 AS BIGINT) AS channels,
+             CAST(8 + (doc_id % 3) * 8 AS BIGINT) AS bits_per_sample
+      FROM documents ORDER BY doc_id"""))
+
   val q123AudioHeaderDecode: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -4939,6 +4979,7 @@ object PipelineCatalog {
     "q240_contamination_report" -> q240ContaminationReport,
     "q244_textrank_keywords" -> q244TextrankKeywords,
     "q247_container_decode" -> q247ContainerDecode,
+    "q248_flac_decode" -> q248FlacDecode,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,

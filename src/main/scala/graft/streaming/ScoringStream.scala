@@ -263,6 +263,38 @@ object ScoringStream {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT-OUTER stream-stream attribution — [[attributionJoin]]'s
+    * inner form can only report conversions; the marketing question is
+    * usually the complement (which clicks did NOT convert?). The outer
+    * side has a semantics corner the inner join lacks: a null-matched
+    * click row can only emit once the engine PROVES no purchase will
+    * ever arrive — i.e. when the watermark passes the click's join
+    * window — so unmatched results are delayed by exactly the state
+    *-retention bound, while matches still emit as soon as both rows
+    * meet. Both behaviors (delayed null-match emission + its
+    * exactly-once guarantee) are pinned in StreamingSpec by advancing
+    * the watermark across batches. Same bounded state as the inner
+    * form: the time-bounded predicate + both-sided watermarks.
+    */
+  def attributionJoinOuter(events: Dataset[RawEvent],
+      horizon: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("action") === "click")
+      .select(col("user").as("c_user"), col("item").as("c_item"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val buys = events.filter(col("action") === "purchase")
+      .select(col("user").as("p_user"), col("item").as("p_item"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    clicks.join(buys,
+      col("c_user") === col("p_user") && col("c_item") === col("p_item") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("c_user").as("user"), col("c_item").as("item"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Native session windows — the streaming twin of q47's 30-minute-gap
     * sessions using the built-in `session_window` (gap-merged, grows
     * while events keep arriving, finalized once the watermark passes

@@ -77,6 +77,27 @@ class AudioHeadersSpec extends SparkSpec {
     assert(AudioHeaders.parse(short) == null)
   }
 
+  test("flac: bit-packed STREAMINFO word under shifts/masks; gates and truncation") {
+    def flac(rate: Int, ch: Int, bps: Int, blockType: Int = 0): Array[Byte] = {
+      val word = (rate.toLong << 12) | ((ch - 1) << 9) | ((bps - 1) << 4)
+      bytes(Seq[Int]('f'.toInt, 'L'.toInt, 'a'.toInt, 'C'.toInt,
+        blockType, 0x00, 0x00, 0x22,
+        0x10, 0x00, 0x10, 0x00, 0, 0, 0, 0, 0, 0,
+        ((word >>> 24) & 0xff).toInt, ((word >>> 16) & 0xff).toInt,
+        ((word >>> 8) & 0xff).toInt, (word & 0xff).toInt,
+        0, 0, 0, 0): _*)
+    }
+    assert(AudioHeaders.parse(flac(44100, 2, 16)) == Meta("flac", 44100, 2, 16))
+    // extremes of every packed field
+    assert(AudioHeaders.parse(flac(655350, 8, 32)) == Meta("flac", 655350, 8, 32))
+    assert(AudioHeaders.parse(flac(1, 1, 4)) == Meta("flac", 1, 1, 4))
+    // first block not STREAMINFO → null; rate 0 (non-audio) → null
+    assert(AudioHeaders.parse(flac(44100, 2, 16, blockType = 4)) == null)
+    assert(AudioHeaders.parse(flac(0, 2, 16)) == null)
+    // truncated before the packed word → null, never a throw
+    assert(AudioHeaders.parse(flac(44100, 2, 16).take(20)) == null)
+  }
+
   test("garbage payloads yield null, never throw") {
     assert(AudioHeaders.parse(null) == null)
     assert(AudioHeaders.parse(Array.emptyByteArray) == null)

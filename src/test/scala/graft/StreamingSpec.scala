@@ -296,6 +296,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream attribution emits null-matches only after the watermark proves them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = ScoringStream.attributionJoinOuter(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("attrib_outer").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getTimestamp(3))))
+      .toSeq
+    try {
+      input.addData(
+        RawEvent(1L, "cA", "click", ts(100)),  // will convert
+        RawEvent(2L, "cB", "click", ts(100)))  // never converts
+      q.processAllAvailable()
+      input.addData(RawEvent(1L, "cA", "purchase", ts(400)))
+      q.processAllAvailable()
+      // the match emits as soon as both rows met; cB's fate is still
+      // open (its join window has not closed), so NO null-match yet
+      assert(rows().map(t => (t._1, t._2, t._3.isDefined)).sorted ==
+        Seq((1L, "cA", true)))
+      // advance the watermark far past cB's window (click+horizon+delay)
+      input.addData(RawEvent(9L, "zz", "click", ts(5000)))
+      q.processAllAvailable()
+      input.addData(RawEvent(9L, "zz", "purchase", ts(5001)))
+      q.processAllAvailable()
+      val got = rows()
+      // exactly one delayed null-match for cB, exactly once
+      assert(got.count(t => t._1 == 2L && t._2 == "cB" && t._3.isEmpty) == 1,
+        s"got $got")
+      assert(got.count(t => t._1 == 1L && t._2 == "cA") == 1)
+    } finally q.stop()
+  }
+
   test("native session windows merge gap-bounded events and close at the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
