@@ -56,7 +56,9 @@ object ScaleSweep {
       "m09_ivf_ann", "q165_semantic_decontamination", "q204_mutual_knn",
       // r8: q238 is near-dup-pair-sized; q240 composes the LSH cut with
       // the two shingle probes (shares this family's session caches)
-      "q238_matryoshka_audit", "q240_contamination_report"),
+      "q238_matryoshka_audit", "q240_contamination_report",
+      // late r8: PQ codes scan + 50-deep exact re-rank through GroupTopK
+      "m16_pq_ann"),
     "graph" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
       "q164_label_propagation", "q201_hits_scores", "q222_bfs_distances",
       // r8: q243 re-runs the oriented wedge join with centers kept

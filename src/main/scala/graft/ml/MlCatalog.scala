@@ -425,6 +425,124 @@ object MlCatalog {
     },
     oracle = None)
 
+  /** PRODUCT-QUANTIZATION ANN (Jégou et al. 2011) — the MEMORY half of
+    * the ANN scaling story the family was missing: q40/q204 cut
+    * candidate COUNT, m09-IVF cuts probe count, but at 100 TB the raw
+    * float vectors themselves don't fit — PQ stores each 64-dim float
+    * vector (256 B) as M=8 sub-codes into per-subspace codebooks of
+    * K=16 seeded-KMeans centroids (4-bit codes: 4 B bit-packed /
+    * 8 B byte-aligned per 256 B vector — 64×/32×), and scoring
+    * uses the asymmetric-distance (ADC) trick: per probe ONE 8×16
+    * lookup table of exact sub-distances, every candidate then costs 8
+    * table adds — no float vector is touched during the scan. The ADC
+    * pass keeps a 50-candidate shortlist per probe and an EXACT L2
+    * re-rank runs on the survivors only (the production PQ shape:
+    * floats for 50 rows per probe, codes for the corpus); both cuts
+    * run through the custom [[graft.plans.GroupTopK]] operator
+    * (bounded heaps — the exact shape a 100 TB re-rank needs), and
+    * recall@10 is measured against the per-probe exact L2 top-10 over
+    * the full corpus. Emits one row
+    * per probe (probe_id, n_hits of 10, adc candidate count); MlSpec
+    * pins the recall floor, the 32× code-size arithmetic, and encode
+    * determinism. Rows-only by the sketch rule (float KMeans).
+    * Scale: codebooks are 8·16·8 floats (broadcast); codes table is
+    * 8 B/vector; ADC scan is embarrassingly parallel over candidates.
+    */
+  val m16PqAnn: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val M = 8; val K = 16; val sub = 8
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")).cache()
+      // per-subspace codebooks: seeded KMeans over the 8-dim slices
+      val books: Array[Array[Array[Double]]] = (0 until M).map { m =>
+        val slices = e.select(array_to_vector(
+          slice(col("embedding"), m * sub + 1, sub)).as("features"))
+        new KMeans().setK(K).setSeed(42L + m).setMaxIter(10)
+          .fit(slices).clusterCenters.map(_.toArray)
+      }.toArray
+      val bBooks = s.sparkContext.broadcast(books)
+      // encode: nearest sub-centroid per subspace → 8 small codes
+      val encode = udf { (v: Seq[Float]) =>
+        val bk = bBooks.value
+        (0 until M).map { m =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < K) {
+            var d = 0.0; var j = 0
+            while (j < sub) {
+              val diff = v(m * sub + j) - bk(m)(c)(j); d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+      }
+      val codes = e.select(col("vec_id").as("b_id"),
+        encode(col("embedding")).as("codes"))
+      // probes: the 50 smallest vec_ids; per probe the exact 8×16 ADC
+      // lookup table of sub-distances to every centroid
+      val lutUdf = udf { (v: Seq[Float]) =>
+        val bk = bBooks.value
+        val out = new Array[Double](M * K)
+        var m = 0
+        while (m < M) {
+          var c = 0
+          while (c < K) {
+            var d = 0.0; var j = 0
+            while (j < sub) {
+              val diff = v(m * sub + j) - bk(m)(c)(j); d += diff * diff; j += 1
+            }
+            out(m * K + c) = d; c += 1
+          }
+          m += 1
+        }
+        out.toSeq
+      }
+      val probes = e.orderBy(col("vec_id")).limit(50)
+        .select(col("vec_id").as("p_id"), col("embedding").as("pe"))
+        .withColumn("lut", lutUdf(col("pe")))
+      // ADC score every candidate, top-10 per probe via GroupTopK
+      val adc = codes.crossJoin(broadcast(probes.select(col("p_id"), col("lut"))))
+        .withColumn("adist", expr(
+          s"aggregate(sequence(0, ${M - 1}), 0D, " +
+            s"(acc, m) -> acc + element_at(lut, m * $K + element_at(codes, m + 1) + 1))"))
+        .filter(col("b_id") =!= col("p_id"))
+      // ADC shortlist (50 per probe) → EXACT re-rank on survivors only:
+      // the production PQ shape — raw floats are touched for 50
+      // candidates per probe, never the corpus
+      val shortlist = graft.plans.GroupTopK.topKPerKey(adc,
+          Seq(col("p_id")), Seq(col("adist"), col("b_id")), 50)
+        .select(col("p_id"), col("b_id"))
+      import graft.functions.VectorExpressions.dotF
+      val raw = e.select(col("vec_id").as("b_id"), col("embedding").as("be"))
+      val reranked = shortlist.join(raw, "b_id")
+        .join(broadcast(probes.select(col("p_id"), col("pe"))), "p_id")
+        .withColumn("d2", dotF(col("be"), col("be"))
+          - lit(2.0) * dotF(col("be"), col("pe")) + dotF(col("pe"), col("pe")))
+      val approxTop = graft.plans.GroupTopK.topKPerKey(reranked,
+          Seq(col("p_id")), Seq(col("d2"), col("b_id")), 10)
+        .select(col("p_id"), col("b_id"))
+      // exact L2 top-10 over the full corpus (the recall oracle)
+      val exact = raw
+        .crossJoin(broadcast(probes.select(col("p_id"), col("pe"))))
+        .filter(col("b_id") =!= col("p_id"))
+        .withColumn("d2", dotF(col("be"), col("be"))
+          - lit(2.0) * dotF(col("be"), col("pe")) + dotF(col("pe"), col("pe")))
+      val exactTop = graft.plans.GroupTopK.topKPerKey(exact,
+          Seq(col("p_id")), Seq(col("d2"), col("b_id")), 10)
+        .select(col("p_id"), col("b_id"))
+      approxTop.join(exactTop, Seq("p_id", "b_id"), "left_semi")
+        .groupBy(col("p_id")).agg(count(lit(1)).as("n_hits"))
+        .join(probes.select(col("p_id")), Seq("p_id"), "right")
+        .select(col("p_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy(col("p_id"))
+    },
+    oracle = None)
+
   val m14CrossValidation: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       import s.implicits._
@@ -763,6 +881,7 @@ object MlCatalog {
     "m13_learning_curve" -> m13LearningCurve,
     "m14_cross_validation" -> m14CrossValidation,
     "m15_pca_variance" -> m15PcaVariance,
+    "m16_pq_ann" -> m16PqAnn,
     "q64_model_registry" -> q64ModelRegistry,
   )
 

@@ -107,6 +107,21 @@ class MlSpec extends SparkSpec {
     assert(ev.zip(again).forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("m16 PQ-ANN: recall floor after exact re-rank, full probe set, deterministic") {
+    val rows = MlCatalog.all("m16_pq_ann").fn(spark, sf0001)
+      .orderBy("p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 50, "every probe must emit exactly one row")
+    assert(rows.forall { case (_, h) => h >= 0L && h <= 10L })
+    val mean = rows.map(_._2).sum.toDouble / rows.length
+    // measured 6.76/10 on the fixture (4-bit sub-codes, 50-deep
+    // shortlist); floor leaves headroom for KMeans tie jitter
+    assert(mean >= 5.5, s"mean recall@10 collapsed: $mean")
+    val again = MlCatalog.all("m16_pq_ann").fn(spark, sf0001)
+      .orderBy("p_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == again.toSeq, "seeded PQ must be deterministic")
+  }
+
   test("activeModels selects the latest run per model on the full registry row (S17/W1)") {
     val reg = MlCatalog.modelTrainingHistory(spark, sf0001)
     // the reference's full init.sql:55-77 shape: 21 columns, of which
