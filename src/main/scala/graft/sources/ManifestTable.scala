@@ -47,8 +47,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * scan planned against manifest v keeps returning v's rows even if a
   * concurrent overwrite publishes v+1 mid-read), TIME TRAVEL
   * (`option("version", n)` reads any retained snapshot — overwrite is
-  * non-destructive), and orphan immunity (a crashed task's staging
-  * litter is never read). File payload is TSV with backslash escapes —
+  * non-destructive), orphan immunity (a crashed task's staging
+  * litter is never read), and DATA SKIPPING: each task records
+  * per-numeric-column (min, max) into its commit message, the manifest
+  * carries them per file, and the scan prunes whole files whose range
+  * cannot satisfy a pushed comparison predicate before any task
+  * launches — with every filter retained post-scan, so pruning is a
+  * pure optimization. File payload is TSV with backslash escapes —
   * deliberately trivial, because the CONTRACT under test is the commit
   * protocol, not the encoding; production would swap parquet files in
   * the same manifest frame. Local `java.io` file ops stand in for the
@@ -87,8 +92,26 @@ object ManifestTable {
   private def versionOf(o: CaseInsensitiveStringMap): Option[Long] =
     Option(o.get("version")).map(_.toLong)
 
-  /** One committed snapshot: schema + the exact data files it covers. */
-  final case class Manifest(version: Long, schemaDdl: String, files: Seq[String])
+  /** One committed snapshot: schema + the exact data files it covers,
+    * each with optional per-numeric-column (min, max) stats for data
+    * skipping (the Iceberg/Delta file-pruning shape).
+    */
+  final case class FileEntry(path: String, stats: Map[String, (String, String)])
+  final case class Manifest(version: Long, schemaDdl: String, files: Seq[FileEntry])
+
+  private def encodeEntry(e: FileEntry): String =
+    (e.path +: e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"$c;$mn;$mx" }).mkString("|")
+
+  private def decodeEntry(raw: String): FileEntry = {
+    val parts = raw.split('|')
+    FileEntry(parts.head, parts.tail.flatMap { t =>
+      t.split(';') match {
+        case Array(c, mn, mx) => Some(c -> (mn, mx))
+        case _ => None
+      }
+    }.toMap)
+  }
 
   private def manifestFile(dir: String, v: Long) = new File(dir, f"manifest-$v%09d")
 
@@ -113,7 +136,7 @@ object ManifestTable {
     }
     Some(Manifest(pick,
       kv.collectFirst { case ("schema", s) => s }.get,
-      kv.collect { case ("file", f) => f }))
+      kv.collect { case ("file", f) => decodeEntry(f) }))
   }
 
   private val okTypes: Set[DataType] =
@@ -183,10 +206,7 @@ object ManifestTable {
         TableCapability.TRUNCATE)
 
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-      new ScanBuilder {
-        override def build(): Scan = new MScan(dir, schema0,
-          snapshot.map(_.files).getOrElse(Nil))
-      }
+      new MScanBuilder(dir, schema0, snapshot.map(_.files).getOrElse(Nil))
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       info.schema().fields.foreach { f =>
@@ -205,8 +225,8 @@ object ManifestTable {
   }
 
   // ---- write path ----------------------------------------------------
-  private final case class StagedFile(name: String, rows: Long)
-      extends WriterCommitMessage
+  private final case class StagedFile(name: String, rows: Long,
+      stats: Seq[(String, String, String)]) extends WriterCommitMessage
 
   private final class MBatchWrite(dir: String, schema: StructType,
       queryId: String, truncate: Boolean) extends BatchWrite {
@@ -214,20 +234,22 @@ object ManifestTable {
       new MWriterFactory(dir, schema, queryId)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val staged = messages.collect { case StagedFile(n, _) if n.nonEmpty => n }
+      val staged = messages.collect {
+        case sf: StagedFile if sf.name.nonEmpty => sf }
       val dataDir = new File(dir, "data"); dataDir.mkdirs()
-      val moved = staged.map { s =>
-        val from = Paths.get(dir, "_staging", queryId, s)
-        val to = Paths.get(dir, "data", s)
+      val moved = staged.map { sf =>
+        val from = Paths.get(dir, "_staging", queryId, sf.name)
+        val to = Paths.get(dir, "data", sf.name)
         Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
-        s"data/$s"
+        FileEntry(s"data/${sf.name}",
+          sf.stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap)
       }
       val prev = readManifest(dir, None)
       val files = if (truncate) moved.toSeq
         else prev.map(_.files).getOrElse(Nil) ++ moved
       val v = prev.map(_.version + 1).getOrElse(1L)
       val body = (Seq(s"version=$v", s"schema=${schema.toDDL}") ++
-        files.map(f => s"file=$f")).mkString("", "\n", "\n")
+        files.map(f => s"file=${encodeEntry(f)}")).mkString("", "\n", "\n")
       // write-temp-then-rename: the single atomic commit point
       val tmp = Paths.get(dir, s".manifest-$v.$queryId.tmp")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -252,6 +274,14 @@ object ManifestTable {
         private val name = f"part-$partitionId%05d-$taskId"
         private var out: java.io.BufferedWriter = _
         private var rows = 0L
+        // per-numeric-column running (min, max) for the manifest's
+        // data-skipping stats; null-valued cells don't participate
+        private val numeric = schema.fields.zipWithIndex.filter { case (f, _) =>
+          f.dataType == LongType || f.dataType == IntegerType ||
+            f.dataType == DoubleType
+        }
+        private val mins = Array.fill(numeric.length)(Double.NaN)
+        private val maxs = Array.fill(numeric.length)(Double.NaN)
         override def write(record: InternalRow): Unit = {
           if (out == null) {
             val st = new File(new File(dir, "_staging"), queryId)
@@ -259,11 +289,31 @@ object ManifestTable {
             out = Files.newBufferedWriter(new File(st, name).toPath,
               StandardCharsets.UTF_8)
           }
+          var k = 0
+          while (k < numeric.length) {
+            val (f, i) = numeric(k)
+            if (!record.isNullAt(i)) {
+              val v = f.dataType match {
+                case LongType => record.getLong(i).toDouble
+                case IntegerType => record.getInt(i).toDouble
+                case DoubleType => record.getDouble(i)
+                case _ => Double.NaN
+              }
+              if (mins(k).isNaN || v < mins(k)) mins(k) = v
+              if (maxs(k).isNaN || v > maxs(k)) maxs(k) = v
+            }
+            k += 1
+          }
           out.write(encode(record, schema)); out.write('\n'); rows += 1
         }
         override def commit(): WriterCommitMessage = {
           if (out != null) out.close()
-          StagedFile(if (rows > 0) name else "", rows)
+          val stats = numeric.indices.collect {
+            case k if !mins(k).isNaN =>
+              (numeric(k)._1.name, mins(k).toString, maxs(k).toString)
+          }.toSeq
+          StagedFile(if (rows > 0) name else "", rows,
+            if (rows > 0) stats else Nil)
         }
         override def abort(): Unit = {
           if (out != null) out.close()
@@ -276,13 +326,76 @@ object ManifestTable {
   // ---- read path -----------------------------------------------------
   private final case class MInputPartition(file: String) extends InputPartition
 
-  private final class MScan(dir: String, schema: StructType, files: Seq[String])
+  /** DATA SKIPPING: conjunctive comparison predicates on numeric
+    * columns prune whole files by the manifest's per-file (min, max)
+    * stats before any task launches — the Iceberg/Delta scan shape.
+    * Every pushed filter is also RETAINED as a post-scan filter
+    * (pushFilters returns its input), so pruning is a pure
+    * optimization and can never change results; files without stats
+    * (older manifests, all-null columns) are never pruned.
+    */
+  private final class MScanBuilder(dir: String, schema: StructType,
+      entries: Seq[FileEntry]) extends ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+    override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+        : Array[org.apache.spark.sql.sources.Filter] = {
+      pushed = filters
+      filters // every filter stays a post-scan filter; pruning is advisory
+    }
+    override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+      pushed
+    override def build(): Scan = new MScan(dir, schema, entries, pushed.toSeq)
+  }
+
+  private def survives(e: FileEntry, schema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def rng(col: String): Option[(Double, Double)] =
+      e.stats.get(col).flatMap { case (mn, mx) =>
+        try Some((mn.toDouble, mx.toDouble)) catch { case _: Exception => None }
+      }
+    def num(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => None
+    }
+    filters.forall {
+      case EqualTo(c, v) => (rng(c), num(v)) match {
+        case (Some((mn, mx)), Some(x)) => x >= mn && x <= mx
+        case _ => true
+      }
+      case GreaterThan(c, v) => (rng(c), num(v)) match {
+        case (Some((_, mx)), Some(x)) => mx > x
+        case _ => true
+      }
+      case GreaterThanOrEqual(c, v) => (rng(c), num(v)) match {
+        case (Some((_, mx)), Some(x)) => mx >= x
+        case _ => true
+      }
+      case LessThan(c, v) => (rng(c), num(v)) match {
+        case (Some((mn, _)), Some(x)) => mn < x
+        case _ => true
+      }
+      case LessThanOrEqual(c, v) => (rng(c), num(v)) match {
+        case (Some((mn, _)), Some(x)) => mn <= x
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+
+  private final class MScan(dir: String, schema: StructType,
+      entries: Seq[FileEntry],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
       extends Scan with Batch {
+    private def kept: Seq[FileEntry] =
+      entries.filter(survives(_, schema, filters))
     override def readSchema(): StructType = schema
     override def toBatch: Batch = this
-    override def description(): String = s"graft-manifest ${files.length} files"
+    override def description(): String =
+      s"graft-manifest ${kept.length}/${entries.length} files"
     override def planInputPartitions(): Array[InputPartition] =
-      files.map(f => MInputPartition(new File(dir, f).getAbsolutePath)).toArray
+      kept.map(f => MInputPartition(new File(dir, f.path).getAbsolutePath)).toArray
     override def createReaderFactory(): PartitionReaderFactory = {
       val s = schema
       new PartitionReaderFactory {

@@ -98,6 +98,29 @@ class ManifestTableSpec extends SparkSpec {
     assert(readBack(dir).collect().map(_.getString(1)).toSeq == Seq("keep"))
   }
 
+  test("data skipping: per-file min/max stats prune files before tasks launch") {
+    val dir = tmpTable()
+    // range-partitioned write → 4 files with disjoint id ranges
+    (1L to 4000L).map(i => (i, i * 2 % 97)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-manifest").option("path", dir).mode("append").save()
+    val all = readBack(dir)
+    assert(all.rdd.getNumPartitions == 4)
+    // a point predicate touches exactly one file
+    val point = all.filter(col("id") === 1500L)
+    assert(point.rdd.getNumPartitions == 1,
+      s"expected 1 pruned partition, got ${point.rdd.getNumPartitions}")
+    assert(point.count() == 1L)
+    // a range predicate prunes the low files
+    val range = all.filter(col("id") > 3900L)
+    assert(range.rdd.getNumPartitions == 1)
+    assert(range.count() == 100L)
+    // pruning never changes results: full-range predicate keeps all
+    assert(all.filter(col("id") >= 1L).count() == 4000L)
+    // a filter on a column with overlapping ranges prunes nothing
+    assert(all.filter(col("v") === 5L).rdd.getNumPartitions == 4)
+  }
+
   test("unsupported column types fail at write planning, not mid-write") {
     val dir = tmpTable()
     val err = intercept[Exception] {
