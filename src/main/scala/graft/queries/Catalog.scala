@@ -1523,6 +1523,50 @@ object Catalog {
                AS is_current
       FROM v ORDER BY o_custkey, version"""))
 
+  /** TIE-INCLUSIVE top-values cut — `dense_rank() <= 2` per return flag:
+    * the per-group cut whose result size is DATA-dependent (every row
+    * tied at the top two distinct quantity values survives), the
+    * semantics neither q19's row_number (arbitrary-k rows, ties
+    * split) nor q242's heap operator (fixed k) can express —
+    * "best-price-match all sellers at the two best price points" is
+    * this shape. Exercises SPARK-37099's OTHER WindowGroupLimit mode:
+    * rank-like functions get a tie-aware group limit pushed below the
+    * exchange (RankLimitIterator), where q19/q242 cover row_number.
+    * The survivors roll up per group (count, the two quantity values,
+    * exact cents sum) so the output is group-sized while the cut
+    * itself is exercised on every fact row. Scale: one returnflag
+    * shuffle; the group limit bounds what the final sort sees.
+    */
+  val q249DenseRankTies: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("qty").desc)
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("dr", dense_rank().over(w))
+        .filter(col("dr") <= 2)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"),
+          max(col("qty")).as("top_qty"),
+          min(col("qty")).as("second_qty"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      WITH r AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                        dense_rank() OVER (PARTITION BY l_returnflag
+                          ORDER BY CAST(l_quantity AS BIGINT) DESC) AS dr
+                 FROM lineitem)
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(max(qty) AS BIGINT) AS top_qty,
+             CAST(min(qty) AS BIGINT) AS second_qty,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM r WHERE dr <= 2
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** POINT-IN-TIME feature join — the feature-store "time travel"
     * correctness shape (reference: the as-of `history_snapshot` cut in
     * train_module.py:387-395): every lineitem probes its customer's
@@ -7542,6 +7586,7 @@ object Catalog {
     "q243_clustering_buckets" -> q243ClusteringBuckets,
     "q245_pit_features" -> q245PitFeatures,
     "q246_watermark_lag" -> q246WatermarkLag,
+    "q249_dense_rank_ties" -> q249DenseRankTies,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
