@@ -1567,6 +1567,109 @@ object Catalog {
       FROM r WHERE dr <= 2
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Feature-relevance ranking by EXACT Gini information gain — the
+    * split-quality score CART/LightGBM evaluate per candidate feature
+    * (reference: the feature-importance readout the training module
+    * logs beside its LightGBM fit, train_module.py's metric block):
+    * four discretized lineitem features are scored against the
+    * returnflag label by impurity drop
+    * `gain = (1 − Σ_y (c_y/N)²) − Σ_x (n_x/N)(1 − Σ_y (c_xy/n_x)²)`.
+    * The whole computation is rational — counts, squares, divisions —
+    * NO transcendentals (the ln-based mutual-information twin would
+    * put ln() inside the cross-engine contract, the q59-documented
+    * midpoint lottery; Gini ranks splits the same way CART does
+    * without it). Doubles ship RAW: every per-bucket term is the
+    * IDENTICAL fixed-order IEEE sequence on both engines (cast,
+    * divide, multiply, subtract) and the cross-bucket sum is a
+    * sequential left fold over the bucket list sorted by bucket value
+    * (the q230 fold contract) — bit-equal by construction, which
+    * round(6) would only endanger. Physical shape: one melt (stack)
+    * multiplies the fact scan by the 4 profiled features (the q128
+    * batching rule bounds this at width), one map-side-combined hash
+    * agg to (feature, bucket, label) cells, a cell→bucket rollup, and
+    * a feature-sized fold — the label marginal is a one-row broadcast.
+    * Scale: cell cardinality is |features|·|buckets|·|labels|, data-
+    * independent; nothing fact-sized survives the first aggregation.
+    * BIGINT headroom (q109 rule): `c²` crosses 2^63 when a single
+    * (bucket,label) cell holds >3.0e9 rows — at the 100 TB target SF
+    * the squares move to DECIMAL(38,0) on both engines.
+    */
+  val q250GiniRelevance: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("y"), expr(
+          """stack(4,
+               'discount', CAST(CAST(round(l_discount * 100) AS BIGINT) AS STRING),
+               'qtybin',   CAST(CAST(l_quantity AS BIGINT) div 10 AS STRING),
+               'shipmonth', CAST(month(to_date(l_shipdate)) AS STRING),
+               'tax',      CAST(CAST(round(l_tax * 100) AS BIGINT) AS STRING)
+             ) AS (f, x)"""))
+        .groupBy(col("f"), col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val buckets = cells.groupBy(col("f"), col("x"))
+        .agg(sum(col("c")).as("n_x"), sum(col("c") * col("c")).as("s2"))
+      val parent = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cy"))
+        .agg(sum(col("cy")).as("n_rows"), sum(col("cy") * col("cy")).as("ps2"))
+      val terms = buckets.crossJoin(broadcast(parent))
+        .withColumn("term",
+          (col("n_x").cast("double") / col("n_rows").cast("double")) *
+            (lit(1.0) - col("s2").cast("double") /
+              (col("n_x").cast("double") * col("n_x").cast("double"))))
+        .withColumn("parent_gini",
+          lit(1.0) - col("ps2").cast("double") /
+            (col("n_rows").cast("double") * col("n_rows").cast("double")))
+      terms.groupBy(col("f"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("n_rows")).as("n_rows"),
+          max(col("parent_gini")).as("parent_gini"),
+          expr("""aggregate(array_sort(collect_list(struct(x, term))),
+                 cast(0.0 as double), (a, e) -> a + e.term)""").as("child_gini"))
+        .select(col("f").as("feature"), col("n_buckets"), col("n_rows"),
+          col("parent_gini"), col("child_gini"),
+          (col("parent_gini") - col("child_gini")).as("gini_gain"))
+        .orderBy(col("feature"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT 'discount' AS f,
+               CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR) AS x,
+               l_returnflag AS y FROM lineitem
+        UNION ALL
+        SELECT 'qtybin', CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR),
+               l_returnflag FROM lineitem
+        UNION ALL
+        SELECT 'shipmonth', CAST(month(CAST(l_shipdate AS DATE)) AS VARCHAR),
+               l_returnflag FROM lineitem
+        UNION ALL
+        SELECT 'tax', CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR),
+               l_returnflag FROM lineitem),
+      cells AS (SELECT f, x, y, count(*) AS c FROM m GROUP BY f, x, y),
+      buckets AS (SELECT f, x, CAST(sum(c) AS BIGINT) AS n_x,
+                         CAST(sum(c * c) AS BIGINT) AS s2
+                  FROM cells GROUP BY f, x),
+      lab AS (SELECT l_returnflag, count(*) AS cy FROM lineitem GROUP BY 1),
+      parent AS (SELECT CAST(sum(cy) AS BIGINT) AS n_rows,
+                        CAST(sum(cy * cy) AS BIGINT) AS ps2 FROM lab),
+      terms AS (
+        SELECT b.f, b.x,
+               (CAST(b.n_x AS DOUBLE) / CAST(p.n_rows AS DOUBLE)) *
+                 (1.0 - CAST(b.s2 AS DOUBLE) /
+                   (CAST(b.n_x AS DOUBLE) * CAST(b.n_x AS DOUBLE))) AS term,
+               p.n_rows,
+               1.0 - CAST(p.ps2 AS DOUBLE) /
+                 (CAST(p.n_rows AS DOUBLE) * CAST(p.n_rows AS DOUBLE))
+                 AS parent_gini
+        FROM buckets b CROSS JOIN parent p)
+      SELECT f AS feature, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(max(n_rows) AS BIGINT) AS n_rows,
+             max(parent_gini) AS parent_gini,
+             list_reduce(list_prepend(0.0, list(term ORDER BY x)),
+               (a, b) -> a + b) AS child_gini,
+             max(parent_gini) - list_reduce(list_prepend(0.0,
+               list(term ORDER BY x)), (a, b) -> a + b) AS gini_gain
+      FROM terms GROUP BY f ORDER BY feature"""))
+
   /** POINT-IN-TIME feature join — the feature-store "time travel"
     * correctness shape (reference: the as-of `history_snapshot` cut in
     * train_module.py:387-395): every lineitem probes its customer's
@@ -7587,6 +7690,7 @@ object Catalog {
     "q245_pit_features" -> q245PitFeatures,
     "q246_watermark_lag" -> q246WatermarkLag,
     "q249_dense_rank_ties" -> q249DenseRankTies,
+    "q250_gini_relevance" -> q250GiniRelevance,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
