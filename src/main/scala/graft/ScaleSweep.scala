@@ -63,8 +63,9 @@ object ScaleSweep {
       "q164_label_propagation", "q201_hits_scores", "q222_bfs_distances",
       // r8: q243 re-runs the oriented wedge join with centers kept
       "q243_clustering_buckets",
-      // r8 session 3: four Bellman-Ford relaxations over the co-graph
-      "q251_sssp_weighted"),
+      // r8 session 3: four Bellman-Ford relaxations over the co-graph;
+      // q252 re-runs 3 LP rounds + the two endpoint-labeled joins
+      "q251_sssp_weighted", "q252_modularity"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),

@@ -1764,6 +1764,130 @@ object Catalog {
       ORDER BY round, landmark"""
     })
 
+  /** EXACT Newman modularity audit of the q164 label-propagation
+    * communities — the quality score that tells you whether a
+    * community detection run actually found structure
+    * (Q = Σ_c [e_c/m − (d_c/2m)²], Newman & Girvan 2004). The entire
+    * score stays in INTEGER arithmetic (the q49/q60 rational
+    * contract): per community the numerator contribution
+    * `4·m·e_c − d_c²` over the common denominator `4m²` — no float
+    * division ever forms, so the cross-engine compare is exact. Three
+    * LP rounds replay exactly on both engines (q164's fixed-iteration
+    * contract), then one degree rollup, one both-endpoints-labeled
+    * join for the internal-edge counts, and a community-sized
+    * aggregation. Output: the 10 largest communities' rows plus a
+    * global row (community = −1) carrying Σ q_num — the full Q
+    * numerator — beside total vertices, Σ internal edges (coverage)
+    * and d_sum = 2m (a built-in handshake check). Physical shape: the
+    * final `labels` frame feeds THREE consumers (n/d rollup + both
+    * endpoint joins) so it is eagerly materialized
+    * (`localCheckpoint(true)`, the rangePrefixSums multi-consumer
+    * rule); the endpoint joins are hash joins on the vertex key. At
+    * 100 TB the LP labels come from the same iteration and everything
+    * downstream is one vertex-keyed and one community-keyed shuffle.
+    * BIGINT headroom (q109 rule): q_den = 4m² crosses 2^63 at
+    * m ≈ 1.5×10⁹ undirected edges — past that both engines move the
+    * q columns to DECIMAL(38,0).
+    */
+  val q252Modularity: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pairs = coPairCounts(s, dir).select(col("p1"), col("p2"))
+      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to 3) {
+        val counted = edges
+          .join(broadcast(labels.select(col("v").as("dst"), col("lbl"))), "dst")
+          .groupBy(col("src"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        labels = counted
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("src").as("v"), col("lbl"))
+      }
+      labels = labels.localCheckpoint(true)
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val dc = edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .join(labels.select(col("v").as("src"), col("lbl")), "src")
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+      val ein = pairs
+        .join(labels.select(col("v").as("p1"), col("lbl").as("c1")), "p1")
+        .join(labels.select(col("v").as("p2"), col("lbl").as("c2")), "p2")
+        .filter(col("c1") === col("c2"))
+        .groupBy(col("c1").as("community")).agg(count(lit(1)).as("e_in"))
+      val comm = dc.join(ein, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"))
+        .crossJoin(broadcast(m))
+        .withColumn("q_num",
+          lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+        .withColumn("q_den", lit(4L) * col("m") * col("m"))
+        .localCheckpoint(true)
+      val top = comm
+        .orderBy(col("n_nodes").desc, col("community")).limit(10)
+        .select(col("community"), col("n_nodes"), col("e_in"),
+          col("d_sum"), col("q_num"), col("q_den"))
+      val glob = comm.groupBy(col("q_den"))
+        .agg(sum(col("n_nodes")).as("n_nodes"), sum(col("e_in")).as("e_in"),
+          sum(col("d_sum")).as("d_sum"), sum(col("q_num")).as("q_num"))
+        .select(lit(-1L).as("community"), col("n_nodes"), col("e_in"),
+          col("d_sum"), col("q_num"), col("q_den"))
+      top.unionByName(glob).orderBy(col("community"))
+    },
+    oracle = Some {
+      val rounds = (1 to 3).map { k =>
+        s"""n$k AS (SELECT e.src AS v, l.lbl, CAST(count(*) AS BIGINT) AS c
+              FROM edges e JOIN l${k - 1} l ON e.dst = l.v GROUP BY 1, 2),
+      l$k AS (SELECT v, lbl FROM (
+                SELECT v, lbl, row_number() OVER (PARTITION BY v
+                         ORDER BY c DESC, lbl) AS rn FROM n$k)
+              WHERE rn = 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+                FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk),
+      edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+      l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+      $rounds,
+      lab AS (SELECT v, lbl FROM l3),
+      mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg
+              FROM edges GROUP BY 1),
+      dc AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                    CAST(sum(d.deg) AS BIGINT) AS d_sum
+             FROM lab l JOIN deg d ON d.v = l.v GROUP BY 1),
+      ein AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+              FROM pairs p JOIN lab la ON la.v = p.src
+                           JOIN lab lb ON lb.v = p.dst
+              WHERE la.lbl = lb.lbl GROUP BY 1),
+      comm AS (SELECT d.community, d.n_nodes,
+                      CAST(coalesce(e.e_in, 0) AS BIGINT) AS e_in, d.d_sum,
+                      CAST(4 * mm.m * coalesce(e.e_in, 0)
+                           - d.d_sum * d.d_sum AS BIGINT) AS q_num,
+                      CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+               FROM dc d LEFT JOIN ein e ON e.community = d.community
+               CROSS JOIN mm)
+      SELECT * FROM (
+        SELECT community, n_nodes, e_in, d_sum, q_num, q_den
+        FROM comm ORDER BY n_nodes DESC, community LIMIT 10)
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT) AS community,
+             CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+             CAST(sum(e_in) AS BIGINT) AS e_in,
+             CAST(sum(d_sum) AS BIGINT) AS d_sum,
+             CAST(sum(q_num) AS BIGINT) AS q_num,
+             CAST(max(q_den) AS BIGINT) AS q_den
+      FROM comm
+      ORDER BY community"""
+    })
+
   /** POINT-IN-TIME feature join — the feature-store "time travel"
     * correctness shape (reference: the as-of `history_snapshot` cut in
     * train_module.py:387-395): every lineitem probes its customer's
@@ -7786,6 +7910,7 @@ object Catalog {
     "q249_dense_rank_ties" -> q249DenseRankTies,
     "q250_gini_relevance" -> q250GiniRelevance,
     "q251_sssp_weighted" -> q251SsspWeighted,
+    "q252_modularity" -> q252Modularity,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
