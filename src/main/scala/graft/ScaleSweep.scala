@@ -97,7 +97,8 @@ object ScaleSweep {
       // r8: q244 is two word-count-shaped rollups + vertex-sized score
       // joins — tracks the bigram explode volume
       "q244_textrank_keywords"),
-    "decode" -> Seq("q138_pixel_stats", "q247_container_decode", "q248_flac_decode"),
+    "decode" -> Seq("q138_pixel_stats", "q247_container_decode", "q248_flac_decode",
+      "q253_mp4_decode"),
     // decision-support classics (added r7): replicated facts with
     // copied-through dims — the broadcast-dim / single-fact-shuffle
     // claims should track the fact volume ~linearly

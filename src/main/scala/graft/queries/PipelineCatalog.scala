@@ -1680,6 +1680,73 @@ object PipelineCatalog {
              CAST(8 + (doc_id % 3) * 8 AS BIGINT) AS bits_per_sample
       FROM documents ORDER BY doc_id"""))
 
+  /** ISO-BMFF (MP4) container walk — the VIDEO third of the header
+    * family (q119/q247 images, q123/q248 audio), parsing the
+    * length-prefixed box tree with [[graft.multimodal.VideoHeaders]]:
+    * ftyp major brand, moov/mvhd timescale+duration (the exact
+    * integer pair whose ratio is the clip length — emitted as the
+    * integer `dur_s = duration div timescale`, never a float), the
+    * trak count, and the first video trak's tkhd 16.16 fixed-point
+    * geometry. Per row the query ASSEMBLES genuine container bytes
+    * via codegen hex/unhex — even ids a 1-track file, odd ids a
+    * 2-track file (video + 0×0 audio trak) with a `free` box between
+    * ftyp and moov and a trailing `mdat`, so the walk must skip
+    * unknown boxes by declared size, recurse moov→trak→tkhd, and
+    * ignore the dimensionless audio trak. The DuckDB oracle
+    * recomputes every field from the doc-id formulas directly — any
+    * box-size walk defect, wrong mvhd/tkhd offset, or fixed-point
+    * shift error hash-mismatches. Scale: map-only codegen
+    * (assemble + parse in one whole-stage span, no shuffle before
+    * the presentation sort) — the q119 class.
+    */
+  val q253Mp4Decode: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(16) + col("doc_id") % 1000).cast("bigint").as("w"),
+          (lit(16) + length(col("text")) % 1000).cast("bigint").as("h"),
+          (lit(600) + col("doc_id") % 1000).cast("bigint").as("ts"),
+          (lit(1) + col("doc_id") % 60).cast("bigint").as("dsec"))
+        .withColumn("dur", col("ts") * col("dsec"))
+      val zeros = (n: Int) => lit("0" * n)
+      def u32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      val ftyp = lit("00000010" + "66747970" + "69736F6D" + "00000200")
+      val mvhd = concat(lit("0000006C" + "6D766864" + "00000000" +
+        "00000000" + "00000000"), u32(col("ts")), u32(col("dur")), zeros(160))
+      def tkhd(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =
+        concat(lit("0000005C" + "746B6864" + "00000007"), zeros(144),
+          u32(w * 65536L), u32(h * 65536L))
+      val trakV = concat(lit("00000064" + "7472616B"), tkhd(col("w"), col("h")))
+      val trakA = concat(lit("00000064" + "7472616B"), tkhd(lit(0L), lit(0L)))
+      val mdat = lit("00000008" + "6D646174")
+      val payloadHex = when(col("doc_id") % 2 === 0,
+          concat(ftyp, lit("000000D8" + "6D6F6F76"), mvhd, trakV, mdat))
+        .otherwise(
+          concat(ftyp, lit("00000008" + "66726565"),
+            lit("0000013C" + "6D6F6F76"), mvhd, trakV, trakA, mdat))
+      docs.withColumn("m",
+          graft.multimodal.VideoHeaders.mp4Meta(unhex(payloadHex)))
+        .select(col("doc_id"),
+          col("m.brand").as("brand"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          expr("m.duration div m.timescale").as("dur_s"),
+          col("m.n_tracks").cast("bigint").as("n_tracks"),
+          col("m.width").cast("bigint").as("width"),
+          col("m.height").cast("bigint").as("height"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id, 'isom' AS brand,
+             CAST(600 + doc_id % 1000 AS BIGINT) AS timescale,
+             CAST((600 + doc_id % 1000) * (1 + doc_id % 60) AS BIGINT)
+               AS duration,
+             CAST(1 + doc_id % 60 AS BIGINT) AS dur_s,
+             CAST(1 + doc_id % 2 AS BIGINT) AS n_tracks,
+             CAST(16 + doc_id % 1000 AS BIGINT) AS width,
+             CAST(16 + length(text) % 1000 AS BIGINT) AS height
+      FROM documents ORDER BY doc_id"""))
+
   val q123AudioHeaderDecode: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -4980,6 +5047,7 @@ object PipelineCatalog {
     "q244_textrank_keywords" -> q244TextrankKeywords,
     "q247_container_decode" -> q247ContainerDecode,
     "q248_flac_decode" -> q248FlacDecode,
+    "q253_mp4_decode" -> q253Mp4Decode,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,
