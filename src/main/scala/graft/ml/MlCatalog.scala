@@ -4,6 +4,7 @@ import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, Regression
 import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
 import org.apache.spark.ml.classification.GBTClassifier
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.ml.regression.IsotonicRegression
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -302,6 +303,40 @@ object MlCatalog {
             round(avg(col("label")), 6).as("frac_pos"))
           .orderBy(col("bin"))
       },
+    oracle = None)
+
+  /** Isotonic (pool-adjacent-violators) recalibration of the m05 GBT
+    * probabilities — the step beyond m11's reliability DIAGNOSIS: fit
+    * the monotone step function g minimizing Σ(label − g(p))² over
+    * the validation scores (`spark.ml.regression.IsotonicRegression`,
+    * whose fit is the distributed parallel-PAV of Kearsley et al. —
+    * per-partition PAV then a merge pass, so the fit scales out
+    * instead of collecting scores to the driver). Emits the fitted
+    * calibration map itself: one row per knot,
+    * (knot, boundary = raw score, calibrated = g(boundary)) — the
+    * artifact a serving layer ships beside the model. Rows-only by
+    * the model-float allowlist class (m05's GBT scores underneath);
+    * IsotonicSpec pins the semantics instead: a hand-computed PAV
+    * pooling case, non-decreasing calibrated values across knots, and
+    * the optimality invariant that the isotonic fit's Brier score on
+    * the fit data is ≤ the raw model's (identity is in the feasible
+    * set, so the argmin can never lose to it). Scale: scoring is
+    * map-only over the validation set; the PAV fit shuffles once on
+    * the score sort key; the emitted knot table is bounded by the
+    * number of distinct pooled levels, not rows.
+    */
+  val m17IsotonicCalibration: QuerySpec = QuerySpec(
+    fn = (s, dir) => scopedCaches(s) {
+      import s.implicits._
+      val scored = gbtScored(s, dir, categorical = true)
+      val model = new IsotonicRegression()
+        .setFeaturesCol("p").setLabelCol("label").setIsotonic(true)
+        .fit(scored.select(col("label"), col("p")))
+      model.boundaries.toArray.zip(model.predictions.toArray).zipWithIndex
+        .map { case ((b, pr), i) => (i.toLong, b, pr) }
+        .toSeq.toDF("knot", "boundary", "calibrated")
+        .orderBy(col("knot"))
+    },
     oracle = None)
 
   /** Learning curve — validation AUC at 25/50/100% of the training
@@ -882,6 +917,7 @@ object MlCatalog {
     "m14_cross_validation" -> m14CrossValidation,
     "m15_pca_variance" -> m15PcaVariance,
     "m16_pq_ann" -> m16PqAnn,
+    "m17_isotonic_calibration" -> m17IsotonicCalibration,
     "q64_model_registry" -> q64ModelRegistry,
   )
 
