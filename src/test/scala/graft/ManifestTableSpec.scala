@@ -17,6 +17,15 @@ class ManifestTableSpec extends SparkSpec {
   private def tmpTable(): String =
     Files.createTempDirectory("graft_manifest").toString
 
+  /** Register the catalog plugin once (runtime conf — the SQL
+    * row-level commands need a TableCatalog front door).
+    */
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.graftcat",
+      classOf[graft.sources.GraftManifestCatalog].getName)
+    "graftcat"
+  }
+
   private def readBack(dir: String, version: Option[Long] = None) = {
     val r = spark.read.format("graft-manifest").option("path", dir)
     version.fold(r)(v => r.option("version", v.toString)).load()
@@ -119,6 +128,86 @@ class ManifestTableSpec extends SparkSpec {
     assert(all.filter(col("id") >= 1L).count() == 4000L)
     // a filter on a column with overlapping ranges prunes nothing
     assert(all.filter(col("v") === 5L).rdd.getNumPartitions == 4)
+  }
+
+  test("DELETE FROM: copy-on-write rewrite with a stats fast path") {
+    val dir = tmpTable()
+    (1L to 4000L).map(i => (i, s"row_$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-manifest").option("path", dir).mode("append").save()
+    val filesBefore = graft.sources.ManifestTable.readManifest(dir, None)
+      .get.files.map(_.path)
+    spark.sql(s"DELETE FROM $cat.`$dir` WHERE id > 3500 AND id <= 3800")
+    val after = readBack(dir)
+    assert(after.count() == 3700L)
+    assert(after.filter(col("id") > 3500L && col("id") <= 3800L).count() == 0L)
+    assert(after.agg(sum("id")).head().getLong(0) ==
+      8002000L - (3501L to 3800L).sum)
+    // only the one may-match file was rewritten: the other three
+    // entries carry over VERBATIM (metadata-only delete via stats)
+    val m2 = graft.sources.ManifestTable.readManifest(dir, None).get
+    assert(m2.files.count(e => filesBefore.contains(e.path)) == 3)
+    assert(m2.files.count(_.path.contains("delete-")) == 1)
+    // the rewritten file's stats were recomputed (delete range excluded)
+    val rewritten = m2.files.find(_.path.contains("delete-")).get
+    assert(rewritten.stats("id")._1.toDouble > 3000)
+    // prior snapshot still time-travels to the pre-delete rows
+    assert(readBack(dir, Some(m2.version - 1)).count() == 4000L)
+    // post-delete data skipping still works off the recomputed stats
+    assert(after.filter(col("id") === 100L).rdd.getNumPartitions == 1)
+  }
+
+  test("DELETE FROM: whole-file deletes drop entries; empty match still commits") {
+    val dir = tmpTable()
+    (1L to 1000L).map(i => (i, i % 7)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-manifest").option("path", dir).mode("append").save()
+    spark.sql(s"DELETE FROM $cat.`$dir` WHERE id <= 500")
+    val m = graft.sources.ManifestTable.readManifest(dir, None).get
+    assert(readBack(dir).count() == 500L)
+    assert(m.files.length == 2, "two fully-covered files must drop entirely")
+    // no-match delete still publishes a snapshot (DELETE committed)
+    spark.sql(s"DELETE FROM $cat.`$dir` WHERE id > 99999")
+    val m2 = graft.sources.ManifestTable.readManifest(dir, None).get
+    assert(m2.version == m.version + 1 && readBack(dir).count() == 500L)
+    // a disjunctive predicate is outside the supported dialect → refused
+    val err = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.`$dir` WHERE id = 1 OR v = 2")
+    }
+    assert(err.getMessage.toLowerCase.contains("delete"))
+  }
+
+  test("compaction bin-packs files, preserves rows and merged stats, time-travels") {
+    val dir = tmpTable()
+    // 8 commits -> 8 small files
+    (1 to 8).foreach { k =>
+      Seq(((k * 100).toLong, s"batch_$k")).toDF("id", "tag")
+        .coalesce(1).write.format("graft-manifest")
+        .option("path", dir).mode("append").save()
+    }
+    val before = readBack(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val vPre = graft.sources.ManifestTable.readManifest(dir, None).get.version
+    assert(graft.sources.ManifestTable.readManifest(dir, None).get.files.length == 8)
+    val vNew = graft.sources.ManifestTable.compact(dir)
+    val m = graft.sources.ManifestTable.readManifest(dir, None).get
+    assert(vNew == vPre + 1 && m.files.length == 1)
+    val after = readBack(dir)
+    assert(after.collect().map(r => (r.getLong(0), r.getString(1))).toSet == before)
+    // merged stats = (min of mins, max of maxs)
+    assert(m.files.head.stats("id") == ("100.0", "800.0"))
+    // the pre-compaction layout still time-travels
+    assert(readBack(dir, Some(vPre)).rdd.getNumPartitions == 8)
+    assert(readBack(dir).rdd.getNumPartitions == 1)
+    // a target size that fits two files per bin halves the count
+    val dir2 = tmpTable()
+    (1 to 4).foreach { k =>
+      Seq((k.toLong, "x" * 10)).toDF("id", "tag").coalesce(1)
+        .write.format("graft-manifest").option("path", dir2).mode("append").save()
+    }
+    val sz = new File(dir2, "data").listFiles().map(_.length()).max
+    graft.sources.ManifestTable.compact(dir2, targetBytes = sz * 2)
+    assert(graft.sources.ManifestTable.readManifest(dir2, None).get.files.length == 2)
+    assert(readBack(dir2).count() == 4L)
   }
 
   test("unsupported column types fail at write planning, not mid-write") {
