@@ -126,7 +126,7 @@ object ScaleSweep {
       "q225_trending_parts", "q226_market_concentration", "q227_native_unpivot",
       "q229_sla_compliance", "q235_lateral_topk", "q236_variant_shred",
       "q241_half_life_trending", "q242_group_topk", "q245_pit_features",
-      "q249_dense_rank_ties", "q250_gini_relevance",
+      "q249_dense_rank_ties", "q250_gini_relevance", "q254_rank_fractions",
       "q219_quantile_effect", "q220_survival_stats",
       "q221_seasonal_anomaly"),
     // line/token-granular curation (added r7): rows grow 10× but the

@@ -1888,6 +1888,52 @@ object Catalog {
       ORDER BY community"""
     })
 
+  /** The distribution-rank window trio — `ntile` (equi-count bucket
+    * assignment), `percent_rank` ((rank−1)/(n−1)) and `cume_dist`
+    * (rank_last/n) — the remaining SQL:2003 ranking functions the
+    * catalog's window family (row_number q17, lag q18, rank q19,
+    * dense_rank q249) had not yet pinned cross-engine. Partitioned by
+    * order priority over exact order-value cents with a UNIQUE sort
+    * key (cents, orderkey) so every rank — and therefore every
+    * emitted fraction — is deterministic; the fractions ship RAW
+    * (one integer division each, the identical IEEE op on both
+    * engines — the q230 bit-equal class). A modulo probe keeps the
+    * output presentation-sized while the windows still compute over
+    * every row. Scale: one priority-keyed shuffle; within-partition
+    * sort parallelizes per key — the q19 class (at corpus scale a
+    * global-ordered variant swaps in rangePrefixSums, the q97/q166
+    * distributed-CDF kernel).
+    */
+  val q254RankFractions: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .filter(pmod(col("o_orderkey"), lit(997L)) === 0)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("cents"),
+          col("quartile"), col("pr"), col("cd"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority, o_orderkey, cents, quartile, pr, cd
+      FROM (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                              o_orderkey))
+      WHERE o_orderkey % 997 = 0
+      ORDER BY o_orderpriority, o_orderkey"""))
+
   /** POINT-IN-TIME feature join — the feature-store "time travel"
     * correctness shape (reference: the as-of `history_snapshot` cut in
     * train_module.py:387-395): every lineitem probes its customer's
@@ -7911,6 +7957,7 @@ object Catalog {
     "q250_gini_relevance" -> q250GiniRelevance,
     "q251_sssp_weighted" -> q251SsspWeighted,
     "q252_modularity" -> q252Modularity,
+    "q254_rank_fractions" -> q254RankFractions,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
