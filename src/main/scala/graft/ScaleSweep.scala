@@ -127,6 +127,7 @@ object ScaleSweep {
       "q229_sla_compliance", "q235_lateral_topk", "q236_variant_shred",
       "q241_half_life_trending", "q242_group_topk", "q245_pit_features",
       "q249_dense_rank_ties", "q250_gini_relevance", "q254_rank_fractions",
+      "q255_jaro_winkler_match",
       "q219_quantile_effect", "q220_survival_stats",
       "q221_seasonal_anomaly"),
     // line/token-granular curation (added r7): rows grow 10× but the

@@ -1934,6 +1934,51 @@ object Catalog {
       WHERE o_orderkey % 997 = 0
       ORDER BY o_orderpriority, o_orderkey"""))
 
+  /** Jaro–Winkler entity-resolution scoring over the part-name
+    * vocabulary — the prefix-weighted, transposition-tolerant
+    * similarity record linkage uses where q89's levenshtein-≤2 rule
+    * is too rigid (product names share prefixes; field-swap typos are
+    * transpositions). The scorer is our own codegen Catalyst
+    * expression [[graft.functions.JaroWinkler]]; the ORACLE calls
+    * DuckDB's NATIVE `jaro_winkler_similarity` — two independent
+    * implementations of the published algorithm, and the doubles ship
+    * RAW because the op sequences were pinned bit-identical (see the
+    * expression scaladoc: fixture-wide max |Δ| = 0 plus an
+    * adversarial battery BEFORE this contract was committed). Pairs
+    * come from the DISTINCT name vocabulary (Heaps-bounded — the
+    * all-pairs is |vocab|², never |rows|²), score ≥ 0.84 survives,
+    * and each side carries its occurrence count so the output ranks
+    * by collision mass. At 100 TB the vocabulary still fits one
+    * executor's broadcast and the pair generation stays
+    * vocabulary-quadratic; a grown vocabulary swaps in q89's bigram
+    * prefix-filter as the candidate cut with this scorer as the
+    * verify. Scale: one distinct-rollup shuffle + a broadcast
+    * self-join on the tiny vocab.
+    */
+  val q255JaroWinklerMatch: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val counts = Tables.part(s, dir)
+        .groupBy(col("p_name").as("nm")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val a = counts.select(col("nm").as("n1"), col("cnt").as("cnt1"))
+      val b = counts.select(col("nm").as("n2"), col("cnt").as("cnt2"))
+      a.join(broadcast(b), col("n1") < col("n2"))
+        .withColumn("jw",
+          graft.functions.JaroWinkler.jaroWinkler(col("n1"), col("n2")))
+        .filter(col("jw") >= 0.84)
+        .select(col("n1"), col("n2"), col("jw"), col("cnt1"), col("cnt2"))
+        .orderBy(col("n1"), col("n2"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT p_name AS nm, CAST(count(*) AS BIGINT) AS cnt
+                 FROM part GROUP BY 1)
+      SELECT a.nm AS n1, b.nm AS n2,
+             jaro_winkler_similarity(a.nm, b.nm) AS jw,
+             a.cnt AS cnt1, b.cnt AS cnt2
+      FROM c a JOIN c b ON a.nm < b.nm
+      WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.84
+      ORDER BY n1, n2"""))
+
   /** POINT-IN-TIME feature join — the feature-store "time travel"
     * correctness shape (reference: the as-of `history_snapshot` cut in
     * train_module.py:387-395): every lineitem probes its customer's
@@ -7958,6 +8003,7 @@ object Catalog {
     "q251_sssp_weighted" -> q251SsspWeighted,
     "q252_modularity" -> q252Modularity,
     "q254_rank_fractions" -> q254RankFractions,
+    "q255_jaro_winkler_match" -> q255JaroWinklerMatch,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
