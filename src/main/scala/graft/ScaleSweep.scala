@@ -78,7 +78,7 @@ object ScaleSweep {
       "q170_hll_sketch_merge", "q175_audience_overlap",
       "q176_inter_event_gaps", "q179_touch_attribution",
       "q189_funnel_latency", "q198_event_trigrams", "q223_activity_histogram",
-      "q224_native_sessions",
+      "q224_native_sessions", "q256_markov_attribution",
       // r8: q246 is two distributed prefix-max range exchanges
       "q246_watermark_lag"),
     // corpus-level audits (added r7): source count is FIXED at 20 while

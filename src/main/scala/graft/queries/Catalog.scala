@@ -1979,6 +1979,160 @@ object Catalog {
       WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.84
       ORDER BY n1, n2"""))
 
+  /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
+    * the data-driven alternative to q179's positional touch rules:
+    * model user journeys as a first-order chain over touch states
+    * (START, click/error/signup/view, absorbing CONV on first
+    * purchase, NOCONV on journey end), estimate transition
+    * probabilities in integer MILLIONTHS (floored — the q85
+    * scaled-integer contract), and score each channel by how much the
+    * 6-step START→CONV absorption mass drops when that channel is
+    * REMOVED (transitions into it redirected to NOCONV, probabilities
+    * NOT renormalized — the published removal-effect definition).
+    * Everything cross-engine is integer: per-edge floor products
+    * `(mass·ppm) div 10⁶` summed per destination each step, absorbing
+    * rows carried — the DuckDB oracle replays all 5 scenarios × 6
+    * steps as generated chained CTEs. Physical shape: the fact-sized
+    * work (first-purchase cut, lag-window edge extraction, transition
+    * counts) is distributed over one user_id-keyed window; the
+    * transition matrix is |states|² ≤ 36 rows — collected and
+    * propagated on the DRIVER like m15's eigendecomposition
+    * (O(scenarios·steps·|states|²), data-independent), which is the
+    * right side of the collect rule: never rows, only the
+    * constant-size model. Journey truncation at FIRST purchase makes
+    * CONV genuinely absorbing; ties break on event_id so the walk is
+    * deterministic. Scale: one user shuffle + a 36-row collect at any
+    * SF.
+    */
+  val q256MarkovAttribution: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wOrd))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+      val j = ev.join(purch, Seq("user_id"), "left")
+        .filter(col("pts").isNull || col("ts") < col("pts") ||
+          (col("ts") === col("pts") && col("event_id") <= col("pid")))
+      val st0 = j
+        .withColumn("st", when(col("event_type") === "purchase", lit("CONV"))
+          .otherwise(col("event_type")))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .withColumn("prev", lag(col("st"), 1, "START").over(wOrd))
+      val edges = st0.select(col("prev").as("src"), col("st").as("dst"))
+        .unionByName(st0.filter(col("rn") === col("n") && col("st") =!= "CONV")
+          .select(col("st").as("src"), lit("NOCONV").as("dst")))
+      val cnt = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("src")).agg(sum(col("c")).as("t"))
+      val trans = cnt.join(tot, "src")
+        .select(col("src"), col("dst"),
+          expr("CAST((1000000 * c) div t AS BIGINT)").as("ppm"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      def absorb(removed: Option[String]): Long = {
+        val merged = trans
+          .map { case (src, dst, p) =>
+            (src, if (removed.contains(dst)) "NOCONV" else dst, p) }
+          .groupBy(t => (t._1, t._2))
+          .map { case ((src, dst), xs) => (src, dst, xs.map(_._3).sum) }
+          .toSeq
+        var mass = Map("START" -> 1000000L)
+        var conv = 0L
+        for (_ <- 1 to 6) {
+          val next = scala.collection.mutable.Map.empty[String, Long]
+            .withDefaultValue(0L)
+          for ((src, dst, p) <- merged; m = mass.getOrElse(src, 0L); if m > 0L)
+            next(dst) += m * p / 1000000L
+          conv += next("CONV")
+          next -= "CONV"; next -= "NOCONV"
+          mass = next.toMap
+        }
+        conv
+      }
+      val full = absorb(None)
+      val rows = ("full", full, 0L) +:
+        Seq("click", "error", "signup", "view").map { ch =>
+          val c = absorb(Some(ch)); (ch, c, full - c)
+        }
+      rows.toDF("scenario", "conv_ppm", "removal_effect_ppm")
+        .orderBy(col("scenario"))
+    },
+    oracle = Some {
+      val scenarios = Seq("full" -> None, "click" -> Some("click"),
+        "error" -> Some("error"), "signup" -> Some("signup"),
+        "view" -> Some("view"))
+      val scenarioCtes = scenarios.map { case (tag, removed) =>
+        val transCte = removed match {
+          case None =>
+            s"""t_$tag AS (SELECT src, dst, ppm FROM trans)"""
+          case Some(ch) =>
+            s"""t_$tag AS (SELECT src,
+                   CASE WHEN dst = '$ch' THEN 'NOCONV' ELSE dst END AS dst,
+                   CAST(sum(ppm) AS BIGINT) AS ppm
+                 FROM trans GROUP BY 1, 2)"""
+        }
+        val steps = (1 to 6).map { k =>
+          s"""p_${tag}_$k AS (SELECT dst AS st, CAST(sum(m) AS BIGINT) AS mass
+               FROM (
+                 SELECT t.dst AS dst, (p.mass * t.ppm) // 1000000 AS m
+                 FROM p_${tag}_${k - 1} p JOIN t_$tag t ON t.src = p.st
+                 UNION ALL
+                 SELECT st AS dst, mass AS m FROM p_${tag}_${k - 1}
+                 WHERE st IN ('CONV', 'NOCONV'))
+               GROUP BY 1)"""
+        }.mkString(",\n      ")
+        s"""$transCte,
+      p_${tag}_0 AS (SELECT 'START' AS st, CAST(1000000 AS BIGINT) AS mass),
+      $steps"""
+      }.mkString(",\n      ")
+      val resRows = scenarios.map { case (tag, _) =>
+        s"""SELECT '$tag' AS scenario,
+             CAST(coalesce((SELECT mass FROM p_${tag}_6 WHERE st = 'CONV'), 0)
+               AS BIGINT) AS conv_ppm"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+      fp AS (SELECT user_id, ts AS pts, event_id AS pid FROM (
+               SELECT user_id, ts, event_id, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM ev WHERE event_type = 'purchase')
+             WHERE rn = 1),
+      j AS (SELECT e.user_id, e.ts, e.event_id, e.event_type
+            FROM ev e LEFT JOIN fp ON e.user_id = fp.user_id
+            WHERE fp.user_id IS NULL OR e.ts < fp.pts
+               OR (e.ts = fp.pts AND e.event_id <= fp.pid)),
+      st AS (SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 'CONV'
+                    ELSE event_type END AS st,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n,
+               lag(CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END, 1, 'START') OVER w AS prev
+             FROM j WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      edges AS (SELECT prev AS src, st AS dst FROM st
+                UNION ALL
+                SELECT st AS src, 'NOCONV' AS dst FROM st
+                WHERE rn = n AND st <> 'CONV'),
+      cnt AS (SELECT src, dst, count(*) AS c FROM edges GROUP BY 1, 2),
+      tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+      trans AS (SELECT c.src, c.dst,
+                  CAST((1000000 * c.c) // t.t AS BIGINT) AS ppm
+                FROM cnt c JOIN tot t ON c.src = t.src),
+      $scenarioCtes,
+      res AS (
+        $resRows),
+      fullv AS (SELECT conv_ppm AS f FROM res WHERE scenario = 'full')
+      SELECT scenario, conv_ppm,
+             CAST(fullv.f - conv_ppm AS BIGINT) AS removal_effect_ppm
+      FROM res CROSS JOIN fullv
+      ORDER BY scenario"""
+    })
+
   /** POINT-IN-TIME feature join — the feature-store "time travel"
     * correctness shape (reference: the as-of `history_snapshot` cut in
     * train_module.py:387-395): every lineitem probes its customer's
@@ -8004,6 +8158,7 @@ object Catalog {
     "q252_modularity" -> q252Modularity,
     "q254_rank_fractions" -> q254RankFractions,
     "q255_jaro_winkler_match" -> q255JaroWinklerMatch,
+    "q256_markov_attribution" -> q256MarkovAttribution,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
