@@ -249,9 +249,44 @@ object ManifestTable {
       new WriteBuilder with SupportsTruncate {
         private var doTruncate = false
         override def truncate(): WriteBuilder = { doTruncate = true; this }
-        override def build(): Write = new Write {
-          override def toBatch: BatchWrite =
-            new MBatchWrite(dir, info.schema(), info.queryId(), doTruncate)
+        override def build(): Write = {
+          // option("clusterBy", "<col>"): the WRITE requests a range
+          // distribution + within-partition sort on that column from
+          // the ENGINE (RequiresDistributionAndOrdering) — Spark
+          // inserts the exchange/sort, tasks then receive disjoint
+          // value ranges, and the per-file (min, max) stats the commit
+          // records become non-overlapping: the layout knob that turns
+          // data skipping from "lucky" into "guaranteed" (the
+          // Iceberg write-distribution-mode=range shape). Absent the
+          // option the write accepts whatever layout arrives.
+          Option(info.options.get("clusterBy")) match {
+            case Some(c) =>
+              import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+              import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+              require(info.schema().fieldNames.contains(c),
+                s"graft-manifest: clusterBy column $c not in write schema")
+              val so = Expressions.sort(Expressions.column(c),
+                SortDirection.ASCENDING)
+              // clusterPartitions pins the task count (AQE otherwise
+              // coalesces a small-byte range shuffle to ONE task/file,
+              // defeating the layout — the CLAUDE.md repartition-pin
+              // rule surfacing through the DSv2 write path); 0/absent
+              // lets the engine choose, which is right at real scale
+              val parts = Option(info.options.get("clusterPartitions"))
+                .map(_.toInt).getOrElse(0)
+              new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+                override def requiredDistribution(): Distribution =
+                  Distributions.ordered(Array(so))
+                override def requiredOrdering(): Array[SortOrder] = Array(so)
+                override def requiredNumPartitions(): Int = parts
+                override def toBatch: BatchWrite =
+                  new MBatchWrite(dir, info.schema(), info.queryId(), doTruncate)
+              }
+            case None => new Write {
+              override def toBatch: BatchWrite =
+                new MBatchWrite(dir, info.schema(), info.queryId(), doTruncate)
+            }
+          }
         }
       }
     }

@@ -210,6 +210,44 @@ class ManifestTableSpec extends SparkSpec {
     assert(readBack(dir2).count() == 4L)
   }
 
+  test("clusterBy write requests a range layout from the engine; skipping becomes guaranteed") {
+    // control: a round-robin layout interleaves values -> every file's
+    // (min, max) spans the whole domain -> a point predicate prunes nothing
+    val dirA = tmpTable()
+    val df = (1L to 4000L).map(i => (i, i % 13)).toDF("id", "v")
+    df.repartition(4) // round-robin: overlapping ranges by construction
+      .write.format("graft-manifest").option("path", dirA).mode("append").save()
+    assert(readBack(dirA).filter(col("id") === 1500L).rdd.getNumPartitions == 4)
+    // clusterBy: the WRITE itself demands a range distribution + sort
+    // (RequiresDistributionAndOrdering) -> Spark re-exchanges the same
+    // round-robin input -> disjoint per-file ranges -> 1-file point scans
+    val dirB = tmpTable()
+    df.repartition(4)
+      .write.format("graft-manifest").option("path", dirB)
+      .option("clusterBy", "id").option("clusterPartitions", "4")
+      .mode("append").save()
+    val b = readBack(dirB)
+    assert(b.count() == 4000L)
+    assert(b.rdd.getNumPartitions >= 2, "engine should write multiple files")
+    assert(b.filter(col("id") === 1500L).rdd.getNumPartitions == 1,
+      "clustered layout must make the point scan single-file")
+    assert(b.filter(col("id") === 1500L).count() == 1L)
+    // per-file ranges are pairwise disjoint on the cluster column
+    val m = graft.sources.ManifestTable.readManifest(dirB, None).get
+    val ranges = m.files.map(_.stats("id")).map { case (mn, mx) =>
+      (mn.toDouble, mx.toDouble) }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $ranges")
+      case _ => ()
+    }
+    // a bogus cluster column fails at planning
+    val err = intercept[Exception] {
+      df.write.format("graft-manifest").option("path", tmpTable())
+        .option("clusterBy", "nope").mode("append").save()
+    }
+    assert(err.getMessage.contains("clusterBy"))
+  }
+
   test("unsupported column types fail at write planning, not mid-write") {
     val dir = tmpTable()
     val err = intercept[Exception] {
