@@ -96,7 +96,9 @@ object ScaleSweep {
       "q234_dedup_token_ledger", "q237_mixture_sample",
       // r8: q244 is two word-count-shaped rollups + vertex-sized score
       // joins — tracks the bigram explode volume
-      "q244_textrank_keywords"),
+      "q244_textrank_keywords",
+      // r8s3: positional-postings build + two doc-co-partitioned joins
+      "q257_phrase_search"),
     "decode" -> Seq("q138_pixel_stats", "q247_container_decode", "q248_flac_decode",
       "q253_mp4_decode"),
     // decision-support classics (added r7): replicated facts with

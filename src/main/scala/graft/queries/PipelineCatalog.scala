@@ -1747,6 +1747,85 @@ object PipelineCatalog {
              CAST(16 + length(text) % 1000 AS BIGINT) AS height
       FROM documents ORDER BY doc_id"""))
 
+  /** POSITIONAL phrase search over an inverted index with positions —
+    * the IR primitive q76 (TF-IDF) and q125 (BM25) rank single terms
+    * with and q174 counts via substring erasure: here the index
+    * itself carries (doc, position) postings and a phrase matches by
+    * the CLASSIC adjacency join (postings of word₁ ⋈ postings of
+    * word₂ on doc AND pos+1 — Manning/Raghavan/Schütze ch. 2), the
+    * algorithm a search engine actually executes against a
+    * precomputed positional index. The phrase set is SELF-DERIVED —
+    * the corpus's top-3 bigrams by occurrence (ties lexicographic) —
+    * so the query composes index-build, phrase-mining and search in
+    * one plan. Output per phrase: matched docs, total occurrences
+    * (sliding, token-aligned), and the top document (count desc, doc
+    * asc — the q59 struct-min argmax). Physical shape: ONE postings
+    * build (posexplode, localCheckpoint'd — four consumers), the
+    * bigram-mining self-join and the phrase-hit join both
+    * co-partition on doc_id, the 3-row phrase table broadcasts.
+    * Scale: postings are token-volume-sized and hash-partition by
+    * doc; the adjacency join never leaves the doc partition — at
+    * 100 TB the index is the precomputed table and only the 3-row
+    * probe side changes per query.
+    */
+  val q257PhraseSearch: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("col").as("tok"))
+        .localCheckpoint(true)
+      val nxt = toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+        col("tok").as("tok2"))
+      val bigrams = toks.join(nxt, Seq("doc_id", "pos"))
+        .groupBy(col("tok").as("w1"), col("tok2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+      val phrases = bigrams.orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(3).select(col("w1"), col("w2"))
+      val hits = toks.join(broadcast(phrases), col("tok") === col("w1"))
+        .join(nxt, Seq("doc_id", "pos"))
+        .filter(col("tok2") === col("w2"))
+        .groupBy(col("w1"), col("w2"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      hits.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occ"),
+          min(struct((-col("c")).as("nc"), col("doc_id"))).as("mx"))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("phrase"),
+          col("n_docs"), col("n_occ"),
+          col("mx.doc_id").as("top_doc"), (-col("mx.nc")).as("top_cnt"))
+        .orderBy(col("phrase"))
+    },
+    oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+                   i -> struct_pack(pos := i, tok := w[i]))) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      big AS (SELECT a.tok AS w1, b.tok AS w2, count(*) AS c
+              FROM toks a JOIN toks b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              GROUP BY 1, 2),
+      ph AS (SELECT w1, w2 FROM big ORDER BY c DESC, w1, w2 LIMIT 3),
+      perdoc AS (SELECT ph.w1, ph.w2, a.doc_id, count(*) AS c
+                 FROM toks a
+                 JOIN ph ON a.tok = ph.w1
+                 JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                            AND b.tok = ph.w2
+                 GROUP BY 1, 2, 3),
+      ranked AS (SELECT w1, w2, doc_id, c, row_number() OVER (
+                   PARTITION BY w1, w2 ORDER BY c DESC, doc_id) AS rn
+                 FROM perdoc)
+      SELECT p.w1 || ' ' || p.w2 AS phrase,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(p.c) AS BIGINT) AS n_occ,
+             CAST(max(CASE WHEN r.rn = 1 THEN r.doc_id END) AS BIGINT)
+               AS top_doc,
+             CAST(max(CASE WHEN r.rn = 1 THEN r.c END) AS BIGINT) AS top_cnt
+      FROM perdoc p JOIN ranked r
+        ON r.w1 = p.w1 AND r.w2 = p.w2 AND r.doc_id = p.doc_id
+      GROUP BY p.w1, p.w2
+      ORDER BY phrase"""))
+
   val q123AudioHeaderDecode: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -5048,6 +5127,7 @@ object PipelineCatalog {
     "q247_container_decode" -> q247ContainerDecode,
     "q248_flac_decode" -> q248FlacDecode,
     "q253_mp4_decode" -> q253Mp4Decode,
+    "q257_phrase_search" -> q257PhraseSearch,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,
