@@ -1888,6 +1888,97 @@ object Catalog {
       ORDER BY community"""
     })
 
+  /** Topology-only LINK PREDICTION over the part co-purchase graph
+    * (Liben-Nowell & Kleinberg 2007) — the "which edges are missing"
+    * question a recommender asks of its co-occurrence graph, and the
+    * complement of everything the graph family measures about edges
+    * that exist. Candidate generation runs over the k-NN
+    * SPARSIFICATION of the graph (each vertex keeps its top-8
+    * neighbors by co-count desc, id — the standard k-NN-graph
+    * preprocessing), which bounds wedge fan-out at |V|·C(8,2) = 28·|V|
+    * — LINEAR in vertices where raw wedge enumeration is Σ C(d_z,2)
+    * (quadratic in hub degree; this fixture's co-purchase graph has
+    * median degree ≈ 100–120 at every SF, so the raw form is ~180×
+    * the sparsified one). The top-8 lists are built by the custom
+    * [[graft.plans.GroupTopK]] operator — bounded map-side heaps, no
+    * per-partition sort (its third catalog consumer after q242/m16).
+    * For every pair (a,b) co-listed under ≥2 shared centers and NOT
+    * adjacent in the FULL graph, three classic scores: common-
+    * neighbor count `cn` (over the sparsified lists), preferential
+    * attachment `pa = d_a·d_b` (Barabási; full-graph degrees), and
+    * the Resource-Allocation index (Zhou, Lü & Zhang 2009) in floored
+    * integer millionths `ra_micro = Σ_z 10^6 div d_z` — RA's 1/d_z
+    * hub down-weighting made exact under the q85 scaled-integer
+    * contract (the ln-weighted Adamic–Adar twin would put a
+    * transcendental in the cross-engine compare; RA ranks the same
+    * way with one integer division per center). Plan: one (a,b)-keyed
+    * wedge rollup, an anti-join against the edge list on the same
+    * (a,b) key, then two vertex-degree joins — unhinted so AQE
+    * broadcasts the vertex table only while it fits (the q201
+    * lesson). BIGINT headroom (q109 rule): cn ≤ 28·|V| only if one
+    * pair dominated every list (real bound 2·8·…), ra_micro ≤
+    * cn·5·10^5, pa < 2^63 until degrees pass 3×10^9 — never for a
+    * part catalog. Oracle replays the identical sparsify+wedge
+    * arithmetic with row_number in place of GroupTopK (two
+    * implementations of the same top-k contract); every emitted
+    * column is a BIGINT.
+    */
+  val q258LinkPrediction: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pc = coPairCounts(s, dir)
+      val pairs = pc.select(col("p1"), col("p2"))
+      val adj = pc.select(col("p1").as("z"), col("p2").as("nb"), col("co"))
+        .unionByName(
+          pc.select(col("p2").as("z"), col("p1").as("nb"), col("co")))
+        .localCheckpoint(true)
+      val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+      val knn = graft.plans.GroupTopK.topKPerKey(
+          adj, Seq(col("z")), Seq(col("co").desc, col("nb")), 8)
+        .join(deg, "z")
+      val cand = knn.as("x").join(knn.as("y"),
+          col("x.z") === col("y.z") && col("x.nb") < col("y.nb"))
+        .groupBy(col("x.nb").as("a"), col("y.nb").as("b"))
+        .agg(count(lit(1)).as("cn"),
+          sum(expr("1000000 div x.deg")).as("ra_micro"))
+        .filter(col("cn") >= 2)
+      cand.join(pairs, cand("a") === pairs("p1") && cand("b") === pairs("p2"),
+          "left_anti")
+        .join(deg.select(col("z").as("a"), col("deg").as("d_a")), "a")
+        .join(deg.select(col("z").as("b"), col("deg").as("d_b")), "b")
+        .select(col("a"), col("b"), col("cn"), col("ra_micro"),
+          col("d_a"), col("d_b"), (col("d_a") * col("d_b")).as("pa"))
+        .orderBy(col("cn").desc, col("ra_micro").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH po AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS co
+                FROM po a JOIN po b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2),
+      adj AS (SELECT p1 AS z, p2 AS nb, co FROM pairs
+              UNION ALL SELECT p2 AS z, p1 AS nb, co FROM pairs),
+      deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      knn AS (SELECT r.z, r.nb, d.deg FROM (
+                SELECT z, nb, row_number() OVER (
+                  PARTITION BY z ORDER BY co DESC, nb) AS rn FROM adj) r
+              JOIN deg d ON d.z = r.z
+              WHERE r.rn <= 8),
+      cand AS (SELECT x.nb AS a, y.nb AS b,
+                      CAST(count(*) AS BIGINT) AS cn,
+                      CAST(sum(1000000 // x.deg) AS BIGINT) AS ra_micro
+               FROM knn x JOIN knn y ON x.z = y.z AND x.nb < y.nb
+               GROUP BY 1, 2
+               HAVING count(*) >= 2)
+      SELECT c.a, c.b, c.cn, c.ra_micro, da.deg AS d_a, db.deg AS d_b,
+             CAST(da.deg * db.deg AS BIGINT) AS pa
+      FROM cand c
+      JOIN deg da ON da.z = c.a
+      JOIN deg db ON db.z = c.b
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.p1 = c.a AND p.p2 = c.b)
+      ORDER BY cn DESC, ra_micro DESC, a, b
+      LIMIT 20"""))
+
   /** The distribution-rank window trio — `ntile` (equi-count bucket
     * assignment), `percent_rank` ((rank−1)/(n−1)) and `cume_dist`
     * (rank_last/n) — the remaining SQL:2003 ranking functions the
@@ -8159,6 +8250,7 @@ object Catalog {
     "q254_rank_fractions" -> q254RankFractions,
     "q255_jaro_winkler_match" -> q255JaroWinklerMatch,
     "q256_markov_attribution" -> q256MarkovAttribution,
+    "q258_link_prediction" -> q258LinkPrediction,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
