@@ -65,7 +65,9 @@ object ScaleSweep {
       "q243_clustering_buckets",
       // r8 session 3: four Bellman-Ford relaxations over the co-graph;
       // q252 re-runs 3 LP rounds + the two endpoint-labeled joins
-      "q251_sssp_weighted", "q252_modularity"),
+      "q251_sssp_weighted", "q252_modularity",
+      // r8s4: kNN-sparsified wedge rollup — fan-out bounded 28·|V|
+      "q258_link_prediction"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),
@@ -110,6 +112,9 @@ object ScaleSweep {
       "q154_revenue_share_parts", "q155_large_volume_orders",
       "q157_table_digest", "q159_cheapest_supplier",
       "q171_kll_sketch_merge", "q177_order_reconciliation",
+      // r8s4: bottom-64 KMV heaps + a 5-priority distinct rollup —
+      // should track the orders scan; the sketch exchange is 5·64 rows
+      "q259_kmv_distinct",
       "q178_rfm_segmentation", "q183_mode_per_group", "q184_pps_sample",
       "q185_open_orders_per_day", "q186_holt_smoothing",
       "q187_hierarchy_flatten", "q180_snapshot_diff",
