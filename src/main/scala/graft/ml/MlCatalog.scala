@@ -339,6 +339,51 @@ object MlCatalog {
     },
     oracle = None)
 
+  /** Misra–Gries heavy hitters over the document token stream — the
+    * deterministic-guarantee frequent-items summary
+    * ([[graft.functions.MisraGries]]: ≤ 32 live counters, mergeable
+    * per Agarwal et al. 2012, undercount bounded by n/(k+1)) audited
+    * beside the exact counts it approximates. Natural-text token
+    * frequencies are Zipfian, so the head words sit far above the
+    * n/(k+1) survival threshold at every fixture SF — the summary is
+    * never empty. Emits one row per surviving counter with the exact
+    * count, the stream length, and the bound verdict; `within_bound`
+    * is true by THEOREM, re-checked here per row (and property-tested
+    * against adversarial streams in MisraGriesSpec). Counter values
+    * depend on partition merge order → rows-only m* class (the sketch
+    * rule); the guarantee, not the values, is the contract. Scale:
+    * one map-side pass with k-bounded state per task, a counters-only
+    * exchange, and an exact-count join over only the ≤ k survivors —
+    * the fact table is scanned twice but never shuffled whole (the
+    * exact side shuffles ≤ |vocab| rollup rows; drop it at 100 TB
+    * and the sketch alone costs one scan + k rows of traffic).
+    */
+  val m18MisraGries: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("tok"),
+          graft.functions.VectorExpressions.polyHash(col("tok")).as("item"))
+      val k = 32
+      val mg = toks
+        .agg(graft.functions.MisraGries.agg(col("item"), k).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("mg_cnt"))
+      val exact = toks.groupBy(col("item"))
+        .agg(count(lit(1)).as("exact_cnt"), min(col("tok")).as("token"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      mg.join(exact, "item")
+        .crossJoin(broadcast(n))
+        .select(col("token"), col("item"), col("mg_cnt"), col("exact_cnt"),
+          col("n"), lit(k.toLong).as("k"),
+          (col("mg_cnt") <= col("exact_cnt") &&
+            col("exact_cnt") - col("mg_cnt") <= col("n") / lit(k + 1))
+            .as("within_bound"))
+        .orderBy(col("exact_cnt").desc, col("item"))
+    },
+    oracle = None)
+
   /** Learning curve — validation AUC at 25/50/100% of the training
     * set (nested prefixes, so each budget strictly contains the
     * smaller one): the "do we need more data" ML-ops readout that
@@ -918,6 +963,7 @@ object MlCatalog {
     "m15_pca_variance" -> m15PcaVariance,
     "m16_pq_ann" -> m16PqAnn,
     "m17_isotonic_calibration" -> m17IsotonicCalibration,
+    "m18_misra_gries" -> m18MisraGries,
     "q64_model_registry" -> q64ModelRegistry,
   )
 
