@@ -96,6 +96,9 @@ object ScaleSweep {
       "q230_mixture_weights", "q231_accession_novelty",
       "q232_quality_calibration", "q233_raking_weights",
       "q234_dedup_token_ledger", "q237_mixture_sample",
+      // r8s4: 5 greedy rounds of vocab-bounded anti-join + top-1 over
+      // the shared shingle kernel — cost tracks the shingle build
+      "q260_coverage_selection",
       // r8: q244 is two word-count-shaped rollups + vertex-sized score
       // joins — tracks the bigram explode volume
       "q244_textrank_keywords",

@@ -1922,6 +1922,99 @@ object PipelineCatalog {
             FROM arow, aex)
       ORDER BY grp"""))
 
+  /** GREEDY MAX-COVERAGE data selection (Nemhauser, Wolsey & Fisher
+    * 1978; applied to training-data subset selection à la Wei, Iyer &
+    * Bilmes 2015) — pick the 5 documents that jointly cover the most
+    * distinct TRIGRAM SHINGLES (the dedup family's unit, served from
+    * the shared [[shingleRows]] kernel — bare unigrams saturate in ONE
+    * round on this fixture's 31-word vocabulary; the shingle space is
+    * 16k–27k across SFs with ~52 per doc, so marginal gains stay
+    * meaningful all five rounds), one greedy round at a time: each
+    * round scores every unselected doc by its MARGINAL gain
+    * |shingles(doc) ∖ covered| and takes the argmax under the total
+    * (gain desc, doc_id) order. Coverage is monotone submodular, so this greedy prefix is
+    * within (1 − 1/e) of the optimal 5-subset — the curation question
+    * ("which docs to annotate/keep first") with a provable floor,
+    * where q68's quota and q237's mixture sample by FREQUENCY, not
+    * marginal novelty. Per round the plan is one token-keyed anti-join
+    * against the covered set (vocab-bounded — never fact-sized), one
+    * doc-keyed count rollup, and a global top-1 (TakeOrdered, 1 row);
+    * the selected doc's tokens fold into `covered` and the frame is
+    * localCheckpointed (the q127/q251 fixed-iteration lineage rule).
+    * Emits per round: the winner, its marginal gain, and the
+    * cumulative distinct-token coverage — all BIGINTs. The oracle
+    * replays all 5 rounds as chained CTEs (anti-joins via NOT EXISTS),
+    * the q85/q251 fixed-iteration contract. Scale: rounds are fixed at
+    * 5; each round's cost is one pass over the (doc, token) posting
+    * table co-partitioned on token — at 100 TB swap the exact argmax
+    * for the lazy-greedy priority queue (Minoux 1978) or stochastic
+    * greedy, both documented ≥ (1−1/e−ε) — the exact form stays the
+    * recall oracle.
+    */
+  val q260CoverageSelection: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val tok = shingleRows(s, dir).select(col("doc_id"),
+        col("shingle").as("tok"))
+      var covered: DataFrame = tok.select(col("tok")).limit(0)
+      var selected: DataFrame = tok.select(col("doc_id")).limit(0)
+      var trace = Vector.empty[DataFrame]
+      for (r <- 1 to 5) {
+        val winner = tok
+          .join(selected, Seq("doc_id"), "left_anti")
+          .join(covered, Seq("tok"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .localCheckpoint(true)
+        selected = selected.unionByName(winner.select(col("doc_id")))
+          .localCheckpoint(true)
+        covered = covered.unionByName(
+            tok.join(winner.select(col("doc_id")), "doc_id")
+              .select(col("tok")))
+          .distinct()
+          .localCheckpoint(true)
+        trace = trace :+ winner
+          .crossJoin(covered.agg(count(lit(1)).as("covered_total")))
+          .select(lit(r.toLong).as("round"), col("doc_id"), col("gain"),
+            col("covered_total"))
+      }
+      trace.reduce(_ unionByName _).orderBy(col("round"))
+    },
+    oracle = Some {
+      val rounds = (1 to 5).map { r =>
+        val prevSel = (1 until r).map(i => s"SELECT doc_id FROM w$i")
+          .mkString(" UNION ALL ")
+        val selPred = if (r == 1) "TRUE"
+          else s"t.doc_id NOT IN ($prevSel)"
+        val covPred = if (r == 1) "TRUE"
+          else s"NOT EXISTS (SELECT 1 FROM c${r - 1} c WHERE c.tok = t.tok)"
+        val covDef = if (r == 1)
+          s"c1 AS (SELECT DISTINCT t.tok FROM tok t JOIN w1 ON t.doc_id = w1.doc_id)"
+        else
+          s"""c$r AS (SELECT tok FROM c${r - 1}
+                UNION
+                SELECT t.tok FROM tok t JOIN w$r ON t.doc_id = w$r.doc_id)"""
+        s"""w$r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+              FROM tok t WHERE $selPred AND $covPred
+              GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+      $covDef"""
+      }.mkString(",\n      ")
+      val out = (1 to 5).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round, doc_id, gain,
+               (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS covered_total
+           FROM w$r"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      tok AS (SELECT DISTINCT doc_id, w[i]||' '||w[i+1]||' '||w[i+2] AS tok
+              FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+                    FROM w)),
+      $rounds
+      SELECT * FROM (
+        $out)
+      ORDER BY round"""
+    })
+
   val q123AudioHeaderDecode: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -5225,6 +5318,7 @@ object PipelineCatalog {
     "q253_mp4_decode" -> q253Mp4Decode,
     "q257_phrase_search" -> q257PhraseSearch,
     "q259_kmv_distinct" -> q259KmvDistinct,
+    "q260_coverage_selection" -> q260CoverageSelection,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,
