@@ -471,6 +471,92 @@ object MlCatalog {
     } finally { all.unpersist(); () }
   }
 
+  /** SPLIT-CONFORMAL prediction sets (Vovk et al. 2005; Papadopoulos
+    * et al. 2002 inductive form) over the lineitem return classifier —
+    * the distribution-free finite-sample coverage guarantee no
+    * recalibration (m11/m17) gives: with calibration nonconformity
+    * scores s_i = 1 − p̂(y_i|x_i) and q̂ = the ⌈(n+1)(1−α)⌉-th
+    * smallest s_i, the set {y : 1 − p̂(y|x) ≤ q̂} contains the true
+    * label with probability ≥ 1−α for ANY score function — the
+    * guarantee comes from exchangeability alone. Folds are the m14
+    * arithmetic split ((7·orderkey+linenumber) mod 5 — q122 RNG-free
+    * rule): 0-2 train the m14-family logistic regression, fold 3
+    * calibrates, fold 4 measures empirical coverage. Emits one row
+    * per α ∈ {0.1, 0.2}: n_cal, the exact-order-statistic q̂, and the
+    * test-fold audit (covered / singleton / both / empty set counts)
+    * — binary labels make |set| ∈ {0,1,2} the full selective-
+    * classification readout (singletons are confident decisions,
+    * "both" rows are abstentions, empties are distribution-shift
+    * alarms). Rows-only m* class (model floats); ConformalSpec pins
+    * q̂ against a locally recomputed order statistic, the ≥ 1−α−slack
+    * empirical coverage, the set-size partition, and determinism.
+    * Scale: one LR fit, two map-only scoring passes, the order
+    * statistic via TakeOrdered over the calibration fold (k rows
+    * cross the driver, never the fold), and a test-fold rollup to 4
+    * counters — nothing fact-sized shuffles.
+    */
+  private[graft] def conformal(s: SparkSession,
+      dir: String): Seq[(Long, Long, Double, Long, Long, Long, Long, Long)] = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      .withColumn("fold",
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(5)).cast("int"))
+    val withBrand = li
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val indexed = new StringIndexer().setInputCol("p_brand")
+      .setOutputCol("brand_idx").setStringOrderType("alphabetAsc")
+      .fit(withBrand).transform(withBrand)
+    val feats = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_linenumber", "brand_idx"))
+      .setOutputCol("features")
+    val all = feats.transform(indexed).select("fold", "label", "features").cache()
+    try {
+      val model = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(20).setRegParam(0.01)
+        .fit(all.filter(col("fold") <= 2))
+      val p1 = element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("probability")), 2)
+      // nonconformity of the TRUE label: 1 − p̂(y|x)
+      val cal = model.transform(all.filter(col("fold") === 3))
+        .select(when(col("label") === 1.0, lit(1.0) - p1).otherwise(p1).as("s"))
+        .cache()
+      val test = model.transform(all.filter(col("fold") === 4))
+        .select(col("label"), p1.as("p")).cache()
+      val nCal = cal.count()
+      Seq(0.10, 0.20).map { alpha =>
+        val rank = math.ceil((nCal + 1) * (1.0 - alpha)).toLong
+        val qhat =
+          if (rank > nCal) 1.0 // degenerate: every candidate label included
+          else cal.orderBy(col("s")).limit(rank.toInt)
+            .agg(max(col("s"))).head().getDouble(0)
+        val in1 = lit(1.0) - col("p") <= qhat
+        val in0 = col("p") <= qhat
+        val r = test.agg(
+          count(lit(1)).as("n_test"),
+          sum(when(col("label") === 1.0, in1.cast("long"))
+            .otherwise(in0.cast("long"))).as("covered"),
+          sum((in1 && in0).cast("long")).as("both"),
+          sum((!in1 && !in0).cast("long")).as("empty")).head()
+        val nTest = r.getLong(0)
+        val both = r.getLong(2); val empty = r.getLong(3)
+        ((alpha * 100).round, nCal, qhat, nTest, r.getLong(1),
+          nTest - both - empty, both, empty)
+      }
+    } finally { all.unpersist(); () }
+  }
+
+  val m19ConformalSets: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      scopedCaches(s) {
+        conformal(s, dir).toDF("alpha_pct", "n_cal", "qhat", "n_test",
+          "covered", "singleton", "both", "empty")
+      }
+    },
+    oracle = None)
+
   /** PCA explained-variance curve over the embedding table — the
     * dimensionality audit COMPLEMENTING q238's Matryoshka truncation
     * audit: q238 measures what PREFIX truncation of the stored vectors
@@ -964,6 +1050,7 @@ object MlCatalog {
     "m16_pq_ann" -> m16PqAnn,
     "m17_isotonic_calibration" -> m17IsotonicCalibration,
     "m18_misra_gries" -> m18MisraGries,
+    "m19_conformal_sets" -> m19ConformalSets,
     "q64_model_registry" -> q64ModelRegistry,
   )
 
