@@ -82,7 +82,10 @@ object ScaleSweep {
       "q189_funnel_latency", "q198_event_trigrams", "q223_activity_histogram",
       "q224_native_sessions", "q256_markov_attribution",
       // r8: q246 is two distributed prefix-max range exchanges
-      "q246_watermark_lag"),
+      "q246_watermark_lag",
+      // r8s4: PrefixSpan over per-user sequences — one user shuffle,
+      // projected DBs bounded by maxPatternLength=2
+      "q261_sequential_patterns"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures

@@ -2616,6 +2616,72 @@ object Catalog {
                AS prev_total
       FROM c ORDER BY prev_type, event_type"""))
 
+  /** SEQUENTIAL PATTERN MINING over per-user event streams via
+    * spark.ml.fpm.PrefixSpan (Pei et al. 2001) — the subsequence
+    * generalization of q96's adjacent-transition counts: a pattern
+    * ⟨a,b⟩ is supported by a user whose sequence contains an a-event
+    * SOMEWHERE before a b-event (gaps allowed), which is what funnel
+    * and habit mining actually ask (q78's funnel hard-codes one
+    * ordering; this mines all of them). Sequences are the per-user
+    * event types in the engine-pinned (ts micros, event_id) total
+    * order (the q96 cross-engine ordering rule), itemsets are
+    * singletons, maxPatternLength=2 — so the pattern space is
+    * |types| + |types|² and support counts are EXACT integers: the
+    * oracle re-counts every candidate with an independent
+    * EXISTS-style distinct-user self-join (two genuinely different
+    * algorithms — projected-database prefix growth vs join
+    * enumeration — per the q94 cross-algorithm rule). The support
+    * cut is applied EXPLICITLY on both sides (5·freq ≥ 2·n_users,
+    * integer arithmetic) rather than through PrefixSpan's fractional
+    * minSupport, which keeps ceil-boundary semantics out of the
+    * cross-engine contract. Scale: one user_id shuffle builds the
+    * sequences (bounded per user by the events-per-user fixture
+    * contract); PrefixSpan's projected databases grow with pattern
+    * length, pinned here at 2; the support rollup is
+    * |types|²-bounded. The length-2 self-join oracle form is the
+    * quadratic road NOT taken by the engine side.
+    */
+  val q261SequentialPatterns: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val seqs = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(expr("transform(evs, e -> array(e.event_type))")
+          .as("sequence"))
+        .localCheckpoint(true)
+      val nUsers = seqs.select(count(lit(1)).as("n_users"))
+      val ps = new org.apache.spark.ml.fpm.PrefixSpan()
+        .setMinSupport(0.001).setMaxPatternLength(2)
+        .setMaxLocalProjDBSize(32000000L)
+      ps.findFrequentSequentialPatterns(seqs)
+        .select(array_join(flatten(col("sequence")), ">").as("pattern"),
+          col("freq"))
+        .crossJoin(broadcast(nUsers))
+        .filter(col("freq") * 5 >= col("n_users") * 2)
+        .select(col("pattern"), col("freq"), col("n_users"))
+        .orderBy(col("pattern"))
+    },
+    oracle = Some("""
+      WITH ev AS (SELECT user_id, event_type,
+                         epoch_ns(ts) // 1000 AS tsm, event_id
+                  FROM events WHERE event_type IS NOT NULL),
+      u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM ev),
+      t1 AS (SELECT event_type AS pattern,
+                    CAST(count(DISTINCT user_id) AS BIGINT) AS freq
+             FROM ev GROUP BY 1),
+      t2 AS (SELECT a.event_type || '>' || b.event_type AS pattern,
+                    CAST(count(DISTINCT a.user_id) AS BIGINT) AS freq
+             FROM ev a JOIN ev b ON a.user_id = b.user_id
+              AND (a.tsm < b.tsm OR (a.tsm = b.tsm AND a.event_id < b.event_id))
+             GROUP BY 1)
+      SELECT pattern, freq, u.n_users
+      FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2) p, u
+      WHERE p.freq * 5 >= u.n_users * 2
+      ORDER BY pattern"""))
+
   /** O-family ntile surface: account-balance deciles within each market
     * segment (integer cents, total (cents, custkey) order so bucket
     * assignment is engine-exact — both engines use the standard
@@ -8251,6 +8317,7 @@ object Catalog {
     "q255_jaro_winkler_match" -> q255JaroWinklerMatch,
     "q256_markov_attribution" -> q256MarkovAttribution,
     "q258_link_prediction" -> q258LinkPrediction,
+    "q261_sequential_patterns" -> q261SequentialPatterns,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
