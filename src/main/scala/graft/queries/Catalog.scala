@@ -2070,6 +2070,83 @@ object Catalog {
       WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.84
       ORDER BY n1, n2"""))
 
+  /** UNRESTRICTED Damerau–Levenshtein scoring
+    * ([[graft.functions.Damerau]], Lowrance & Wagner 1975) pinned
+    * cross-engine against DuckDB's NATIVE `damerau_levenshtein` — the
+    * q255 two-independent-implementations pattern for the typo metric
+    * q89's plain levenshtein under-scores (a swapped adjacent pair is
+    * ONE keystroke error, not two; Damerau 1964 measured ~80% of
+    * misspellings as single-op). Two probe families over the part
+    * name vocabulary (the fixture's FIXED 64-value p_name domain —
+    * vocabulary-bounded all-pairs, the q255 shape): (a) every a<b
+    * name pair scored with BOTH dl and lev — 2016 multi-word ~25-char
+    * pairs through the full DP, any divergence in either
+    * implementation hash-mismatches; (b)
+    * per-word CONSTRUCTED variants that force the transposition path
+    * — the 3↔4 adjacent swap (dl 1 vs lev 2 when the chars differ)
+    * and the rotate-first-to-last form (the delete+insert shape a
+    * transposition chain must NOT beat) — both built from identical
+    * substring arithmetic on the two engines. Everything is integer;
+    * the variant is DL = unrestricted (d("ca","abc")=2 — verified as
+    * DuckDB's semantics before the contract was committed; OSA would
+    * give 3 and is not a metric). Scale: all-pairs is
+    * |vocab|²-bounded by contract (the q89 bigram index is the
+    * fact-scale prefilter); scoring runs inside whole-stage codegen.
+    */
+  val q262DamerauScores: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val words = Tables.part(s, dir)
+        .select(col("p_name").as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val dl = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        graft.functions.Damerau.damerau(a, b)
+      val pairs = words.select(col("w").as("n1"))
+        .join(broadcast(words.select(col("w").as("n2"))), col("n1") < col("n2"))
+        .select(col("n1"), col("n2"), lit("pair").as("kind"),
+          dl(col("n1"), col("n2")).as("dl"),
+          levenshtein(col("n1"), col("n2")).cast("bigint").as("lev"))
+      val swapped = words.filter(length(col("w")) >= 4)
+        .select(col("w").as("n1"),
+          concat(substring(col("w"), 1, 2), substring(col("w"), 4, 1),
+            substring(col("w"), 3, 1), substring(col("w"), 5, 1000000))
+            .as("n2"))
+        .select(col("n1"), col("n2"), lit("swap34").as("kind"),
+          dl(col("n1"), col("n2")).as("dl"),
+          levenshtein(col("n1"), col("n2")).cast("bigint").as("lev"))
+      val rotated = words.filter(length(col("w")) >= 4)
+        .select(col("w").as("n1"),
+          concat(substring(col("w"), 2, 1000000), substring(col("w"), 1, 1))
+            .as("n2"))
+        .select(col("n1"), col("n2"), lit("rot1").as("kind"),
+          dl(col("n1"), col("n2")).as("dl"),
+          levenshtein(col("n1"), col("n2")).cast("bigint").as("lev"))
+      pairs.unionByName(swapped).unionByName(rotated)
+        .orderBy(col("kind"), col("n1"), col("n2"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT p_name AS w,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM part GROUP BY 1),
+      pairs AS (SELECT a.w AS n1, b.w AS n2, 'pair' AS kind
+                FROM w a JOIN w b ON a.w < b.w),
+      swapped AS (SELECT w AS n1,
+                         substring(w, 1, 2) || substring(w, 4, 1) ||
+                         substring(w, 3, 1) || substring(w, 5, 1000000) AS n2,
+                         'swap34' AS kind
+                  FROM w WHERE length(w) >= 4),
+      rotated AS (SELECT w AS n1,
+                         substring(w, 2, 1000000) || substring(w, 1, 1) AS n2,
+                         'rot1' AS kind
+                  FROM w WHERE length(w) >= 4),
+      u AS (SELECT * FROM pairs UNION ALL SELECT * FROM swapped
+            UNION ALL SELECT * FROM rotated)
+      SELECT n1, n2, kind,
+             CAST(damerau_levenshtein(n1, n2) AS BIGINT) AS dl,
+             CAST(levenshtein(n1, n2) AS BIGINT) AS lev
+      FROM u
+      ORDER BY kind, n1, n2"""))
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -8318,6 +8395,7 @@ object Catalog {
     "q256_markov_attribution" -> q256MarkovAttribution,
     "q258_link_prediction" -> q258LinkPrediction,
     "q261_sequential_patterns" -> q261SequentialPatterns,
+    "q262_damerau_scores" -> q262DamerauScores,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
