@@ -99,6 +99,9 @@ object ScaleSweep {
       "q230_mixture_weights", "q231_accession_novelty",
       "q232_quality_calibration", "q233_raking_weights",
       "q234_dedup_token_ledger", "q237_mixture_sample",
+      // r8s4: 5 BPE rounds over the vocab-bounded word-freq table —
+      // should be flat in corpus size once the one freq rollup is paid
+      "q263_bpe_merges",
       // r8s4: 5 greedy rounds of vocab-bounded anti-join + top-1 over
       // the shared shingle kernel — cost tracks the shingle build
       "q260_coverage_selection",

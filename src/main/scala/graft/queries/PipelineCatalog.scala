@@ -2015,6 +2015,98 @@ object PipelineCatalog {
       ORDER BY round"""
     })
 
+  /** BPE MERGE LEARNING — five rounds of the byte-pair-encoding
+    * training loop (Sennrich, Haddow & Birch 2016), cross-engine
+    * exact: q72 computes the inner-loop STATISTIC (adjacent-pair
+    * counts); this runs the actual LOOP — count pairs over the
+    * current segmentation, merge the argmax pair everywhere, repeat —
+    * which is how a tokenizer vocabulary is actually built. The
+    * Sennrich implementation trick is load-bearing for scale: after
+    * ONE corpus pass builds the (word, freq) table, every round
+    * operates on the VOCABULARY (31 rows here; Heaps-sublinear at
+    * 100 TB), never the corpus — pair counts are freq-weighted sums.
+    * Segmentations are sentinel-delimited (`|h| |e| |l| |l| |o|`) so
+    * the merge is a plain string replace that can never match across
+    * token boundaries or inside a multi-char token (`|x| |y|` only
+    * matches whole adjacent tokens), and replace's left-to-right
+    * non-overlapping semantics — identical in Spark and DuckDB — is
+    * exactly reference BPE's greedy per-word merge order. Pair
+    * counting uses the explode→window(lead) shape (the
+    * CollapseProject rule: no HOF over a derived array), counting
+    * overlapping occurrences like the reference get_stats. Argmax tie
+    * breaks on (cnt desc, pair asc) — total, binary collation on both
+    * engines. Emits per round: winning pair, merged token, weighted
+    * count — all deterministic; the oracle replays all five rounds as
+    * chained CTEs (the q85/q251 fixed-iteration contract). Scale: one
+    * fact rollup, then 5 × (vocab-sized explode + ≤ alphabet²-keyed
+    * rollup + 1-row argmax + vocab-sized replace).
+    */
+  val q263BpeMerges: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var words = freq.withColumn("seq",
+          array_join(transform(split(col("word"), ""),
+            c => concat(lit("|"), c, lit("|"))), " "))
+        .localCheckpoint(true)
+      var trace = Vector.empty[DataFrame]
+      for (r <- 1 to 5) {
+        val wd = Window.partitionBy(col("word")).orderBy(col("pos"))
+        val winner = words
+          .select(col("word"), col("freq"),
+            posexplode(split(col("seq"), " ")).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead(col("tok"), 1).over(wd))
+          .filter(col("nxt").isNotNull)
+          .groupBy(concat(col("tok"), lit(" "), col("nxt")).as("pair"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .withColumn("merged", expr("replace(pair, '| |', '')"))
+          .localCheckpoint(true)
+        words = words
+          .crossJoin(broadcast(winner.select(col("pair"), col("merged"))))
+          .withColumn("seq", expr("replace(seq, pair, merged)"))
+          .drop("pair", "merged")
+          .localCheckpoint(true)
+        trace = trace :+ winner.select(lit(r.toLong).as("round"),
+          col("pair"), col("merged"), col("cnt"))
+      }
+      trace.reduce(_ unionByName _).orderBy(col("round"))
+    },
+    oracle = Some {
+      val rounds = (1 to 5).map { r =>
+        s"""p$r AS (SELECT t.w[i] || ' ' || t.w[i+1] AS pair,
+                     CAST(sum(t.freq) AS BIGINT) AS cnt
+              FROM (SELECT freq, string_split(seq, ' ') AS w,
+                           unnest(range(1, len(string_split(seq, ' ')))) AS i
+                    FROM w${r - 1}) t
+              GROUP BY 1),
+      g$r AS (SELECT pair, cnt, replace(pair, '| |', '') AS merged
+              FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+      w$r AS (SELECT word, freq,
+                     replace(seq, (SELECT pair FROM g$r),
+                             (SELECT merged FROM g$r)) AS seq
+              FROM w${r - 1})"""
+      }.mkString(",\n      ")
+      val out = (1 to 5).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, pair, merged, cnt FROM g$r"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH freq AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           WHERE length(word) > 0 GROUP BY 1),
+      w0 AS (SELECT word, freq,
+                    array_to_string(list_transform(
+                      string_split_regex(word, ''), c -> '|' || c || '|'),
+                      ' ') AS seq
+             FROM freq),
+      $rounds
+      SELECT * FROM (
+        $out)
+      ORDER BY round"""
+    })
+
   val q123AudioHeaderDecode: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -5319,6 +5411,7 @@ object PipelineCatalog {
     "q257_phrase_search" -> q257PhraseSearch,
     "q259_kmv_distinct" -> q259KmvDistinct,
     "q260_coverage_selection" -> q260CoverageSelection,
+    "q263_bpe_merges" -> q263BpeMerges,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,
