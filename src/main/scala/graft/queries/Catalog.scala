@@ -2147,6 +2147,107 @@ object Catalog {
       FROM u
       ORDER BY kind, n1, n2"""))
 
+  /** RENDEZVOUS (highest-random-weight) SHARDING audit (Thaler &
+    * Ravishankar 1998) — the data-placement rule that makes elastic
+    * resharding an O(1/n)-data move instead of a full reshuffle:
+    * every key goes to the shard maximizing hash(key, shard), so when
+    * a shard is REMOVED exactly its own keys move (everyone else's
+    * argmax is untouched) — the minimal-disruption law consistent
+    * hashing is usually reached for, with no ring metadata. The query
+    * assigns every customer to 8 shards and again to 7 (shard 7
+    * removed) and emits the per-shard audit: full-cluster count,
+    * reduced-cluster count, and INFLOW (keys that moved in) — the law
+    * shows up in the data as inflow summing to exactly shard 7's
+    * population and n_reduced = n_full + inflow everywhere else, all
+    * hash-compared cross-engine. The score function CANNOT be the
+    * house polynomial rolling hash: for a fixed key, the 8 shard
+    * variants of any input string differ by a fixed character
+    * pattern, and a polynomial hash maps a fixed input difference to
+    * a CONSTANT shift Δ·31^k — so h(u,s) = h(u,0) + s·C mod P, a
+    * lattice whose argmax collapses (measured: 90% of keys on one
+    * shard with a trailing shard digit; 55% with a length-varying
+    * run, which is just the orbit of x→31x+122). HRW needs per-(key,
+    * shard) NONLINEARITY, so the score is a two-round
+    * multiply-mod-P / xor-shift mixer (the murmur finalizer shape) in
+    * pure BIGINT arithmetic both engines replay: x=(x·2654435761)
+    * mod P; x^=x≫15; x=(x·1597334677) mod P; x^=x≫13 over
+    * x₀=key·8+shard+1 — measured balance 168–208 per shard on 1500
+    * keys (uniform = 187.5) with inflow spread across all seven
+    * survivors. The final ×8+shard term makes every (key, shard)
+    * score DISTINCT BY CONSTRUCTION —
+    * argmax ties cannot exist, so the cross-engine compare never
+    * meets a tie rule (scores < 8·P + 8 < 2^34, BIGINT-safe). Scale:
+    * assignment is MAP-ONLY (8 codegen hash evals per row, no
+    * shuffle, no coordination state) — at 100 TB the audit's only
+    * shuffle is the 8-key rollup; balance across shards is the
+    * uniform-hash guarantee, visible in the emitted counts.
+    */
+  val q264RendezvousSharding: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val shards = (0 to 7).map(i => lit(i.toLong)).toArray
+      val score = (sh: org.apache.spark.sql.Column) => {
+        val x0 = col("c_custkey").cast("long") * 8 + sh + 1
+        val x1 = (x0 * lit(2654435761L)) % lit(2147483647L)
+        val x2 = x1.bitwiseXOR(shiftright(x1, 15))
+        val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
+        val x4 = x3.bitwiseXOR(shiftright(x3, 13))
+        x4 * 8 + sh
+      }
+      val assigned = Tables.customer(s, dir).select(col("c_custkey"))
+        .select(col("c_custkey"),
+          explode(array(shards.map(sh =>
+            struct(score(sh).as("sc"), sh.as("shard"))): _*)).as("e"))
+        .select(col("c_custkey"), col("e.sc"), col("e.shard"))
+        .groupBy(col("c_custkey"))
+        .agg(
+          max(struct(col("sc"), col("shard"))).getField("shard").as("full"),
+          max(when(col("shard") < 7, struct(col("sc"), col("shard"))))
+            .getField("shard").as("reduced"))
+        .localCheckpoint(true)
+      val nFull = assigned.groupBy(col("full").as("shard"))
+        .agg(count(lit(1)).as("n_full"))
+      val nRed = assigned.groupBy(col("reduced").as("shard"))
+        .agg(count(lit(1)).as("n_reduced"))
+      val inflow = assigned.filter(col("full") =!= col("reduced"))
+        .groupBy(col("reduced").as("shard"))
+        .agg(count(lit(1)).as("inflow"))
+      nFull.join(nRed, Seq("shard"), "left")
+        .join(inflow, Seq("shard"), "left")
+        .select(col("shard"), col("n_full"),
+          coalesce(col("n_reduced"), lit(0L)).as("n_reduced"),
+          coalesce(col("inflow"), lit(0L)).as("inflow"))
+        .orderBy(col("shard"))
+    },
+    oracle = Some {
+      s"""
+      WITH x1 AS (SELECT c_custkey, s.shard,
+                         (CAST(c_custkey AS BIGINT) * 8 + s.shard + 1)
+                           * 2654435761 % 2147483647 AS x
+                  FROM customer, (SELECT unnest(range(0, 8)) AS shard) s),
+      x2 AS (SELECT c_custkey, shard, xor(x, x >> 15) AS x FROM x1),
+      x3 AS (SELECT c_custkey, shard,
+                    x * 1597334677 % 2147483647 AS x FROM x2),
+      sc AS (SELECT c_custkey, shard,
+                    xor(x, x >> 13) * 8 + shard AS sc FROM x3),
+      a AS (SELECT c_custkey,
+                   arg_max(shard, sc) AS fs,
+                   arg_max(CASE WHEN shard < 7 THEN shard END,
+                           CASE WHEN shard < 7 THEN sc END) AS rs
+            FROM sc GROUP BY 1),
+      nf AS (SELECT fs AS shard, CAST(count(*) AS BIGINT) AS n_full
+             FROM a GROUP BY 1),
+      nr AS (SELECT rs AS shard, CAST(count(*) AS BIGINT) AS n_reduced
+             FROM a GROUP BY 1),
+      mv AS (SELECT rs AS shard, CAST(count(*) AS BIGINT) AS inflow
+             FROM a WHERE fs <> rs GROUP BY 1)
+      SELECT nf.shard, nf.n_full,
+             CAST(coalesce(nr.n_reduced, 0) AS BIGINT) AS n_reduced,
+             CAST(coalesce(mv.inflow, 0) AS BIGINT) AS inflow
+      FROM nf LEFT JOIN nr ON nr.shard = nf.shard
+              LEFT JOIN mv ON mv.shard = nf.shard
+      ORDER BY nf.shard"""
+    })
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -8396,6 +8497,7 @@ object Catalog {
     "q258_link_prediction" -> q258LinkPrediction,
     "q261_sequential_patterns" -> q261SequentialPatterns,
     "q262_damerau_scores" -> q262DamerauScores,
+    "q264_rendezvous_sharding" -> q264RendezvousSharding,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
