@@ -2248,6 +2248,90 @@ object Catalog {
       ORDER BY nf.shard"""
     })
 
+  /** EXACT SPEARMAN rank correlation between two part rankings —
+    * revenue cents vs total quantity — the rank-correlation readout
+    * q182's Pearson sufficient statistics can't give (Pearson sees
+    * linear co-movement; Spearman sees MONOTONE agreement, robust to
+    * the heavy-tailed revenue scale). Ranks are made UNIQUE by the
+    * (measure, partkey) tiebreak so d_i = rx_i − ry_i is
+    * deterministic, and the whole statistic stays integer (the
+    * q49/q60 rational contract): ρ = rho_num/rho_den with
+    * rho_num = n(n²−1) − 6·Σd², rho_den = n(n²−1) — no division ever
+    * forms. Beside the summary row, the top-10 most RANK-DISCORDANT
+    * parts ship as drill-down rows (|d| desc) — "high demand, low
+    * revenue" outliers, the actionable part of a correlation audit.
+    * The rank windows run over the per-part ROLLUP — |parts|-bounded
+    * by construction (the fact table shuffles once into the rollup;
+    * ExplainSpec.windowAllowlist names the bound; at corpus scale the
+    * global-ordered variant swaps in the rangePrefixSums distributed
+    * CDF kernel, the q166 shape). BIGINT headroom (q109 rule):
+    * n(n²−1) crosses 2^63 at n ≈ 2.1×10⁶ parts — sf0.1 is 2×10⁴;
+    * past that both engines move the rational to DECIMAL(38,0).
+    */
+  val q265SpearmanRanks: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val roll = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("rev"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .localCheckpoint(true)
+      val ranked = roll
+        .withColumn("rx", row_number().over(
+          Window.orderBy(col("rev").desc, col("partkey"))).cast("long"))
+        .withColumn("ry", row_number().over(
+          Window.orderBy(col("qty").desc, col("partkey"))).cast("long"))
+        .withColumn("d", col("rx") - col("ry"))
+        .localCheckpoint(true)
+      val n = ranked.agg(count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      val summary = n.select(
+        lit("summary").as("kind"), lit(-1L).as("partkey"),
+        lit(0L).as("rx"), lit(0L).as("ry"), lit(0L).as("d"),
+        col("n"), col("sum_d2"),
+        (col("n") * (col("n") * col("n") - 1) - lit(6L) * col("sum_d2"))
+          .as("rho_num"),
+        (col("n") * (col("n") * col("n") - 1)).as("rho_den"))
+      val discord = ranked
+        .orderBy(abs(col("d")).desc, col("partkey")).limit(10)
+        .select(lit("discord").as("kind"), col("partkey"),
+          col("rx"), col("ry"), col("d"),
+          lit(0L).as("n"), lit(0L).as("sum_d2"),
+          lit(0L).as("rho_num"), lit(0L).as("rho_den"))
+      summary.unionByName(discord)
+        .orderBy(col("kind"), col("partkey"))
+    },
+    oracle = Some("""
+      WITH roll AS (SELECT l_partkey AS partkey,
+                           CAST(sum(CAST(round(l_extendedprice * 100)
+                                    AS BIGINT)) AS BIGINT) AS rev,
+                           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                             AS qty
+                    FROM lineitem GROUP BY 1),
+      ranked AS (SELECT partkey,
+                        CAST(row_number() OVER (ORDER BY rev DESC, partkey)
+                             AS BIGINT) AS rx,
+                        CAST(row_number() OVER (ORDER BY qty DESC, partkey)
+                             AS BIGINT) AS ry
+                 FROM roll),
+      d AS (SELECT partkey, rx, ry, rx - ry AS d FROM ranked),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(d * d) AS BIGINT) AS sum_d2 FROM d)
+      SELECT * FROM (
+        SELECT 'summary' AS kind, CAST(-1 AS BIGINT) AS partkey,
+               CAST(0 AS BIGINT) AS rx, CAST(0 AS BIGINT) AS ry,
+               CAST(0 AS BIGINT) AS d, n, sum_d2,
+               CAST(n * (n * n - 1) - 6 * sum_d2 AS BIGINT) AS rho_num,
+               CAST(n * (n * n - 1) AS BIGINT) AS rho_den
+        FROM st
+        UNION ALL
+        SELECT 'discord', partkey, rx, ry, d,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM (SELECT * FROM d ORDER BY abs(d) DESC, partkey LIMIT 10))
+      ORDER BY kind, partkey"""))
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -8498,6 +8582,7 @@ object Catalog {
     "q261_sequential_patterns" -> q261SequentialPatterns,
     "q262_damerau_scores" -> q262DamerauScores,
     "q264_rendezvous_sharding" -> q264RendezvousSharding,
+    "q265_spearman_ranks" -> q265SpearmanRanks,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
