@@ -2332,6 +2332,106 @@ object Catalog {
         FROM (SELECT * FROM d ORDER BY abs(d) DESC, partkey LIMIT 10))
       ORDER BY kind, partkey"""))
 
+  /** MONDRIAN k-ANONYMIZATION (LeFevre, DeWitt & Ramakrishnan 2006)
+    * over the (balance-cents, nationkey) quasi-identifier pair — the
+    * GENERALIZER q160's audit only measures: recursively cut the QI
+    * space at per-partition medians (kd-tree style, dims alternating
+    * cents→nation→cents over 3 fixed rounds — the q85/q251 fixed-
+    * iteration contract) and take a cut ONLY when both children keep
+    * ≥ k = 50 members; surviving leaves are the published
+    * generalization boxes. Every step is integer-exact: the split
+    * point is the LOWER MEDIAN (the ⌈n/2⌉-th smallest value of the
+    * multiset — deterministic under ties because only the VALUE at
+    * that rank matters), membership is v ≤ median, and the refusal
+    * rule is two integer counts. Emits one row per leaf: the path
+    * (cut history), population, the generalized [min,max] box per
+    * dim, and the k_ok verdict — every leaf ≥ k BY CONSTRUCTION,
+    * visible in the data. Oracle replays all three rounds as chained
+    * CTEs (median via row_number = (n+1)//2, identical refusal
+    * arithmetic). Scale: each round is one (path)-keyed window + a
+    * path-keyed rollup joined back — path cardinality ≤ 2^round; at
+    * corpus scale the per-path median swaps to the rangePrefixSums
+    * distributed CDF kernel (q166) exactly like every exact-quantile
+    * computation here.
+    */
+  val q266MondrianAnon: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      var cur = Tables.customer(s, dir)
+        .select(expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
+          col("c_nationkey").cast("long").as("nk"),
+          lit("").as("path"))
+        .localCheckpoint(true)
+      for (dim <- Seq("cents", "nk", "cents")) {
+        val wOrd = Window.partitionBy(col("path")).orderBy(col(dim))
+        val wAll = Window.partitionBy(col("path"))
+        val ranked = cur
+          .withColumn("rn", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+        val med = ranked
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("path"), col(dim).as("med"))
+        val counted = cur.join(med, "path")
+          .groupBy(col("path"), col("med"))
+          .agg(sum(when(col(dim) <= col("med"), 1L).otherwise(0L)).as("nl"),
+            count(lit(1)).as("n"))
+        cur = cur.join(counted.select(col("path"), col("med"),
+            (col("nl") >= 50 && col("n") - col("nl") >= 50).as("doSplit")),
+            "path")
+          .withColumn("path", when(col("doSplit"),
+              concat(col("path"),
+                when(col(dim) <= col("med"), lit("0")).otherwise(lit("1"))))
+            .otherwise(col("path")))
+          .select(col("cents"), col("nk"), col("path"))
+          .localCheckpoint(true)
+      }
+      cur.groupBy(col("path"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
+          min(col("nk")).as("lo_nk"), max(col("nk")).as("hi_nk"))
+        .withColumn("k_ok", col("n") >= 50)
+        .orderBy(col("path"))
+    },
+    oracle = Some {
+      val rounds = Seq("cents", "nk", "cents").zipWithIndex.map {
+        case (dim, i) =>
+          val r = i + 1
+          s"""m$r AS (SELECT path,
+                 max(CASE WHEN rn = (n + 1) // 2 THEN $dim END) AS med
+               FROM (SELECT path, $dim,
+                            row_number() OVER (PARTITION BY path
+                              ORDER BY $dim) AS rn,
+                            count(*) OVER (PARTITION BY path) AS n
+                     FROM p${r - 1})
+               GROUP BY path),
+      c$r AS (SELECT p.path,
+                     sum(CASE WHEN p.$dim <= m.med THEN 1 ELSE 0 END) AS nl,
+                     count(*) AS n
+              FROM p${r - 1} p JOIN m$r m ON m.path = p.path
+              GROUP BY p.path),
+      p$r AS (SELECT p.cents, p.nk,
+                     CASE WHEN c.nl >= 50 AND c.n - c.nl >= 50
+                          THEN p.path || (CASE WHEN p.$dim <= m.med
+                                               THEN '0' ELSE '1' END)
+                          ELSE p.path END AS path
+              FROM p${r - 1} p
+              JOIN m$r m ON m.path = p.path
+              JOIN c$r c ON c.path = p.path)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH p0 AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                         CAST(c_nationkey AS BIGINT) AS nk,
+                         '' AS path
+                  FROM customer),
+      $rounds
+      SELECT path, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(cents) AS BIGINT) AS lo_cents,
+             CAST(max(cents) AS BIGINT) AS hi_cents,
+             CAST(min(nk) AS BIGINT) AS lo_nk,
+             CAST(max(nk) AS BIGINT) AS hi_nk,
+             count(*) >= 50 AS k_ok
+      FROM p3 GROUP BY path ORDER BY path"""
+    })
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -8583,6 +8683,7 @@ object Catalog {
     "q262_damerau_scores" -> q262DamerauScores,
     "q264_rendezvous_sharding" -> q264RendezvousSharding,
     "q265_spearman_ranks" -> q265SpearmanRanks,
+    "q266_mondrian_anon" -> q266MondrianAnon,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
