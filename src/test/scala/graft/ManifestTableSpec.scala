@@ -135,8 +135,15 @@ class ManifestTableSpec extends SparkSpec {
     (1L to 4000L).map(i => (i, s"row_$i")).toDF("id", "name")
       .repartitionByRange(4, col("id"))
       .write.format("graft-manifest").option("path", dir).mode("append").save()
-    val filesBefore = graft.sources.ManifestTable.readManifest(dir, None)
-      .get.files.map(_.path)
+    val entriesBefore = graft.sources.ManifestTable.readManifest(dir, None)
+      .get.files
+    val filesBefore = entriesBefore.map(_.path)
+    // the one file whose [min,max] straddles the delete range — its
+    // min is whatever boundary repartitionByRange SAMPLED this run
+    val mayMatch = entriesBefore.find { e =>
+      val (lo, hi) = e.stats("id")
+      lo.toDouble <= 3800.0 && hi.toDouble > 3500.0
+    }.get
     spark.sql(s"DELETE FROM $cat.`$dir` WHERE id > 3500 AND id <= 3800")
     val after = readBack(dir)
     assert(after.count() == 3700L)
@@ -148,9 +155,15 @@ class ManifestTableSpec extends SparkSpec {
     val m2 = graft.sources.ManifestTable.readManifest(dir, None).get
     assert(m2.files.count(e => filesBefore.contains(e.path)) == 3)
     assert(m2.files.count(_.path.contains("delete-")) == 1)
-    // the rewritten file's stats were recomputed (delete range excluded)
+    // the rewritten file's stats were recomputed (delete range excluded):
+    // an interior delete preserves the file's sampled min; a delete that
+    // covers the file head pushes min past the deleted range
     val rewritten = m2.files.find(_.path.contains("delete-")).get
-    assert(rewritten.stats("id")._1.toDouble > 3000)
+    val preLo = mayMatch.stats("id")._1.toDouble.toLong
+    val expectedMin = if (preLo > 3500L) 3801L else preLo
+    assert(rewritten.stats("id")._1.toDouble.toLong == expectedMin,
+      s"recomputed min ${rewritten.stats("id")._1} != $expectedMin " +
+        s"(pre-delete file min $preLo)")
     // prior snapshot still time-travels to the pre-delete rows
     assert(readBack(dir, Some(m2.version - 1)).count() == 4000L)
     // post-delete data skipping still works off the recomputed stats
