@@ -124,6 +124,9 @@ object ScaleSweep {
       // r8s4: bottom-64 KMV heaps + a 5-priority distinct rollup —
       // should track the orders scan; the sketch exchange is 5·64 rows
       "q259_kmv_distinct",
+      // r8s4: sweep-line interval union — one orderkey join + one
+      // custkey window, bounded per key by orders-per-customer
+      "q267_interval_union",
       "q178_rfm_segmentation", "q183_mode_per_group", "q184_pps_sample",
       "q185_open_orders_per_day", "q186_holt_smoothing",
       "q187_hierarchy_flatten", "q180_snapshot_diff",

@@ -2432,6 +2432,104 @@ object Catalog {
       FROM p3 GROUP BY path ORDER BY path"""
     })
 
+  /** INTERVAL-UNION algebra over per-customer order service windows —
+    * the merge-overlapping-intervals primitive (the sweep-line
+    * classic) that q110's islands-and-gaps handles only for
+    * unit-width days: each order spans the NORMALIZED [least, greatest] of
+    * (orderdate, last shipdate) — the fixture ships 29k/60k lines
+    * BEFORE the order date (the q245 quirk), so the raw pair is not
+    * ordered and an unnormalized sweep produces negative lengths
+    * (a fact↔fact orderkey join), and per customer the overlapping
+    * spans MERGE into maximal disjoint intervals via the
+    * running-max-of-ends rule — a new interval starts exactly when
+    * its start exceeds every prior end (strictly: adjacency s =
+    * prev_end + 1 still merges nothing here because coverage is
+    * inclusive; s > prev_end opens a new island and the uncovered gap
+    * is s − prev_end − 1, possibly 0 for back-to-back). Emits the 25 most
+    * FRAGMENTED customers (most merged intervals, then busiest — the
+    * heavily-overlapping head merges everything into one span, which
+    * is the merge rule working, but the fragmented tail shows both
+    * behaviors): order count, merged-interval count, total
+    * covered days (Σ inclusive island lengths) and the widest
+    * uncovered gap — the "when is this customer NOT in flight"
+    * readout. All integers on the 1992-01-01 day index (the q109
+    * anchor). Scale: one orderkey-keyed join, one custkey window
+    * (bounded per key by orders-per-customer), two rollups — no
+    * interval ever compares against more than its sort predecessors'
+    * running max, the O(n log n) sweep instead of the O(n²) overlap
+    * join.
+    */
+  val q267IntervalUnion: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val recv = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(max(col("l_shipdate")).as("rcpt"))
+      val iv = Tables.orders(s, dir)
+        .join(recv, "o_orderkey")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("ok"),
+          least(datediff(col("o_orderdate"), lit("1992-01-01")),
+            datediff(col("rcpt"), lit("1992-01-01"))).cast("long").as("s"),
+          greatest(datediff(col("o_orderdate"), lit("1992-01-01")),
+            datediff(col("rcpt"), lit("1992-01-01"))).cast("long").as("e"))
+      val w = Window.partitionBy(col("custkey"))
+        .orderBy(col("s"), col("e"), col("ok"))
+      val marked = iv
+        .withColumn("prev_end", max(col("e")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_isl",
+          when(col("prev_end").isNull || col("s") > col("prev_end"), 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("gap",
+          when(col("new_isl") === 1L && col("prev_end").isNotNull,
+            col("s") - col("prev_end") - 1).otherwise(0L))
+      val islands = marked.groupBy(col("custkey"), col("isl"))
+        .agg(count(lit(1)).as("n_in"), min(col("s")).as("lo"),
+          max(col("e")).as("hi"), max(col("gap")).as("gap"))
+      islands.groupBy(col("custkey"))
+        .agg(sum(col("n_in")).as("n_orders"),
+          count(lit(1)).as("n_intervals"),
+          sum(col("hi") - col("lo") + 1).as("covered_days"),
+          max(col("gap")).as("max_gap"))
+        .orderBy(col("n_intervals").desc, col("n_orders").desc, col("custkey"))
+        .limit(25)
+    },
+    oracle = Some("""
+      WITH recv AS (SELECT l_orderkey, max(l_shipdate) AS rcpt
+                    FROM lineitem GROUP BY 1),
+      iv AS (SELECT o.o_custkey AS custkey, o.o_orderkey AS ok,
+                    least(date_diff('day', DATE '1992-01-01', o.o_orderdate),
+                          date_diff('day', DATE '1992-01-01', r.rcpt)) AS s,
+                    greatest(date_diff('day', DATE '1992-01-01', o.o_orderdate),
+                             date_diff('day', DATE '1992-01-01', r.rcpt)) AS e
+             FROM orders o JOIN recv r ON r.l_orderkey = o.o_orderkey),
+      m AS (SELECT custkey, ok, s, e,
+                   max(e) OVER (PARTITION BY custkey ORDER BY s, e, ok
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+            FROM iv),
+      mk AS (SELECT *, CASE WHEN prev_end IS NULL OR s > prev_end
+                            THEN 1 ELSE 0 END AS new_isl,
+                    CASE WHEN prev_end IS NOT NULL AND s > prev_end
+                         THEN s - prev_end - 1 ELSE 0 END AS gap
+             FROM m),
+      mi AS (SELECT *, sum(new_isl) OVER (PARTITION BY custkey
+                     ORDER BY s, e, ok
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS isl
+             FROM mk),
+      islands AS (SELECT custkey, isl, count(*) AS n_in,
+                         min(s) AS lo, max(e) AS hi, max(gap) AS gap
+                  FROM mi GROUP BY 1, 2)
+      SELECT custkey, CAST(sum(n_in) AS BIGINT) AS n_orders,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(hi - lo + 1) AS BIGINT) AS covered_days,
+             CAST(max(gap) AS BIGINT) AS max_gap
+      FROM islands GROUP BY custkey
+      ORDER BY n_intervals DESC, n_orders DESC, custkey
+      LIMIT 25"""))
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -8684,6 +8782,7 @@ object Catalog {
     "q264_rendezvous_sharding" -> q264RendezvousSharding,
     "q265_spearman_ranks" -> q265SpearmanRanks,
     "q266_mondrian_anon" -> q266MondrianAnon,
+    "q267_interval_union" -> q267IntervalUnion,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
