@@ -102,6 +102,8 @@ object ScaleSweep {
       // r8s4: 5 BPE rounds over the vocab-bounded word-freq table —
       // should be flat in corpus size once the one freq rollup is paid
       "q263_bpe_merges",
+      // r8s4: explode + 20-source rollup; regexp in codegen, map-side combine
+      "q268_readability_stats",
       // r8s4: 5 greedy rounds of vocab-bounded anti-join + top-1 over
       // the shared shingle kernel — cost tracks the shingle build
       "q260_coverage_selection",

@@ -2107,6 +2107,59 @@ object PipelineCatalog {
       ORDER BY round"""
     })
 
+  /** READABILITY sufficient statistics per source — the word-level
+    * integer core of the Flesch / FOG / Coleman–Liau family (Flesch
+    * 1948; Gunning 1952), the curation signal fineweb-edu-style
+    * quality filters threshold on: per source, Σ words, Σ letters,
+    * Σ syllables (vowel-group count — the standard dependency-free
+    * approximation: maximal [aeiou]+ runs per word) and Σ complex
+    * words (≥ 3 vowel groups, the FOG ingredient). Every published
+    * index is a linear combination of these ratios, so the exact
+    * integer sums ARE the readability surface — the indices
+    * themselves divide and stay client-side (the q59 rule), and the
+    * fixture corpus carries no sentence punctuation, so the
+    * sentence-rate term is degenerate by construction and word-level
+    * statistics are the gradable content (documented, not hidden).
+    * Both engines count syllables with the IDENTICAL regexp
+    * (`regexp_extract_all(word, '[aeiou]+')` length), so the compare
+    * pins the two regex engines against each other over the whole
+    * corpus. Scale: explode → map-side-combinable rollup onto the
+    * 20-value source domain; the regexp runs inside whole-stage
+    * codegen.
+    */
+  val q268ReadabilityStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val w = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .withColumn("syl",
+          size(expr("regexp_extract_all(word, '[aeiou]+', 0)")).cast("long"))
+      w.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(length(col("word"))).cast("long").as("n_letters"),
+          sum(col("syl")).as("n_syllables"),
+          sum(when(col("syl") >= 3, 1L).otherwise(0L)).as("n_complex"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH w AS (SELECT source, doc_id,
+                        unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+      ws AS (SELECT source, doc_id, word,
+                    len(regexp_extract_all(word, '[aeiou]+')) AS syl
+             FROM w WHERE length(word) > 0)
+      SELECT source,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(length(word)) AS BIGINT) AS n_letters,
+             CAST(sum(syl) AS BIGINT) AS n_syllables,
+             CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_complex
+      FROM ws GROUP BY source
+      ORDER BY source"""))
+
   val q123AudioHeaderDecode: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -5412,6 +5465,7 @@ object PipelineCatalog {
     "q259_kmv_distinct" -> q259KmvDistinct,
     "q260_coverage_selection" -> q260CoverageSelection,
     "q263_bpe_merges" -> q263BpeMerges,
+    "q268_readability_stats" -> q268ReadabilityStats,
   )
 
   /** Drop this session's persisted shared intermediates (shingle rows,
