@@ -574,6 +574,109 @@ object MlCatalog {
     * 4 KB per task); the eigendecomposition is driver-side on the d×d
     * matrix — independent of row count, the classic tall-skinny shape.
     */
+  /** ZCA WHITENING audit over the embedding table (Bell & Sejnowski
+    * 1997; applied to sentence embeddings by Su et al. 2021,
+    * "Whitening Sentence Representations") — the geometry
+    * intervention m15's variance curve only diagnoses: anisotropic
+    * embedding spaces concentrate cosine mass in a few directions, and
+    * whitening x ↦ U·diag(1/√λ)·Uᵀ·(x−μ) maps the sample covariance
+    * to the IDENTITY (the defining invariant, spec-pinned: Σ_w ≈ I
+    * after the transform). Whether that HELPS retrieval is an
+    * empirical question — whitening equalizes between-class directions
+    * too — so the entry emits the measurement rather than asserting a
+    * direction: label-consistency@10 (fraction of each vector's 10
+    * cosine nearest neighbors sharing its label) for the RAW and the
+    * WHITENED space side by side, as integer sufficient statistics.
+    * Distributed shape: the d×d covariance is one treeAggregate
+    * (RowMatrix.computeCovariance — the m15 tall-skinny pattern), the
+    * 64×64 eigendecomposition is driver-side (breeze eigSym,
+    * row-count-independent), the transform is a broadcast
+    * matrix-vector map, and both kNN passes run the brute-force
+    * contract on the fixture (at 100 TB the q40/m09/m16 candidate
+    * cuts slot in front unchanged — whitening is a per-row map, it
+    * composes with every index in the family). Rows-only m* class
+    * (eigenvectors are float); WhiteningSpec pins Σ_w ≈ I, mean ≈ 0,
+    * and refit determinism.
+    */
+  private def embeddingBase(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+      .localCheckpoint(true)
+
+  /** The ZCA transform alone — exposed so WhiteningSpec can verify the
+    * defining Σ_w ≈ I / mean ≈ 0 invariants on the output frame.
+    */
+  private[graft] def whitenedEmbeddings(s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val base = embeddingBase(s, dir)
+    val rdd = base.select(col("embedding")).rdd
+      .map(r => OldVectors.dense(
+        r.getSeq[Float](0).map(_.toDouble).toArray))
+    val rm = new RowMatrix(rdd)
+    val d = rm.numCols().toInt
+    val mean = rm.computeColumnSummaryStatistics().mean.toArray
+    // mllib Matrix.toArray is column-major, as is breeze's constructor
+    // (and the covariance is symmetric anyway)
+    val cov = new breeze.linalg.DenseMatrix(
+      d, d, rm.computeCovariance().toArray)
+    val es = breeze.linalg.eigSym(cov)
+    val w = {
+      val u = es.eigenvectors
+      val scale = es.eigenvalues.map(l => 1.0 / math.sqrt(math.max(l, 1e-9)))
+      u * breeze.linalg.diag(scale) * u.t
+    }
+    val wRows = Array.tabulate(d, d)((i, j) => w(i, j))
+    val bcW = s.sparkContext.broadcast((wRows, mean))
+    import s.implicits._
+    base.map { r =>
+      val x = r.getSeq[Float](1).toArray
+      val (m, mu) = (bcW.value._1, bcW.value._2)
+      val y = Array.tabulate(x.length)(i => {
+        var acc = 0.0
+        var j = 0
+        while (j < x.length) { acc += m(i)(j) * (x(j) - mu(j)); j += 1 }
+        acc.toFloat
+      })
+      (r.getLong(0), y, r.getLong(2))
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  private[graft] def whiteningAudit(s: SparkSession,
+      dir: String): Seq[(String, Long, Long, Long, Long)] = {
+    val base = embeddingBase(s, dir)
+    val whitened = whitenedEmbeddings(s, dir)
+    def consistency(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val a = df.select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("label").as("la"))
+      val b = df.select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("label").as("lb"))
+      val dot = graft.functions.VectorExpressions.dotF(col("ea"), col("eb"))
+      val na = graft.functions.VectorExpressions.normF(col("ea"))
+      val nb = graft.functions.VectorExpressions.normF(col("eb"))
+      val scored = a.crossJoin(b).filter(col("ida") =!= col("idb"))
+        .withColumn("cos", dot / (na * nb))
+      val top = graft.plans.GroupTopK.topKPerKey(scored,
+        Seq(col("ida")), Seq(col("cos").desc, col("idb")), 10)
+      val r = top.agg(count(lit(1)),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (pr, mr) = consistency(base)
+    val (pw, mw) = consistency(whitened)
+    val n = base.count()
+    Seq(("raw", n, 10L, mr, pr), ("zca", n, 10L, mw, pw))
+  }
+
+  val m20WhiteningAudit: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      whiteningAudit(s, dir)
+        .toDF("space", "n_vectors", "k", "label_matches", "pairs")
+    },
+    oracle = None)
+
   val m15PcaVariance: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       import s.implicits._
@@ -1051,6 +1154,7 @@ object MlCatalog {
     "m17_isotonic_calibration" -> m17IsotonicCalibration,
     "m18_misra_gries" -> m18MisraGries,
     "m19_conformal_sets" -> m19ConformalSets,
+    "m20_whitening_audit" -> m20WhiteningAudit,
     "q64_model_registry" -> q64ModelRegistry,
   )
 
