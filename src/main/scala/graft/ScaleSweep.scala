@@ -67,7 +67,10 @@ object ScaleSweep {
       // q252 re-runs 3 LP rounds + the two endpoint-labeled joins
       "q251_sssp_weighted", "q252_modularity",
       // r8s4: kNN-sparsified wedge rollup — fan-out bounded 28·|V|
-      "q258_link_prediction"),
+      "q258_link_prediction",
+      // r8s4: duels are the per-part co-occurrence shape; 3 MM rounds on
+      // the supplier-sized strength table
+      "q269_bradley_terry"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),

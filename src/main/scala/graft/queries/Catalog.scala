@@ -2530,6 +2530,135 @@ object Catalog {
       ORDER BY n_intervals DESC, n_orders DESC, custkey
       LIMIT 25"""))
 
+  /** BRADLEY–TERRY preference strengths (Bradley & Terry 1952) by
+    * three fixed rounds of the Minorize–Maximize update (Hunter
+    * 2004) — the pairwise-comparison ranking model that underlies
+    * every preference-learning pipeline (an RLHF reward model IS a
+    * parameterized Bradley–Terry fit), run here over supplier price
+    * matchups: for every part served by two suppliers at different
+    * minimum prices, the cheaper one wins the comparison (ties are
+    * skipped — no information). The MM update
+    * γᵢ ← Wᵢ / Σⱼ nᵢⱼ/(γᵢ+γⱼ) runs in floored integer MILLIONTHS
+    * (the q85/q256 scaled-integer contract): per-pair term
+    * `nᵢⱼ·10¹² div (γᵢ+γⱼ)` (scale n·10⁶), denominator summed per
+    * supplier (addition commutes — partition-order-safe), then
+    * `γᵢ' = Wᵢ·10¹² div Dᵢ` (scale 10⁶) — no float ever forms, so
+    * the oracle replays all three rounds as chained CTEs —
+    * MATERIALIZED ones: each round references the previous TWICE
+    * (gi and gj), and DuckDB inlines plain CTEs, so the
+    * double-reference chain would re-expand 2^rounds copies of the
+    * base join (observed: 78 GB of temp spill at sf0.1 before the
+    * annotation; see the CLAUDE.md invariant). Emits the
+    * top-20 suppliers by final strength with wins, games, and every
+    * round's γ — the convergence trace. BIGINT headroom (q109 rule):
+    * nᵢⱼ·10¹² crosses 2^63 at nᵢⱼ ≈ 9.2×10⁶ shared parts per
+    * supplier PAIR — the fixture peaks at ~10²; past that divide nᵢⱼ
+    * first or move to DECIMAL(38,0). Scale: matchup extraction is the
+    * q14 co-occurrence shape keyed on part (per-part supplier count
+    * bounds the fan-out); each round is one |pairs|-sized join
+    * against the supplier-sized γ table + a supplier-keyed rollup —
+    * γ broadcasts while it fits, unhinted (the q201 lesson).
+    */
+  val q269BradleyTerry: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("price"))
+      val duels = sp.as("a").join(sp.as("b"),
+          col("a.pk") === col("b.pk") && col("a.price") < col("b.price"))
+        .select(col("a.sk").as("i"), col("b.sk").as("j"))
+      val nij = duels.groupBy(col("i"), col("j")).agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+      // symmetric games count for the denominator; wins per supplier
+      val games = nij.select(col("i"), col("j"), col("w"))
+        .unionByName(nij.select(col("j").as("i"), col("i").as("j"), col("w")))
+        .groupBy(col("i"), col("j")).agg(sum(col("w")).as("n"))
+        .localCheckpoint(true)
+      val wins = nij.groupBy(col("i")).agg(sum(col("w")).as("wins"))
+        .localCheckpoint(true)
+      // tournament restricted to ≥1-win players BY CONTRACT (a zero-win
+      // player's γ hits 0 in one MM step and would otherwise vanish
+      // from the joins implicitly; the explicit cut keeps both engines'
+      // iteration over the identical player set)
+      val games2 = games
+        .join(wins.select(col("i")), Seq("i"), "left_semi")
+        .join(wins.select(col("i").as("j")), Seq("j"), "left_semi")
+        .localCheckpoint(true)
+      var gam = games2.select(col("i")).distinct()
+        .select(col("i"), lit(1000000L).as("g"))
+        .localCheckpoint(true)
+      var trace = Vector.empty[DataFrame]
+      for (_ <- 1 to 3) {
+        val denom = games2
+          .join(gam.select(col("i"), col("g").as("gi")), "i")
+          .join(gam.select(col("i").as("j"), col("g").as("gj")), "j")
+          .select(col("i"),
+            expr("(n * 1000000000000L) div (gi + gj)").as("term"))
+        gam = denom.groupBy(col("i")).agg(sum(col("term")).as("d"))
+          .join(wins, "i")
+          .select(col("i"),
+            expr("(wins * 1000000000000L) div d").as("g"))
+          .localCheckpoint(true)
+        trace = trace :+ gam
+      }
+      wins
+        .join(games2.groupBy(col("i")).agg(sum(col("n")).as("games")), "i")
+        .join(trace(0).select(col("i"), col("g").as("g1")), "i")
+        .join(trace(1).select(col("i"), col("g").as("g2")), "i")
+        .join(trace(2).select(col("i"), col("g").as("g3")), "i")
+        .select(col("i").as("suppkey"), col("wins"), col("games"),
+          col("g1"), col("g2"), col("g3"))
+        .orderBy(col("g3").desc, col("suppkey"))
+        .limit(20)
+    },
+    oracle = Some {
+      val rounds = (1 to 3).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT e.i,
+                 CAST(sum((e.n * 1000000000000) // (gi.g + gj.g)) AS BIGINT)
+                   AS d
+              FROM games2 e
+              JOIN g${r - 1} gi ON gi.i = e.i
+              JOIN g${r - 1} gj ON gj.i = e.j
+              GROUP BY e.i),
+      g$r AS MATERIALIZED (SELECT w.i,
+                     CAST((w.wins * 1000000000000) // d.d AS BIGINT) AS g
+              FROM wins w JOIN d$r d ON d.i = w.i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH sp AS MATERIALIZED (SELECT l_partkey AS pk, l_suppkey AS sk,
+                         min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                           AS price
+                  FROM lineitem GROUP BY 1, 2),
+      nij AS MATERIALIZED (SELECT a.sk AS i, b.sk AS j,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM sp a JOIN sp b
+                ON a.pk = b.pk AND a.price < b.price
+              GROUP BY 1, 2),
+      games AS MATERIALIZED (SELECT i, j, CAST(sum(w) AS BIGINT) AS n FROM (
+                  SELECT i, j, w FROM nij
+                  UNION ALL SELECT j, i, w FROM nij)
+                GROUP BY 1, 2),
+      wins AS MATERIALIZED (SELECT i, CAST(sum(w) AS BIGINT) AS wins
+              FROM nij GROUP BY 1),
+      games2 AS MATERIALIZED (SELECT g.* FROM games g
+                 WHERE EXISTS (SELECT 1 FROM wins w WHERE w.i = g.i)
+                   AND EXISTS (SELECT 1 FROM wins w WHERE w.i = g.j)),
+      g0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS g
+              FROM games2),
+      $rounds
+      SELECT w.i AS suppkey, w.wins, gm.games, g1.g AS g1, g2.g AS g2,
+             g3.g AS g3
+      FROM wins w
+      JOIN (SELECT i, CAST(sum(n) AS BIGINT) AS games FROM games2 GROUP BY 1)
+        gm ON gm.i = w.i
+      JOIN g1 ON g1.i = w.i
+      JOIN g2 ON g2.i = w.i
+      JOIN g3 ON g3.i = w.i
+      ORDER BY g3 DESC, suppkey
+      LIMIT 20"""
+    })
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -8783,6 +8912,7 @@ object Catalog {
     "q265_spearman_ranks" -> q265SpearmanRanks,
     "q266_mondrian_anon" -> q266MondrianAnon,
     "q267_interval_union" -> q267IntervalUnion,
+    "q269_bradley_terry" -> q269BradleyTerry,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
