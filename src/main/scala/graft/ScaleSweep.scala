@@ -88,7 +88,10 @@ object ScaleSweep {
       "q246_watermark_lag",
       // r8s4: PrefixSpan over per-user sequences — one user shuffle,
       // projected DBs bounded by maxPatternLength=2
-      "q261_sequential_patterns"),
+      "q261_sequential_patterns",
+      // r8s4: one distinct (type,day,user) rollup + a (type,user)
+      // co-partitioned adjacent-day self-join
+      "q270_dau_overlap"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures

@@ -2659,6 +2659,74 @@ object Catalog {
       LIMIT 20"""
     })
 
+  /** DAY-OVER-DAY active-set overlap per event type — the exact
+    * set-similarity ingredients (|prev|, |curr|, |A∩B|, and the
+    * inclusion-exclusion |A∪B|) behind next-day retention and churn
+    * dashboards, per (event_type, consecutive-day pair): how much of
+    * yesterday's purchasing/clicking audience returns today. The
+    * Jaccard itself is a small-denominator rational and ships as its
+    * numerator/denominator (the q49/q60 contract — never divided).
+    * Day indices are pure integer arithmetic on the pinned micro
+    * epoch (`unix_micros div 86400·10⁶` vs `epoch_ns//1000` — the
+    * q96 cross-engine ordering key turned bucketing key), so no
+    * calendar function enters the compare. Plan: one distinct
+    * (type, day, user) rollup, then the intersection is a SELF-JOIN
+    * co-partitioned on (type, user) probing day+1 — each user
+    * contributes only their own consecutive-day pairs, never a
+    * day×day cross — plus a (type, day)-keyed count join; output is
+    * |types|·|days|-bounded. At 100 TB the distinct rollup is the
+    * only fact-sized stage (one shuffle), exactly how a DAU pipeline
+    * materializes its daily activity table once and derives every
+    * overlap window from it.
+    */
+  val q270DauOverlap: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val du = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull)
+        .select(col("event_type").as("etype"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id"))
+        .distinct()
+        .localCheckpoint(true)
+      val perDay = du.groupBy(col("etype"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val both = du.as("a").join(du.as("b"),
+          col("a.etype") === col("b.etype") &&
+            col("a.user_id") === col("b.user_id") &&
+            col("b.day") === col("a.day") + 1)
+        .groupBy(col("a.etype").as("etype"), col("b.day").as("day"))
+        .agg(count(lit(1)).as("n_both"))
+      perDay.select(col("etype"), (col("day") + 1).as("day"),
+          col("n").as("n_prev"))
+        .join(perDay.select(col("etype"), col("day"), col("n").as("n_curr")),
+          Seq("etype", "day"))
+        .join(both, Seq("etype", "day"), "left")
+        .select(col("etype"), col("day"), col("n_prev"), col("n_curr"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          (col("n_prev") + col("n_curr")
+            - coalesce(col("n_both"), lit(0L))).as("n_union"))
+        .orderBy(col("etype"), col("day"))
+    },
+    oracle = Some("""
+      WITH du AS (SELECT DISTINCT event_type AS etype,
+                         (epoch_ns(ts) // 1000) // 86400000000 AS day,
+                         user_id
+                  FROM events WHERE event_type IS NOT NULL),
+      pd AS (SELECT etype, day, CAST(count(*) AS BIGINT) AS n
+             FROM du GROUP BY 1, 2),
+      ov AS (SELECT a.etype, b.day, CAST(count(*) AS BIGINT) AS n_both
+               FROM du a JOIN du b
+                 ON a.etype = b.etype AND a.user_id = b.user_id
+                AND b.day = a.day + 1
+               GROUP BY 1, 2)
+      SELECT p.etype AS etype, c.day AS day, p.n AS n_prev, c.n AS n_curr,
+             CAST(coalesce(bo.n_both, 0) AS BIGINT) AS n_both,
+             CAST(p.n + c.n - coalesce(bo.n_both, 0) AS BIGINT) AS n_union
+      FROM pd p
+      JOIN pd c ON c.etype = p.etype AND c.day = p.day + 1
+      LEFT JOIN ov bo ON bo.etype = p.etype AND bo.day = c.day
+      ORDER BY p.etype, c.day"""))
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -8913,6 +8981,7 @@ object Catalog {
     "q266_mondrian_anon" -> q266MondrianAnon,
     "q267_interval_union" -> q267IntervalUnion,
     "q269_bradley_terry" -> q269BradleyTerry,
+    "q270_dau_overlap" -> q270DauOverlap,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
