@@ -31,14 +31,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * candidate is d[k−1][l−1] + (i−k−1) + 1 + (j−l−1) for k = da(b_j),
   * l = db. O(m·n) time, O(m·n) space — name-sized strings, evaluated
   * inside whole-stage codegen via a static call (the AsciiPolyHash
-  * pattern). The alphabet map is a HashMap over code points, so
-  * general UTF-8 works.
+  * pattern). The strings are decoded to UNICODE CODE POINTS first
+  * (not UTF-16 chars): DuckDB's native damerau_levenshtein compares
+  * code points, and a supplementary-plane character iterated as two
+  * chars would count as two units here — a cross-engine divergence.
   */
 object Damerau {
 
   def distance(s1: String, s2: String): Int = {
-    val m = s1.length
-    val n = s2.length
+    val a = s1.codePoints().toArray
+    val b = s2.codePoints().toArray
+    val m = a.length
+    val n = b.length
     if (m == 0) return n
     if (n == 0) return m
     val inf = m + n
@@ -49,15 +53,15 @@ object Damerau {
     while (i <= m) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
     var j = 0
     while (j <= n) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    val da = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= m) {
       var db = 0
       j = 1
       while (j <= n) {
-        val k: Int = { val v = da.get(s2.charAt(j - 1)); if (v == null) 0 else v }
+        val k: Int = { val v = da.get(b(j - 1)); if (v == null) 0 else v }
         val l = db
-        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 } else 1
+        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
         val sub = d(i)(j) + cost
         val ins = d(i + 1)(j) + 1
         val del = d(i)(j + 1) + 1
@@ -65,7 +69,7 @@ object Damerau {
         d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
         j += 1
       }
-      da.put(s1.charAt(i - 1), i)
+      da.put(a(i - 1), i)
       i += 1
     }
     d(m + 1)(n + 1)

@@ -29,16 +29,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Winkler boost only when jaro > 0.7: `j + pl·0.1·(1−j)` with the
   *    common prefix capped at 4.
   *
-  * ASCII and general UTF-8 both work (comparison is by code point via
-  * UTF8String.toString). Codegen is a static call (the AsciiPolyHash
-  * pattern) so blocked entity-resolution joins keep whole-stage
-  * codegen.
+  * Strings are decoded to UNICODE CODE POINTS before comparison (not
+  * UTF-16 chars): DuckDB's native jaro_winkler_similarity compares
+  * code points, and a supplementary-plane character iterated as two
+  * chars would change lengths, the match window and the prefix count
+  * — a cross-engine divergence. Codegen is a static call (the
+  * AsciiPolyHash pattern) so blocked entity-resolution joins keep
+  * whole-stage codegen.
   */
 object JaroWinkler {
 
   def similarity(s1: String, s2: String): Double = {
-    val l1 = s1.length
-    val l2 = s2.length
+    val a = s1.codePoints().toArray
+    val b = s2.codePoints().toArray
+    val l1 = a.length
+    val l2 = b.length
     if (l1 == 0 || l2 == 0) return 0.0
     val md = math.max(math.max(l1, l2) / 2 - 1, 0)
     val m1 = new Array[Boolean](l1)
@@ -51,7 +56,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!m2(j) && s2.charAt(j) == s1.charAt(i)) {
+        if (!m2(j) && b(j) == a(i)) {
           m1(i) = true; m2(j) = true; m += 1; found = true
         }
         j += 1
@@ -65,7 +70,7 @@ object JaroWinkler {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -75,7 +80,7 @@ object JaroWinkler {
     if (jaro > 0.7) {
       var pl = 0
       val pmax = math.min(math.min(l1, l2), 4)
-      while (pl < pmax && s1.charAt(pl) == s2.charAt(pl)) pl += 1
+      while (pl < pmax && a(pl) == b(pl)) pl += 1
       jaro + pl * 0.1 * (1.0 - jaro)
     } else jaro
   }

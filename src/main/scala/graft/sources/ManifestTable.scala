@@ -160,7 +160,10 @@ object ManifestTable {
   private val okTypes: Set[DataType] =
     Set(LongType, IntegerType, DoubleType, BooleanType, StringType)
 
-  // ---- row codec: TSV with \t \n \\ escapes, \N for NULL -------------
+  // ---- row codec: TSV with \t \n \r \\ escapes, \N for NULL ----------
+  // \r must be escaped too: Files.readAllLines treats a bare CR as a
+  // line terminator, so an unescaped CR would split one row into two
+  // on read and decode would silently truncate the tail fields.
   private def encode(row: InternalRow, schema: StructType): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
       if (row.isNullAt(i)) "\\N"
@@ -170,7 +173,8 @@ object ManifestTable {
         case DoubleType => java.lang.Double.toString(row.getDouble(i))
         case BooleanType => row.getBoolean(i).toString
         case StringType => row.getUTF8String(i).toString
-          .replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+          .replace("\\", "\\\\").replace("\t", "\\t")
+          .replace("\n", "\\n").replace("\r", "\\r")
         case t => sys.error(s"unsupported type $t")
       }
     }.mkString("\t")
@@ -186,6 +190,7 @@ object ManifestTable {
         line.charAt(i + 1) match {
           case 't' => sb.append('\t'); i += 2
           case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
           case '\\' => sb.append('\\'); i += 2
           case 'N' => sb.append("\u0000NULL\u0000"); i += 2
           case o => sb.append(o); i += 2
@@ -308,6 +313,11 @@ object ManifestTable {
       val moved = staged.map { sf =>
         val from = Paths.get(dir, "_staging", queryId, sf.name)
         val to = Paths.get(dir, "data", sf.name)
+        // names embed the queryId so this can only trip on a true bug
+        // (or a replayed commit) — fail rather than let Linux rename()
+        // silently replace a file a prior snapshot still references
+        require(!Files.exists(to),
+          s"graft-manifest: commit would overwrite committed data file $to")
         Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
         FileEntry(s"data/${sf.name}",
           sf.stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap)
@@ -334,17 +344,31 @@ object ManifestTable {
       queryId: String) extends DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
       new DataWriter[InternalRow] {
-        private val name = f"part-$partitionId%05d-$taskId"
+        // (partitionId, taskId) alone is NOT unique across applications
+        // — Spark task IDs restart from 0 in a fresh JVM, so a later
+        // append could regenerate an already-committed name and the
+        // commit's ATOMIC_MOVE would silently replace it, corrupting
+        // every prior snapshot that references the file. The queryId
+        // (a per-write UUID) namespaces the name.
+        private val name = f"$queryId-part-$partitionId%05d-$taskId"
         private var out: java.io.BufferedWriter = _
         private var rows = 0L
         // per-numeric-column running (min, max) for the manifest's
-        // data-skipping stats; null-valued cells don't participate
+        // data-skipping stats; null-valued cells don't participate.
+        // Integral columns are tracked in Long, not Double: a Double
+        // rounds above 2^53, and a rounded min/max can prove a FALSE
+        // non-match in survives() — scan pruning and the DELETE stats
+        // fast path would then skip files that DO contain matches.
         private val numeric = schema.fields.zipWithIndex.filter { case (f, _) =>
           f.dataType == LongType || f.dataType == IntegerType ||
             f.dataType == DoubleType
         }
-        private val mins = Array.fill(numeric.length)(Double.NaN)
-        private val maxs = Array.fill(numeric.length)(Double.NaN)
+        private val integral = numeric.map(_._1.dataType != DoubleType)
+        private val seen = Array.fill(numeric.length)(false)
+        private val lMins = Array.fill(numeric.length)(Long.MaxValue)
+        private val lMaxs = Array.fill(numeric.length)(Long.MinValue)
+        private val dMins = Array.fill(numeric.length)(Double.NaN)
+        private val dMaxs = Array.fill(numeric.length)(Double.NaN)
         override def write(record: InternalRow): Unit = {
           if (out == null) {
             val st = new File(new File(dir, "_staging"), queryId)
@@ -356,14 +380,19 @@ object ManifestTable {
           while (k < numeric.length) {
             val (f, i) = numeric(k)
             if (!record.isNullAt(i)) {
-              val v = f.dataType match {
-                case LongType => record.getLong(i).toDouble
-                case IntegerType => record.getInt(i).toDouble
-                case DoubleType => record.getDouble(i)
-                case _ => Double.NaN
+              if (integral(k)) {
+                val v = f.dataType match {
+                  case LongType => record.getLong(i)
+                  case _ => record.getInt(i).toLong
+                }
+                if (v < lMins(k)) lMins(k) = v
+                if (v > lMaxs(k)) lMaxs(k) = v
+              } else {
+                val v = record.getDouble(i)
+                if (dMins(k).isNaN || v < dMins(k)) dMins(k) = v
+                if (dMaxs(k).isNaN || v > dMaxs(k)) dMaxs(k) = v
               }
-              if (mins(k).isNaN || v < mins(k)) mins(k) = v
-              if (maxs(k).isNaN || v > maxs(k)) maxs(k) = v
+              seen(k) = true
             }
             k += 1
           }
@@ -372,8 +401,11 @@ object ManifestTable {
         override def commit(): WriterCommitMessage = {
           if (out != null) out.close()
           val stats = numeric.indices.collect {
-            case k if !mins(k).isNaN =>
-              (numeric(k)._1.name, mins(k).toString, maxs(k).toString)
+            case k if seen(k) =>
+              if (integral(k))
+                (numeric(k)._1.name, lMins(k).toString, lMaxs(k).toString)
+              else
+                (numeric(k)._1.name, dMins(k).toString, dMaxs(k).toString)
           }.toSeq
           StagedFile(if (rows > 0) name else "", rows,
             if (rows > 0) stats else Nil)
@@ -447,15 +479,18 @@ object ManifestTable {
   private def statsOf(rows: Seq[InternalRow],
       schema: StructType): Map[String, (String, String)] =
     schema.fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == LongType || f.dataType == IntegerType ||
-          f.dataType == DoubleType =>
+      case (f, i) if f.dataType == LongType || f.dataType == IntegerType =>
+        // native Long, never Double: precision above 2^53 matters here
         val vs = rows.collect {
           case r if !r.isNullAt(i) => f.dataType match {
-            case LongType => r.getLong(i).toDouble
-            case IntegerType => r.getInt(i).toDouble
-            case _ => r.getDouble(i)
+            case LongType => r.getLong(i)
+            case _ => r.getInt(i).toLong
           }
         }
+        if (vs.isEmpty) None
+        else Some(f.name -> (vs.min.toString, vs.max.toString))
+      case (f, i) if f.dataType == DoubleType =>
+        val vs = rows.collect { case r if !r.isNullAt(i) => r.getDouble(i) }
         if (vs.isEmpty) None
         else Some(f.name -> (vs.min.toString, vs.max.toString))
     }.flatten.toMap
@@ -552,9 +587,11 @@ object ManifestTable {
           StandardCopyOption.ATOMIC_MOVE)
         val cols = bin.map(_._1.stats.keySet).reduce(_ intersect _)
         val merged = cols.map { c =>
+          // compare in exact decimal but KEEP the winning original
+          // string: long stats stay bit-exact, never rounded via Double
           val rs = bin.map(_._1.stats(c))
-          c -> (rs.map(_._1.toDouble).min.toString,
-            rs.map(_._2.toDouble).max.toString)
+          c -> (rs.map(_._1).minBy(BigDecimal(_)),
+            rs.map(_._2).maxBy(BigDecimal(_)))
         }.toMap
         FileEntry(s"data/$name", merged)
       }
@@ -603,12 +640,24 @@ object ManifestTable {
   private def survives(e: FileEntry, schema: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
     import org.apache.spark.sql.sources._
-    def rng(col: String): Option[(Double, Double)] =
+    // compare in exact decimal, not Double: a BIGINT min/max above 2^53
+    // rounded through Double could prove a false non-match and prune a
+    // file that holds matching rows (NaN/Inf stats fail the parse →
+    // None → never prune, the conservative direction)
+    def rng(col: String): Option[(BigDecimal, BigDecimal)] =
       e.stats.get(col).flatMap { case (mn, mx) =>
-        try Some((mn.toDouble, mx.toDouble)) catch { case _: Exception => None }
+        try Some((BigDecimal(mn), BigDecimal(mx)))
+        catch { case _: Exception => None }
       }
-    def num(v: Any): Option[Double] = v match {
-      case n: java.lang.Number => Some(n.doubleValue())
+    def num(v: Any): Option[BigDecimal] = v match {
+      case n: java.lang.Long => Some(BigDecimal(n.longValue()))
+      case n: java.lang.Integer => Some(BigDecimal(n.intValue()))
+      case n: java.lang.Short => Some(BigDecimal(n.intValue()))
+      case n: java.lang.Byte => Some(BigDecimal(n.intValue()))
+      case n: java.math.BigDecimal => Some(BigDecimal(n))
+      case n: java.lang.Number =>
+        try Some(BigDecimal(n.doubleValue()))
+        catch { case _: Exception => None } // NaN/Inf probe → no prune
       case _ => None
     }
     filters.forall {

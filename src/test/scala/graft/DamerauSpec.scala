@@ -58,6 +58,17 @@ class DamerauSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("supplementary-plane characters count as ONE unit (code points, " +
+      "not UTF-16 chars — DuckDB's native function compares code points)") {
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, 2 UTF-16 chars
+    val face = new String(Character.toChars(0x1F600)) // 😀
+    assert(Damerau.distance(clef, "") === 1)
+    assert(Damerau.distance(clef, clef) === 0)
+    assert(Damerau.distance(clef + "a", "a" + clef) === 1) // one transposition
+    assert(Damerau.distance(clef, face) === 1) // one substitution
+    assert(Damerau.distance("x" + clef + "y", "xy") === 1)
+  }
+
   test("codegen path agrees with the direct kernel") {
     val pairs = Seq(("abcd", "acbd"), ("ca", "abc"), ("", "xy"),
       ("transpose", "tranpsose"))

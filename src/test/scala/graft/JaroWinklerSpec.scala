@@ -56,6 +56,19 @@ class JaroWinklerSpec extends SparkSpec {
     }
   }
 
+  test("supplementary-plane characters are ONE code point each (DuckDB " +
+      "compares code points; UTF-16 chars would change lengths/windows)") {
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, 2 UTF-16 chars
+    val face = new String(Character.toChars(0x1F600)) // 😀
+    assert(similarity(clef, clef) == 1.0)
+    assert(similarity(clef, face) == 0.0) // 1-vs-1 code point, no match
+    // as a 1-code-point prefix the boost counts it once:
+    // both length 4 here; chars would make them length 5 with md=1
+    val (a, b) = (clef + "abc", clef + "abd")
+    // m=3, jaro=(3/4+3/4+3/3)/3=5/6; pl=3 -> 5/6 + 0.3*(1/6) = 0.8833...
+    assert(close(similarity(a, b), 5.0 / 6.0 + 0.3 * (1.0 / 6.0)))
+  }
+
   test("jaroWinkler column decodes distributively inside codegen") {
     import spark.implicits._
     val out = Seq(("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"),

@@ -33,15 +33,16 @@ class ManifestTableSpec extends SparkSpec {
 
   test("multi-partition append round-trips exactly, one manifest per commit") {
     val dir = tmpTable()
-    val df = (1L to 1000L).map(i => (i, s"name_$i\twith\ttabs\n", i % 2 == 0,
+    val df = (1L to 1000L).map(i => (i, s"name_$i\twith\ttabs\r\n", i % 2 == 0,
       i * 0.5)).toDF("id", "name", "even", "half").repartition(4)
     df.write.format("graft-manifest").option("path", dir).mode("append").save()
     val back = readBack(dir)
     assert(back.count() == 1000)
     assert(back.schema.fieldNames.toSeq == Seq("id", "name", "even", "half"))
-    // escapes survive the TSV codec
+    // escapes survive the TSV codec (\r included: a bare CR is a line
+    // terminator to readAllLines and would split the row in two)
     val r = back.filter(col("id") === 7L).head()
-    assert(r.getString(1) == "name_7\twith\ttabs\n" && !r.getBoolean(2))
+    assert(r.getString(1) == "name_7\twith\ttabs\r\n" && !r.getBoolean(2))
     assert(back.agg(sum("id")).head().getLong(0) == 500500L)
     // 4 input partitions → up to 4 data files, exactly 1 manifest
     val files = new File(dir).listFiles().map(_.getName)
@@ -206,8 +207,9 @@ class ManifestTableSpec extends SparkSpec {
     assert(vNew == vPre + 1 && m.files.length == 1)
     val after = readBack(dir)
     assert(after.collect().map(r => (r.getLong(0), r.getString(1))).toSet == before)
-    // merged stats = (min of mins, max of maxs)
-    assert(m.files.head.stats("id") == ("100.0", "800.0"))
+    // merged stats = (min of mins, max of maxs); BIGINT stats are
+    // tracked in native Long (never rounded through Double)
+    assert(m.files.head.stats("id") == ("100", "800"))
     // the pre-compaction layout still time-travels
     assert(readBack(dir, Some(vPre)).rdd.getNumPartitions == 8)
     assert(readBack(dir).rdd.getNumPartitions == 1)
@@ -259,6 +261,28 @@ class ManifestTableSpec extends SparkSpec {
         .option("clusterBy", "nope").mode("append").save()
     }
     assert(err.getMessage.contains("clusterBy"))
+  }
+
+  test("BIGINT stats above 2^53 never prune falsely (native-Long tracking)") {
+    // 2^53 = 9007199254740992: consecutive longs above it collide when
+    // rounded through Double, so Double-tracked stats could "prove"
+    // x outside [min, max] for an x the file actually contains
+    val base = 9007199254740992L
+    val dir = tmpTable()
+    Seq(base + 1, base + 3).toDF("id")
+      .coalesce(1).write.format("graft-manifest")
+      .option("path", dir).mode("append").save()
+    val m = graft.sources.ManifestTable.readManifest(dir, None).get
+    // stats serialized as exact longs, not 9.007199254740992E15
+    assert(m.files.head.stats("id") == ((base + 1).toString, (base + 3).toString))
+    // point reads at every nearby key return exactly the stored rows
+    val back = readBack(dir)
+    assert(back.filter(col("id") === (base + 1)).count() == 1L)
+    assert(back.filter(col("id") === (base + 3)).count() == 1L)
+    assert(back.filter(col("id") === (base + 2)).count() == 0L)
+    // DELETE's stats fast path sees the true range too
+    spark.sql(s"DELETE FROM $cat.`$dir` WHERE id = ${base + 3}")
+    assert(readBack(dir).collect().map(_.getLong(0)).toSeq == Seq(base + 1))
   }
 
   test("unsupported column types fail at write planning, not mid-write") {
