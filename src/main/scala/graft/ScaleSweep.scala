@@ -117,7 +117,10 @@ object ScaleSweep {
       // joins — tracks the bigram explode volume
       "q244_textrank_keywords",
       // r8s3: positional-postings build + two doc-co-partitioned joins
-      "q257_phrase_search"),
+      "q257_phrase_search",
+      // r9: FD-discovery profiler — per-candidate linear scans + two
+      // narrow hash-agg shuffles on the 8-byte polyhash LHS key
+      "q271_fd_discovery"),
     "decode" -> Seq("q138_pixel_stats", "q247_container_decode", "q248_flac_decode",
       "q253_mp4_decode"),
     // decision-support classics (added r7): replicated facts with

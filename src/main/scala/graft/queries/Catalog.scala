@@ -2727,6 +2727,111 @@ object Catalog {
       LEFT JOIN ov bo ON bo.etype = p.etype AND bo.day = c.day
       ORDER BY p.etype, c.day"""))
 
+  /** FUNCTIONAL-DEPENDENCY discovery audit (TANE, Huhtala et al. 1999;
+    * error measure g₁ of Kivinen & Mannila 1995) — the DATA-PROFILING
+    * operator every schema-inference / data-quality pipeline runs
+    * before trusting a column as a key or a derivation: for each
+    * candidate X→Y report exact group counts and the minimum number
+    * of rows whose removal makes the FD hold (g₁ numerator
+    * Σₓ(nₓ−maxy cₓy)). Candidates span three tables and deliberately
+    * mix a by-construction derivation (documents.text→n_chars — the
+    * fixture computes n_chars FROM text, so the profiler must
+    * re-discover it), a key FD (o_orderkey→o_orderstatus), and
+    * correlational non-FDs with measured violation mass. All-integer
+    * contract: counts and the g₁ numerator only, `holds` a boolean off
+    * n_violating=0.
+    *
+    * Scale: the LHS group key is the house ASCII polyhash of the
+    * value, NOT the raw value — a document-text LHS would otherwise
+    * ship whole documents through the shuffle; hashing makes every
+    * shuffle key 8 bytes at any corpus size. Collisions (≈n²/2P per
+    * candidate) can only MERGE x-groups and therefore only INFLATE
+    * n_violating/rows_to_remove — `holds=true` under hashing is a
+    * one-sided certificate for the true FD (the HyFD-style
+    * compression direction), and both engines hash the identical
+    * string rendering so the verdict is deterministic, not
+    * probabilistic. Timestamps enter as the pinned integer epoch-day
+    * index (the q87 datediff contract), never as formatted strings.
+    * Physical shape: one stack() generator pass per table, two
+    * hash-agg shuffles — (fd,xh,y) then (fd,xh) — with map-side
+    * partial aggregation, output |candidates| rows. No join anywhere;
+    * at 100 TB each candidate is one linear scan + two narrow
+    * shuffles, embarrassingly parallel across candidates.
+    */
+  val q271FdDiscovery: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import graft.functions.VectorExpressions.polyHash
+      def stackOf(df: DataFrame, triples: Seq[(String, String, String)]): DataFrame =
+        df.select(expr(
+          "stack(" + triples.length + ", " + triples.map { case (n, x, y) =>
+            s"'$n', CAST($x AS STRING), CAST($y AS STRING)"
+          }.mkString(", ") + ") AS (fd, xs, y)"))
+      val cand = stackOf(Tables.documents(s, dir), Seq(
+          ("doc:text->n_chars", "text", "n_chars"),
+          ("doc:source->lang", "source", "lang")))
+        .unionByName(stackOf(Tables.orders(s, dir), Seq(
+          ("ord:o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus"),
+          ("ord:o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+          ("ord:orderday->o_orderstatus",
+            "datediff(to_date(o_orderdate), '1970-01-01')", "o_orderstatus"))))
+        .unionByName(stackOf(Tables.lineitem(s, dir), Seq(
+          ("li:l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"),
+          ("li:l_suppkey->l_linestatus", "l_suppkey", "l_linestatus"))))
+      val g = cand.filter(col("xs").isNotNull && col("y").isNotNull)
+        .select(col("fd"), polyHash(col("xs")).as("xh"), col("y"))
+        .groupBy(col("fd"), col("xh"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val px = g.groupBy(col("fd"), col("xh"))
+        .agg(sum(col("c")).as("nx"), max(col("c")).as("mx"),
+          count(lit(1)).as("dy"))
+      px.groupBy(col("fd"))
+        .agg(sum(col("nx")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("dy") > 1, 1L).otherwise(0L)).as("n_violating"),
+          sum(col("nx") - col("mx")).as("rows_to_remove"))
+        .select(col("fd"), col("n_rows"), col("n_groups"),
+          col("n_violating"), col("rows_to_remove"),
+          (col("n_violating") === 0L).as("holds"))
+        .orderBy(col("fd"))
+    },
+    oracle = Some(s"""
+      WITH cand AS (
+        SELECT 'doc:text->n_chars' AS fd, CAST(text AS VARCHAR) AS xs,
+               CAST(n_chars AS VARCHAR) AS y FROM documents
+        UNION ALL
+        SELECT 'doc:source->lang', CAST(source AS VARCHAR),
+               CAST(lang AS VARCHAR) FROM documents
+        UNION ALL
+        SELECT 'ord:o_orderkey->o_orderstatus', CAST(o_orderkey AS VARCHAR),
+               CAST(o_orderstatus AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'ord:o_custkey->o_orderpriority', CAST(o_custkey AS VARCHAR),
+               CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'ord:orderday->o_orderstatus',
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS VARCHAR),
+               CAST(o_orderstatus AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'li:l_orderkey->l_returnflag', CAST(l_orderkey AS VARCHAR),
+               CAST(l_returnflag AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'li:l_suppkey->l_linestatus', CAST(l_suppkey AS VARCHAR),
+               CAST(l_linestatus AS VARCHAR) FROM lineitem),
+      h AS (SELECT fd, ${PipelineCatalog.polyhashSql("xs")} AS xh, y
+            FROM cand WHERE xs IS NOT NULL AND y IS NOT NULL),
+      g AS (SELECT fd, xh, y, count(*) AS c FROM h GROUP BY 1, 2, 3),
+      px AS (SELECT fd, xh, CAST(sum(c) AS BIGINT) AS nx,
+                    CAST(max(c) AS BIGINT) AS mx, count(*) AS dy
+             FROM g GROUP BY 1, 2)
+      SELECT fd, CAST(sum(nx) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(sum(nx - mx) AS BIGINT) AS rows_to_remove,
+             (sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) = 0) AS holds
+      FROM px GROUP BY fd ORDER BY fd"""))
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -8982,6 +9087,7 @@ object Catalog {
     "q267_interval_union" -> q267IntervalUnion,
     "q269_bradley_terry" -> q269BradleyTerry,
     "q270_dau_overlap" -> q270DauOverlap,
+    "q271_fd_discovery" -> q271FdDiscovery,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
