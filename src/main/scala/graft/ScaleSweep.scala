@@ -159,7 +159,10 @@ object ScaleSweep {
       "q249_dense_rank_ties", "q250_gini_relevance", "q254_rank_fractions",
       "q255_jaro_winkler_match",
       "q219_quantile_effect", "q220_survival_stats",
-      "q221_seasonal_anomaly"),
+      "q221_seasonal_anomaly",
+      // r9: SPIDER single-pass IND profiler — one (ind, key) shuffle
+      // shared by all 8 candidates, no joins
+      "q272_ind_discovery"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

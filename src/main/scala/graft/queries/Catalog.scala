@@ -2832,6 +2832,116 @@ object Catalog {
              (sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) = 0) AS holds
       FROM px GROUP BY fd ORDER BY fd"""))
 
+  /** INCLUSION-DEPENDENCY discovery audit (De Marchi et al. 2002;
+    * single-pass SPIDER shape, Bauckmann et al. 2006) — q271's
+    * cross-table sibling and the other half of a data profiler:
+    * which column pairs satisfy A ⊆ B, i.e. which joins are
+    * foreign-key-safe? Eight directed candidates over the star
+    * schema, deliberately mixing true FKs (lineitem→orders/part/
+    * supplier, orders→customer, supplier→nation), a reverse direction
+    * that holds only because every order has lines, a reverse that
+    * FAILS (customers without orders), and a cross-domain probe
+    * (events.user_id vs customer keys). Per candidate: exact distinct
+    * counts on both sides, the contained/missing split, and the
+    * holds verdict (n_missing = 0). All-integer contract.
+    *
+    * Physical shape is the point: NOT one anti-join per candidate —
+    * every candidate's two columns union into ONE (ind, side, value)
+    * stream, distinct-merge on (ind, value) with map-side combine,
+    * then an |candidates|-row rollup. One shuffle total for all 8
+    * INDs, no join anywhere — exactly how SPIDER tests thousands of
+    * column pairs in one pass over a warehouse; at 100 TB the shuffle
+    * key is (small-int, long) regardless of how many candidates ride
+    * along. Adding a candidate adds a column scan, never a stage.
+    */
+  val q272IndDiscovery: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def sideOf(df: DataFrame, ind: String, c: String, sd: String): DataFrame =
+        df.select(lit(ind).as("ind"), lit(sd).as("side"),
+          col(c).cast("long").as("v")).filter(col("v").isNotNull)
+      val li = Tables.lineitem(s, dir)
+      val or = Tables.orders(s, dir)
+      val cu = Tables.customer(s, dir)
+      val pa = Tables.part(s, dir)
+      val su = Tables.supplier(s, dir)
+      val na = Tables.nation(s, dir)
+      val ev = Tables.events(s, dir)
+      val u = Seq(
+        sideOf(li, "li.orderkey<=ord.orderkey", "l_orderkey", "L"),
+        sideOf(or, "li.orderkey<=ord.orderkey", "o_orderkey", "R"),
+        sideOf(or, "ord.orderkey<=li.orderkey", "o_orderkey", "L"),
+        sideOf(li, "ord.orderkey<=li.orderkey", "l_orderkey", "R"),
+        sideOf(or, "ord.custkey<=cust.custkey", "o_custkey", "L"),
+        sideOf(cu, "ord.custkey<=cust.custkey", "c_custkey", "R"),
+        sideOf(cu, "cust.custkey<=ord.custkey", "c_custkey", "L"),
+        sideOf(or, "cust.custkey<=ord.custkey", "o_custkey", "R"),
+        sideOf(li, "li.partkey<=part.partkey", "l_partkey", "L"),
+        sideOf(pa, "li.partkey<=part.partkey", "p_partkey", "R"),
+        sideOf(li, "li.suppkey<=supp.suppkey", "l_suppkey", "L"),
+        sideOf(su, "li.suppkey<=supp.suppkey", "s_suppkey", "R"),
+        sideOf(su, "supp.nationkey<=nation.nationkey", "s_nationkey", "L"),
+        sideOf(na, "supp.nationkey<=nation.nationkey", "n_nationkey", "R"),
+        sideOf(ev, "ev.user<=cust.custkey", "user_id", "L"),
+        sideOf(cu, "ev.user<=cust.custkey", "c_custkey", "R"))
+        .reduce(_ unionByName _)
+      val g = u.groupBy(col("ind"), col("v"))
+        .agg(max(when(col("side") === "L", 1L).otherwise(0L)).as("hl"),
+          max(when(col("side") === "R", 1L).otherwise(0L)).as("hr"))
+      g.groupBy(col("ind"))
+        .agg(sum(col("hl")).as("n_lhs_distinct"),
+          sum(col("hr")).as("n_rhs_distinct"),
+          sum(col("hl") * col("hr")).as("n_contained"),
+          sum(col("hl") * (lit(1L) - col("hr"))).as("n_missing"))
+        .select(col("ind"), col("n_lhs_distinct"), col("n_rhs_distinct"),
+          col("n_contained"), col("n_missing"),
+          (col("n_missing") === 0L).as("holds"))
+        .orderBy(col("ind"))
+    },
+    oracle = Some("""
+      WITH u AS (
+        SELECT 'li.orderkey<=ord.orderkey' AS ind, 'L' AS side,
+               CAST(l_orderkey AS BIGINT) AS v FROM lineitem
+        UNION ALL SELECT 'li.orderkey<=ord.orderkey', 'R',
+               CAST(o_orderkey AS BIGINT) FROM orders
+        UNION ALL SELECT 'ord.orderkey<=li.orderkey', 'L',
+               CAST(o_orderkey AS BIGINT) FROM orders
+        UNION ALL SELECT 'ord.orderkey<=li.orderkey', 'R',
+               CAST(l_orderkey AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'ord.custkey<=cust.custkey', 'L',
+               CAST(o_custkey AS BIGINT) FROM orders
+        UNION ALL SELECT 'ord.custkey<=cust.custkey', 'R',
+               CAST(c_custkey AS BIGINT) FROM customer
+        UNION ALL SELECT 'cust.custkey<=ord.custkey', 'L',
+               CAST(c_custkey AS BIGINT) FROM customer
+        UNION ALL SELECT 'cust.custkey<=ord.custkey', 'R',
+               CAST(o_custkey AS BIGINT) FROM orders
+        UNION ALL SELECT 'li.partkey<=part.partkey', 'L',
+               CAST(l_partkey AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'li.partkey<=part.partkey', 'R',
+               CAST(p_partkey AS BIGINT) FROM part
+        UNION ALL SELECT 'li.suppkey<=supp.suppkey', 'L',
+               CAST(l_suppkey AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'li.suppkey<=supp.suppkey', 'R',
+               CAST(s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT 'supp.nationkey<=nation.nationkey', 'L',
+               CAST(s_nationkey AS BIGINT) FROM supplier
+        UNION ALL SELECT 'supp.nationkey<=nation.nationkey', 'R',
+               CAST(n_nationkey AS BIGINT) FROM nation
+        UNION ALL SELECT 'ev.user<=cust.custkey', 'L',
+               CAST(user_id AS BIGINT) FROM events WHERE user_id IS NOT NULL
+        UNION ALL SELECT 'ev.user<=cust.custkey', 'R',
+               CAST(c_custkey AS BIGINT) FROM customer),
+      g AS (SELECT ind, v,
+                   max(CASE WHEN side = 'L' THEN 1 ELSE 0 END) AS hl,
+                   max(CASE WHEN side = 'R' THEN 1 ELSE 0 END) AS hr
+            FROM u WHERE v IS NOT NULL GROUP BY 1, 2)
+      SELECT ind, CAST(sum(hl) AS BIGINT) AS n_lhs_distinct,
+             CAST(sum(hr) AS BIGINT) AS n_rhs_distinct,
+             CAST(sum(hl * hr) AS BIGINT) AS n_contained,
+             CAST(sum(hl * (1 - hr)) AS BIGINT) AS n_missing,
+             (sum(hl * (1 - hr)) = 0) AS holds
+      FROM g GROUP BY ind ORDER BY ind"""))
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -9088,6 +9198,7 @@ object Catalog {
     "q269_bradley_terry" -> q269BradleyTerry,
     "q270_dau_overlap" -> q270DauOverlap,
     "q271_fd_discovery" -> q271FdDiscovery,
+    "q272_ind_discovery" -> q272IndDiscovery,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
