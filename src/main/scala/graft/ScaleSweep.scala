@@ -91,7 +91,10 @@ object ScaleSweep {
       "q261_sequential_patterns",
       // r8s4: one distinct (type,day,user) rollup + a (type,user)
       // co-partitioned adjacent-day self-join
-      "q270_dau_overlap"),
+      "q270_dau_overlap",
+      // r9: Shapley attribution — one user-keyed shuffle, then a
+      // 16-row coalition table regardless of SF
+      "q273_shapley_attribution"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures

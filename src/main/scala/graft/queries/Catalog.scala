@@ -2942,6 +2942,128 @@ object Catalog {
              (sum(hl * (1 - hr)) = 0) AS holds
       FROM g GROUP BY ind ORDER BY ind"""))
 
+  /** EXACT SHAPLEY-VALUE attribution (Shapley 1953; the data-driven
+    * attribution model of Zhao et al. 2018 / Google DDA) — completes
+    * the attribution trilogy: q179 scores by POSITION rules, q256 by
+    * Markov removal effect, this by the unique axiomatic credit split
+    * (efficiency + symmetry + dummy + additivity). The coalition
+    * game: channels N = {click, error, signup, view}; each CONVERTING
+    * user contributes their pre-first-purchase touch SET as a 4-bit
+    * mask; v(S) = conversions reachable using only channels in S
+    * (Σ_{T⊆S} cnt(T), monotone by construction). With n=4 every
+    * weight |S|!·(3−|S|)!/4! has denominator 24, so the emitted
+    * shapley_x24 = Σ_S |S|!(3−|S|)!·(v(S∪i)−v(S)) is EXACT INTEGER —
+    * no float ever forms (the q49/q60 rational contract). Alongside:
+    * baseline_conv = v(∅), solo_conv = v({i}) and marginal_full =
+    * v(N)−v(N∖i). This game is SUPERMODULAR by construction (the
+    * marginal v(S∪i)−v(S) = Σ_{T⊆S} cnt(T∪i) grows with S), so by
+    * Shapley's convex-game theorem φᵢ is bracketed by
+    * v({i})−v(∅) and v(N)−v(N∖i) — both checkable from the emitted
+    * columns, as is efficiency (Σφᵢ = v(N)−v(∅)). Baseline
+    * conversions with an EMPTY touch set stay in v(∅) —
+    * unattributable mass is never smeared over channels.
+    *
+    * Physical shape: the fact-sized work is one user-keyed shuffle
+    * (first-purchase min-struct rollup + the before-purchase touch
+    * bit_or, co-partitioned on user_id); everything after lives on a
+    * 16-row v(S) table — the subset-sum join (16×16), the 4×8
+    * marginal enumeration, and the weight CASE are all broadcast
+    * joins over constant-size relations, data-independent at any SF
+    * (the in-plan twin of q256's driver-side matrix). At 100 TB: one
+    * user shuffle, then literally 16 rows.
+    */
+  val q273ShapleyAttribution: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("p"))
+        .select(col("user_id"), col("p.ts").as("pts"),
+          col("p.event_id").as("pid"))
+      val bit = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "error", 2L)
+        .when(col("event_type") === "signup", 4L)
+        .when(col("event_type") === "view", 8L)
+      // the before-purchase predicate lives IN the join condition: a
+      // converting user whose every touch post-dates the purchase must
+      // survive as mask 0 (baseline conversion), not vanish — a
+      // post-join filter would drop the whole user
+      val tch = ev
+        .filter(col("event_type").isin("click", "error", "signup", "view"))
+        .select(col("user_id").as("tu"), col("ts").as("tts"),
+          col("event_id").as("tid"), bit.as("b"))
+      val touches = purch.join(tch,
+          col("user_id") === col("tu") && (col("tts") < col("pts") ||
+            (col("tts") === col("pts") && col("tid") < col("pid"))), "left")
+        .groupBy(col("user_id"))
+        .agg(coalesce(expr("bit_or(b)"), lit(0L)).as("mask"))
+      val cnt = touches.groupBy(col("mask")).agg(count(lit(1)).as("c"))
+      val v = s.range(16).select(col("id").as("ss"))
+        .join(cnt, col("mask").bitwiseAND(col("ss")) === col("mask"), "left")
+        .groupBy(col("ss")).agg(coalesce(sum(col("c")), lit(0L)).as("v"))
+      val chans = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+        ("view", 8L)).toDF("channel", "bit")
+      val phi = chans
+        .join(v.as("s0"), col("s0.ss").bitwiseAND(col("bit")) === 0L)
+        .join(v.as("s1"), col("s1.ss") === col("s0.ss") + col("bit"))
+        .select(col("channel"), col("bit"),
+          (col("s1.v") - col("s0.v")).as("dv"),
+          expr("CASE bit_count(s0.ss) WHEN 0 THEN 6L WHEN 1 THEN 2L " +
+            "WHEN 2 THEN 2L ELSE 6L END").as("w"))
+        .groupBy(col("channel"), col("bit"))
+        .agg(sum(col("w") * col("dv")).as("shapley_x24"))
+      phi
+        .join(v.select(col("ss"), col("v").as("solo_conv")),
+          col("bit") === col("ss"))
+        .join(v.select(col("ss").as("ssw"), col("v").as("v_wo")),
+          col("ssw") === lit(15L) - col("bit"))
+        .join(v.filter(col("ss") === 15L).select(col("v").as("vf")))
+        .join(v.filter(col("ss") === 0L).select(col("v").as("v0")))
+        .select(col("channel"), col("v0").as("baseline_conv"),
+          col("solo_conv"), (col("vf") - col("v_wo")).as("marginal_full"),
+          col("shapley_x24"))
+        .orderBy(col("channel"))
+    },
+    oracle = Some("""
+      WITH p AS (SELECT user_id, ts AS pts, event_id AS pid FROM (
+                   SELECT user_id, ts, event_id, row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                   FROM events WHERE event_type = 'purchase')
+                 WHERE rn = 1),
+      t AS (SELECT p.user_id,
+                   CAST(coalesce(bit_or(CASE e.event_type
+                     WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                     WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0)
+                     AS BIGINT) AS mask
+            FROM p LEFT JOIN events e ON e.user_id = p.user_id
+              AND e.event_type IN ('click', 'error', 'signup', 'view')
+              AND (e.ts < p.pts OR (e.ts = p.pts AND e.event_id < p.pid))
+            GROUP BY p.user_id),
+      c AS (SELECT mask, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      ss AS (SELECT unnest(range(0, 16)) AS ss),
+      v AS (SELECT ss.ss, CAST(coalesce(sum(c.c), 0) AS BIGINT) AS v
+            FROM ss LEFT JOIN c ON (c.mask & ss.ss) = c.mask
+            GROUP BY 1),
+      ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                            ('signup', 4), ('view', 8)) AS t(channel, bit)),
+      pairs AS (SELECT ch.channel, ch.bit, s1.v - s0.v AS dv,
+                       CASE bit_count(s0.ss) WHEN 0 THEN 6 WHEN 1 THEN 2
+                            WHEN 2 THEN 2 ELSE 6 END AS w
+                FROM ch JOIN v s0 ON (s0.ss & ch.bit) = 0
+                        JOIN v s1 ON s1.ss = s0.ss + ch.bit)
+      SELECT p.channel AS channel, v0.v AS baseline_conv,
+             sv.v AS solo_conv, vf.v - vw.v AS marginal_full,
+             CAST(sum(p.w * p.dv) AS BIGINT) AS shapley_x24
+      FROM pairs p
+      JOIN v sv ON sv.ss = p.bit
+      JOIN v vw ON vw.ss = 15 - p.bit
+      JOIN v vf ON vf.ss = 15
+      JOIN v v0 ON v0.ss = 0
+      GROUP BY 1, v0.v, sv.v, vf.v, vw.v
+      ORDER BY channel"""))
+
   /** MARKOV-CHAIN removal-effect attribution (Anderl et al. 2014) —
     * the data-driven alternative to q179's positional touch rules:
     * model user journeys as a first-order chain over touch states
@@ -9199,6 +9321,7 @@ object Catalog {
     "q270_dau_overlap" -> q270DauOverlap,
     "q271_fd_discovery" -> q271FdDiscovery,
     "q272_ind_discovery" -> q272IndDiscovery,
+    "q273_shapley_attribution" -> q273ShapleyAttribution,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
