@@ -172,7 +172,10 @@ object ScaleSweep {
     // family's shingle/signature cache shapes rebuilt fresh here
     "lines" -> Seq("q147_line_dedup", "q148_lm_familiarity",
       "q149_minhash_estimate_audit", "q150_gap_fill_locf",
-      "q174_blocklist_filter"),
+      "q174_blocklist_filter",
+      // r9: winnowing — positioned-shingle build + two doc-keyed
+      // windows; output density pinned at 2/(w+1) of k-gram volume
+      "q274_winnowing_fingerprints"),
     // exact statistics (added late r7): the KS/MW prefix-sum kernel's
     // cost tracks the distinct-value rollup (~linear in facts here);
     // the day-rollup entries (Theil-Sen, TWAP) are calendar-bounded

@@ -5376,7 +5376,84 @@ object PipelineCatalog {
       WHERE d.doc_id % 7 <> 3
       ORDER BY d.doc_id"""))
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local fingerprinting algorithm): from each
+    * document's POSITIONED word-3-gram hash sequence, every window of
+    * w=4 consecutive k-grams selects its minimum hash, rightmost
+    * occurrence on ties — the published rule that makes the selection
+    * LOCAL (any substring match of length ≥ w+k−1 words is guaranteed
+    * to share a fingerprint, the property MinHash q36 does NOT have)
+    * with expected density 2/(w+1) of positions. Distinct from q45
+    * (every rolling hash kept) and q36 (global per-doc minima): this
+    * is the position-aware middle ground plagiarism/clone detectors
+    * ship.
+    *
+    * Cross-engine exactness without a tie RULE: the window minimum
+    * runs over the single integer h·2³¹ + (2³¹−1−pos) — the hash in
+    * the high bits, the NEGATED position in the low bits — so
+    * "min hash, rightmost position" is literally one arithmetic min
+    * both engines replay bit-identically (h < 2³¹ ⇒ the packed value
+    * < 2⁶², BIGINT-safe; positions < 2³¹ by the doc-sized contract —
+    * at 100 TB shard documents before fingerprinting, as MOSS does).
+    * Short docs: fewer than w k-grams ⇒ the one clamped window picks
+    * the global min (the guarantee only covers matches ≥ w+k−1
+    * anyway); fewer than k words ⇒ no fingerprints BY CONTRACT.
+    *
+    * Physical shape: the token array materializes behind one Exchange
+    * barrier (the shingleRows CollapseProject rule), k-grams keep
+    * their position via posexplode, and both the window min and the
+    * per-doc size are doc_id-partitioned windows — one doc-keyed
+    * shuffle total, output ~0.4·|k-grams| rows. No join, no
+    * corpus-wide state; embarrassingly parallel across documents.
+    */
+  val q274WinnowingFingerprints: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import graft.functions.VectorExpressions.polyHash
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), posexplode(expr(
+          """CASE WHEN size(w) >= 3 THEN
+               transform(sequence(0, size(w)-3),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+             ELSE array() END""")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          polyHash(col("col")).as("h"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, 3)
+      sh
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("mn", min(col("h") * lit(2147483648L) +
+          (lit(2147483647L) - col("pos"))).over(frame))
+        .filter(col("pos") <= greatest(col("n") - 4, lit(0L)))
+        .select(col("doc_id"),
+          (lit(2147483647L) - (col("mn") % lit(2147483648L))).as("fpos"),
+          expr("mn div 2147483648").as("fp"))
+        .distinct()
+        .orderBy(col("doc_id"), col("fpos"), col("fp"))
+    },
+    oracle = Some(s"""
+      WITH sh AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               ${polyhashSql("(w[i] || ' ' || w[i+1] || ' ' || w[i+2])")} AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             UNNEST(range(1, len(w) - 1)) AS t(i)),
+      n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      win AS (SELECT sh.doc_id, sh.pos,
+                     min(sh.h * 2147483648 + (2147483647 - sh.pos)) OVER (
+                       PARTITION BY sh.doc_id ORDER BY sh.pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+              FROM sh)
+      SELECT DISTINCT w.doc_id,
+             CAST(2147483647 - (w.mn % 2147483648) AS BIGINT) AS fpos,
+             CAST(w.mn // 2147483648 AS BIGINT) AS fp
+      FROM win w JOIN n ON n.doc_id = w.doc_id
+      WHERE w.pos <= greatest(n.n - 4, 0)
+      ORDER BY w.doc_id, fpos, fp"""))
+
   val all: Map[String, QuerySpec] = Map(
+    "q274_winnowing_fingerprints" -> q274WinnowingFingerprints,
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
     "q86_bloom_decontamination" -> q86BloomDecontamination,
