@@ -165,7 +165,10 @@ object ScaleSweep {
       "q221_seasonal_anomaly",
       // r9: SPIDER single-pass IND profiler — one (ind, key) shuffle
       // shared by all 8 candidates, no joins
-      "q272_ind_discovery"),
+      "q272_ind_discovery",
+      // r9: consistent-hash ring — broadcast 128-point ring, map-side
+      // successor min per key, one 8-key rollup
+      "q275_consistent_ring"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup

@@ -2942,6 +2942,111 @@ object Catalog {
              (sum(hl * (1 - hr)) = 0) AS holds
       FROM g GROUP BY ind ORDER BY ind"""))
 
+  /** CONSISTENT-HASH RING audit (Karger et al. 1997) — the OTHER
+    * canonical minimal-disruption placement law, q264's rendezvous
+    * twin: 8 shards × 16 virtual nodes hash onto a ring, every key
+    * goes to its clockwise successor vnode (wrap at the top), and
+    * removing shard 7 moves EXACTLY the keys on its arcs — each to
+    * the next SURVIVING vnode clockwise, never a global reshuffle.
+    * Where HRW pays n score evaluations per key with zero metadata,
+    * the ring pays O(1) metadata (128 points) and vnodes exist
+    * precisely to spread both load and failover inflow (imbalance
+    * variance shrinks ~1/√vnodes — Karger's Θ(log n) balance
+    * argument); the emitted per-shard audit (n_full / n_reduced /
+    * inflow) makes both laws visible as data next to q264's.
+    *
+    * Cross-engine exactness: positions come from the q264 two-round
+    * multiply-mod-P xor-shift mixer (a polynomial hash would lattice
+    * the ring — the q264 structural lesson), ring inputs offset by
+    * 10⁹+7 so key and vnode probes draw from disjoint input sets,
+    * and the successor choice is ONE arithmetic min over
+    * rpos·8+shard (position high bits, shard tiebreak low bits,
+    * < 2³⁴ — BIGINT-safe), inclusive ≥ on both engines: no tie-rule
+    * prose anywhere. Physical shape: the 128-point ring is a
+    * broadcast relation; assignment is a map-side nested-loop over
+    * it (128 integer comparisons per key, NO shuffle); the only
+    * shuffle is the 8-key rollup — at 100 TB this is the q264
+    * contract with ring metadata instead of per-shard hashing.
+    */
+  val q275ConsistentRing: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def mix(x0: Column): Column = {
+        val x1 = (x0 * lit(2654435761L)) % lit(2147483647L)
+        val x2 = x1.bitwiseXOR(shiftright(x1, 15))
+        val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
+        x3.bitwiseXOR(shiftright(x3, 13))
+      }
+      val ring = s.range(128).select(
+        expr("id div 16").as("shard"),
+        mix(col("id") + lit(1000000007L)).as("rpos"))
+        .select(col("shard"), col("rpos"),
+          (col("rpos") * 8 + col("shard")).as("packed"))
+      val keys = Tables.customer(s, dir)
+        .select(col("c_custkey"), mix(col("c_custkey").cast("long")).as("kpos"))
+      val assigned = keys.crossJoin(broadcast(ring))
+        .groupBy(col("c_custkey"))
+        .agg(
+          coalesce(min(when(col("rpos") >= col("kpos"), col("packed"))),
+            min(col("packed"))).as("pf"),
+          coalesce(min(when(col("shard") < 7 && col("rpos") >= col("kpos"),
+              col("packed"))),
+            min(when(col("shard") < 7, col("packed")))).as("pr"))
+        .select(col("c_custkey"), (col("pf") % 8).as("full"),
+          (col("pr") % 8).as("reduced"))
+        .localCheckpoint(true)
+      val nFull = assigned.groupBy(col("full").as("shard"))
+        .agg(count(lit(1)).as("n_full"))
+      val nRed = assigned.groupBy(col("reduced").as("shard"))
+        .agg(count(lit(1)).as("n_reduced"))
+      val inflow = assigned.filter(col("full") =!= col("reduced"))
+        .groupBy(col("reduced").as("shard"))
+        .agg(count(lit(1)).as("inflow"))
+      nFull.join(nRed, Seq("shard"), "left")
+        .join(inflow, Seq("shard"), "left")
+        .select(col("shard"), col("n_full"),
+          coalesce(col("n_reduced"), lit(0L)).as("n_reduced"),
+          coalesce(col("inflow"), lit(0L)).as("inflow"))
+        .orderBy(col("shard"))
+    },
+    oracle = Some("""
+      WITH ids AS (SELECT unnest(range(0, 128)) AS id),
+      r1 AS (SELECT id // 16 AS shard,
+                    (1000000007 + id) * 2654435761 % 2147483647 AS x
+             FROM ids),
+      r2 AS (SELECT shard, xor(x, x >> 15) AS x FROM r1),
+      r3 AS (SELECT shard, x * 1597334677 % 2147483647 AS x FROM r2),
+      ring AS (SELECT shard, xor(x, x >> 13) AS rpos,
+                      xor(x, x >> 13) * 8 + shard AS packed
+               FROM r3),
+      k1 AS (SELECT c_custkey,
+                    CAST(c_custkey AS BIGINT) * 2654435761 % 2147483647 AS x
+             FROM customer),
+      k2 AS (SELECT c_custkey, xor(x, x >> 15) AS x FROM k1),
+      k3 AS (SELECT c_custkey, x * 1597334677 % 2147483647 AS x FROM k2),
+      keys AS (SELECT c_custkey, xor(x, x >> 13) AS kpos FROM k3),
+      a AS (SELECT k.c_custkey,
+                   coalesce(min(CASE WHEN r.rpos >= k.kpos
+                                     THEN r.packed END),
+                            min(r.packed)) AS pf,
+                   coalesce(min(CASE WHEN r.shard < 7 AND r.rpos >= k.kpos
+                                     THEN r.packed END),
+                            min(CASE WHEN r.shard < 7
+                                     THEN r.packed END)) AS pr
+            FROM keys k CROSS JOIN ring r GROUP BY 1),
+      b AS (SELECT c_custkey, pf % 8 AS fs, pr % 8 AS rs FROM a),
+      nf AS (SELECT fs AS shard, CAST(count(*) AS BIGINT) AS n_full
+             FROM b GROUP BY 1),
+      nr AS (SELECT rs AS shard, CAST(count(*) AS BIGINT) AS n_reduced
+             FROM b GROUP BY 1),
+      mv AS (SELECT rs AS shard, CAST(count(*) AS BIGINT) AS inflow
+             FROM b WHERE fs <> rs GROUP BY 1)
+      SELECT nf.shard, nf.n_full,
+             CAST(coalesce(nr.n_reduced, 0) AS BIGINT) AS n_reduced,
+             CAST(coalesce(mv.inflow, 0) AS BIGINT) AS inflow
+      FROM nf LEFT JOIN nr ON nr.shard = nf.shard
+              LEFT JOIN mv ON mv.shard = nf.shard
+      ORDER BY nf.shard"""))
+
   /** EXACT SHAPLEY-VALUE attribution (Shapley 1953; the data-driven
     * attribution model of Zhao et al. 2018 / Google DDA) — completes
     * the attribution trilogy: q179 scores by POSITION rules, q256 by
@@ -9322,6 +9427,7 @@ object Catalog {
     "q271_fd_discovery" -> q271FdDiscovery,
     "q272_ind_discovery" -> q272IndDiscovery,
     "q273_shapley_attribution" -> q273ShapleyAttribution,
+    "q275_consistent_ring" -> q275ConsistentRing,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
