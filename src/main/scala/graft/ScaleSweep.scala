@@ -185,7 +185,10 @@ object ScaleSweep {
     // and should be near scale-invariant past the rollup scan
     "stats" -> Seq("q162_pareto_frontier", "q163_theil_sen_trend",
       "q166_ks_statistic", "q167_mann_whitney_u",
-      "q168_time_weighted_revenue", "q169_benford_audit"))
+      "q168_time_weighted_revenue", "q169_benford_audit",
+      // r9: Kendall pair census — |suppliers-per-nation|²-bounded
+      // self-join after one map-side-combined suppkey rollup
+      "q276_kendall_tau"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

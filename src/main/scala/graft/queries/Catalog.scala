@@ -2942,6 +2942,94 @@ object Catalog {
              (sum(hl * (1 - hr)) = 0) AS holds
       FROM g GROUP BY ind ORDER BY ind"""))
 
+  /** KENDALL'S τ-b sufficient statistics (Kendall 1938; τ-b tie
+    * correction Kendall 1945) — the PAIRWISE rank correlation, q265
+    * Spearman's sibling and the other half of the standard rank-
+    * correlation pair: where Spearman correlates rank POSITIONS, τ
+    * counts concordant vs discordant PAIRS, so it is the probability
+    * interpretation (P[concordant] − P[discordant]) robust people
+    * reach for on small groups. Per nation, over suppliers scored by
+    * (x = lifetime revenue in integer cents, y = account balance in
+    * integer cents): the full exact pair census — concordant,
+    * discordant, x-only ties, y-only ties, both-ties — plus the τ-b
+    * numerator C−D. Everything integer (cents comparisons only); the
+    * rational τ-b itself is left as numerator + the tie counts that
+    * define its denominator √((n₀−n₁)(n₀−n₂)) per the q49/q60
+    * never-round-rationals contract.
+    *
+    * Scale contract: the pair join is |group|²-BOUNDED BY KEY DOMAIN
+    * — suppliers per nation (≤40 at sf0.1, fixture-fixed 25 nations),
+    * the same bounded-self-join class as q14's per-key cap; at a
+    * 100 TB supplier dimension the group key gains a sub-key (region
+    * × segment) before the join, exactly like q163's calendar bound.
+    * One suppkey rollup (map-side combined) + one nation-keyed
+    * broadcast-sized self-join; output |nations| rows.
+    */
+  val q276KendallTau: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation"),
+          expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("y"))
+        .join(rev, col("s_suppkey") === col("l_suppkey"), "left")
+        .select(col("s_suppkey").as("k"), col("nation"),
+          coalesce(col("x"), lit(0L)).as("x"), col("y"))
+      val p = sup.as("a").join(sup.as("b"),
+        col("a.nation") === col("b.nation") && col("a.k") < col("b.k"))
+      p.groupBy(col("a.nation").as("nation"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when((col("a.x") < col("b.x") && col("a.y") < col("b.y")) ||
+            (col("a.x") > col("b.x") && col("a.y") > col("b.y")), 1L)
+            .otherwise(0L)).as("concordant"),
+          sum(when((col("a.x") < col("b.x") && col("a.y") > col("b.y")) ||
+            (col("a.x") > col("b.x") && col("a.y") < col("b.y")), 1L)
+            .otherwise(0L)).as("discordant"),
+          sum(when(col("a.x") === col("b.x") && col("a.y") =!= col("b.y"), 1L)
+            .otherwise(0L)).as("ties_x"),
+          sum(when(col("a.x") =!= col("b.x") && col("a.y") === col("b.y"), 1L)
+            .otherwise(0L)).as("ties_y"),
+          sum(when(col("a.x") === col("b.x") && col("a.y") === col("b.y"), 1L)
+            .otherwise(0L)).as("ties_both"))
+        .select(col("nation"), col("n_pairs"), col("concordant"),
+          col("discordant"), col("ties_x"), col("ties_y"), col("ties_both"),
+          (col("concordant") - col("discordant")).as("tau_num"))
+        .orderBy(col("nation"))
+    },
+    oracle = Some("""
+      WITH rev AS (SELECT l_suppkey,
+                          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                               AS BIGINT) AS x
+                   FROM lineitem GROUP BY 1),
+      sup AS (SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nation,
+                     CAST(coalesce(rev.x, 0) AS BIGINT) AS x,
+                     CAST(round(s_acctbal * 100) AS BIGINT) AS y
+              FROM supplier LEFT JOIN rev ON rev.l_suppkey = s_suppkey),
+      p AS (SELECT a.nation, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
+            FROM sup a JOIN sup b ON a.nation = b.nation AND a.k < b.k)
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN (ax < bx AND ay < by_) OR
+                                (ax > bx AND ay > by_)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+             CAST(sum(CASE WHEN (ax < bx AND ay > by_) OR
+                                (ax > bx AND ay < by_)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+             CAST(sum(CASE WHEN ax = bx AND ay <> by_
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+             CAST(sum(CASE WHEN ax <> bx AND ay = by_
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+             CAST(sum(CASE WHEN ax = bx AND ay = by_
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ties_both,
+             CAST(sum(CASE WHEN (ax < bx AND ay < by_) OR
+                                (ax > bx AND ay > by_)
+                           THEN 1 ELSE 0 END)
+                - sum(CASE WHEN (ax < bx AND ay > by_) OR
+                                (ax > bx AND ay < by_)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tau_num
+      FROM p GROUP BY nation ORDER BY nation"""))
+
   /** CONSISTENT-HASH RING audit (Karger et al. 1997) — the OTHER
     * canonical minimal-disruption placement law, q264's rendezvous
     * twin: 8 shards × 16 virtual nodes hash onto a ring, every key
@@ -9428,6 +9516,7 @@ object Catalog {
     "q272_ind_discovery" -> q272IndDiscovery,
     "q273_shapley_attribution" -> q273ShapleyAttribution,
     "q275_consistent_ring" -> q275ConsistentRing,
+    "q276_kendall_tau" -> q276KendallTau,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
