@@ -188,7 +188,10 @@ object ScaleSweep {
       "q168_time_weighted_revenue", "q169_benford_audit",
       // r9: Kendall pair census — |suppliers-per-nation|²-bounded
       // self-join after one map-side-combined suppkey rollup
-      "q276_kendall_tau"))
+      "q276_kendall_tau",
+      // r9: CvM on the shared prefix-sum kernel — ANSI decimal chain
+      // is the headroom check (num value crosses 10^38 near 10^8 rows)
+      "q277_cramer_von_mises"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -6244,6 +6244,76 @@ object Catalog {
       FROM cum, t
       GROUP BY n1, n2"""))
 
+  /** CRAMÉR–VON MISES two-sample statistic (Cramér 1928; two-sample
+    * form Anderson 1962) between the same F/O order-value samples —
+    * the third leg of the exact distribution-comparison suite on the
+    * shared [[rangePrefixSums]] kernel: q166's KS reacts to the WORST
+    * single CDF gap, q167's U to a median shift, CvM to the INTEGRAL
+    * of squared CDF gaps — the whole-distribution sensitivity that
+    * catches many-small-gaps drift KS underweights. Computational
+    * form: T = Σ_z [F_m(z)−G_n(z)]² · mn/N² over every pooled
+    * observation z (the tie-inclusive empirical-CDF form both engines
+    * replay identically); with the value rollup this is
+    * Σ_values (d₁+d₂)·(c₁n₂−c₂n₁)² over the distributed prefix sums
+    * (each CDF gap scaled by n₁n₂, so Σ_z[F−G]² = cvm_num/(n₁n₂)²
+    * and T = cvm_num·(mn/N²)/(n₁n₂)² = cvm_num / (n₁·n₂·N²)).
+    * Emitted exactly: cvm_num = Σ d·(c₁n₂−c₂n₁)² and
+    * cvm_den = n₁·n₂·N². Both ship as DECIMAL(38,0) canonical
+    * digit strings (the q109 convention): the per-term square
+    * (c₁n₂−c₂n₁)² ≈ (n₁n₂)² crosses 2^63 already at the bench SF, and
+    * the three-factor d19 chain keeps every product exact under ANSI
+    * — the decimal value itself crosses 10³⁸ near N ≈ 10⁸ pooled rows
+    * (N⁵/16 bound), where the escalation is HUGEINT-style limb
+    * splitting, documented not built. Scale: identical profile to
+    * q166/q167 — one cents rollup + one range exchange; output 1 row.
+    */
+  val q277CramerVonMises: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val rollup = foValueRollup(s, dir)
+      val totals = rollup.agg(sum(col("d1")).as("n1"), sum(col("d2")).as("n2"))
+      rangePrefixSums(s, rollup)
+        .join(broadcast(totals))
+        .select(col("n1"), col("n2"),
+          (d19(col("d1") + col("d2")) *
+            d19(col("c1") * col("n2") - col("c2") * col("n1")) *
+            d19(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("term"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(col("term")).cast("decimal(38,0)").as("num"))
+        .select(col("n1"), col("n2"),
+          col("num").cast("string").as("cvm_num"),
+          (d19(col("n1")) * d19(col("n2")) *
+            d19(col("n1") + col("n2")) * d19(col("n1") + col("n2")))
+            .cast("decimal(38,0)").cast("string").as("cvm_den"))
+    },
+    oracle = Some("""
+      WITH rollup AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d2
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+        GROUP BY 1),
+      cum AS (
+        SELECT d1, d2,
+               CAST(sum(d1) OVER w AS BIGINT) AS c1,
+               CAST(sum(d2) OVER w AS BIGINT) AS c2
+        FROM rollup
+        WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+      t AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+                   CAST(sum(d2) AS BIGINT) AS n2 FROM rollup)
+      SELECT n1, n2,
+             CAST(CAST(sum(CAST(d1 + d2 AS HUGEINT)
+                           * (c1 * n2 - c2 * n1)
+                           * (c1 * n2 - c2 * n1)) AS DECIMAL(38,0))
+                  AS VARCHAR) AS cvm_num,
+             CAST(CAST(CAST(n1 AS HUGEINT) * n2 * (n1 + n2) * (n1 + n2)
+                  AS DECIMAL(38,0)) AS VARCHAR) AS cvm_den
+      FROM cum, t
+      GROUP BY n1, n2"""))
+
   /** TIME-WEIGHTED average revenue per status (the finance-standard
     * TWAP: a value that held for 9 days weighs 9× one that held a
     * day — the arithmetic mean the q150 gap-fill exists to correct).
@@ -9517,6 +9587,7 @@ object Catalog {
     "q273_shapley_attribution" -> q273ShapleyAttribution,
     "q275_consistent_ring" -> q275ConsistentRing,
     "q276_kendall_tau" -> q276KendallTau,
+    "q277_cramer_von_mises" -> q277CramerVonMises,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
