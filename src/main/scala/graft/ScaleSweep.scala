@@ -191,7 +191,10 @@ object ScaleSweep {
       "q276_kendall_tau",
       // r9: CvM on the shared prefix-sum kernel — ANSI decimal chain
       // is the headroom check (num value crosses 10^38 near 10^8 rows)
-      "q277_cramer_von_mises"))
+      "q277_cramer_von_mises",
+      // r9: Haar synopsis — calendar-bounded transform after one
+      // map-side-combined daily rollup; 17 output rows at any SF
+      "q278_haar_synopsis"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -6244,6 +6244,80 @@ object Catalog {
       FROM cum, t
       GROUP BY n1, n2"""))
 
+  /** HAAR WAVELET SYNOPSIS of the daily-order-count series (Matias,
+    * Vitter & Wang, SIGMOD 1998 — the wavelet histogram, a founding
+    * DB synopsis structure): the top-16 detail coefficients by
+    * retained energy plus the scaling (total-sum) coefficient — the
+    * B-term representation that answers range-sum queries with
+    * bounded L2 error. The fast transform is ONE GROUP-BY: each day
+    * contributes ±count to its enclosing block at every dyadic level
+    * b ∈ {2..4096} (sign = which half of the block it falls in), so
+    * coefficient (b, k) = Σ signed counts — a 12-way explode over a
+    * CALENDAR-BOUNDED rollup, never over raw facts. Coefficients stay
+    * UNNORMALIZED integers; the orthonormal ranking |c|²/b is made
+    * exact by cross-multiplying to energy = c²·(4096/b) (integer,
+    * ≤ c²·2048 — BIGINT until daily counts pass ~6·10⁷), and top-16
+    * selection is ORDER BY energy DESC with (b, k) tiebreaks —
+    * TakeOrdered, no partitionless window. Day indexes anchor at the
+    * q109 1992-01-01 floor and the synopsis domain is the dyadic
+    * [0, 4096) day grid (fixture occupies 1096..3500); absent days
+    * are implicit zeros, so no padding rows ever materialize.
+    * Scale: the only fact-sized stage is the daily rollup (map-side
+    * combined); the transform runs on ≤ |days|·12 rows bounded by the
+    * calendar — the q87/q109 argument — and the synopsis is 17 rows
+    * at any SF.
+    */
+  val q278HaarSynopsis: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("bigint").as("t"))
+        .filter(col("t") >= 0L && col("t") < 4096L)
+        .groupBy(col("t")).agg(count(lit(1)).as("v"))
+      val detail = daily
+        .select(col("t"), col("v"), explode(expr(
+          "array(2L,4L,8L,16L,32L,64L,128L,256L,512L,1024L,2048L,4096L)"))
+          .as("b"))
+        .select(col("b"), expr("t div b").as("k"),
+          (col("v") * when(col("t") % col("b") < expr("b div 2"), 1L)
+            .otherwise(-1L)).as("sv"))
+        .groupBy(col("b"), col("k")).agg(sum(col("sv")).as("coef"))
+        .select(lit("detail").as("kind"), col("b"), col("k"), col("coef"),
+          (col("coef") * col("coef") * expr("4096L div b")).as("energy"))
+        .orderBy(col("energy").desc, col("b"), col("k"))
+        .limit(16)
+      val scale = daily.agg(sum(col("v")).as("coef"))
+        .select(lit("scale").as("kind"), lit(8192L).as("b"), lit(0L).as("k"),
+          col("coef"), lit(0L).as("energy"))
+      detail.unionByName(scale)
+        .orderBy(col("kind"), col("energy").desc, col("b"), col("k"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS v
+        FROM orders
+        WHERE date_diff('day', DATE '1992-01-01',
+                CAST(o_orderdate AS DATE)) BETWEEN 0 AND 4095
+        GROUP BY 1),
+      lvl AS (SELECT CAST(unnest([2,4,8,16,32,64,128,256,512,1024,
+                                  2048,4096]) AS BIGINT) AS b),
+      co AS (SELECT b, t // b AS k,
+                    CAST(sum(v * CASE WHEN t % b < b // 2
+                                      THEN 1 ELSE -1 END) AS BIGINT) AS coef
+             FROM daily, lvl GROUP BY 1, 2),
+      top AS (SELECT 'detail' AS kind, b, k, coef,
+                     CAST(coef * coef * (4096 // b) AS BIGINT) AS energy
+              FROM co ORDER BY energy DESC, b, k LIMIT 16),
+      sc AS (SELECT 'scale' AS kind, CAST(8192 AS BIGINT) AS b,
+                    CAST(0 AS BIGINT) AS k,
+                    CAST(sum(v) AS BIGINT) AS coef,
+                    CAST(0 AS BIGINT) AS energy
+             FROM daily)
+      SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM sc)
+      ORDER BY kind, energy DESC, b, k"""))
+
   /** CRAMÉR–VON MISES two-sample statistic (Cramér 1928; two-sample
     * form Anderson 1962) between the same F/O order-value samples —
     * the third leg of the exact distribution-comparison suite on the
@@ -9588,6 +9662,7 @@ object Catalog {
     "q275_consistent_ring" -> q275ConsistentRing,
     "q276_kendall_tau" -> q276KendallTau,
     "q277_cramer_von_mises" -> q277CramerVonMises,
+    "q278_haar_synopsis" -> q278HaarSynopsis,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
