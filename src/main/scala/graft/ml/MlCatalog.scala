@@ -1135,7 +1135,62 @@ object MlCatalog {
     },
     oracle = None)
 
+  /** JOHNSON–LINDENSTRAUSS random-projection distortion audit
+    * (JL 1984; the ±1 sign-matrix form of Achlioptas 2003, the
+    * database-friendly construction): project the 64-dim corpus to
+    * d'=16 with a SEEDED ±1 matrix and measure, over the 2016 pairs
+    * of the first 64 vectors, the squared-distance ratio
+    * ‖Rx_i−Rx_j‖²/(d'·‖x_i−x_j‖²) — the quantity the lemma bounds
+    * near 1. This is the audit every LSH/IVF/PQ consumer in the m09/
+    * m16/q40 family implicitly trusts when it hashes projections: it
+    * puts the measured distortion HISTOGRAM (ratio deciles) in the
+    * output, spec-pinned to the concentration the lemma promises at
+    * d'=16 (loose — that is the point; the spec records the measured
+    * floor, guarantee-style like m18). Deterministic end-to-end: the
+    * sign matrix comes from scala.util.Random(42) (a pinned LCG), the
+    * 16 projections are [[VectorExpressions.dotFD]] codegen dots
+    * against literal arrays, and pair distances fold in fixed order.
+    * Scale: projection is MAP-ONLY (16 dots/row — this is how the
+    * corpus-wide projection would run at 100 TB); the pair audit is
+    * a fixed 64-vector probe, constant at any SF. Rows-only by the
+    * sketch rule (ratio buckets are float-derived).
+    */
+  val m21JlProjection: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import graft.functions.VectorExpressions.{dotF, dotFD, normF}
+      val rnd = new scala.util.Random(42)
+      val signs = Array.fill(16)(Array.fill(64)(
+        if (rnd.nextBoolean()) 1.0 else -1.0))
+      val projCols = signs.zipWithIndex.map { case (r, j) =>
+        dotFD(col("embedding"), typedLit(r.toSeq)).as(s"y$j") }
+      val base = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 64)
+        .select(Seq(col("vec_id"), col("embedding"),
+          normF(col("embedding")).as("nrm")) ++ projCols: _*)
+      val a = base.select(
+        Seq(col("vec_id").as("ida"), col("embedding").as("ea"),
+          col("nrm").as("na")) ++
+          (0 until 16).map(j => col(s"y$j").as(s"a$j")): _*)
+      val b = base.select(
+        Seq(col("vec_id").as("idb"), col("embedding").as("eb"),
+          col("nrm").as("nb")) ++
+          (0 until 16).map(j => col(s"y$j").as(s"b$j")): _*)
+      val d2p = (0 until 16).map(j =>
+        (col(s"a$j") - col(s"b$j")) * (col(s"a$j") - col(s"b$j")))
+        .reduce(_ + _)
+      a.crossJoin(b).filter(col("ida") < col("idb"))
+        .withColumn("d2", col("na") * col("na") + col("nb") * col("nb")
+          - lit(2.0) * dotF(col("ea"), col("eb")))
+        .filter(col("d2") > 0.0)
+        .withColumn("ratio", d2p / (lit(16.0) * col("d2")))
+        .groupBy(floor(col("ratio") * 10).cast("long").as("decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("decile"))
+    },
+    oracle = None)
+
   val all: Map[String, QuerySpec] = Map(
+    "m21_jl_projection" -> m21JlProjection,
     "m01_als_user_factors" -> m01AlsUserFactors,
     "m02_als_recommendations" -> m02AlsRecommendations,
     "m03_als_eval" -> m03AlsEval,
