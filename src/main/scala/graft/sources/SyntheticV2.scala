@@ -3,7 +3,7 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
@@ -102,8 +102,19 @@ object SyntheticV2 {
       nItems: Long): Seq[Any] =
     (0 to 5).map(f => field(f, seed, idx, rowsPerUser, nItems))
 
+  /** The provenance metadata column every real table format exposes
+    * (file sources ship `_metadata.row_index`; Iceberg `_pos`): the
+    * deterministic generator row index. Hidden from `SELECT *` —
+    * resolvable only by name — per the [[SupportsMetadataColumns]]
+    * contract, and since every data column is a pure function of
+    * (seed, _gen_index), selecting it makes any row REPRODUCIBLE
+    * independently of layout: the lineage hook a 100 TB pipeline
+    * needs to re-derive or audit a single record.
+    */
+  private[graft] val genIndexCol = "_gen_index"
+
   private final class SynTable(options: CaseInsensitiveStringMap)
-      extends Table with SupportsRead {
+      extends Table with SupportsRead with SupportsMetadataColumns {
     private val rows = options.getLong("rows", 1000L)
     private val partitions = options.getInt("partitions", 8)
     private val rowsPerUser = options.getLong("rowsPerUser", 100L)
@@ -115,6 +126,16 @@ object SyntheticV2 {
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ)
+
+    override def metadataColumns(): Array[MetadataColumn] = Array(
+      new MetadataColumn {
+        override def name(): String = genIndexCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "deterministic generator row index (provenance: every data " +
+            "column is a pure function of (seed, _gen_index))"
+      })
 
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
       new SynScanBuilder(rows, partitions, rowsPerUser, nItems, seed)
@@ -360,7 +381,12 @@ object SyntheticV2 {
 
     override def createReaderFactory(): PartitionReaderFactory =
       new SynReaderFactory(rowsPerUser, nItems, seed,
-        required.fieldNames.map(SyntheticV2.schema.fieldIndex))
+        // the metadata column resolves to the sentinel field 6: the
+        // reader emits the raw row index itself
+        required.fieldNames.map {
+          case SyntheticV2.`genIndexCol` => 6
+          case n => SyntheticV2.schema.fieldIndex(n)
+        })
   }
 
   /** One field of row idx — pruned columns are never computed (the
@@ -375,6 +401,7 @@ object SyntheticV2 {
     case 3 => (unit(seed, idx, 0) * 40 + unit(seed, idx, 3) * 10).toLong
     case 4 => if (unit(seed, idx, 4) < unit(seed, idx, 0) * 0.8) 0 else 1
     case 5 => 1700000000L + idx % 86400L
+    case 6 => idx // _gen_index metadata column: provenance, no draw
   }
 
   private final class SynReaderFactory(rowsPerUser: Long, nItems: Long,

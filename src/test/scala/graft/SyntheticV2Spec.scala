@@ -177,6 +177,31 @@ class SyntheticV2Spec extends SparkSpec {
     assert(n === expected && n > 0L)
   }
 
+  test("metadata column _gen_index: hidden from *, resolvable by name, exact provenance") {
+    val df = load(rows = 1000L, partitions = 4)
+    // hidden until selected — SELECT * must NOT change
+    assert(!df.schema.fieldNames.contains("_gen_index"))
+    // selected by name: the provenance law user_id = _gen_index / rowsPerUser
+    val got = df.select(col("_gen_index"), col("user_id"))
+    assert(got.schema.fieldNames.toSeq === Seq("_gen_index", "user_id"))
+    val bad = got.filter(col("user_id") =!= expr("_gen_index div 100")).count()
+    assert(bad === 0L)
+    // complete and layout-independent: indexes are exactly 0..rows-1
+    val idx4 = load(rows = 1000L, partitions = 4)
+      .select("_gen_index").collect().map(_.getLong(0)).sorted
+    val idx3 = load(rows = 1000L, partitions = 3)
+      .select("_gen_index").collect().map(_.getLong(0)).sorted
+    assert(idx4.toSeq === (0L until 1000L) && idx3.toSeq === idx4.toSeq)
+    // pruning composes: a metadata-only projection reads ONLY _gen_index
+    val ps = scanOf(df.select("_gen_index"))
+    assert(ps.scan.readSchema().fieldNames.toSeq === Seq("_gen_index"))
+    // a row re-derived from its _gen_index matches the stored row
+    val r = df.select(col("_gen_index"), col("item_id"), col("truth"))
+      .filter(col("_gen_index") === 123L).head()
+    val expect = SyntheticV2.row(42L, 123L, 100L, 1000L)
+    assert(r.getLong(1) === expect(1) && r.getInt(2) === expect(4))
+  }
+
   test("pushed LIMIT truncates generation (scan emits only the capped index space)") {
     val lim = load(rows = 100000L, partitions = 8).limit(7)
     // the scan itself must shrink: with the limit pushed, planned rows
