@@ -2948,22 +2948,25 @@ object Catalog {
     * correlation pair: where Spearman correlates rank POSITIONS, τ
     * counts concordant vs discordant PAIRS, so it is the probability
     * interpretation (P[concordant] − P[discordant]) robust people
-    * reach for on small groups. Per nation, over suppliers scored by
-    * (x = lifetime revenue in integer cents, y = account balance in
-    * integer cents): the full exact pair census — concordant,
-    * discordant, x-only ties, y-only ties, both-ties — plus the τ-b
-    * numerator C−D. Everything integer (cents comparisons only); the
-    * rational τ-b itself is left as numerator + the tie counts that
-    * define its denominator √((n₀−n₁)(n₀−n₂)) per the q49/q60
-    * never-round-rationals contract.
+    * reach for on small groups. Per nation BAND (nationkey div 5 — a
+    * region-sized 5-bucket domain; bare nations leave sf0.001's 10
+    * suppliers one-per-nation with ZERO pairs, and 10 keys into 5
+    * bands pigeonhole at least one pair at every SF), over suppliers
+    * scored by (x = lifetime revenue in integer cents, y = account
+    * balance in integer cents): the full exact pair census —
+    * concordant, discordant, x-only ties, y-only ties, both-ties —
+    * plus the τ-b numerator C−D. Everything integer (cents
+    * comparisons only); the rational τ-b itself is left as numerator
+    * + the tie counts that define its denominator √((n₀−n₁)(n₀−n₂))
+    * per the q49/q60 never-round-rationals contract.
     *
     * Scale contract: the pair join is |group|²-BOUNDED BY KEY DOMAIN
-    * — suppliers per nation (≤40 at sf0.1, fixture-fixed 25 nations),
+    * — suppliers per band (≤200 at sf0.1, fixture-fixed 5 bands),
     * the same bounded-self-join class as q14's per-key cap; at a
     * 100 TB supplier dimension the group key gains a sub-key (region
     * × segment) before the join, exactly like q163's calendar bound.
-    * One suppkey rollup (map-side combined) + one nation-keyed
-    * broadcast-sized self-join; output |nations| rows.
+    * One suppkey rollup (map-side combined) + one band-keyed
+    * broadcast-sized self-join; output |bands| rows.
     */
   val q276KendallTau: QuerySpec = QuerySpec(
     fn = (s, dir) => {
@@ -2971,14 +2974,15 @@ object Catalog {
         .groupBy(col("l_suppkey"))
         .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
       val sup = Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation"),
+        .select(col("s_suppkey"),
+          expr("CAST(s_nationkey AS BIGINT) div 5").as("band"),
           expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("y"))
         .join(rev, col("s_suppkey") === col("l_suppkey"), "left")
-        .select(col("s_suppkey").as("k"), col("nation"),
+        .select(col("s_suppkey").as("k"), col("band"),
           coalesce(col("x"), lit(0L)).as("x"), col("y"))
       val p = sup.as("a").join(sup.as("b"),
-        col("a.nation") === col("b.nation") && col("a.k") < col("b.k"))
-      p.groupBy(col("a.nation").as("nation"))
+        col("a.band") === col("b.band") && col("a.k") < col("b.k"))
+      p.groupBy(col("a.band").as("band"))
         .agg(
           count(lit(1)).as("n_pairs"),
           sum(when((col("a.x") < col("b.x") && col("a.y") < col("b.y")) ||
@@ -2993,23 +2997,23 @@ object Catalog {
             .otherwise(0L)).as("ties_y"),
           sum(when(col("a.x") === col("b.x") && col("a.y") === col("b.y"), 1L)
             .otherwise(0L)).as("ties_both"))
-        .select(col("nation"), col("n_pairs"), col("concordant"),
+        .select(col("band"), col("n_pairs"), col("concordant"),
           col("discordant"), col("ties_x"), col("ties_y"), col("ties_both"),
           (col("concordant") - col("discordant")).as("tau_num"))
-        .orderBy(col("nation"))
+        .orderBy(col("band"))
     },
     oracle = Some("""
       WITH rev AS (SELECT l_suppkey,
                           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                                AS BIGINT) AS x
                    FROM lineitem GROUP BY 1),
-      sup AS (SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nation,
+      sup AS (SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) // 5 AS band,
                      CAST(coalesce(rev.x, 0) AS BIGINT) AS x,
                      CAST(round(s_acctbal * 100) AS BIGINT) AS y
               FROM supplier LEFT JOIN rev ON rev.l_suppkey = s_suppkey),
-      p AS (SELECT a.nation, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
-            FROM sup a JOIN sup b ON a.nation = b.nation AND a.k < b.k)
-      SELECT nation, CAST(count(*) AS BIGINT) AS n_pairs,
+      p AS (SELECT a.band, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
+            FROM sup a JOIN sup b ON a.band = b.band AND a.k < b.k)
+      SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
              CAST(sum(CASE WHEN (ax < bx AND ay < by_) OR
                                 (ax > bx AND ay > by_)
                            THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
@@ -3028,7 +3032,7 @@ object Catalog {
                 - sum(CASE WHEN (ax < bx AND ay > by_) OR
                                 (ax > bx AND ay < by_)
                            THEN 1 ELSE 0 END) AS BIGINT) AS tau_num
-      FROM p GROUP BY nation ORDER BY nation"""))
+      FROM p GROUP BY band ORDER BY band"""))
 
   /** CONSISTENT-HASH RING audit (Karger et al. 1997) — the OTHER
     * canonical minimal-disruption placement law, q264's rendezvous

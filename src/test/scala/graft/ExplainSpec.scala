@@ -167,6 +167,8 @@ object ExplainSpec {
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q189_funnel_latency" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
+    "q277_cramer_von_mises" ->
+      "offset prefix-sum over per-partition totals (rangePrefixSums kernel); bounded by the shuffle partition count",
     "q246_watermark_lag" ->
       "offset prefix-MAX over per-partition high-water marks (accessionLateness kernel, two feeds); bounded by the shuffle partition count")
 }
