@@ -9476,6 +9476,204 @@ object Catalog {
              CAST(NULL AS BIGINT) AS absent
       FROM orders ORDER BY o_orderkey"""))
 
+  /** COUNT-MIN SKETCH frequency audit (Cormode & Muthukrishnan 2005) —
+    * the missing member of the sketch quartet: m18 Misra–Gries gives
+    * deterministic heavy hitters, q259 KMV / q48 HLL estimate
+    * DISTINCTS, the Theta family does set algebra — Count-Min is the
+    * POINT-FREQUENCY estimator, the structure a 100 TB ingest keeps
+    * per partition/day and merges by plain counter ADDITION (linear
+    * sketch: cm(A ⊎ B) = cm(A) + cm(B), spec'd in CountMinSpec along
+    * with the one-sided-error guarantee est ≥ truth). d=4 rows × w=64
+    * counters; row hashes are the arithmetic family
+    * ((2i+3)·k + 10007·i) mod P mod 64 — pure BIGINT ops both engines
+    * replay bit-equally (the polyhash/q264 convention; P = 2³¹−1).
+    * Emits the audit the operator exists for: the top-20 customers by
+    * exact order count with their CM estimate and the (provably ≥ 0)
+    * overcount — the Markov bound says overcount ≤ e/w · N with
+    * probability 1 − e^{-d} per key.
+    *
+    * Scale: the sketch build is ONE hash-agg whose key domain is
+    * FIXED at 4·64 = 256 cells — partial aggregation shrinks every
+    * task's contribution to ≤256 rows regardless of SF, so the
+    * shuffle is metadata-sized at any scale; the probe side is a
+    * broadcast of those 256 cells against the top-k rollup. Estimate
+    * error grows as N/w, which is the documented knob (w scales to
+    * 2^16+ in production; 64 keeps the fixture audit's overcounts
+    * visibly non-trivial).
+    */
+  val q279CountMin: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").cast("long").as("k"))
+      def cellOf(k: Column, i: Column): Column =
+        ((lit(2L) * i + lit(3L)) * k + i * lit(10007L)) % P % lit(64L)
+      val is = expr("array(0L, 1L, 2L, 3L)")
+      val cells = o.select(col("k"), explode(is).as("i"))
+        .select(col("i"), cellOf(col("k"), col("i")).as("cell"))
+        .groupBy(col("i"), col("cell")).agg(count(lit(1)).as("c"))
+      val exact = o.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+      val top = exact.orderBy(col("exact_cnt").desc, col("k")).limit(20)
+      top.select(col("k"), col("exact_cnt"), explode(is).as("i"))
+        .select(col("k"), col("exact_cnt"), col("i"),
+          cellOf(col("k"), col("i")).as("cell"))
+        .join(broadcast(cells), Seq("i", "cell"))
+        .groupBy(col("k"), col("exact_cnt"))
+        .agg(min(col("c")).as("cm_est"))
+        .select(col("k").as("o_custkey"), col("exact_cnt"), col("cm_est"),
+          (col("cm_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("o_custkey"))
+    },
+    oracle = Some("""
+      WITH ks AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+      g AS (SELECT k, i FROM ks,
+            (SELECT CAST(unnest([0,1,2,3]) AS BIGINT) AS i)),
+      cells AS (SELECT i, ((2*i+3)*k + i*10007) % 2147483647 % 64 AS cell,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM g GROUP BY 1, 2),
+      exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt
+                FROM ks GROUP BY 1),
+      top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, k LIMIT 20)
+      SELECT t.k AS o_custkey, t.exact_cnt,
+             CAST(min(c.c) AS BIGINT) AS cm_est,
+             CAST(min(c.c) - t.exact_cnt AS BIGINT) AS overcount
+      FROM top t JOIN cells c
+        ON c.cell = ((2*c.i+3)*t.k + c.i*10007) % 2147483647 % 64
+      GROUP BY 1, 2
+      ORDER BY exact_cnt DESC, o_custkey"""))
+
+  /** PAGE–HINKLEY mean-shift statistic (Page 1954; Hinkley 1971) over
+    * the daily revenue series — the sequential drift detector a
+    * training-data pipeline runs on every feed, q-family sibling of
+    * the CUSUM queries: PH_t = m_t − min_{s≤t} m_s where
+    * m_t = Σ_{i≤t}(x_i − x̄). All-integer replay: both engines compute
+    * the SCALED walk m'_t = Σ n·x_i − t·S (multiply through by
+    * n = |days| so the global mean x̄ = S/n never divides), in cents —
+    * n·x_i ≲ 2.6e11 and |m'| ≤ n·S ≈ 6e14 at sf0.1, BIGINT-safe
+    * through sf100 (n·S ≈ 6e17); past that the q109 DECIMAL(38,0)
+    * escalation applies. δ is fixed at 0 (the pure mean-shift form) so
+    * the statistic stays exact. Emits the top-10 alarm days by
+    * (ph desc, day): the day index, its revenue cents, the scaled
+    * deviation walk and the PH excursion.
+    *
+    * Scale: one (date)-keyed cents rollup (map-side combined; day
+    * domain calendar-bounded ≤ |days| rows) feeds a prefix-sum +
+    * running-min window over that bounded rollup — the
+    * ExplainSpec-allowlisted class whose fact-scale swap is
+    * rangePrefixSums (q166's kernel); the fact table itself is
+    * touched exactly once.
+    */
+  val q281PageHinkley: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date")).cast("bigint").as("t"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("t")).agg(sum(col("cents")).as("x"))
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val w = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .select(col("t"), col("x"),
+          (sum(col("x") * col("n")).over(w) -
+            sum(lit(1L)).over(w) * col("s")).as("m"))
+        .select(col("t"), col("x"), col("m"),
+          (col("m") - min(col("m")).over(w)).as("ph"))
+        .orderBy(col("ph").desc, col("t")).limit(10)
+        .select(col("t").as("day_idx"), col("x").as("rev_cents"),
+          col("m").as("dev_walk"), col("ph"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s FROM daily),
+      walk AS (SELECT t, x,
+                      CAST(sum(x * n) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - count(*) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          * s AS BIGINT) AS m
+               FROM daily, tot),
+      ph AS (SELECT t, x, m,
+                    CAST(m - min(m) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS ph
+             FROM walk)
+      SELECT t AS day_idx, x AS rev_cents, m AS dev_walk, ph
+      FROM ph ORDER BY ph DESC, t LIMIT 10"""))
+
+  /** THEIL–SEN robust trend (Theil 1950; Sen 1968) on the first 128
+    * days of the daily order-count series — the median of all
+    * pairwise slopes, the estimator that shrugs off the outlier days
+    * that wreck OLS (29.3% breakdown point). The median is taken
+    * under the exact integer total order (⌊dy·10⁶/dt⌋, dy, dt, i, j)
+    * — scaled integer slope first, raw rational parts as tiebreaks —
+    * so both engines select the SAME pair by nearest-rank
+    * (rn = (cnt+1) div 2) with no float comparison anywhere; the
+    * winning slope itself ships as the exact rational med_dy/med_dt
+    * per the q49/q60 never-round-rationals contract, alongside the
+    * pair census.
+    *
+    * Scale: the pair domain is CALENDAR-BOUNDED by construction —
+    * 128 days → 8128 pairs regardless of SF (the q163 windowing
+    * rule); the fact table contributes one day-keyed count rollup
+    * (map-side combined) and the pair join runs on the broadcast-
+    * sized daily table. At a longer horizon the day window slides
+    * (per-quarter Theil–Sen), never a fact-scale pair join.
+    */
+  val q282TheilSen: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("bigint").as("t"))
+        .filter(col("t") >= 0L && col("t") < 128L)
+        .groupBy(col("t")).agg(count(lit(1)).as("y"))
+        .localCheckpoint(true)
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.t") < col("b.t"))
+        .select(col("a.t").as("ti"), col("b.t").as("tj"),
+          (col("b.y") - col("a.y")).as("dy"),
+          (col("b.t") - col("a.t")).as("dt"))
+        .select(col("ti"), col("tj"), col("dy"), col("dt"),
+          expr("(dy * 1000000L) div dt").as("skey"))
+      val ranked = pairs.select(col("*"),
+        row_number().over(Window.orderBy(col("skey"), col("dy"),
+          col("dt"), col("ti"), col("tj"))).as("rn"))
+      ranked.crossJoin(broadcast(
+          pairs.agg(count(lit(1)).as("n_pairs"))))
+        .filter(col("rn") === expr("(n_pairs + 1L) div 2L"))
+        .select(col("n_pairs"), col("skey").as("med_skey"),
+          col("dy").as("med_dy"), col("dt").as("med_dt"),
+          col("ti").as("med_ti"), col("tj").as("med_tj"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders
+        WHERE date_diff('day', DATE '1995-01-01',
+                CAST(o_orderdate AS DATE)) BETWEEN 0 AND 127
+        GROUP BY 1),
+      pairs AS (SELECT a.t AS ti, b.t AS tj,
+                       b.y - a.y AS dy, b.t - a.t AS dt,
+                       (b.y - a.y) * 1000000 // (b.t - a.t) AS skey
+                FROM daily a JOIN daily b ON a.t < b.t),
+      ranked AS (SELECT *, row_number() OVER (
+                   ORDER BY skey, dy, dt, ti, tj) AS rn,
+                   count(*) OVER () AS n_pairs
+                 FROM pairs)
+      SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+             CAST(skey AS BIGINT) AS med_skey,
+             CAST(dy AS BIGINT) AS med_dy, CAST(dt AS BIGINT) AS med_dt,
+             CAST(ti AS BIGINT) AS med_ti, CAST(tj AS BIGINT) AS med_tj
+      FROM ranked WHERE rn = (n_pairs + 1) // 2"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -9667,6 +9865,9 @@ object Catalog {
     "q276_kendall_tau" -> q276KendallTau,
     "q277_cramer_von_mises" -> q277CramerVonMises,
     "q278_haar_synopsis" -> q278HaarSynopsis,
+    "q279_count_min" -> q279CountMin,
+    "q281_page_hinkley" -> q281PageHinkley,
+    "q282_theil_sen" -> q282TheilSen,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,
