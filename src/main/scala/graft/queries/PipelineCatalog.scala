@@ -5452,7 +5452,113 @@ object PipelineCatalog {
       WHERE w.pos <= greatest(n.n - 4, 0)
       ORDER BY w.doc_id, fpos, fp"""))
 
+  /** χ² TOKEN–CLASS feature selection (Pearson 1900; the text-
+    * categorization selection protocol of Yang & Pedersen 1997) — the
+    * SUPERVISED sibling of q88's lang×source contingency test: for
+    * every (language, token) pair the 2×2 document-incidence table
+    *   a = docs of the class containing the token,  b = n_t − a,
+    *   c = n_L − a,  d = N − n_t − n_L + a
+    * and the χ² association N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), the
+    * standard "which tokens identify this class" ranking a curation
+    * pipeline runs before training a router/classifier. Everything
+    * integer: chi2_num = N(ad−bc)² ≤ N⁵/16 (1.95e17 at sf0.1's
+    * N = 5000 — BIGINT-safe; past N ≈ 10⁵ docs per partition-domain
+    * the q109 DECIMAL(38,0) escalation applies), chi2_den =
+    * n_t(N−n_t)·n_L(N−n_L) ≤ N⁴/16. Ranking uses the deterministic
+    * integer key (⌊χ²⌋ = num div den, then num, then token) — the
+    * q282 scaled-ordering convention — and the exact rational ships
+    * as num/den per the q49/q60 rule. Tokens present in EVERY doc
+    * carry zero information and a zero denominator (n_t = N) and are
+    * excluded by contract, as are (lang, token) cells with a = 0
+    * (unobserved pairs rank last by construction and DuckDB would
+    * have to densify the domain to emit them).
+    *
+    * Scale: the (doc, token) incidence rollup is the posting-list
+    * shuffle every text query here pays once; the three margin
+    * tables are vocab- and class-bounded (broadcast), and the top-5
+    * window is PARTITIONED by lang over the vocab-bounded association
+    * table — never fact-sized. Top-5 per class, |langs|·5 rows out.
+    */
+  val q280TokenChi2: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val inc = d
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+      val nTot = d.agg(count(lit(1)).as("n"))
+      val nL = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val nT = inc.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+      val assoc = inc.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("a"))
+        .join(broadcast(nL), "lang")
+        .join(broadcast(nT), "tok")
+        .crossJoin(broadcast(nTot))
+        .filter(col("n_t") < col("n"))
+        .select(col("lang"), col("tok"), col("a"),
+          (col("n_t") - col("a")).as("b"),
+          (col("n_l") - col("a")).as("c"),
+          (col("n") - col("n_t") - col("n_l") + col("a")).as("d"),
+          col("n"), col("n_t"), col("n_l"))
+      val scored = assoc.select(col("lang"), col("tok"), col("a"),
+          col("b"), col("c"), col("d"),
+          (col("n") * (col("a") * col("d") - col("b") * col("c")) *
+            (col("a") * col("d") - col("b") * col("c"))).as("chi2_num"),
+          (col("n_t") * (col("n") - col("n_t")) * col("n_l") *
+            (col("n") - col("n_l"))).as("chi2_den"))
+        .select(col("*"),
+          expr("chi2_num div chi2_den").as("chi2_floor"))
+      scored.select(col("*"), row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("chi2_floor").desc,
+            col("chi2_num").desc, col("tok"))).as("rk"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk").cast("long").as("rk"), col("tok"),
+          col("a"), col("b"), col("c"), col("d"),
+          col("chi2_num"), col("chi2_den"), col("chi2_floor"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, lang, text FROM documents),
+      inc AS (SELECT DISTINCT doc_id, lang, tok
+              FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                    FROM d)
+              WHERE len(tok) > 0),
+      ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM d GROUP BY 1),
+      nt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_t
+             FROM (SELECT DISTINCT doc_id, tok FROM inc) GROUP BY 1),
+      assoc AS (SELECT i.lang, i.tok, CAST(count(*) AS BIGINT) AS a
+                FROM inc i GROUP BY 1, 2),
+      cells AS (SELECT s.lang, s.tok, s.a,
+                       nt.n_t - s.a AS b, nl.n_l - s.a AS c,
+                       ntot.n - nt.n_t - nl.n_l + s.a AS d,
+                       ntot.n AS n, nt.n_t, nl.n_l
+                FROM assoc s
+                JOIN nl ON nl.lang = s.lang
+                JOIN nt ON nt.tok = s.tok
+                CROSS JOIN ntot
+                WHERE nt.n_t < ntot.n),
+      scored AS (SELECT lang, tok, a, b, c, d,
+                        CAST(n * (a*d - b*c) * (a*d - b*c) AS BIGINT)
+                          AS chi2_num,
+                        CAST(n_t * (n - n_t) * n_l * (n - n_l) AS BIGINT)
+                          AS chi2_den
+                 FROM cells),
+      ranked AS (SELECT *, chi2_num // chi2_den AS chi2_floor,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY chi2_num // chi2_den DESC,
+                                   chi2_num DESC, tok) AS rk
+                 FROM scored)
+      SELECT lang, CAST(rk AS BIGINT) AS rk, tok, a, b, c, d,
+             chi2_num, chi2_den, CAST(chi2_floor AS BIGINT) AS chi2_floor
+      FROM ranked WHERE rk <= 5
+      ORDER BY lang, rk"""))
+
   val all: Map[String, QuerySpec] = Map(
+    "q280_token_chi2" -> q280TokenChi2,
     "q274_winnowing_fingerprints" -> q274WinnowingFingerprints,
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
