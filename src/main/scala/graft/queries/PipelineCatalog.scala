@@ -5557,8 +5557,133 @@ object PipelineCatalog {
       FROM ranked WHERE rk <= 5
       ORDER BY lang, rk"""))
 
+  /** GRID DBSCAN (Ester et al. 1996 semantics; the cell-grid
+    * formulation à la Gunawan & de Berg 2013) over the first two
+    * embedding coordinates — DENSITY clustering joins the unsupervised
+    * family next to kmeans (m-series), m09 IVF and m10 SemDeDup:
+    * points bin into 1/64-wide grid cells, a cell is CORE when its
+    * 3×3 neighborhood holds ≥ 5 points, and clusters are the
+    * connected components of the core-cell 8-adjacency graph (noise =
+    * points in occupied non-core cells, reported as cluster −1; the
+    * border-point refinement is documented out — cell granularity IS
+    * the ε resolution here). Emits (cluster_id, n_cells, n_pts) under
+    * the (n_pts desc, cluster_id) total order.
+    *
+    * Cross-engine exactness: cell coordinates are
+    * floor(CAST(float AS DOUBLE) · 64) — float→double widening is
+    * exact, one double multiply + floor is the q63 fixed-order IEEE
+    * class, so the grid is bit-identical with NO rounding; every
+    * downstream count is integer. The cluster merge runs TWO genuinely
+    * different algorithms (the q94 cross-algorithm rule): Spark uses
+    * [[graft.operators.Components.connectedComponents]] min-label
+    * propagation TO FIXPOINT on the equi-joined 8-shift adjacency,
+    * DuckDB replays a recursive-CTE reachability closure + min —
+    * identical labels because both resolve to the component's minimum
+    * cell id.
+    *
+    * Scale: binning is one map pass; the cell rollup's key domain is
+    * the OCCUPIED-cell set (≪ points); the neighborhood sum is a
+    * 9-shift explode + equi-join on cell keys — never a point-pair
+    * join; components run on the core-CELL graph (hundreds of nodes
+    * where the point set has millions), and per-point cost is O(1)
+    * end to end. At 100 TB the grid dimension and minPts scale with
+    * the projection (m15 PCA / m21 JL are the documented front ends)
+    * and the per-cell rollup stays the only fact-sized shuffle.
+    */
+  val q284GridDbscan: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pts = Tables.embeddings(s, dir).select(
+        floor(element_at(col("embedding"), 1).cast("double") * 64.0)
+          .cast("bigint").as("gx"),
+        floor(element_at(col("embedding"), 2).cast("double") * 64.0)
+          .cast("bigint").as("gy"))
+      val cells = pts.groupBy(col("gx"), col("gy"))
+        .agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+      val offs = expr("array(-1L, 0L, 1L)")
+      val nbr = cells
+        .select(col("gx"), col("gy"), col("cnt"), explode(offs).as("dx"))
+        .select(col("gx"), col("gy"), col("cnt"), col("dx"),
+          explode(offs).as("dy"))
+        .select((col("gx") + col("dx")).as("cx"),
+          (col("gy") + col("dy")).as("cy"), col("cnt"))
+        .groupBy(col("cx"), col("cy")).agg(sum(col("cnt")).as("ncnt"))
+      val core = cells
+        .join(nbr, cells("gx") === nbr("cx") && cells("gy") === nbr("cy"))
+        .filter(col("ncnt") >= 5L)
+        .select(col("gx"), col("gy"), col("cnt"),
+          ((col("gx") + 256L) * 65536L + (col("gy") + 256L)).as("cell"))
+        .localCheckpoint(true)
+      val shifted = core
+        .select(col("cell").as("d1"), col("gx"), col("gy"),
+          explode(offs).as("dx"))
+        .select(col("d1"), col("gx"), col("gy"), col("dx"),
+          explode(offs).as("dy"))
+        .filter(!(col("dx") === 0L && col("dy") === 0L))
+        .select(col("d1"), (col("gx") + col("dx")).as("nx"),
+          (col("gy") + col("dy")).as("ny"))
+      val adj = shifted.join(
+          core.select(col("cell").as("d2"), col("gx").as("nx"),
+            col("gy").as("ny")), Seq("nx", "ny"))
+        .select(col("d1"), col("d2"))
+      val lbl = graft.operators.Components.connectedComponents(adj)
+      val labels = core.select(col("cell").as("node"))
+        .join(lbl, Seq("node"), "left")
+        .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+      val clusters = core.join(labels, core("cell") === labels("node"))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("n_pts"))
+      val noise = cells
+        .join(core.select(col("gx"), col("gy")), Seq("gx", "gy"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_cells"),
+          coalesce(sum(col("cnt")), lit(0L)).as("n_pts"))
+        .select(lit(-1L).as("cluster_id"), col("n_cells"), col("n_pts"))
+      clusters.unionByName(noise)
+        .orderBy(col("n_pts").desc, col("cluster_id"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE pts AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 64) AS BIGINT) AS gx,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 64) AS BIGINT) AS gy
+        FROM embeddings),
+      cells AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS cnt
+                FROM pts GROUP BY 1, 2),
+      nbr AS (SELECT c.gx + dx.d AS cx, c.gy + dy.d AS cy,
+                     CAST(sum(c.cnt) AS BIGINT) AS ncnt
+              FROM cells c,
+                   (SELECT CAST(unnest([-1,0,1]) AS BIGINT) AS d) dx,
+                   (SELECT CAST(unnest([-1,0,1]) AS BIGINT) AS d) dy
+              GROUP BY 1, 2),
+      core AS (SELECT c.gx, c.gy, c.cnt,
+                      (c.gx + 256) * 65536 + (c.gy + 256) AS cell
+               FROM cells c JOIN nbr ON nbr.cx = c.gx AND nbr.cy = c.gy
+               WHERE nbr.ncnt >= 5),
+      adj AS (SELECT a.cell AS d1, b.cell AS d2
+              FROM core a JOIN core b
+                ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+               AND a.cell <> b.cell),
+      reach(cell, l) AS (
+        SELECT cell, cell FROM core
+        UNION
+        SELECT a.d2, r.l FROM reach r JOIN adj a ON a.d1 = r.cell),
+      lbl AS (SELECT cell, min(l) AS lbl FROM reach GROUP BY 1),
+      clusters AS (SELECT l.lbl AS cluster_id,
+                          CAST(count(*) AS BIGINT) AS n_cells,
+                          CAST(sum(c.cnt) AS BIGINT) AS n_pts
+                   FROM core c JOIN lbl l ON l.cell = c.cell GROUP BY 1),
+      noise AS (SELECT CAST(-1 AS BIGINT) AS cluster_id,
+                       CAST(count(*) AS BIGINT) AS n_cells,
+                       CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_pts
+                FROM cells
+                WHERE NOT EXISTS (SELECT 1 FROM core k
+                                  WHERE k.gx = cells.gx AND k.gy = cells.gy))
+      SELECT * FROM (SELECT * FROM clusters
+                     UNION ALL SELECT * FROM noise)
+      ORDER BY n_pts DESC, cluster_id"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q280_token_chi2" -> q280TokenChi2,
+    "q284_grid_dbscan" -> q284GridDbscan,
     "q274_winnowing_fingerprints" -> q274WinnowingFingerprints,
     "q34_exact_dedup" -> q34ExactDedup,
     "q80_bigram_collocations" -> q80BigramCollocations,
