@@ -9752,6 +9752,88 @@ object Catalog {
              CAST(ti AS BIGINT) AS med_ti, CAST(tj AS BIGINT) AS med_tj
       FROM ranked WHERE rn = (n_pairs + 1) // 2"""))
 
+  /** AMS/TUG-OF-WAR F₂ SKETCH (Alon, Matias & Szegedy 1996) over the
+    * customer order-frequency vector — the SECOND-MOMENT member of
+    * the sketch family (q279 Count-Min answers point frequencies,
+    * this answers Σf² — the SELF-JOIN SIZE, the statistic a
+    * cost-based optimizer wants for join-cardinality estimates and a
+    * skew monitor wants for "how concentrated is this key?"). 16
+    * independent estimators: row j's ±1 sign for key k is BIT j of
+    * the q264/q275 two-round multiply-mod-P xor-shift mixer (input
+    * offset 777000777 for domain separation from the ring/HRW uses),
+    * Z_j = Σ_rows sign_j(custkey) — ONE pass over the fact table, no
+    * pre-aggregation, because Σ_rows sign(k) ≡ Σ_keys f_k·sign(k) —
+    * and est_j = Z_j². E[Z²] = F₂ exactly (2-wise independent signs
+    * suffice for the mean; the variance bound wants 4-wise — a
+    * degree-3 polynomial mixer, documented as the production swap).
+    * Emits the 16 per-row estimates next to the exact F₂ plus the
+    * j = −1 nearest-rank median row (the AMS median-of-estimators
+    * step, rank 8 of 16 under the (est, j) total order). Z ≤ N rows
+    * so est ≤ N² — BIGINT-safe through sf100 (2.25e16); the q109
+    * DECIMAL escalation applies beyond.
+    *
+    * Scale: the sketch is LINEAR (merge = per-j addition of Z, the
+    * q279 CountMinSpec law) and the plan is one 16-sum map-side-
+    * combined global aggregate — a 16-value shuffle at any SF; the
+    * exact-F₂ rollup (one custkey-keyed count + one sum of squares)
+    * exists only as the audit's oracle side and is itself two
+    * map-side-combined shuffles.
+    */
+  val q286AmsF2: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def mix(x0: Column): Column = {
+        val x1 = (x0 * lit(2654435761L)) % lit(2147483647L)
+        val x2 = x1.bitwiseXOR(shiftright(x1, 15))
+        val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
+        x3.bitwiseXOR(shiftright(x3, 13))
+      }
+      val h = Tables.orders(s, dir)
+        .select(mix(col("o_custkey").cast("long") + lit(777000777L)).as("h"))
+      val z = h.agg(
+        sum(shiftright(col("h"), 0) % 2L * 2L - 1L).as("z0"),
+        (1 to 15).map(j =>
+          sum(shiftright(col("h"), j) % 2L * 2L - 1L).as(s"z$j")): _*)
+      val stacked = z.select(expr(
+        "stack(16, " + (0 to 15).map(j => s"${j}L, z$j").mkString(", ") +
+          ") AS (j, z)"))
+      val f2 = Tables.orders(s, dir)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_f2"))
+      val perJ = stacked
+        .select(col("j"), col("z"), (col("z") * col("z")).as("est"))
+        .crossJoin(broadcast(f2))
+      val medRow = perJ
+        .select(col("*"),
+          row_number().over(Window.orderBy(col("est"), col("j"))).as("rn"))
+        .filter(col("rn") === 8)
+        .select(lit(-1L).as("j"), lit(0L).as("z"), col("est"),
+          col("exact_f2"))
+      perJ.unionByName(medRow).orderBy(col("j"))
+    },
+    oracle = Some("""
+      WITH ks AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+      m1 AS (SELECT (k + 777000777) * 2654435761 % 2147483647 AS x FROM ks),
+      m2 AS (SELECT xor(x, x >> 15) AS x FROM m1),
+      m3 AS (SELECT x * 1597334677 % 2147483647 AS x FROM m2),
+      h AS (SELECT xor(x, x >> 13) AS h FROM m3),
+      js AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS j),
+      z AS (SELECT j, CAST(sum((h >> CAST(j AS INTEGER)) % 2 * 2 - 1)
+                        AS BIGINT) AS z
+            FROM h, js GROUP BY 1),
+      f2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2
+             FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                   FROM ks GROUP BY k)),
+      est AS (SELECT j, z, z * z AS est FROM z),
+      med AS (SELECT est FROM (
+                SELECT est, row_number() OVER (ORDER BY est, j) AS rn
+                FROM est)
+              WHERE rn = 8)
+      SELECT j, z, CAST(est AS BIGINT) AS est, exact_f2 FROM est, f2
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(med.est AS BIGINT), exact_f2 FROM med, f2
+      ORDER BY j"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -9945,6 +10027,7 @@ object Catalog {
     "q278_haar_synopsis" -> q278HaarSynopsis,
     "q279_count_min" -> q279CountMin,
     "q283_kcore_peel" -> q283KCorePeel,
+    "q286_ams_f2" -> q286AmsF2,
     "q281_page_hinkley" -> q281PageHinkley,
     "q282_theil_sen" -> q282TheilSen,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
