@@ -101,23 +101,34 @@ object ManifestTable {
 
   /** One committed snapshot: schema + the exact data files it covers,
     * each with optional per-numeric-column (min, max) stats for data
-    * skipping (the Iceberg/Delta file-pruning shape).
+    * skipping (the Iceberg/Delta file-pruning shape) and, since
+    * round 9, the file's exact row count (`rows`; −1 on manifests
+    * written before the field existed) — the metadata that lets
+    * COUNT(*) answer without touching a data file.
     */
-  final case class FileEntry(path: String, stats: Map[String, (String, String)])
+  final case class FileEntry(path: String, stats: Map[String, (String, String)],
+      rows: Long = -1L)
   final case class Manifest(version: Long, schemaDdl: String, files: Seq[FileEntry])
 
   private def encodeEntry(e: FileEntry): String =
-    (e.path +: e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-      s"$c;$mn;$mx" }).mkString("|")
+    ((e.path +: e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"$c;$mn;$mx" }) ++
+      // 2-token shape on purpose: a pre-round-9 decoder pattern-matches
+      // 3-token stats entries and silently drops this, so old readers
+      // stay compatible with new manifests (and vice versa: rows = -1)
+      (if (e.rows >= 0) Seq(s"#rows;${e.rows}") else Nil)).mkString("|")
 
   private def decodeEntry(raw: String): FileEntry = {
     val parts = raw.split('|')
+    val rows = parts.tail.collectFirst {
+      case t if t.startsWith("#rows;") => t.stripPrefix("#rows;").toLong
+    }.getOrElse(-1L)
     FileEntry(parts.head, parts.tail.flatMap { t =>
       t.split(';') match {
         case Array(c, mn, mx) => Some(c -> (mn, mx))
         case _ => None
       }
-    }.toMap)
+    }.toMap, rows)
   }
 
   private def manifestFile(dir: String, v: Long) = new File(dir, f"manifest-$v%09d")
@@ -179,7 +190,10 @@ object ManifestTable {
       }
     }.mkString("\t")
 
-  private def decode(line: String, schema: StructType): InternalRow = {
+  private val NullSentinel = "\u0000NULL\u0000"
+
+  /** Split one encoded line into unescaped cells (null -> sentinel). */
+  private def splitCells(line: String): Array[String] = {
     // split on unescaped tabs, then unescape per field
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder
@@ -192,26 +206,48 @@ object ManifestTable {
           case 'n' => sb.append('\n'); i += 2
           case 'r' => sb.append('\r'); i += 2
           case '\\' => sb.append('\\'); i += 2
-          case 'N' => sb.append("\u0000NULL\u0000"); i += 2
+          case 'N' => sb.append(NullSentinel); i += 2
           case o => sb.append(o); i += 2
         }
       } else if (c == '\t') { parts += sb.toString; sb.setLength(0); i += 1 }
       else { sb.append(c); i += 1 }
     }
     parts += sb.toString
-    val vals = schema.fields.zip(parts).map { case (f, raw) =>
-      if (raw == "\u0000NULL\u0000") null
-      else f.dataType match {
-        case LongType => java.lang.Long.valueOf(raw)
-        case IntegerType => java.lang.Integer.valueOf(raw)
-        case DoubleType => java.lang.Double.valueOf(raw)
-        case BooleanType => java.lang.Boolean.valueOf(raw)
-        case StringType => UTF8String.fromString(raw)
-        case t => sys.error(s"unsupported type $t")
-      }
-    }
-    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    parts.toArray
   }
+
+  private def convertCell(raw: String, t: DataType): Any = t match {
+    case LongType => java.lang.Long.valueOf(raw)
+    case IntegerType => java.lang.Integer.valueOf(raw)
+    case DoubleType => java.lang.Double.valueOf(raw)
+    case BooleanType => java.lang.Boolean.valueOf(raw)
+    case StringType => UTF8String.fromString(raw)
+    case other => sys.error(s"unsupported type $other")
+  }
+
+  /** Decode only the `required` fields of a line written under the
+    * `full` schema - the column-pruning fast path: every cell is still
+    * tab-scanned (field boundaries demand it) but dropped columns skip
+    * value parsing and allocation entirely.
+    */
+  private def decodeProj(line: String, full: StructType,
+      required: StructType): InternalRow = {
+    val parts = splitCells(line)
+    val vals = new Array[Any](required.fields.length)
+    var j = 0
+    while (j < required.fields.length) {
+      val f = required.fields(j)
+      val i = full.fieldIndex(f.name)
+      vals(j) =
+        if (i >= parts.length || parts(i) == NullSentinel) null
+        else convertCell(parts(i), f.dataType)
+      j += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private def decode(line: String, schema: StructType): InternalRow =
+    decodeProj(line, schema, schema)
 
   // ---- table ---------------------------------------------------------
   private final class MTable(schema0: StructType, options: CaseInsensitiveStringMap)
@@ -320,7 +356,7 @@ object ManifestTable {
           s"graft-manifest: commit would overwrite committed data file $to")
         Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
         FileEntry(s"data/${sf.name}",
-          sf.stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap)
+          sf.stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap, sf.rows)
       }
       val prev = readManifest(dir, None)
       val files = if (truncate) moved.toSeq
@@ -533,7 +569,8 @@ object ManifestTable {
               .getBytes(StandardCharsets.UTF_8))
             Files.move(tmp, Paths.get(dir, "data", name),
               StandardCopyOption.ATOMIC_MOVE)
-            FileEntry(s"data/$name", statsOf(kept.map(decode(_, schema)), schema))
+            FileEntry(s"data/$name", statsOf(kept.map(decode(_, schema)), schema),
+              kept.length.toLong)
           }
         }
       }
@@ -593,7 +630,11 @@ object ManifestTable {
           c -> (rs.map(_._1).minBy(BigDecimal(_)),
             rs.map(_._2).maxBy(BigDecimal(_)))
         }.toMap
-        FileEntry(s"data/$name", merged)
+        // row count survives compaction only when every input knew its
+        // own (legacy -1 poisons the sum — conservative, never wrong)
+        val mergedRows = if (bin.forall(_._1.rows >= 0))
+          bin.map(_._1.rows).sum else -1L
+        FileEntry(s"data/$name", merged, mergedRows)
       }
     }.toSeq
     publish(dir, v, m.schemaDdl, entries, s"compact-$v")
@@ -622,11 +663,33 @@ object ManifestTable {
     * (pushFilters returns its input), so pruning is a pure
     * optimization and can never change results; files without stats
     * (older manifests, all-null columns) are never pruned.
+    *
+    * COLUMN PRUNING (round 9): `pruneColumns` narrows the decode to
+    * the required fields — the TSV line is still tab-split (it must
+    * be, to find field boundaries) but only required cells pay value
+    * parsing and UTF8String allocation, and the emitted row has the
+    * pruned arity. `.explain` shows ReadSchema = the pruned struct.
+    *
+    * AGGREGATE PUSHDOWN (round 9): global MIN/MAX/COUNT(*) answer
+    * from the MANIFEST ALONE — min of per-file mins, max of per-file
+    * maxes, sum of per-file row counts — when the metadata can prove
+    * the answer: no residual filters (this source keeps every pushed
+    * filter as a post-scan filter, so any filter at all disqualifies),
+    * no grouping, MIN/MAX only on numeric columns whose stats every
+    * file carries, COUNT(*) only when every file records its row
+    * count (pre-round-9 manifests don't → clean fallback to a real
+    * scan). The scan then plans ZERO data-file partitions — the
+    * Iceberg metadata-only query shape; ManifestTableSpec proves it
+    * by deleting the data files and asking again.
     */
   private final class MScanBuilder(dir: String, schema: StructType,
       entries: Seq[FileEntry]) extends ScanBuilder
-      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
     private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+    private var required: StructType = schema
+    private var aggRow: Option[(StructType, Array[Any])] = None
     override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
         : Array[org.apache.spark.sql.sources.Filter] = {
       pushed = filters
@@ -634,7 +697,95 @@ object ManifestTable {
     }
     override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
       pushed
-    override def build(): Scan = new MScan(dir, schema, entries, pushed.toSeq)
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+
+    /** Resolve the aggregation to its manifest-computed single row, or
+      * None when the metadata cannot PROVE the answer.
+      */
+    private def planAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Option[(StructType, Array[Any])] = {
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+      if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+      def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[StructField] = e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          schema.fields.find(_.name == nr.fieldNames()(0))
+        case _ => None
+      }
+      def extremum(f: StructField, lo: Boolean): Option[Any] = {
+        if (!entries.forall(_.stats.contains(f.name))) return None
+        if (entries.isEmpty) return Some(null) // MIN/MAX over 0 rows
+        val raw = entries.map(e =>
+          if (lo) e.stats(f.name)._1 else e.stats(f.name)._2)
+        f.dataType match {
+          case LongType =>
+            Some(if (lo) raw.map(_.toLong).min else raw.map(_.toLong).max)
+          case IntegerType =>
+            Some(if (lo) raw.map(_.toInt).min else raw.map(_.toInt).max)
+          case DoubleType =>
+            Some(if (lo) raw.map(_.toDouble).min else raw.map(_.toDouble).max)
+          case _ => None // string stats are not collected; never prove
+        }
+      }
+      val resolved = agg.aggregateExpressions().map {
+        case m: Min => colOf(m.column()).flatMap(f =>
+          extremum(f, lo = true).map(v => (f.dataType, v)))
+        case m: Max => colOf(m.column()).flatMap(f =>
+          extremum(f, lo = false).map(v => (f.dataType, v)))
+        case _: CountStar =>
+          if (entries.forall(_.rows >= 0L))
+            Some((LongType: DataType, entries.map(_.rows).sum: Any))
+          else None
+        case _ => None
+      }
+      if (resolved.exists(_.isEmpty)) None
+      else Some((StructType(resolved.zipWithIndex.map { case (r, i) =>
+        StructField(s"agg_$i", r.get._1, nullable = true) }),
+        resolved.map(_.get._2)))
+    }
+
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      planAgg(agg).isDefined
+
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+      aggRow = planAgg(agg)
+      aggRow.isDefined
+    }
+
+    override def build(): Scan = aggRow match {
+      case Some((aggSchema, values)) => new MAggScan(aggSchema, values)
+      case None => new MScan(dir, schema, required, entries, pushed.toSeq)
+    }
+  }
+
+  /** Metadata-only aggregate result: one partition, one row, zero data
+    * files opened.
+    */
+  private final class MAggScan(aggSchema: StructType, values: Array[Any])
+      extends Scan with Batch {
+    override def readSchema(): StructType = aggSchema
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft-manifest metadata-only aggregate ${aggSchema.fieldNames.mkString(",")}"
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(MInputPartition("<manifest>"))
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val vs = values
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private var emitted = false
+            override def next(): Boolean =
+              if (emitted) false else { emitted = true; true }
+            override def get(): InternalRow = new GenericInternalRow(vs.clone())
+            override def close(): Unit = ()
+          }
+      }
+    }
   }
 
   private def survives(e: FileEntry, schema: StructType,
@@ -686,19 +837,21 @@ object ManifestTable {
   }
 
   private final class MScan(dir: String, schema: StructType,
-      entries: Seq[FileEntry],
+      required: StructType, entries: Seq[FileEntry],
       filters: Seq[org.apache.spark.sql.sources.Filter])
       extends Scan with Batch {
     private def kept: Seq[FileEntry] =
       entries.filter(survives(_, schema, filters))
-    override def readSchema(): StructType = schema
+    override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
-      s"graft-manifest ${kept.length}/${entries.length} files"
+      s"graft-manifest ${kept.length}/${entries.length} files, " +
+        s"read ${required.fieldNames.mkString(",")}"
     override def planInputPartitions(): Array[InputPartition] =
       kept.map(f => MInputPartition(new File(dir, f.path).getAbsolutePath)).toArray
     override def createReaderFactory(): PartitionReaderFactory = {
-      val s = schema
+      val full = schema
+      val req = required
       new PartitionReaderFactory {
         override def createReader(p: InputPartition): PartitionReader[InternalRow] =
           new PartitionReader[InternalRow] {
@@ -707,7 +860,8 @@ object ManifestTable {
               StandardCharsets.UTF_8).iterator()
             private var cur: InternalRow = _
             override def next(): Boolean =
-              if (it.hasNext) { cur = decode(it.next(), s); true } else false
+              if (it.hasNext) { cur = decodeProj(it.next(), full, req); true }
+              else false
             override def get(): InternalRow = cur
             override def close(): Unit = ()
           }

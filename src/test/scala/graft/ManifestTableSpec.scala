@@ -295,4 +295,67 @@ class ManifestTableSpec extends SparkSpec {
     assert(!new File(dir).exists() ||
       new File(dir).listFiles().forall(!_.getName.startsWith("manifest-")))
   }
+
+  test("metadata-only MIN/MAX/COUNT(*): answers survive deleting every data file") {
+    val dir = tmpTable()
+    val df = (1L to 900L).map(i => (i, i * 0.25, s"s$i")).toDF("id", "q", "s")
+      .repartition(3)
+    df.write.format("graft-manifest").option("path", dir).mode("append").save()
+    df.limit(0).write.format("graft-manifest").option("path", dir)
+      .mode("append").save() // empty commit: zero-row files must not break
+    val agg = readBack(dir)
+      .agg(min("id"), max("id"), min("q"), max("q"), count(lit(1)))
+    assert(agg.head() == org.apache.spark.sql.Row(1L, 900L, 0.25, 225.0, 900L))
+    // the proof: destroy the data files; the manifest alone must answer
+    new File(dir, "data").listFiles().foreach(f => assert(f.delete()))
+    assert(readBack(dir)
+      .agg(min("id"), max("id"), min("q"), max("q"), count(lit(1)))
+      .head() == org.apache.spark.sql.Row(1L, 900L, 0.25, 225.0, 900L))
+    // while a query the metadata CANNOT answer (filter, string max,
+    // grouping) refuses the pushdown and fails on the missing files
+    intercept[Exception] { readBack(dir).agg(max("s")).collect() }
+    intercept[Exception] {
+      readBack(dir).filter(col("id") > 10).agg(count(lit(1))).collect() }
+    intercept[Exception] {
+      readBack(dir).groupBy(col("s")).count().collect() }
+  }
+
+  test("COUNT(*) pushdown refuses legacy manifests without row counts") {
+    val dir = tmpTable()
+    (1L to 50L).map(i => (i, i)).toDF("id", "v")
+      .write.format("graft-manifest").option("path", dir).mode("append").save()
+    // strip the #rows token in place: a pre-round-9 manifest
+    val mf = new File(dir).listFiles()
+      .filter(_.getName.startsWith("manifest-")).head
+    val rewritten = Files.readString(mf.toPath)
+      .replaceAll("\\|#rows;\\d+", "")
+    Files.writeString(mf.toPath, rewritten)
+    // min/max still answer from stats after data-file loss...
+    new File(dir, "data").listFiles().foreach(f => assert(f.delete()))
+    assert(readBack(dir).agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(1L, 50L))
+    // ...but COUNT(*) must fall back to a real scan (and here, fail)
+    intercept[Exception] { readBack(dir).agg(count(lit(1))).collect() }
+  }
+
+  test("column pruning: dropped columns skip decode entirely") {
+    val dir = tmpTable()
+    (1L to 100L).map(i => (i, i * 2, s"n$i")).toDF("id", "v", "s")
+      .write.format("graft-manifest").option("path", dir).mode("append").save()
+    // corrupt the 'v' cells on disk: a pruned read that still parsed
+    // them would throw NumberFormatException
+    val data = new File(dir, "data").listFiles().head
+    val poisoned = Files.readString(data.toPath)
+      .linesIterator.map { l =>
+        val p = l.split('\t'); p(1) = "not-a-long"; p.mkString("\t")
+      }.mkString("", "\n", "\n")
+    Files.writeString(data.toPath, poisoned)
+    val got = readBack(dir).select(col("id"), col("s"))
+    assert(got.count() == 100 &&
+      got.filter(col("id") === 3L).head().getString(1) == "n3")
+    intercept[Exception] { readBack(dir).select(col("v")).collect() }
+    // and the plan advertises the pruned read schema
+    val desc = got.queryExecution.executedPlan.toString
+    assert(desc.contains("read id,s") || desc.contains("ReadSchema"))
+  }
 }
