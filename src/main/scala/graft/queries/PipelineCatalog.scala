@@ -5732,8 +5732,119 @@ object PipelineCatalog {
       WHERE a.r <= 10
       ORDER BY a.r"""))
 
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009) — the
+    * hybrid-retrieval merge every modern search/RAG pipeline runs:
+    * two rankers over the same candidate space (here COSINE similarity
+    * and euclidean-L2 proximity over the raw, unnormalized embeddings
+    * — genuinely different orders exactly because the vectors are not
+    * unit-norm) fuse by RRF(c) = Σ_rankers 1/(60+rank_r(c)). Rank
+    * lists are capped at 50 per ranker (absent → contributes 0, the
+    * published convention) and the reciprocal is the INTEGER
+    * 10⁶ div (60+rank) — the q282 scaled-arithmetic convention, so no
+    * float division ever forms and cross-engine ties are impossible
+    * by construction. Probes are vec_id < 5 (the "query set"); per
+    * probe the fused top-10 ships with both source ranks (−1 =
+    * absent from that ranker's cut).
+    *
+    * Float discipline: cosine and the squared distance come from the
+    * SAME left-to-right sequential fold on both engines (codegen
+    * FloatDotProduct ≡ DuckDB list_reduce, the q39 contract), d² as
+    * nrm²+nrm²−2·dot with round(·,6) applied only at ORDER time —
+    * both rankers' total orders carry the id tiebreak.
+    *
+    * Scale: the probe side is the bounded query set, so the pair
+    * stage is |probes|·n, not n² — and at 100 TB the candidate side
+    * routes through the q40-LSH / m09-IVF cut first (the q57 pattern)
+    * with this exact fusion arithmetic on the k-bounded survivors;
+    * the fusion itself is rank arithmetic over ≤ 2·50 rows per probe.
+    */
+  val q287RrfFusion: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = withNorm(Tables.embeddings(s, dir))
+      val probes = e.filter(col("vec_id") < 5L)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+          col("nrm").as("na"))
+      val cands = e.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("nrm").as("nb"))
+      val scored = probes.crossJoin(cands)
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("dot",
+          graft.functions.VectorExpressions.dotF(col("ae"), col("be")))
+        .select(col("a_id"), col("b_id"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cosine"),
+          round(col("na") * col("na") + col("nb") * col("nb") -
+            lit(2.0) * col("dot"), 6).as("d2"))
+        .localCheckpoint(true)
+      val ra = scored.select(col("a_id"), col("b_id"), row_number().over(
+          Window.partitionBy(col("a_id"))
+            .orderBy(col("cosine").desc, col("b_id"))).as("rank_cos"))
+        .filter(col("rank_cos") <= 50)
+      val rb = scored.select(col("a_id"), col("b_id"), row_number().over(
+          Window.partitionBy(col("a_id"))
+            .orderBy(col("d2"), col("b_id"))).as("rank_l2"))
+        .filter(col("rank_l2") <= 50)
+      val fused = ra.join(rb, Seq("a_id", "b_id"), "full_outer")
+        .select(col("a_id"), col("b_id"),
+          coalesce(col("rank_cos").cast("long"), lit(-1L)).as("rank_cos"),
+          coalesce(col("rank_l2").cast("long"), lit(-1L)).as("rank_l2"))
+        .withColumn("rrf",
+          when(col("rank_cos") >= 0L,
+            expr("1000000L div (60L + rank_cos)")).otherwise(0L) +
+          when(col("rank_l2") >= 0L,
+            expr("1000000L div (60L + rank_l2)")).otherwise(0L))
+      fused.select(col("*"), row_number().over(
+          Window.partitionBy(col("a_id"))
+            .orderBy(col("rrf").desc, col("b_id"))).as("rank"))
+        .filter(col("rank") <= 10)
+        .select(col("a_id").as("vec_id"), col("rank").cast("long").as("rank"),
+          col("b_id").as("cand"), col("rrf"), col("rank_cos"), col("rank_l2"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH e AS ($normSql),
+      scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i ->
+                   CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v) / (a.nrm * b.nrm), 6) AS cosine,
+               round(a.nrm * a.nrm + b.nrm * b.nrm -
+                 2.0 * list_reduce(list_prepend(0.0,
+                 list_transform(range(1, 65), i ->
+                   CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v), 6) AS d2
+        FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < 5),
+      ra AS (SELECT a_id, b_id, rank_cos FROM (
+               SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+                 ORDER BY cosine DESC, b_id) AS rank_cos FROM scored)
+             WHERE rank_cos <= 50),
+      rb AS (SELECT a_id, b_id, rank_l2 FROM (
+               SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+                 ORDER BY d2, b_id) AS rank_l2 FROM scored)
+             WHERE rank_l2 <= 50),
+      fused AS (
+        SELECT coalesce(ra.a_id, rb.a_id) AS a_id,
+               coalesce(ra.b_id, rb.b_id) AS b_id,
+               CAST(coalesce(ra.rank_cos, -1) AS BIGINT) AS rank_cos,
+               CAST(coalesce(rb.rank_l2, -1) AS BIGINT) AS rank_l2,
+               CAST(CASE WHEN ra.rank_cos IS NOT NULL
+                         THEN 1000000 // (60 + ra.rank_cos) ELSE 0 END +
+                    CASE WHEN rb.rank_l2 IS NOT NULL
+                         THEN 1000000 // (60 + rb.rank_l2) ELSE 0 END
+                 AS BIGINT) AS rrf
+        FROM ra FULL OUTER JOIN rb
+          ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id)
+      SELECT a_id AS vec_id, CAST(rank AS BIGINT) AS rank, b_id AS cand,
+             rrf, rank_cos, rank_l2
+      FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+              ORDER BY rrf DESC, b_id) AS rank FROM fused)
+      WHERE rank <= 10
+      ORDER BY vec_id, rank"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q280_token_chi2" -> q280TokenChi2,
+    "q287_rrf_fusion" -> q287RrfFusion,
     "q285_good_turing" -> q285GoodTuring,
     "q284_grid_dbscan" -> q284GridDbscan,
     "q274_winnowing_fingerprints" -> q274WinnowingFingerprints,
