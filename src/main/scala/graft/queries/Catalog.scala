@@ -9834,6 +9834,152 @@ object Catalog {
              CAST(med.est AS BIGINT), exact_f2 FROM med, f2
       ORDER BY j"""))
 
+  /** SAX SYMBOLIZATION (Lin, Keogh, Lonardi & Chiu 2003) of the daily
+    * order-count series — the time-series DISCRETIZATION step the
+    * symbolic family (q274 winnowing, q263 BPE) needs before any
+    * string-algorithm reuse on series data: 128 days (the q282
+    * window) → 16 PAA segments of 8 days → a 4-symbol alphabet by
+    * RANK quartiles. Two deliberate exactness substitutions versus
+    * the paper: PAA means stay the scaled integer sum·10⁶ div n (the
+    * q282 convention — no division), and breakpoints are the EMPIRICAL
+    * quartiles via ntile(4) under the (paa_scaled, seg) total order
+    * instead of Gaussian ones (the paper's N(0,1) breakpoints assume
+    * z-normalization, which would put transcendentals in the replay
+    * path; rank quartiles are the standard equi-depth variant and
+    * both engines' ntile splits identically under a total order).
+    * Emits one row per segment: days covered, total, scaled mean and
+    * the symbol 0–3.
+    *
+    * Scale: one day-keyed count rollup (map-side combined,
+    * calendar-bounded), one 16-key segment rollup, one 16-row window
+    * — the fact table is touched once; longer horizons slide the
+    * 128-day frame (the q163/q282 calendar rule).
+    */
+  val q288SaxSymbols: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .select(datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("bigint").as("t"))
+        .filter(col("t") >= 0L && col("t") < 128L)
+        .groupBy(col("t")).agg(count(lit(1)).as("y"))
+      val seg = daily.groupBy(expr("t div 8L").as("seg"))
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("tot"))
+        .select(col("seg"), col("n_days"), col("tot"),
+          expr("(tot * 1000000L) div n_days").as("paa_scaled"))
+      seg.select(col("*"),
+          (ntile(4).over(Window.orderBy(col("paa_scaled"), col("seg"))) - 1)
+            .cast("long").as("sym"))
+        .orderBy(col("seg"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM orders
+        WHERE date_diff('day', DATE '1995-01-01',
+                CAST(o_orderdate AS DATE)) BETWEEN 0 AND 127
+        GROUP BY 1),
+      seg AS (SELECT t // 8 AS seg, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(y) AS BIGINT) AS tot
+              FROM daily GROUP BY 1)
+      SELECT seg, n_days, tot,
+             CAST(tot * 1000000 // n_days AS BIGINT) AS paa_scaled,
+             CAST(ntile(4) OVER (ORDER BY tot * 1000000 // n_days, seg) - 1
+               AS BIGINT) AS sym
+      FROM seg ORDER BY seg"""))
+
+  /** RANDOMIZATION (PERMUTATION) TEST (Fisher 1935; the two-sample
+    * randomization form of Pitman 1937) on the F-vs-O order-value
+    * gap — the INFERENCE leg of the exact distribution suite (q166 KS
+    * / q167 U / q277 CvM measure the gap; this prices its surprise):
+    * 24 deterministic re-labelings, each assigning rows to pseudo-
+    * group A by BIT j of the shared integer mixer over o_orderkey
+    * (the random-split form of the test — split sizes float freely
+    * and the statistic normalizes for them). The statistic is the
+    * all-integer scaled mean gap T = m₂·S₁ − m₁·S₂ (= m₁m₂·(x̄₁−x̄₂)
+    * in cents·rows — never divides); the observed labeling ships as
+    * row j = −1 and every row carries extreme = 1 when |T_j| ≥
+    * |T_obs|, so Σ extreme over the 24 permutation rows IS the
+    * randomization p-value numerator. |T| ≤ m·S ≈ 3.5e16 at sf0.1 —
+    * BIGINT-safe through sf10; the q109 DECIMAL(38,0) escalation is
+    * the documented next stop (m·S crosses 2⁶³ near sf100).
+    *
+    * Scale: ONE pass — 24 bit-sums + 24 bit-weighted sums + the
+    * observed pair as conditional aggregates of a single map-side-
+    * combined global rollup (the q286 stack shape); no explode, no
+    * 24× row blowup, shuffle payload 50 longs at any SF.
+    */
+  val q289PermutationTest: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def mix(x0: Column): Column = {
+        val x1 = (x0 * lit(2654435761L)) % lit(2147483647L)
+        val x2 = x1.bitwiseXOR(shiftright(x1, 15))
+        val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
+        x3.bitwiseXOR(shiftright(x3, 13))
+      }
+      val base = Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(
+          mix(col("o_orderkey").cast("long") + lit(424242L)).as("h"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("gobs"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+      val aggs =
+        Seq(count(lit(1)).as("m"), sum(col("x")).as("s"),
+          sum(col("gobs")).as("m1_obs"),
+          sum(col("gobs") * col("x")).as("s1_obs")) ++
+        (0 until 24).flatMap { j =>
+          val bit = shiftright(col("h"), j) % 2L
+          Seq(sum(bit).as(s"m1_$j"), sum(bit * col("x")).as(s"s1_$j"))
+        }
+      val wide = base.agg(aggs.head, aggs.tail: _*)
+      val stacked = wide.select(col("m"), col("s"), expr(
+        "stack(25, -1L, m1_obs, s1_obs, " +
+          (0 until 24).map(j => s"${j}L, m1_$j, s1_$j").mkString(", ") +
+          ") AS (j, m1, s1)"))
+      val t = stacked.select(col("j"), col("m1"), col("s1"),
+        ((col("m") - col("m1")) * col("s1") -
+          col("m1") * (col("s") - col("s1"))).as("t"))
+      val obs = t.filter(col("j") === -1L)
+        .select(abs(col("t")).as("t_abs_obs"))
+      t.crossJoin(broadcast(obs))
+        .select(col("j"), col("m1"), col("s1"), col("t"),
+          when(abs(col("t")) >= col("t_abs_obs"), 1L).otherwise(0L)
+            .as("extreme"))
+        .orderBy(col("j"))
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) + 424242 AS k0,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS gobs,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      m1s AS (SELECT xor(x3, x3 >> 13) AS h, gobs, x FROM (
+                SELECT xor(x1, x1 >> 15) * 1597334677 % 2147483647 AS x3,
+                       gobs, x
+                FROM (SELECT k0 * 2654435761 % 2147483647 AS x1, gobs, x
+                      FROM base) t1) t2),
+      js AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS j),
+      perm AS (SELECT j,
+                      CAST(sum((h >> CAST(j AS INTEGER)) % 2) AS BIGINT) AS m1,
+                      CAST(sum(((h >> CAST(j AS INTEGER)) % 2) * x) AS BIGINT)
+                        AS s1
+               FROM m1s, js GROUP BY 1),
+      obsr AS (SELECT CAST(-1 AS BIGINT) AS j,
+                      CAST(sum(gobs) AS BIGINT) AS m1,
+                      CAST(sum(gobs * x) AS BIGINT) AS s1
+               FROM m1s),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(x) AS BIGINT) AS s FROM m1s),
+      t AS (SELECT j, m1, s1,
+                   CAST((m - m1) * s1 - m1 * (s - s1) AS BIGINT) AS t
+            FROM (SELECT * FROM perm UNION ALL SELECT * FROM obsr), tot),
+      ob AS (SELECT abs(t) AS t_abs_obs FROM t WHERE j = -1)
+      SELECT j, m1, s1, t,
+             CAST(CASE WHEN abs(t) >= t_abs_obs THEN 1 ELSE 0 END AS BIGINT)
+               AS extreme
+      FROM t, ob ORDER BY j"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -10028,6 +10174,8 @@ object Catalog {
     "q279_count_min" -> q279CountMin,
     "q283_kcore_peel" -> q283KCorePeel,
     "q286_ams_f2" -> q286AmsF2,
+    "q288_sax_symbols" -> q288SaxSymbols,
+    "q289_permutation_test" -> q289PermutationTest,
     "q281_page_hinkley" -> q281PageHinkley,
     "q282_theil_sen" -> q282TheilSen,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
