@@ -9685,73 +9685,6 @@ object Catalog {
       SELECT t AS day_idx, x AS rev_cents, m AS dev_walk, ph
       FROM ph ORDER BY ph DESC, t LIMIT 10"""))
 
-  /** THEIL–SEN robust trend (Theil 1950; Sen 1968) on the first 128
-    * days of the daily order-count series — the median of all
-    * pairwise slopes, the estimator that shrugs off the outlier days
-    * that wreck OLS (29.3% breakdown point). The median is taken
-    * under the exact integer total order (⌊dy·10⁶/dt⌋, dy, dt, i, j)
-    * — scaled integer slope first, raw rational parts as tiebreaks —
-    * so both engines select the SAME pair by nearest-rank
-    * (rn = (cnt+1) div 2) with no float comparison anywhere; the
-    * winning slope itself ships as the exact rational med_dy/med_dt
-    * per the q49/q60 never-round-rationals contract, alongside the
-    * pair census.
-    *
-    * Scale: the pair domain is CALENDAR-BOUNDED by construction —
-    * 128 days → 8128 pairs regardless of SF (the q163 windowing
-    * rule); the fact table contributes one day-keyed count rollup
-    * (map-side combined) and the pair join runs on the broadcast-
-    * sized daily table. At a longer horizon the day window slides
-    * (per-quarter Theil–Sen), never a fact-scale pair join.
-    */
-  val q282TheilSen: QuerySpec = QuerySpec(
-    fn = (s, dir) => {
-      val daily = Tables.orders(s, dir)
-        .select(datediff(col("o_orderdate").cast("date"),
-          lit("1995-01-01").cast("date")).cast("bigint").as("t"))
-        .filter(col("t") >= 0L && col("t") < 128L)
-        .groupBy(col("t")).agg(count(lit(1)).as("y"))
-        .localCheckpoint(true)
-      val pairs = daily.as("a").join(daily.as("b"),
-          col("a.t") < col("b.t"))
-        .select(col("a.t").as("ti"), col("b.t").as("tj"),
-          (col("b.y") - col("a.y")).as("dy"),
-          (col("b.t") - col("a.t")).as("dt"))
-        .select(col("ti"), col("tj"), col("dy"), col("dt"),
-          expr("(dy * 1000000L) div dt").as("skey"))
-      val ranked = pairs.select(col("*"),
-        row_number().over(Window.orderBy(col("skey"), col("dy"),
-          col("dt"), col("ti"), col("tj"))).as("rn"))
-      ranked.crossJoin(broadcast(
-          pairs.agg(count(lit(1)).as("n_pairs"))))
-        .filter(col("rn") === expr("(n_pairs + 1L) div 2L"))
-        .select(col("n_pairs"), col("skey").as("med_skey"),
-          col("dy").as("med_dy"), col("dt").as("med_dt"),
-          col("ti").as("med_ti"), col("tj").as("med_tj"))
-    },
-    oracle = Some("""
-      WITH daily AS (
-        SELECT CAST(date_diff('day', DATE '1995-01-01',
-                 CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
-               CAST(count(*) AS BIGINT) AS y
-        FROM orders
-        WHERE date_diff('day', DATE '1995-01-01',
-                CAST(o_orderdate AS DATE)) BETWEEN 0 AND 127
-        GROUP BY 1),
-      pairs AS (SELECT a.t AS ti, b.t AS tj,
-                       b.y - a.y AS dy, b.t - a.t AS dt,
-                       (b.y - a.y) * 1000000 // (b.t - a.t) AS skey
-                FROM daily a JOIN daily b ON a.t < b.t),
-      ranked AS (SELECT *, row_number() OVER (
-                   ORDER BY skey, dy, dt, ti, tj) AS rn,
-                   count(*) OVER () AS n_pairs
-                 FROM pairs)
-      SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
-             CAST(skey AS BIGINT) AS med_skey,
-             CAST(dy AS BIGINT) AS med_dy, CAST(dt AS BIGINT) AS med_dt,
-             CAST(ti AS BIGINT) AS med_ti, CAST(tj AS BIGINT) AS med_tj
-      FROM ranked WHERE rn = (n_pairs + 1) // 2"""))
-
   /** AMS/TUG-OF-WAR F₂ SKETCH (Alon, Matias & Szegedy 1996) over the
     * customer order-frequency vector — the SECOND-MOMENT member of
     * the sketch family (q279 Count-Min answers point frequencies,
@@ -9837,11 +9770,11 @@ object Catalog {
   /** SAX SYMBOLIZATION (Lin, Keogh, Lonardi & Chiu 2003) of the daily
     * order-count series — the time-series DISCRETIZATION step the
     * symbolic family (q274 winnowing, q263 BPE) needs before any
-    * string-algorithm reuse on series data: 128 days (the q282
-    * window) → 16 PAA segments of 8 days → a 4-symbol alphabet by
+    * string-algorithm reuse on series data: 128 days
+    * (the q163-style calendar window) → 16 PAA segments of 8 days → a 4-symbol alphabet by
     * RANK quartiles. Two deliberate exactness substitutions versus
     * the paper: PAA means stay the scaled integer sum·10⁶ div n (the
-    * q282 convention — no division), and breakpoints are the EMPIRICAL
+    * q163 scaled-key convention — no division), and breakpoints are the EMPIRICAL
     * quartiles via ntile(4) under the (paa_scaled, seg) total order
     * instead of Gaussian ones (the paper's N(0,1) breakpoints assume
     * z-normalization, which would put transcendentals in the replay
@@ -9853,7 +9786,7 @@ object Catalog {
     * Scale: one day-keyed count rollup (map-side combined,
     * calendar-bounded), one 16-key segment rollup, one 16-row window
     * — the fact table is touched once; longer horizons slide the
-    * 128-day frame (the q163/q282 calendar rule).
+    * 128-day frame (the q163 calendar rule).
     */
   val q288SaxSymbols: QuerySpec = QuerySpec(
     fn = (s, dir) => {
@@ -10177,7 +10110,6 @@ object Catalog {
     "q288_sax_symbols" -> q288SaxSymbols,
     "q289_permutation_test" -> q289PermutationTest,
     "q281_page_hinkley" -> q281PageHinkley,
-    "q282_theil_sen" -> q282TheilSen,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
   /** Drop every session-keyed shared intermediate (persisted DFs,

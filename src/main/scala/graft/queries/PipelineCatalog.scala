@@ -5466,7 +5466,7 @@ object PipelineCatalog {
     * the q109 DECIMAL(38,0) escalation applies), chi2_den =
     * n_t(N−n_t)·n_L(N−n_L) ≤ N⁴/16. Ranking uses the deterministic
     * integer key (⌊χ²⌋ = num div den, then num, then token) — the
-    * q282 scaled-ordering convention — and the exact rational ships
+    * q163 scaled-ordering convention — and the exact rational ships
     * as num/den per the q49/q60 rule. Tokens present in EVERY doc
     * carry zero information and a zero denominator (n_t = N) and are
     * excluded by contract, as are (lang, token) cells with a = 0
@@ -5681,57 +5681,6 @@ object PipelineCatalog {
                      UNION ALL SELECT * FROM noise)
       ORDER BY n_pts DESC, cluster_id"""))
 
-  /** GOOD–TURING frequency-of-frequencies (Good 1953; the estimation
-    * protocol of Gale & Sampson 1995) over per-document token counts —
-    * the smoothing statistic q214's Kneser–Ney continuation counts
-    * presuppose: N_r = how many (doc, token) types occur exactly r
-    * times, and the GT adjusted count r* = (r+1)·N_{r+1}/N_r — the
-    * mass-reallocation law that prices UNSEEN events (P₀ = N₁/N).
-    * Emitted exactly per the q49/q60 rule: each r ≤ 10 ships
-    * (r, n_r, gt_num = (r+1)·N_{r+1}, gt_den = N_r) — the rational r*
-    * never divides; the fixture's per-doc counts keep the r domain
-    * naturally tiny (a 31-word vocabulary over ~60-word docs), which
-    * is exactly the regime GT operates in (the N_r tail empties fast).
-    *
-    * Scale: one (doc, token)-keyed count rollup (the posting-list
-    * shuffle, map-side combined), then a SECOND rollup whose key
-    * domain is the OCCURRENCE-COUNT value set — a few dozen keys at
-    * any corpus size, so the N_r table broadcasts and the r→r+1
-    * shift-join is metadata-sized. Nothing downstream of the first
-    * rollup ever touches fact scale.
-    */
-  val q285GoodTuring: QuerySpec = QuerySpec(
-    fn = (s, dir) => {
-      val occ = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      val nr = occ.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
-        .localCheckpoint(true)
-      nr.as("a").join(nr.as("b"), col("a.r") + 1L === col("b.r"), "left")
-        .filter(col("a.r") <= 10L)
-        .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
-          ((col("a.r") + 1L) * coalesce(col("b.n_r"), lit(0L)))
-            .as("gt_num"),
-          col("a.n_r").as("gt_den"))
-        .orderBy(col("r"))
-    },
-    oracle = Some("""
-      WITH occ AS (
-        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents)
-        WHERE len(tok) > 0
-        GROUP BY 1, 2),
-      nr AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
-             FROM occ GROUP BY 1)
-      SELECT a.r, a.n_r,
-             CAST((a.r + 1) * coalesce(b.n_r, 0) AS BIGINT) AS gt_num,
-             a.n_r AS gt_den
-      FROM nr a LEFT JOIN nr b ON a.r + 1 = b.r
-      WHERE a.r <= 10
-      ORDER BY a.r"""))
-
   /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009) — the
     * hybrid-retrieval merge every modern search/RAG pipeline runs:
     * two rankers over the same candidate space (here COSINE similarity
@@ -5740,7 +5689,7 @@ object PipelineCatalog {
     * unit-norm) fuse by RRF(c) = Σ_rankers 1/(60+rank_r(c)). Rank
     * lists are capped at 50 per ranker (absent → contributes 0, the
     * published convention) and the reciprocal is the INTEGER
-    * 10⁶ div (60+rank) — the q282 scaled-arithmetic convention, so no
+    * 10⁶ div (60+rank) — the q163 scaled-arithmetic convention, so no
     * float division ever forms and cross-engine ties are impossible
     * by construction. Probes are vec_id < 5 (the "query set"); per
     * probe the fused top-10 ships with both source ranks (−1 =
@@ -5845,7 +5794,6 @@ object PipelineCatalog {
   val all: Map[String, QuerySpec] = Map(
     "q280_token_chi2" -> q280TokenChi2,
     "q287_rrf_fusion" -> q287RrfFusion,
-    "q285_good_turing" -> q285GoodTuring,
     "q284_grid_dbscan" -> q284GridDbscan,
     "q274_winnowing_fingerprints" -> q274WinnowingFingerprints,
     "q34_exact_dedup" -> q34ExactDedup,

@@ -171,8 +171,6 @@ object ExplainSpec {
       "ntile window over the 16-segment PAA rollup (128 calendar days div 8, fixed segment domain)",
     "q281_page_hinkley" ->
       "prefix-sum + running-min windows over the daily rollup; day domain calendar-bounded (≤|days| rows) — rangePrefixSums is the fact-scale swap",
-    "q282_theil_sen" ->
-      "median-rank window over the 128-day pair table (8128 rows, calendar-bounded by construction)",
     "q277_cramer_von_mises" ->
       "offset prefix-sum over per-partition totals (rangePrefixSums kernel); bounded by the shuffle partition count",
     "q246_watermark_lag" ->
