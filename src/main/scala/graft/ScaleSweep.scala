@@ -58,7 +58,12 @@ object ScaleSweep {
       // the two shingle probes (shares this family's session caches)
       "q238_matryoshka_audit", "q240_contamination_report",
       // late r8: PQ codes scan + 50-deep exact re-rank through GroupTopK
-      "m16_pq_ann"),
+      "m16_pq_ann",
+      // r9: grid DBSCAN — per-point O(1) binning; components on the
+      // core-CELL graph, never points
+      "q284_grid_dbscan",
+      // r9: RRF fusion — probe-bounded pair stage + rank arithmetic
+      "q287_rrf_fusion"),
     "graph" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
       "q164_label_propagation", "q201_hits_scores", "q222_bfs_distances",
       // r8: q243 re-runs the oriented wedge join with centers kept
@@ -70,7 +75,16 @@ object ScaleSweep {
       "q258_link_prediction",
       // r8s4: duels are the per-part co-occurrence shape; 3 MM rounds on
       // the supplier-sized strength table
-      "q269_bradley_terry"),
+      "q269_bradley_terry",
+      // r9: 6-round 3-core peel — per round one degree rollup + one
+      // two-sided semi-join of the shrinking edge list
+      "q283_kcore_peel",
+      // r9: 4 mutual-proposal matching rounds — min-rollup + proposal
+      // self-join per round, edge list only shrinks
+      "q290_greedy_matching",
+      // r9: butterfly census — one pass over the shared pair-count
+      // kernel, no new fact work
+      "q291_butterfly_census"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),
@@ -123,7 +137,10 @@ object ScaleSweep {
       "q257_phrase_search",
       // r9: FD-discovery profiler — per-candidate linear scans + two
       // narrow hash-agg shuffles on the 8-byte polyhash LHS key
-      "q271_fd_discovery"),
+      "q271_fd_discovery",
+      // r9: chi-squared token-class selection — posting-list rollup +
+      // vocab/class-bounded margin joins; tracks the explode volume
+      "q280_token_chi2"),
     "decode" -> Seq("q138_pixel_stats", "q247_container_decode", "q248_flac_decode",
       "q253_mp4_decode"),
     // decision-support classics (added r7): replicated facts with
@@ -168,7 +185,10 @@ object ScaleSweep {
       "q272_ind_discovery",
       // r9: consistent-hash ring — broadcast 128-point ring, map-side
       // successor min per key, one 8-key rollup
-      "q275_consistent_ring"),
+      "q275_consistent_ring",
+      // r9: Count-Min — the sketch build is a fixed 256-cell hash-agg,
+      // so incremental cost over the orders scan should be ~flat
+      "q279_count_min"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup
@@ -194,7 +214,19 @@ object ScaleSweep {
       "q277_cramer_von_mises",
       // r9: Haar synopsis — calendar-bounded transform after one
       // map-side-combined daily rollup; 17 output rows at any SF
-      "q278_haar_synopsis"))
+      "q278_haar_synopsis",
+      // r9: Page-Hinkley — calendar-bounded daily rollup + bounded
+      // windows; near scale-invariant past the rollup scan
+      "q281_page_hinkley",
+      // r9: AMS F2 — one 16-sum global agg (16-value shuffle at any SF)
+      // plus the exact-F2 audit rollup
+      "q286_ams_f2",
+      // r9: SAX — 16-segment PAA over the calendar-bounded daily rollup
+      "q288_sax_symbols"),
+    // r9: randomization inference — 48 conditional aggregates in ONE
+    // map-side-combined pass; |T| = m2*S1 - m1*S2 nears 2^63 around
+    // sf100, so a clean ANSI run doubles as the headroom check
+    "inference" -> Seq("q289_permutation_test"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

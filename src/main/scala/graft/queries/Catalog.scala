@@ -9554,6 +9554,134 @@ object Catalog {
       ctes.toString
     })
 
+  /** GREEDY MAXIMAL MATCHING, deterministic mutual-proposal rounds
+    * (the Israeli–Itai 1986 symmetry-breaking shape with the min-id
+    * rule replacing coin flips — fully deterministic, so the DuckDB
+    * replay is exact) on the co-purchase graph: each round every
+    * alive vertex proposes to its MINIMUM alive neighbor, an edge
+    * joins the matching iff the proposals are MUTUAL (u→v and v→u),
+    * matched vertices leave, and the edge list shrinks. Four fixed
+    * rounds (the q85/q283 fixed-iteration contract; production loops
+    * to the maximal fixpoint with the same per-round plan). Matching
+    * is the allocation primitive the graph family lacked — q14 counts
+    * pairs, q85 ranks, q283 filters density; this PAIRS UP vertices
+    * disjointly (dedup canonical-pair assignment, task/resource
+    * pairing). Emits the matched pairs (round, u, v).
+    *
+    * Scale: per round one min-rollup over the alive adjacency
+    * (vertex-keyed, map-side combined), one self-equi-join of the
+    * |V|-sized proposal table on the proposed id, and one two-sided
+    * semi-join filter of the shrinking edge list — all key-partitioned,
+    * nothing quadratic; rounds bounded. Oracle: chained MATERIALIZED
+    * CTEs (each round reads its predecessor more than once — the q269
+    * rule).
+    */
+  val q290GreedyMatching: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      var e = coEdges(s, dir).localCheckpoint(true) // u < v
+      var out = Vector.empty[DataFrame]
+      for (r <- 1 to 4) {
+        val sym = e.select(col("u").as("a"), col("v").as("b"))
+          .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        val prop = sym.groupBy(col("a")).agg(min(col("b")).as("p"))
+          .localCheckpoint(true)
+        val matched = prop.as("x").join(prop.as("y"),
+            col("x.p") === col("y.a") && col("y.p") === col("x.a") &&
+              col("x.a") < col("x.p"))
+          .select(col("x.a").as("mu"), col("x.p").as("mv"))
+          .localCheckpoint(true)
+        out = out :+ matched.select(lit(r.toLong).as("round"),
+          col("mu").as("u"), col("mv").as("v"))
+        val gone = matched.select(col("mu").as("x"))
+          .unionByName(matched.select(col("mv").as("x")))
+        e = e.join(gone.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
+          .join(gone.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+          .select(col("u"), col("v"))
+          .localCheckpoint(true)
+      }
+      out.reduce(_ unionByName _).orderBy(col("round"), col("u"))
+    },
+    oracle = Some {
+      val ctes = new StringBuilder(
+        """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)""")
+      for (r <- 1 to 4) {
+        val prev = s"e${r - 1}"
+        ctes.append(s""",
+        p$r AS MATERIALIZED (
+          SELECT a, min(b) AS p FROM (
+            SELECT u AS a, v AS b FROM $prev
+            UNION ALL SELECT v, u FROM $prev)
+          GROUP BY 1),
+        m$r AS MATERIALIZED (
+          SELECT x.a AS mu, x.p AS mv
+          FROM p$r x JOIN p$r y ON x.p = y.a AND y.p = x.a AND x.a < x.p),
+        g$r AS MATERIALIZED (
+          SELECT mu AS x FROM m$r UNION ALL SELECT mv FROM m$r),
+        e$r AS MATERIALIZED (
+          SELECT e.u, e.v FROM $prev e
+          WHERE NOT EXISTS (SELECT 1 FROM g$r WHERE g$r.x = e.u)
+            AND NOT EXISTS (SELECT 1 FROM g$r WHERE g$r.x = e.v))""")
+      }
+      ctes.append((1 to 4).map(r => s"""
+        SELECT CAST($r AS BIGINT) AS round, mu AS u, mv AS v FROM m$r""")
+        .mkString("", " UNION ALL", " ORDER BY round, u"))
+      ctes.toString
+    })
+
+  /** BUTTERFLY CENSUS of the bipartite order–part graph (Wang, Fu &
+    * Cheng 2014; the bipartite clustering primitive behind ⟂-motif
+    * cohesion): a butterfly is a 2×2 biclique — two orders sharing
+    * two parts — and since co(p₁,p₂) counts the orders containing
+    * both parts, the per-pair butterfly count is exactly C(co, 2),
+    * served straight from the session-shared [[coPairCounts]] kernel
+    * (q94's triangle census is the unipartite cousin; this is the
+    * motif that survives when the graph is properly bipartite and
+    * triangles cannot exist). Emits the top-20 part pairs by
+    * butterfly support plus the global row (p1 = p2 = −1) carrying
+    * Σ C(co,2) (total butterflies) and Σ co (the caterpillar/wedge
+    * mass it normalizes against). co·(co−1) div 2 in BIGINT: co ≤
+    * |orders sharing a pair| — the per-order pair cap bounds the
+    * kernel upstream.
+    *
+    * Scale: zero new fact work — one pass over the pair-count table
+    * (already bounded by the dedup cap), a TakeOrdered 20 and a
+    * scalar rollup.
+    */
+  val q291ButterflyCensus: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val bf = coPairCounts(s, dir)
+        .select(col("p1"), col("p2"), col("co"),
+          expr("(co * (co - 1L)) div 2L").as("bfly"))
+      val top = bf.orderBy(col("bfly").desc, col("p1"), col("p2")).limit(20)
+      val tot = bf.agg(sum(col("bfly")).as("bfly"), sum(col("co")).as("co"))
+        .select(lit(-1L).as("p1"), lit(-1L).as("p2"), col("co"), col("bfly"))
+      top.unionByName(tot)
+        .orderBy(col("bfly").desc, col("p1"), col("p2"))
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      co AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                    CAST(count(*) AS BIGINT) AS co
+             FROM op a JOIN op b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+      bf AS (SELECT p1, p2, co, (co * (co - 1)) // 2 AS bfly FROM co),
+      top AS (SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+                     co, CAST(bfly AS BIGINT) AS bfly
+              FROM bf ORDER BY bfly DESC, p1, p2 LIMIT 20),
+      tot AS (SELECT CAST(-1 AS BIGINT) AS p1, CAST(-1 AS BIGINT) AS p2,
+                     CAST(sum(co) AS BIGINT) AS co,
+                     CAST(sum(bfly) AS BIGINT) AS bfly
+              FROM bf)
+      SELECT p1, p2, co, bfly
+      FROM (SELECT * FROM top UNION ALL SELECT * FROM tot)
+      ORDER BY bfly DESC, p1, p2"""))
+
   /** COUNT-MIN SKETCH frequency audit (Cormode & Muthukrishnan 2005) —
     * the missing member of the sketch quartet: m18 Misra–Gries gives
     * deterministic heavy hitters, q259 KMV / q48 HLL estimate
@@ -9834,9 +9962,12 @@ object Catalog {
     * in cents·rows — never divides); the observed labeling ships as
     * row j = −1 and every row carries extreme = 1 when |T_j| ≥
     * |T_obs|, so Σ extreme over the 24 permutation rows IS the
-    * randomization p-value numerator. |T| ≤ m·S ≈ 3.5e16 at sf0.1 —
-    * BIGINT-safe through sf10; the q109 DECIMAL(38,0) escalation is
-    * the documented next stop (m·S crosses 2⁶³ near sf100).
+    * randomization p-value numerator. T rides the q109/q277
+    * DECIMAL(38,0) chain from the start — the 100× sweep measured
+    * m·S ≈ 3.5e22 crossing 2⁶³ exactly as the BIGINT draft's
+    * scaladoc predicted, so the draft lasted one sweep — and ships
+    * as the canonical digit string; m·S crosses 10³⁸ only past
+    * 10¹⁹ row-cents mass, far beyond any earthly fixture.
     *
     * Scale: ONE pass — 24 bit-sums + 24 bit-weighted sums + the
     * observed pair as conditional aggregates of a single map-side-
@@ -9870,14 +10001,17 @@ object Catalog {
         "stack(25, -1L, m1_obs, s1_obs, " +
           (0 until 24).map(j => s"${j}L, m1_$j, s1_$j").mkString(", ") +
           ") AS (j, m1, s1)"))
+      def d19(c: Column) = c.cast("decimal(19,0)")
       val t = stacked.select(col("j"), col("m1"), col("s1"),
-        ((col("m") - col("m1")) * col("s1") -
-          col("m1") * (col("s") - col("s1"))).as("t"))
+        (d19(col("m") - col("m1")) * d19(col("s1")) -
+          d19(col("m1")) * d19(col("s") - col("s1")))
+          .cast("decimal(38,0)").as("tval"))
       val obs = t.filter(col("j") === -1L)
-        .select(abs(col("t")).as("t_abs_obs"))
+        .select(abs(col("tval")).as("t_abs_obs"))
       t.crossJoin(broadcast(obs))
-        .select(col("j"), col("m1"), col("s1"), col("t"),
-          when(abs(col("t")) >= col("t_abs_obs"), 1L).otherwise(0L)
+        .select(col("j"), col("m1"), col("s1"),
+          col("tval").cast("string").as("t"),
+          when(abs(col("tval")) >= col("t_abs_obs"), 1L).otherwise(0L)
             .as("extreme"))
         .orderBy(col("j"))
     },
@@ -9905,12 +10039,14 @@ object Catalog {
       tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
                      CAST(sum(x) AS BIGINT) AS s FROM m1s),
       t AS (SELECT j, m1, s1,
-                   CAST((m - m1) * s1 - m1 * (s - s1) AS BIGINT) AS t
+                   CAST(CAST(m - m1 AS HUGEINT) * s1
+                        - CAST(m1 AS HUGEINT) * (s - s1)
+                     AS DECIMAL(38,0)) AS tval
             FROM (SELECT * FROM perm UNION ALL SELECT * FROM obsr), tot),
-      ob AS (SELECT abs(t) AS t_abs_obs FROM t WHERE j = -1)
-      SELECT j, m1, s1, t,
-             CAST(CASE WHEN abs(t) >= t_abs_obs THEN 1 ELSE 0 END AS BIGINT)
-               AS extreme
+      ob AS (SELECT abs(tval) AS t_abs_obs FROM t WHERE j = -1)
+      SELECT j, m1, s1, CAST(tval AS VARCHAR) AS t,
+             CAST(CASE WHEN abs(tval) >= t_abs_obs THEN 1 ELSE 0 END
+               AS BIGINT) AS extreme
       FROM t, ob ORDER BY j"""))
 
   // ---------------------------------------------------------------------
@@ -10109,6 +10245,8 @@ object Catalog {
     "q286_ams_f2" -> q286AmsF2,
     "q288_sax_symbols" -> q288SaxSymbols,
     "q289_permutation_test" -> q289PermutationTest,
+    "q290_greedy_matching" -> q290GreedyMatching,
+    "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
 
