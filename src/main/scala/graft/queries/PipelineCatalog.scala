@@ -5574,12 +5574,14 @@ object PipelineCatalog {
     * exact, one double multiply + floor is the q63 fixed-order IEEE
     * class, so the grid is bit-identical with NO rounding; every
     * downstream count is integer. The cluster merge runs TWO genuinely
-    * different algorithms (the q94 cross-algorithm rule): Spark uses
-    * [[graft.operators.Components.connectedComponents]] min-label
-    * propagation TO FIXPOINT on the equi-joined 8-shift adjacency,
-    * DuckDB replays a recursive-CTE reachability closure + min —
-    * identical labels because both resolve to the component's minimum
-    * cell id.
+    * different algorithms (the q94 cross-algorithm rule): Spark runs
+    * [[graft.operators.Components.connectedComponentsStar]] large-star/
+    * small-star contraction TO FIXPOINT on the equi-joined 8-shift
+    * adjacency (O(log n) rounds on ANY diameter — the 10× sweep showed
+    * the dense core blob's cell-graph diameter outruns min-label
+    * propagation's round budget), DuckDB replays a recursive-CTE
+    * reachability closure + min — identical labels because both
+    * resolve to the component's minimum cell id.
     *
     * Scale: binning is one map pass; the cell rollup's key domain is
     * the OCCUPIED-cell set (≪ points); the neighborhood sum is a
@@ -5625,7 +5627,11 @@ object PipelineCatalog {
           core.select(col("cell").as("d2"), col("gx").as("nx"),
             col("gy").as("ny")), Seq("nx", "ny"))
         .select(col("d1"), col("d2"))
-      val lbl = graft.operators.Components.connectedComponents(adj)
+      // large-star/small-star, NOT min-label propagation: the core
+      // region is one contiguous blob whose cell-graph diameter grows
+      // with the grid (the 10x sweep blew past 50 label rounds);
+      // star contraction converges in O(log n) rounds on any diameter
+      val lbl = graft.operators.Components.connectedComponentsStar(adj)._1
       val labels = core.select(col("cell").as("node"))
         .join(lbl, Seq("node"), "left")
         .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
