@@ -832,16 +832,52 @@ object ManifestTable {
         case (Some((mn, _)), Some(x)) => mn <= x
         case _ => true
       }
+      // runtime (DPP) filters arrive as IN-sets of join-key values: the
+      // file survives when ANY value falls inside its [min, max]
+      case In(c, vs) => rng(c) match {
+        case Some((mn, mx)) =>
+          vs.isEmpty || vs.exists(v => num(v) match {
+            case Some(x) => x >= mn && x <= mx
+            case None => true
+          })
+        case _ => true
+      }
       case _ => true
     }
   }
 
+  /** Data files actually opened by partition readers — the behavioral
+    * probe ManifestTableSpec uses to PROVE static and runtime pruning
+    * skip file I/O (plan text alone can lie about what executes).
+    */
+  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private final class MScan(dir: String, schema: StructType,
       required: StructType, entries: Seq[FileEntry],
       filters: Seq[org.apache.spark.sql.sources.Filter])
-      extends Scan with Batch {
+      extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    // RUNTIME (DPP) FILTERING, round 9: a broadcast join whose dim side
+    // is selective hands this scan an IN-set of join-key values at
+    // execution time; the same per-file (min, max) stats that serve
+    // static pushdown then drop whole files before their read tasks
+    // launch. With a clusterBy-ranged layout this is the
+    // Iceberg/Delta dynamic-file-pruning shape: fact I/O tracks the
+    // dim's selectivity, not the fact's size.
+    @volatile private var runtime: Seq[org.apache.spark.sql.sources.Filter] = Nil
+    override def filterAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      // only columns in the PRUNED output: Spark resolves these against
+      // the scan's output attributes, so a pruned-away column here is
+      // an analysis error, not a missed optimization
+      required.fields.filter(f => f.dataType == LongType ||
+          f.dataType == IntegerType || f.dataType == DoubleType)
+        .map(f => org.apache.spark.sql.connector.expressions.Expressions
+          .column(f.name))
+    override def filter(fs: Array[org.apache.spark.sql.sources.Filter]): Unit =
+      runtime = fs.toSeq
     private def kept: Seq[FileEntry] =
-      entries.filter(survives(_, schema, filters))
+      entries.filter(survives(_, schema, filters ++ runtime))
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
@@ -855,9 +891,12 @@ object ManifestTable {
       new PartitionReaderFactory {
         override def createReader(p: InputPartition): PartitionReader[InternalRow] =
           new PartitionReader[InternalRow] {
-            private val it = Files.readAllLines(
-              Paths.get(p.asInstanceOf[MInputPartition].file),
-              StandardCharsets.UTF_8).iterator()
+            private val it = {
+              filesOpened.incrementAndGet()
+              Files.readAllLines(
+                Paths.get(p.asInstanceOf[MInputPartition].file),
+                StandardCharsets.UTF_8).iterator()
+            }
             private var cur: InternalRow = _
             override def next(): Boolean =
               if (it.hasNext) { cur = decodeProj(it.next(), full, req); true }

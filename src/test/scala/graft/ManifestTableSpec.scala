@@ -338,6 +338,45 @@ class ManifestTableSpec extends SparkSpec {
     intercept[Exception] { readBack(dir).agg(count(lit(1))).collect() }
   }
 
+  test("runtime (DPP) file pruning: a selective broadcast dim prunes fact file I/O") {
+    import graft.sources.ManifestTable
+    val dir = tmpTable()
+    // fact: range-clustered on the join key → 8 files with disjoint
+    // [min, max] id ranges (the layout that makes skipping guaranteed)
+    spark.range(0, 100000)
+      .select(col("id"), (col("id") % 97).as("m"))
+      .write.format("graft-manifest").option("path", dir)
+      .option("clusterBy", "id").option("clusterPartitions", "8")
+      .mode("append").save()
+    // dim through a REAL source (parquet round-trip cuts lineage): the
+    // selective predicate sits on a NON-join column — a predicate on
+    // the join key itself would be copied onto the fact statically and
+    // the dynamic path would vanish (the CLAUDE.md DPP rule)
+    val dimPath = Files.createTempDirectory("graft_dim").toString
+    spark.range(0, 100000)
+      .select(col("id").as("k"),
+        when(col("id") < 1000, lit("hot")).otherwise(lit("cold")).as("seg"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("seg") === "hot")
+    val fact = readBack(dir)
+    // baseline: an unfiltered SUM (not metadata-answerable — COUNT(*)
+    // would be served by the new aggregate pushdown with 0 files read)
+    // opens every file
+    ManifestTable.filesOpened.set(0L)
+    assert(fact.agg(sum("m")).head().getLong(0) ==
+      (0L until 100000L).map(_ % 97).sum)
+    val total = ManifestTable.filesOpened.get()
+    assert(total >= 8, s"expected >= 8 data files, saw $total")
+    // the runtime-filtered join: dim's 1000 hot keys all live in the
+    // first file's id range, so the IN-set must prune most files
+    ManifestTable.filesOpened.set(0L)
+    val joined = fact.join(broadcast(dim), fact("id") === dim("k"))
+    assert(joined.count() == 1000)
+    val opened = ManifestTable.filesOpened.get()
+    assert(opened < total,
+      s"runtime filter pruned nothing: opened $opened of $total files")
+  }
+
   test("column pruning: dropped columns skip decode entirely") {
     val dir = tmpTable()
     (1L to 100L).map(i => (i, i * 2, s"n$i")).toDF("id", "v", "s")
