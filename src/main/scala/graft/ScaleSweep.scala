@@ -63,7 +63,11 @@ object ScaleSweep {
       // core-CELL graph, never points
       "q284_grid_dbscan",
       // r9: RRF fusion — probe-bounded pair stage + rank arithmetic
-      "q287_rrf_fusion"),
+      "q287_rrf_fusion",
+      // r9: grid kNN JOIN — 9-shift equi-join, linear at fixed density
+      "q292_grid_knn_join",
+      // r9: Moran's I — occupied-cell rollup + 8-shift adjacency
+      "q293_morans_i"),
     "graph" -> Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
       "q164_label_propagation", "q201_hits_scores", "q222_bfs_distances",
       // r8: q243 re-runs the oriented wedge join with centers kept

@@ -5797,8 +5797,170 @@ object PipelineCatalog {
       WHERE rank <= 10
       ORDER BY vec_id, rank"""))
 
+  /** GRID kNN JOIN (the cell-partitioned spatial join of Böhm, Braunmüller,
+    * Krebs & Kriegel 2001's k-nearest-neighbor-join family) — the
+    * ALL-PAIRS companion of q39's probe-side kNN: EVERY point finds its
+    * 3 nearest neighbors among the candidates in its 3×3 grid
+    * neighborhood (1/64-wide cells on the q284 plane — the same exact
+    * float→double→floor binning). The neighborhood cut IS the
+    * operator's contract (the q40-LSH/IVF approximate-candidate
+    * convention: a point whose true neighbor lies beyond the adjacent
+    * cells reports its best in-neighborhood candidates; points with an
+    * empty neighborhood report fewer than k rows) and the oracle
+    * replays the identical cut, so the compare is exact. Distances are
+    * the q287 d² form — same sequential fold both engines, rounded
+    * only at ORDER time, id tiebreak.
+    *
+    * Scale: this is the kNN JOIN that replaces the n² cross join —
+    * work is Σ_cells 9·|cell|·|cell'| ≈ 9·n·density, LINEAR in points
+    * at fixed density; the 9-shift explode is an equi-join on cell
+    * keys (co-partitioned, no broadcast of the point set anywhere).
+    * The 100 TB form shards cells across executors and handles skewed
+    * megacells with the q14 per-key cap; grid pitch trades recall for
+    * cost exactly like IVF's nprobe.
+    */
+  val q292GridKnnJoin: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pts = withNorm(Tables.embeddings(s, dir)).select(
+        col("vec_id"), col("embedding"), col("nrm"),
+        floor(element_at(col("embedding"), 1).cast("double") * 64.0)
+          .cast("bigint").as("gx"),
+        floor(element_at(col("embedding"), 2).cast("double") * 64.0)
+          .cast("bigint").as("gy"))
+        .localCheckpoint(true)
+      val offs = expr("array(-1L, 0L, 1L)")
+      val probes = pts
+        .select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+          col("nrm").as("na"), col("gx"), col("gy"), explode(offs).as("dx"))
+        .select(col("a_id"), col("ae"), col("na"), col("gx"), col("gy"),
+          col("dx"), explode(offs).as("dy"))
+        .select(col("a_id"), col("ae"), col("na"),
+          (col("gx") + col("dx")).as("nx"), (col("gy") + col("dy")).as("ny"))
+      val cands = pts.select(col("vec_id").as("b_id"),
+        col("embedding").as("be"), col("nrm").as("nb"),
+        col("gx").as("nx"), col("gy").as("ny"))
+      val scored = probes.join(cands, Seq("nx", "ny"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(col("na") * col("na") + col("nb") * col("nb") -
+            lit(2.0) * graft.functions.VectorExpressions
+              .dotF(col("ae"), col("be")), 6).as("d2"))
+      scored.select(col("a_id"), col("b_id"), col("d2"),
+          row_number().over(Window.partitionBy(col("a_id"))
+            .orderBy(col("d2"), col("b_id"))).as("rank"))
+        .filter(col("rank") <= 3)
+        .select(col("a_id").as("vec_id"), col("rank").cast("long").as("rank"),
+          col("b_id").as("neighbor"), col("d2"))
+        .orderBy(col("vec_id"), col("rank"))
+    },
+    oracle = Some(s"""
+      WITH e AS ($normSql),
+      pts AS (SELECT vec_id, embedding, nrm,
+                CAST(floor(CAST(embedding[1] AS DOUBLE) * 64) AS BIGINT) AS gx,
+                CAST(floor(CAST(embedding[2] AS DOUBLE) * 64) AS BIGINT) AS gy
+              FROM e),
+      probes AS (SELECT p.vec_id AS a_id, p.embedding AS ae, p.nrm AS na,
+                        p.gx + dx.d AS nx, p.gy + dy.d AS ny
+                 FROM pts p,
+                      (SELECT CAST(unnest([-1,0,1]) AS BIGINT) AS d) dx,
+                      (SELECT CAST(unnest([-1,0,1]) AS BIGINT) AS d) dy),
+      scored AS (SELECT a_id, b.vec_id AS b_id,
+                        round(na * na + b.nrm * b.nrm -
+                          2.0 * list_reduce(list_prepend(0.0,
+                            list_transform(range(1, 65), i ->
+                              CAST(ae[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                            (acc, v) -> acc + v), 6) AS d2
+                 FROM probes JOIN pts b
+                   ON b.gx = probes.nx AND b.gy = probes.ny
+                  AND b.vec_id <> probes.a_id)
+      SELECT a_id AS vec_id, CAST(rank AS BIGINT) AS rank, b_id AS neighbor, d2
+      FROM (SELECT a_id, b_id, d2, row_number() OVER (
+              PARTITION BY a_id ORDER BY d2, b_id) AS rank
+            FROM scored)
+      WHERE rank <= 3
+      ORDER BY vec_id, rank"""))
+
+  /** MORAN'S I spatial autocorrelation (Moran 1950; the global
+    * clustering-vs-dispersion statistic of every spatial-analysis
+    * stack) over the occupied-cell counts of the q284 grid — "are
+    * dense cells next to dense cells?" as ONE exact rational:
+    * I = (N/W) · Σ_ij w_ij z_i z_j / Σ_i z_i², queen (8-neighbor)
+    * weights over occupied cells. All-integer replay: deviations are
+    * the SCALED z_i = N·x_i − S (the q281 multiply-through-by-N move,
+    * so the mean never divides; the extra N² cancels in the ratio),
+    * and I ships as i_num = N·Σw z_i z_j over i_den = W·Σz_i² per the
+    * q49/q60 rational rule, alongside the four sufficient statistics.
+    * |Σw z_i z_j| ≤ 8·N³·x̄² — BIGINT-safe far past the fixture
+    * (1.4e16 at sf0.1); the q109 DECIMAL escalation is documented at
+    * the 10⁶-cell grid mark.
+    *
+    * Scale: cell counts are the one fact-sized rollup (shared shape
+    * with q284); adjacency is the 8-shift equi-join on cell keys over
+    * the OCCUPIED-cell table (≪ points), and everything downstream is
+    * scalar. The statistic is exactly what a curation pipeline reads
+    * before trusting a grid-based sampler: I ≈ 0 says the grid cells
+    * are exchangeable, I → 1 says stratify first.
+    */
+  val q293MoransI: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val cells = Tables.embeddings(s, dir).select(
+          floor(element_at(col("embedding"), 1).cast("double") * 64.0)
+            .cast("bigint").as("gx"),
+          floor(element_at(col("embedding"), 2).cast("double") * 64.0)
+            .cast("bigint").as("gy"))
+        .groupBy(col("gx"), col("gy")).agg(count(lit(1)).as("x"))
+        .localCheckpoint(true)
+      val tot = cells.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val z = cells.crossJoin(broadcast(tot))
+        .select(col("gx"), col("gy"),
+          (col("n") * col("x") - col("s")).as("z"))
+        .localCheckpoint(true)
+      val offs = expr("array(-1L, 0L, 1L)")
+      val shifted = z
+        .select(col("gx"), col("gy"), col("z").as("zi"),
+          explode(offs).as("dx"))
+        .select(col("gx"), col("gy"), col("zi"), col("dx"),
+          explode(offs).as("dy"))
+        .filter(!(col("dx") === 0L && col("dy") === 0L))
+        .select((col("gx") + col("dx")).as("nx"),
+          (col("gy") + col("dy")).as("ny"), col("zi"))
+      val pairs = shifted.join(
+          z.select(col("gx").as("nx"), col("gy").as("ny"),
+            col("z").as("zj")), Seq("nx", "ny"))
+        .agg(count(lit(1)).as("w_pairs"),
+          sum(col("zi") * col("zj")).as("sum_zz"))
+      val z2 = z.agg(sum(col("z") * col("z")).as("sum_z2"))
+      tot.crossJoin(pairs).crossJoin(z2)
+        .select(col("n").as("n_cells"), col("w_pairs"), col("sum_zz"),
+          col("sum_z2"),
+          (col("n") * col("sum_zz")).as("i_num"),
+          (col("w_pairs") * col("sum_z2")).as("i_den"))
+    },
+    oracle = Some("""
+      WITH cells AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 64) AS BIGINT) AS gx,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 64) AS BIGINT) AS gy,
+               CAST(count(*) AS BIGINT) AS x
+        FROM embeddings GROUP BY 1, 2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s FROM cells),
+      z AS (SELECT gx, gy, n * x - s AS z FROM cells, tot),
+      adj AS (SELECT a.z AS zi, b.z AS zj
+              FROM z a JOIN z b
+                ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+               AND NOT (a.gx = b.gx AND a.gy = b.gy)),
+      p AS (SELECT CAST(count(*) AS BIGINT) AS w_pairs,
+                   CAST(sum(zi * zj) AS BIGINT) AS sum_zz FROM adj),
+      z2 AS (SELECT CAST(sum(z * z) AS BIGINT) AS sum_z2 FROM z)
+      SELECT n AS n_cells, w_pairs, sum_zz, sum_z2,
+             CAST(n * sum_zz AS BIGINT) AS i_num,
+             CAST(w_pairs * sum_z2 AS BIGINT) AS i_den
+      FROM tot, p, z2"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q280_token_chi2" -> q280TokenChi2,
+    "q292_grid_knn_join" -> q292GridKnnJoin,
+    "q293_morans_i" -> q293MoransI,
     "q287_rrf_fusion" -> q287RrfFusion,
     "q284_grid_dbscan" -> q284GridDbscan,
     "q274_winnowing_fingerprints" -> q274WinnowingFingerprints,
