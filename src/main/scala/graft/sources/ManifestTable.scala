@@ -856,7 +856,8 @@ object ManifestTable {
       required: StructType, entries: Seq[FileEntry],
       filters: Seq[org.apache.spark.sql.sources.Filter])
       extends Scan with Batch
-      with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+      with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     // RUNTIME (DPP) FILTERING, round 9: a broadcast join whose dim side
     // is selective hands this scan an IN-set of join-key values at
     // execution time; the same per-file (min, max) stats that serve
@@ -878,6 +879,23 @@ object ManifestTable {
       runtime = fs.toSeq
     private def kept: Seq[FileEntry] =
       entries.filter(survives(_, schema, filters ++ runtime))
+    // SupportsReportStatistics: planner-visible size/row counts from
+    // the manifest — post-pruning, so a selective static filter also
+    // shrinks the estimate and a small filtered scan becomes
+    // broadcast-eligible (the capability SyntheticV2 gained in round 8;
+    // here the numbers are exact metadata, not heuristics)
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        private val ks = kept
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(
+            ks.map(f => new File(dir, f.path).length()).sum)
+        override def numRows(): java.util.OptionalLong =
+          if (ks.forall(_.rows >= 0L))
+            java.util.OptionalLong.of(ks.map(_.rows).sum)
+          else java.util.OptionalLong.empty()
+      }
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =

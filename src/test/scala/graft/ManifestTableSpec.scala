@@ -377,6 +377,28 @@ class ManifestTableSpec extends SparkSpec {
       s"runtime filter pruned nothing: opened $opened of $total files")
   }
 
+  test("scan reports exact manifest statistics; pruning shrinks them") {
+    val dir = tmpTable()
+    spark.range(0, 10000).select(col("id"), (col("id") % 7).as("m"))
+      .write.format("graft-manifest").option("path", dir)
+      .option("clusterBy", "id").option("clusterPartitions", "4")
+      .mode("append").save()
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.computeStats()
+      }.get
+    val full = scanStats(readBack(dir))
+    assert(full.rowCount.contains(BigInt(10000)),
+      s"manifest row count did not reach the planner: $full")
+    // a selective range predicate prunes files, and the PRUNED file set
+    // is what the statistics report — the estimate the broadcast
+    // decision reads tracks what will actually be scanned
+    val pruned = scanStats(readBack(dir).filter(col("id") < 100))
+    assert(pruned.sizeInBytes < full.sizeInBytes,
+      s"pruned scan did not shrink stats: $pruned vs $full")
+  }
+
   test("column pruning: dropped columns skip decode entirely") {
     val dir = tmpTable()
     (1L to 100L).map(i => (i, i * 2, s"n$i")).toDF("id", "v", "s")
