@@ -88,7 +88,10 @@ object ScaleSweep {
       "q290_greedy_matching",
       // r9: butterfly census — one pass over the shared pair-count
       // kernel, no new fact work
-      "q291_butterfly_census"),
+      "q291_butterfly_census",
+      // r9: Katz — 4 edge-join rounds, exact integer walk counts; a
+      // clean ANSI run is the BIGINT headroom check
+      "q294_katz_centrality"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),

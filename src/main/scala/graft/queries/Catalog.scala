@@ -9682,6 +9682,73 @@ object Catalog {
       FROM (SELECT * FROM top UNION ALL SELECT * FROM tot)
       ORDER BY bfly DESC, p1, p2"""))
 
+  /** KATZ CENTRALITY, exact integer truncation (Katz 1953) on the
+    * co-purchase graph — the third centrality lens: q85 PageRank
+    * normalizes per-step (a random surfer), q201 HITS couples two
+    * roles, Katz COUNTS ATTENUATED WALKS — score(x) = Σ_k α^k ·
+    * |walks of length k ending at x|. Truncated at 4 hops with
+    * α = 1/4 and multiplied through by 4⁴, every quantity is an
+    * exact BIGINT: v_k(x) = Σ_{y∈N(x)} v_{k−1}(y) is the pure
+    * walk-count recurrence (v_0 ≡ 1) and katz_x256 = 64·v₁ + 16·v₂ +
+    * 4·v₃ + v₄ — no float ever forms, so the cross-engine compare is
+    * bit-exact where the PageRank family must round. Emits the top-20
+    * vertices with the per-hop walk counts that compose their score.
+    * Walk counts grow ≤ m·dmax^{k−1}; ~4e16 at the 10× sweep point —
+    * BIGINT headroom documented, DECIMAL(38,0) is the next stop (the
+    * q109 rule) if a 100× graph is ever swept.
+    *
+    * Scale: four rounds of ONE edge-join + vertex-keyed sum each
+    * (map-side combined, localCheckpoint per round — the q85 lineage
+    * rule); the final composition is a 4-way join on the vertex key.
+    * Oracle: chained CTEs, sym MATERIALIZED (4 references — the q269
+    * rule), each v_k single-reference.
+    */
+  val q294KatzCentrality: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val e = coEdges(s, dir)
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+        .localCheckpoint(true)
+      var vk = sym.select(col("x")).distinct()
+        .select(col("x"), lit(1L).as("v"))
+        .localCheckpoint(true)
+      var rounds = Vector.empty[DataFrame]
+      for (k <- 1 to 4) {
+        vk = sym.join(vk.withColumnRenamed("x", "y"), Seq("y"))
+          .groupBy(col("x")).agg(sum(col("v")).as("v"))
+          .localCheckpoint(true)
+        rounds = rounds :+ vk.withColumnRenamed("v", s"v$k")
+      }
+      val joined = rounds.reduce((a, b) => a.join(b, Seq("x")))
+      joined.select(col("x"), col("v1"), col("v2"), col("v3"), col("v4"),
+          (col("v1") * 64L + col("v2") * 16L + col("v3") * 4L + col("v4"))
+            .as("katz_x256"))
+        .orderBy(col("katz_x256").desc, col("x"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      sym AS MATERIALIZED (
+        SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+      v1 AS (SELECT x, CAST(count(*) AS BIGINT) AS v FROM sym GROUP BY 1),
+      v2 AS (SELECT s.x, CAST(sum(p.v) AS BIGINT) AS v
+             FROM sym s JOIN v1 p ON p.x = s.y GROUP BY 1),
+      v3 AS (SELECT s.x, CAST(sum(p.v) AS BIGINT) AS v
+             FROM sym s JOIN v2 p ON p.x = s.y GROUP BY 1),
+      v4 AS (SELECT s.x, CAST(sum(p.v) AS BIGINT) AS v
+             FROM sym s JOIN v3 p ON p.x = s.y GROUP BY 1)
+      SELECT v1.x, v1.v AS v1, v2.v AS v2, v3.v AS v3, v4.v AS v4,
+             CAST(v1.v * 64 + v2.v * 16 + v3.v * 4 + v4.v AS BIGINT)
+               AS katz_x256
+      FROM v1 JOIN v2 ON v2.x = v1.x JOIN v3 ON v3.x = v1.x
+              JOIN v4 ON v4.x = v1.x
+      ORDER BY katz_x256 DESC, v1.x LIMIT 20"""))
+
   /** COUNT-MIN SKETCH frequency audit (Cormode & Muthukrishnan 2005) —
     * the missing member of the sketch quartet: m18 Misra–Gries gives
     * deterministic heavy hitters, q259 KMV / q48 HLL estimate
@@ -10246,6 +10313,7 @@ object Catalog {
     "q288_sax_symbols" -> q288SaxSymbols,
     "q289_permutation_test" -> q289PermutationTest,
     "q290_greedy_matching" -> q290GreedyMatching,
+    "q294_katz_centrality" -> q294KatzCentrality,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
