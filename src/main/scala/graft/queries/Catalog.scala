@@ -9776,11 +9776,10 @@ object Catalog {
     */
   val q279CountMin: QuerySpec = QuerySpec(
     fn = (s, dir) => {
-      val P = 2147483647L
       val o = Tables.orders(s, dir)
         .select(col("o_custkey").cast("long").as("k"))
       def cellOf(k: Column, i: Column): Column =
-        ((lit(2L) * i + lit(3L)) * k + i * lit(10007L)) % P % lit(64L)
+        graft.functions.CountMin.cell(k, i)
       val is = expr("array(0L, 1L, 2L, 3L)")
       val cells = o.select(col("k"), explode(is).as("i"))
         .select(col("i"), cellOf(col("k"), col("i")).as("cell"))

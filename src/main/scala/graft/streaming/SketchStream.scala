@@ -57,4 +57,30 @@ object SketchStream {
       .agg(graft.functions.ThetaSketch.sketchAgg(col("user")).as("sk"))
       .select(col("action"), col("w").getField("start").as("day_start"),
         col("sk"))
+
+  /** Per-day COUNT-MIN counters (round 9) — the FREQUENCY leg of the
+    * streaming sketch table, next to HLL (distinct) and Theta (set
+    * algebra): each day's 4×64 counter grid ([[graft.functions
+    * .CountMin]], the exact q279 hash family) maintained
+    * incrementally as an ordinary windowed streaming aggregation.
+    * Per-day state is CONSTANT — 256 counters — however many events
+    * or users a day carries, which is the whole point at 100 TB/day:
+    * the exact per-key alternative's state grows with the key
+    * universe. Downstream, any trailing-k-days point-frequency
+    * estimate is counter ADDITION across day rows then min over the
+    * 4 hash rows (the linear-sketch law CountMinSpec pins in batch;
+    * CmStreamSpec pins streamed == batch per day and after a
+    * cross-day merge, against a disordered tape).
+    */
+  def dayCountMin(events: Dataset[RawEvent],
+      watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(col("ts"), col("user"),
+        graft.functions.CountMin.rows.as("i"))
+      .select(col("ts"), col("i"),
+        graft.functions.CountMin.cell(col("user"), col("i")).as("cell"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("i"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w").getField("start").as("day_start"),
+        col("i"), col("cell"), col("c"))
 }
