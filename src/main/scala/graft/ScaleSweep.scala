@@ -233,7 +233,12 @@ object ScaleSweep {
     // r9: randomization inference — 48 conditional aggregates in ONE
     // map-side-combined pass; |T| = m2*S1 - m1*S2 nears 2^63 around
     // sf100, so a clean ANSI run doubles as the headroom check
-    "inference" -> Seq("q289_permutation_test"))
+    "inference" -> Seq("q289_permutation_test",
+      // r9s2: DiD — one 8-sum global agg; DECIMAL chain is the check
+      "q295_did_estimator"),
+    // r9s2: blocking audit — rides the prefix/minhash kernels + three
+    // count rollups and one pair-keyed join against the truth table
+    "blocking" -> Seq("q296_blocking_quality"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

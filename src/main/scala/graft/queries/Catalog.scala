@@ -9682,6 +9682,96 @@ object Catalog {
       FROM (SELECT * FROM top UNION ALL SELECT * FROM tot)
       ORDER BY bfly DESC, p1, p2"""))
 
+  /** DIFFERENCE-IN-DIFFERENCES estimator (the two-period two-group
+    * canonical form; Card & Krueger 1994 made it the applied-econ
+    * workhorse) — the experimentation family's missing estimator next
+    * to q218 CUPED (variance reduction) and q219 quantile effects:
+    * customers split into treat/control by BIT 0 of the shared integer
+    * mixer (offset 909090909 for domain separation — deterministic,
+    * so the "assignment" replays exactly), periods split at
+    * 1998-01-01, outcome = order value cents. DiD = (x̄₁₁−x̄₁₀) −
+    * (x̄₀₁−x̄₀₀) over the four (treat, post) cell means, shipped as
+    * ONE exact rational: num = (s₁₁n₁₀−s₁₀n₁₁)·n₀₁n₀₀ −
+    * (s₀₁n₀₀−s₀₀n₀₁)·n₁₁n₁₀ over den = n₁₁n₁₀n₀₁n₀₀, both on the
+    * q109/q277 DECIMAL(38,0) digit-string chain (s·n ≈ 2e17 at sf0.1
+    * and the den alone crosses 2⁶³ near sf100 — BIGINT was never an
+    * option here). The four cells' raw (n, s) ship alongside so
+    * any reader can recompute.
+    *
+    * Scale: ONE map-side-combined global aggregate (8 conditional
+    * sums) — the fact table is touched once and the shuffle is 8
+    * values at any SF. On the null fixture (assignment independent of
+    * everything) DiD ≈ 0, which is the audit: a curation pipeline
+    * runs exactly this as the A/A check before trusting the
+    * assignment hash.
+    */
+  val q295DidEstimator: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def mix(x0: Column): Column = {
+        val x1 = (x0 * lit(2654435761L)) % lit(2147483647L)
+        val x2 = x1.bitwiseXOR(shiftright(x1, 15))
+        val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
+        x3.bitwiseXOR(shiftright(x3, 13))
+      }
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val base = Tables.orders(s, dir).select(
+        (mix(col("o_custkey").cast("long") + lit(909090909L)) % 2L).as("t"),
+        when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"), 1L)
+          .otherwise(0L).as("p"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+      def cell(t: Int, p: Int, c: Column): Column =
+        sum(when(col("t") === t.toLong && col("p") === p.toLong, c)
+          .otherwise(0L))
+      val wide = base.agg(
+        cell(0, 0, lit(1L)).as("n00"), cell(0, 0, col("x")).as("s00"),
+        cell(0, 1, lit(1L)).as("n01"), cell(0, 1, col("x")).as("s01"),
+        cell(1, 0, lit(1L)).as("n10"), cell(1, 0, col("x")).as("s10"),
+        cell(1, 1, lit(1L)).as("n11"), cell(1, 1, col("x")).as("s11"))
+      wide.select(col("n00"), col("s00"), col("n01"), col("s01"),
+        col("n10"), col("s10"), col("n11"), col("s11"),
+        ((d19(col("s11")) * d19(col("n10")) -
+          d19(col("s10")) * d19(col("n11"))) *
+          (d19(col("n01")) * d19(col("n00"))) -
+          (d19(col("s01")) * d19(col("n00")) -
+            d19(col("s00")) * d19(col("n01"))) *
+            (d19(col("n11")) * d19(col("n10"))))
+          .cast("decimal(38,0)").cast("string").as("did_num"),
+        (d19(col("n11")) * d19(col("n10")) * d19(col("n01")) *
+          d19(col("n00"))).cast("decimal(38,0)").cast("string")
+          .as("did_den"))
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT xor(x3, x3 >> 13) % 2 AS t, p, x FROM (
+          SELECT xor(x1, x1 >> 15) * 1597334677 % 2147483647 AS x3, p, x
+          FROM (SELECT (CAST(o_custkey AS BIGINT) + 909090909)
+                         * 2654435761 % 2147483647 AS x1,
+                       CASE WHEN CAST(o_orderdate AS DATE) >=
+                                 DATE '1998-01-01' THEN 1 ELSE 0 END AS p,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                FROM orders) t1) t2),
+      wide AS (SELECT
+        CAST(sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        CAST(sum(CASE WHEN t = 0 AND p = 0 THEN x ELSE 0 END) AS BIGINT) AS s00,
+        CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        CAST(sum(CASE WHEN t = 0 AND p = 1 THEN x ELSE 0 END) AS BIGINT) AS s01,
+        CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        CAST(sum(CASE WHEN t = 1 AND p = 0 THEN x ELSE 0 END) AS BIGINT) AS s10,
+        CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        CAST(sum(CASE WHEN t = 1 AND p = 1 THEN x ELSE 0 END) AS BIGINT) AS s11
+        FROM base)
+      SELECT n00, s00, n01, s01, n10, s10, n11, s11,
+             CAST(CAST((CAST(s11 AS HUGEINT) * n10
+                        - CAST(s10 AS HUGEINT) * n11)
+                       * (CAST(n01 AS HUGEINT) * n00)
+                       - (CAST(s01 AS HUGEINT) * n00
+                          - CAST(s00 AS HUGEINT) * n01)
+                         * (CAST(n11 AS HUGEINT) * n10)
+                  AS DECIMAL(38,0)) AS VARCHAR) AS did_num,
+             CAST(CAST(CAST(n11 AS HUGEINT) * n10 * n01 * n00
+                  AS DECIMAL(38,0)) AS VARCHAR) AS did_den
+      FROM wide"""))
+
   /** KATZ CENTRALITY, exact integer truncation (Katz 1953) on the
     * co-purchase graph — the third centrality lens: q85 PageRank
     * normalizes per-step (a random surfer), q201 HITS couples two
@@ -10313,6 +10403,7 @@ object Catalog {
     "q289_permutation_test" -> q289PermutationTest,
     "q290_greedy_matching" -> q290GreedyMatching,
     "q294_katz_centrality" -> q294KatzCentrality,
+    "q295_did_estimator" -> q295DidEstimator,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all

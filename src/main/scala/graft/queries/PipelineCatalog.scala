@@ -5957,8 +5957,116 @@ object PipelineCatalog {
              CAST(w_pairs * sum_z2 AS BIGINT) AS i_den
       FROM tot, p, z2"""))
 
+  /** BLOCKING-QUALITY audit (the standard entity-resolution evaluation
+    * pair of Christen 2012): REDUCTION RATIO (how much of the n²
+    * comparison space the blocker kills) and PAIRS COMPLETENESS (what
+    * fraction of true matches its candidates retain), measured for the
+    * catalog's two candidate generators against the verified ≥0.8
+    * near-dup truth set — PPJoin prefix filtering (q35's kernel,
+    * LOSSLESS by the Gravano pigeonhole FuzzyBoundProps property-tests;
+    * this audit turns that proof into a DATA row with pc_num = n_true)
+    * and 16×4 MinHash LSH (q36's kernel, lossy by design — its
+    * completeness shortfall IS the band-probability recall curve the
+    * LSH knobs trade against cost). The numbers a dedup pipeline reads
+    * before picking its blocker at 100 TB: RR says what you pay, PC
+    * says what you lose, and both ship as exact integer rationals
+    * (counts only — nothing to round).
+    *
+    * Scale: rides the session-shared prefix/minhash kernels (both
+    * already bounded by the dedup family's contracts); the audit adds
+    * three count rollups and one pair-keyed join of the candidate
+    * sets against the (candidate-bounded) truth table. n(n−1)/2 is
+    * arithmetic, never a materialized cross join.
+    */
+  val q296BlockingQuality: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pref = prefixRows(s, dir)
+      val candP = pref.as("a").join(pref.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct().localCheckpoint(true)
+      val sig = minhashSigs(s, dir)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 to 3).map(b =>
+          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
+            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
+          .as(Seq("band_idx", "band_sig")))
+      val candL = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct().localCheckpoint(true)
+      val truth = ngramNearDupPairs(s, dir).select(col("d1"), col("d2"))
+        .localCheckpoint(true)
+      val nd = shingleRows(s, dir).select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      val nt = truth.agg(count(lit(1)).as("n_true"))
+      def audit(name: String, cand: DataFrame): DataFrame =
+        nd.crossJoin(nt)
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(truth.join(cand, Seq("d1", "d2"))
+            .agg(count(lit(1)).as("n_caught")))
+          .select(lit(name).as("blocker"), col("n_docs"),
+            expr("(n_docs * (n_docs - 1L)) div 2L").as("n_pairs_total"),
+            col("n_cand"),
+            (expr("(n_docs * (n_docs - 1L)) div 2L") - col("n_cand"))
+              .as("rr_num"),
+            expr("(n_docs * (n_docs - 1L)) div 2L").as("rr_den"),
+            col("n_true"), col("n_caught"),
+            col("n_caught").as("pc_num"), col("n_true").as("pc_den"))
+      audit("lsh_16x4", candL).unionByName(audit("prefix", candP))
+        .orderBy(col("blocker"))
+    },
+    oracle = Some(s"""
+      WITH $prefixPairsSql,
+      lsig AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i -> list_min(
+                 list_transform(list_transform(sh, s -> ${polyhashSql("s")}),
+                                t -> ((2*i+1)*t + 12345*i) % $P))) AS mh
+        FROM shp),
+      lbuckets AS (
+        SELECT doc_id, b AS band_idx,
+               concat_ws('-', mh[4*b+1], mh[4*b+2], mh[4*b+3], mh[4*b+4])
+                 AS band_sig
+        FROM lsig, unnest(range(0, 4)) AS t(b)),
+      lcand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM lbuckets a JOIN lbuckets b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM shp),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM pairs),
+      pc2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM pcand),
+      lc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM lcand),
+      pg AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
+             FROM pairs p JOIN pcand c ON p.d1 = c.d1 AND p.d2 = c.d2),
+      lg AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
+             FROM pairs p JOIN lcand c ON p.d1 = c.d1 AND p.d2 = c.d2)
+      SELECT * FROM (
+        SELECT 'lsh_16x4' AS blocker, n_docs,
+               n_docs * (n_docs - 1) // 2 AS n_pairs_total,
+               lc.n_cand,
+               n_docs * (n_docs - 1) // 2 - lc.n_cand AS rr_num,
+               n_docs * (n_docs - 1) // 2 AS rr_den,
+               n_true, lg.n_caught, lg.n_caught AS pc_num,
+               n_true AS pc_den
+        FROM nd, nt, lc, lg
+        UNION ALL
+        SELECT 'prefix', n_docs,
+               n_docs * (n_docs - 1) // 2,
+               pc2.n_cand,
+               n_docs * (n_docs - 1) // 2 - pc2.n_cand,
+               n_docs * (n_docs - 1) // 2,
+               n_true, pg.n_caught, pg.n_caught, n_true
+        FROM nd, nt, pc2, pg)
+      ORDER BY blocker"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q280_token_chi2" -> q280TokenChi2,
+    "q296_blocking_quality" -> q296BlockingQuality,
     "q292_grid_knn_join" -> q292GridKnnJoin,
     "q293_morans_i" -> q293MoransI,
     "q287_rrf_fusion" -> q287RrfFusion,
