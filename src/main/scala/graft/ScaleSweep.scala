@@ -235,7 +235,9 @@ object ScaleSweep {
     // sf100, so a clean ANSI run doubles as the headroom check
     "inference" -> Seq("q289_permutation_test",
       // r9s2: DiD — one 8-sum global agg; DECIMAL chain is the check
-      "q295_did_estimator"),
+      "q295_did_estimator",
+      // r9s2: BH-FDR — 48-sum ensemble pass + 24x25 arithmetic
+      "q298_bh_fdr"),
     // r9s2: blocking audit — rides the prefix/minhash kernels + three
     // count rollups and one pair-keyed join against the truth table
     "blocking" -> Seq("q296_blocking_quality"))

@@ -9682,6 +9682,151 @@ object Catalog {
       FROM (SELECT * FROM top UNION ALL SELECT * FROM tot)
       ORDER BY bfly DESC, p1, p2"""))
 
+  /** BENJAMINI–HOCHBERG FDR selection (Benjamini & Hochberg 1995) over
+    * 25 exact randomization p-values — the MULTIPLE-TESTING layer the
+    * inference family needed once q289 priced a single hypothesis:
+    * every nation tests "do my orders' values differ from the
+    * pooled mean?" against the SAME 24-split null ensemble (bits of
+    * the shared mixer over o_orderkey — one ensemble, m tests, the
+    * standard shared-permutation design), p = (1 + #extreme)/25 by
+    * the add-one rule, and BH runs ENTIRELY in integers: with
+    * α = 1/5 and m = 25, p₍ₖ₎ ≤ αk/m ⟺ 5·(extreme₍ₖ₎+1) ≤ k. The
+    * comparable statistic is the SCALED MEAN GAP |⌊10⁶·(S₁m₂−S₂m₁)/
+    * (m₁m₂)⌋| (the q163 truncating-division total-order trick —
+    * normalizing by m₁m₂ is what makes a nation-sized observed split
+    * comparable against 50/50 null splits); products ride the d19→
+    * DECIMAL(38,0) chain and the quotient is back in BIGINT by
+    * construction (≤ 10⁶ × the cents gap). Emits per nation: its
+    * order count, |g|, the extreme count, the exact rational p, the
+    * BH rank k, the pass flag and the global cutoff k* (−1 = nothing
+    * survives — the expected null-fixture answer, which makes this
+    * the A/A audit of the whole testing pipeline).
+    *
+    * Scale: ONE pass over the fact join (48 conditional sums for the
+    * ensemble + the per-nation rollup), then everything is 24-row ×
+    * 25-row arithmetic; windows run on the 25-nation rollup (fixture-
+    * fixed key domain). The dim join is a broadcast.
+    */
+  val q298BhFdr: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def mix(x0: Column): Column = {
+        val x1 = (x0 * lit(2654435761L)) % lit(2147483647L)
+        val x2 = x1.bitwiseXOR(shiftright(x1, 15))
+        val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
+        x3.bitwiseXOR(shiftright(x3, 13))
+      }
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      // num/den as named columns + one `div` select: IntegralDivide
+      // TRUNCATES like DuckDB's `//` (the q163 measured pairing), where
+      // Decimal.divide would round at its result scale and drift by one
+      def gNum(m1: Column, s1: Column, m: Column, sAll: Column): Column =
+        ((d19(s1) * d19(m - m1) - d19(sAll - s1) * d19(m1)) *
+          lit(1000000L)).cast("decimal(38,0)")
+      def gDen(m1: Column, m: Column): Column =
+        (d19(m1) * d19(m - m1)).cast("decimal(38,0)")
+      val cust = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("nation")))
+      val base = Tables.orders(s, dir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("nation"),
+          mix(col("o_orderkey").cast("long") + lit(31337L)).as("h"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x"))
+        .localCheckpoint(true)
+      val tot = base.agg(count(lit(1)).as("m"), sum(col("x")).as("s"))
+      val permAggs = (0 until 24).flatMap { j =>
+        val bit = shiftright(col("h"), j) % 2L
+        Seq(sum(bit).as(s"m1_$j"), sum(bit * col("x")).as(s"s1_$j"))
+      }
+      val perms = base.agg(permAggs.head, permAggs.tail: _*)
+        .select(expr("stack(24, " +
+          (0 until 24).map(j => s"${j}L, m1_$j, s1_$j").mkString(", ") +
+          ") AS (j, m1, s1)"))
+        .crossJoin(broadcast(tot))
+        .select(col("j"),
+          gNum(col("m1"), col("s1"), col("m"), col("s")).as("gnum"),
+          gDen(col("m1"), col("m")).as("gden"))
+        .select(col("j"), expr("abs(gnum div gden)").as("g_abs"))
+        .localCheckpoint(true)
+      val nat = base.groupBy(col("nation"))
+        .agg(count(lit(1)).as("m1"), sum(col("x")).as("s1"))
+        .crossJoin(broadcast(tot))
+        .select(col("nation"), col("m1"),
+          gNum(col("m1"), col("s1"), col("m"), col("s")).as("gnum"),
+          gDen(col("m1"), col("m")).as("gden"))
+        .select(col("nation"), col("m1"),
+          expr("abs(gnum div gden)").as("g_abs_n"))
+      val counted = nat.crossJoin(broadcast(perms))
+        .groupBy(col("nation"), col("m1"), col("g_abs_n"))
+        .agg(sum(when(col("g_abs") >= col("g_abs_n"), 1L).otherwise(0L))
+          .as("extreme"))
+      val ranked = counted.select(col("*"),
+          row_number().over(Window.orderBy(col("extreme"), col("nation")))
+            .cast("long").as("k"))
+        .select(col("nation"), col("m1"), col("g_abs_n"), col("extreme"),
+          (col("extreme") + 1L).as("p_num"), lit(25L).as("p_den"), col("k"),
+          when(lit(5L) * (col("extreme") + 1L) <= col("k"), 1L)
+            .otherwise(0L).as("bh_pass"))
+      val kstar = ranked.agg(
+        coalesce(max(when(col("bh_pass") === 1L, col("k"))), lit(-1L))
+          .as("k_star"))
+      ranked.crossJoin(broadcast(kstar)).orderBy(col("k"))
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT nation, xor(x3, x3 >> 13) AS h, x FROM (
+          SELECT nation,
+                 xor(x1, x1 >> 15) * 1597334677 % 2147483647 AS x3, x
+          FROM (SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+                       (CAST(o.o_orderkey AS BIGINT) + 31337)
+                         * 2654435761 % 2147483647 AS x1,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+                FROM orders o JOIN customer c
+                  ON o.o_custkey = c.c_custkey) t1) t2),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(x) AS BIGINT) AS s FROM base),
+      js AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS j),
+      perm AS (SELECT j,
+                      CAST(sum((h >> CAST(j AS INTEGER)) % 2) AS BIGINT) AS m1,
+                      CAST(sum(((h >> CAST(j AS INTEGER)) % 2) * x) AS BIGINT)
+                        AS s1
+               FROM base, js GROUP BY 1),
+      pg AS (SELECT j,
+                    abs(CAST((CAST(s1 AS HUGEINT) * (m - m1)
+                              - CAST(s - s1 AS HUGEINT) * m1) * 1000000
+                         // (CAST(m1 AS HUGEINT) * (m - m1)) AS BIGINT))
+                      AS g_abs
+             FROM perm, tot),
+      nat AS (SELECT nation, CAST(count(*) AS BIGINT) AS m1,
+                     CAST(sum(x) AS BIGINT) AS s1
+              FROM base GROUP BY 1),
+      ng AS (SELECT nation, m1,
+                    abs(CAST((CAST(s1 AS HUGEINT) * (m - m1)
+                              - CAST(s - s1 AS HUGEINT) * m1) * 1000000
+                         // (CAST(m1 AS HUGEINT) * (m - m1)) AS BIGINT))
+                      AS g_abs_n
+             FROM nat, tot),
+      cnt AS (SELECT nation, m1, g_abs_n,
+                     CAST(sum(CASE WHEN pg.g_abs >= g_abs_n
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS extreme
+              FROM ng, pg GROUP BY 1, 2, 3),
+      ranked AS (SELECT nation, m1, g_abs_n, extreme,
+                        CAST(extreme + 1 AS BIGINT) AS p_num,
+                        CAST(25 AS BIGINT) AS p_den,
+                        CAST(row_number() OVER (ORDER BY extreme, nation)
+                          AS BIGINT) AS k
+                 FROM cnt),
+      flags AS (SELECT *,
+                       CAST(CASE WHEN 5 * p_num <= k THEN 1 ELSE 0 END
+                         AS BIGINT) AS bh_pass
+                FROM ranked),
+      kstar AS (SELECT CAST(coalesce(
+                  max(CASE WHEN bh_pass = 1 THEN k END), -1) AS BIGINT)
+                  AS k_star
+                FROM flags)
+      SELECT nation, m1, g_abs_n, extreme, p_num, p_den, k, bh_pass, k_star
+      FROM flags, kstar ORDER BY k"""))
+
   /** DIFFERENCE-IN-DIFFERENCES estimator (the two-period two-group
     * canonical form; Card & Krueger 1994 made it the applied-econ
     * workhorse) — the experimentation family's missing estimator next
@@ -10404,6 +10549,7 @@ object Catalog {
     "q290_greedy_matching" -> q290GreedyMatching,
     "q294_katz_centrality" -> q294KatzCentrality,
     "q295_did_estimator" -> q295DidEstimator,
+    "q298_bh_fdr" -> q298BhFdr,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all

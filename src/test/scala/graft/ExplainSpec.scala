@@ -167,6 +167,8 @@ object ExplainSpec {
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
     "q189_funnel_latency" ->
       "offset prefix-sum over per-partition totals; bounded by the shuffle partition count",
+    "q298_bh_fdr" ->
+      "BH rank window over the groupBy(nation) test rollup; nation domain fixture-fixed at 25",
     "q288_sax_symbols" ->
       "ntile window over the 16-segment PAA rollup (128 calendar days div 8, fixed segment domain)",
     "q281_page_hinkley" ->
