@@ -240,7 +240,10 @@ object ScaleSweep {
       "q298_bh_fdr"),
     // r9s2: blocking audit — rides the prefix/minhash kernels + three
     // count rollups and one pair-keyed join against the truth table
-    "blocking" -> Seq("q296_blocking_quality"))
+    "blocking" -> Seq("q296_blocking_quality",
+      // r9s2: b-bit minwise audit — two signature lookups per LSH
+      // candidate pair + one candidate-bounded intersection rollup
+      "q297_bbit_minwise"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

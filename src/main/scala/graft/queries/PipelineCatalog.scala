@@ -6064,8 +6064,111 @@ object PipelineCatalog {
         FROM nd, nt, pc2, pg)
       ORDER BY blocker"""))
 
+  /** b-BIT MINWISE HASHING audit (Li & König 2010) — the storage end
+    * of the MinHash family: keep only the LOW b = 2 BITS of each of
+    * the 16 minhash values (4 bytes per document instead of 128) and
+    * estimate Jaccard from the b-bit collision rate with the Li–König
+    * correction Ĵ = (ĉ − 1/2^b)/(1 − 1/2^b), here the exact rational
+    * (4·coll₂ − 16)/48. For every q36 LSH candidate pair the audit
+    * emits, side by side: the exact Jaccard as a rational (common /
+    * union — counts, never divided), the full 16-hash collision count
+    * (the classic MinHash estimator's numerator) and the 2-bit
+    * collision count with its corrected estimator — the three-way
+    * comparison that justifies shipping 32× smaller signatures at
+    * 100 TB (the correction's variance penalty is the published
+    * ~1/(1−1/2^b)² factor, visible directly in these rows).
+    *
+    * Scale: rides the session-shared minhash/shingle kernels; the
+    * audit itself is two signature lookups per candidate pair (both
+    * joins key on doc_id) and one intersection rollup bounded by the
+    * candidate set — nothing touches the corpus beyond what q36
+    * already pays.
+    */
+  val q297BbitMinwise: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val sig = minhashSigs(s, dir)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 to 3).map(b =>
+          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
+            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
+          .as(Seq("band_idx", "band_sig")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct().localCheckpoint(true)
+      val inv = shingleRows(s, dir)
+      val comm = cand
+        .join(inv.as("ia"), col("d1") === col("ia.doc_id"))
+        .join(inv.as("ib"), col("d2") === col("ib.doc_id") &&
+          col("ia.shingle") === col("ib.shingle"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+      val sa = sig.select(col("doc_id").as("d1") +:
+        (0 to 15).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("d2") +:
+        (0 to 15).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val sizes = shingleSizes(s, dir)
+      val fullColl = (0 to 15).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+      val bbitColl = (0 to 15).map(i =>
+        when(col(s"a$i") % 4L === col(s"b$i") % 4L, 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand.join(sa, "d1").join(sb, "d2")
+        .join(comm, Seq("d1", "d2"), "left")
+        .join(sizes.as("za"), col("d1") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
+        .select(col("d1"), col("d2"),
+          coalesce(col("common"), lit(0L)).as("j_num"),
+          (col("za.n") + col("zb.n") - coalesce(col("common"), lit(0L)))
+            .as("j_den"),
+          fullColl.as("full_coll"), bbitColl.as("bbit_coll"))
+        .select(col("*"),
+          (col("bbit_coll") * 4L - 16L).as("bhat_num"),
+          lit(48L).as("bhat_den"))
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some(s"""
+      WITH sh0 AS ($shinglesSql),
+      shp AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 16), i -> list_min(
+                 list_transform(list_transform(sh, s -> ${polyhashSql("s")}),
+                                t -> ((2*i+1)*t + 12345*i) % $P))) AS mh
+        FROM shp),
+      buckets AS (
+        SELECT doc_id, b AS band_idx,
+               concat_ws('-', mh[4*b+1], mh[4*b+2], mh[4*b+3], mh[4*b+4])
+                 AS band_sig
+        FROM sig, unnest(range(0, 4)) AS t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM buckets a JOIN buckets b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id)
+      SELECT c.d1, c.d2,
+             CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS j_num,
+             CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+               AS BIGINT) AS j_den,
+             CAST(list_sum(list_transform(range(1, 17), i ->
+               CASE WHEN x.mh[i] = y.mh[i] THEN 1 ELSE 0 END))
+               AS BIGINT) AS full_coll,
+             CAST(list_sum(list_transform(range(1, 17), i ->
+               CASE WHEN x.mh[i] % 4 = y.mh[i] % 4 THEN 1 ELSE 0 END))
+               AS BIGINT) AS bbit_coll,
+             CAST(list_sum(list_transform(range(1, 17), i ->
+               CASE WHEN x.mh[i] % 4 = y.mh[i] % 4 THEN 1 ELSE 0 END))
+               * 4 - 16 AS BIGINT) AS bhat_num,
+             CAST(48 AS BIGINT) AS bhat_den
+      FROM cand c
+      JOIN sig x ON c.d1 = x.doc_id
+      JOIN sig y ON c.d2 = y.doc_id
+      ORDER BY c.d1, c.d2"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q280_token_chi2" -> q280TokenChi2,
+    "q297_bbit_minwise" -> q297BbitMinwise,
     "q296_blocking_quality" -> q296BlockingQuality,
     "q292_grid_knn_join" -> q292GridKnnJoin,
     "q293_morans_i" -> q293MoransI,
