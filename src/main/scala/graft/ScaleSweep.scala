@@ -91,7 +91,9 @@ object ScaleSweep {
       "q291_butterfly_census",
       // r9: Katz — 4 edge-join rounds, exact integer walk counts; a
       // clean ANSI run is the BIGINT headroom check
-      "q294_katz_centrality"),
+      "q294_katz_centrality",
+      // r9s2: two-sweep diameter — two 6-round BFS chains + argmax cuts
+      "q300_two_sweep_diameter"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),
@@ -137,6 +139,8 @@ object ScaleSweep {
       // r8s4: 5 greedy rounds of vocab-bounded anti-join + top-1 over
       // the shared shingle kernel — cost tracks the shingle build
       "q260_coverage_selection",
+      // r9s2: Yule K / Simpson D — one word-count shuffle + scalar rollup
+      "q299_lexical_concentration",
       // r8: q244 is two word-count-shaped rollups + vertex-sized score
       // joins — tracks the bigram explode volume
       "q244_textrank_keywords",

@@ -9682,6 +9682,104 @@ object Catalog {
       FROM (SELECT * FROM top UNION ALL SELECT * FROM tot)
       ORDER BY bfly DESC, p1, p2"""))
 
+  /** TWO-SWEEP DIAMETER estimate (the double-BFS lower bound of
+    * Magnien, Latapy & Habib 2009 — the standard cheap diameter
+    * protocol: BFS from an arbitrary vertex, BFS again from the
+    * farthest vertex found; the second eccentricity lower-bounds the
+    * diameter and is exact on trees) on the co-purchase graph —
+    * composing q222's landmark-BFS kernel into the graph-SCALE
+    * question the family hadn't answered: how WIDE is this graph?
+    * Sweeps are 6 bounded rounds each (the fixed-iteration contract;
+    * every argmax uses the (dist desc, node) total order, start =
+    * minimum vertex id — fully deterministic), and the emitted row
+    * carries both sweep endpoints, both eccentricities (ecc₂ = the
+    * diameter lower bound) and the second sweep's reach — reach <
+    * |V| means disconnection, which the q62-component world makes
+    * expected, so it ships as data rather than an assumption.
+    *
+    * Scale: two 6-round frontier expansions — per round ONE edge join
+    * + distinct + anti-join (all key-partitioned, the q222 shape) —
+    * plus three one-row argmax cuts; the oracle replays both chains
+    * as MATERIALIZED CTEs (frontier AND visited reference the prior
+    * round — the q269 rule).
+    */
+  val q300TwoSweepDiameter: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val pairs = coPairCounts(s, dir)
+        .select(col("p1").as("src"), col("p2").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      def bfs(start: DataFrame): DataFrame = {
+        var reached = start.select(col("node"), lit(0L).as("dist"))
+          .localCheckpoint(true)
+        var frontier = reached
+        for (r <- 1 to 6) {
+          val next = frontier.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(reached.select(col("node")), Seq("node"), "left_anti")
+            .withColumn("dist", lit(r.toLong))
+            .localCheckpoint(true)
+          reached = reached.unionByName(next).localCheckpoint(true)
+          frontier = next
+        }
+        reached
+      }
+      val v0 = edges.select(col("src").as("node")).distinct()
+        .orderBy(col("node")).limit(1).localCheckpoint(true)
+      val b1 = bfs(v0)
+      val u = b1.orderBy(col("dist").desc, col("node")).limit(1)
+        .localCheckpoint(true)
+      val b2 = bfs(u.select(col("node")))
+      val w = b2.orderBy(col("dist").desc, col("node")).limit(1)
+      v0.select(col("node").as("v0"))
+        .crossJoin(u.select(col("node").as("u"), col("dist").as("ecc_v0")))
+        .crossJoin(w.select(col("node").as("w"),
+          col("dist").as("diameter_lb")))
+        .crossJoin(b2.agg(count(lit(1)).as("n_reached")))
+    },
+    oracle = Some {
+      def chain(tag: String, startSql: String): String = {
+        val rounds = (1 to 6).map { r =>
+          s"""${tag}f$r AS MATERIALIZED (
+            SELECT DISTINCT e.dst AS node
+            FROM ${tag}a${r - 1} p JOIN edges e ON p.node = e.src
+            WHERE p.dist = ${r - 1}),
+          ${tag}n$r AS MATERIALIZED (
+            SELECT node, CAST($r AS BIGINT) AS dist FROM ${tag}f$r
+            WHERE NOT EXISTS (SELECT 1 FROM ${tag}a${r - 1} x
+              WHERE x.node = ${tag}f$r.node)),
+          ${tag}a$r AS MATERIALIZED (
+            SELECT * FROM ${tag}a${r - 1}
+            UNION ALL SELECT * FROM ${tag}n$r)"""
+        }.mkString(",\n          ")
+        s"""${tag}a0 AS MATERIALIZED (
+          SELECT node, CAST(0 AS BIGINT) AS dist FROM ($startSql)),
+          $rounds"""
+      }
+      s"""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      edges AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v, u FROM e0),
+      v0 AS (SELECT min(src) AS node FROM edges),
+      ${chain("s1", "SELECT node FROM v0")},
+      uu AS (SELECT node, dist FROM s1a6
+             ORDER BY dist DESC, node LIMIT 1),
+      ${chain("s2", "SELECT node FROM uu")},
+      ww AS (SELECT node, dist FROM s2a6
+             ORDER BY dist DESC, node LIMIT 1),
+      nr AS (SELECT CAST(count(*) AS BIGINT) AS n_reached FROM s2a6)
+      SELECT v0.node AS v0, uu.node AS u, uu.dist AS ecc_v0,
+             ww.node AS w, ww.dist AS diameter_lb, nr.n_reached
+      FROM v0, uu, ww, nr"""
+    })
+
   /** BENJAMINI–HOCHBERG FDR selection (Benjamini & Hochberg 1995) over
     * 25 exact randomization p-values — the MULTIPLE-TESTING layer the
     * inference family needed once q289 priced a single hypothesis:
@@ -10550,6 +10648,7 @@ object Catalog {
     "q294_katz_centrality" -> q294KatzCentrality,
     "q295_did_estimator" -> q295DidEstimator,
     "q298_bh_fdr" -> q298BhFdr,
+    "q300_two_sweep_diameter" -> q300TwoSweepDiameter,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all

@@ -6166,8 +6166,57 @@ object PipelineCatalog {
       JOIN sig y ON c.d2 = y.doc_id
       ORDER BY c.d1, c.d2"""))
 
+  /** LEXICAL CONCENTRATION indices (Yule 1944's characteristic K;
+    * Simpson 1949's D as repeat probability) over the corpus unigram
+    * distribution — the scalar companions of q208's freq-of-freqs
+    * table: K = 10⁴(Σf² − N)/N² (Yule's sampling-invariant repeat-rate
+    * characteristic, THE classical authorship/diversity constant) and
+    * D = Σf(f−1)/(N(N−1)) (the probability two random tokens
+    * coincide — Simpson's diversity, the lexical twin of q226's HHI
+    * market concentration). Both ship as exact integer rationals from
+    * the same one-row sufficient statistics (N, V, Σf²), per the
+    * q49/q60 rule; 10⁴Σf² ≤ 10⁴N² crosses 2⁶³ at N ≈ 10⁹·⁵ tokens —
+    * the DECIMAL escalation is documented far past any fixture.
+    *
+    * Scale: the q70 word-count shuffle then a scalar rollup — the
+    * vocabulary-sized second stage is the only thing after the one
+    * fact pass.
+    */
+  val q299LexicalConcentration: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      freq.agg(sum(col("f")).as("n"), count(lit(1)).as("v"),
+          sum(col("f") * col("f")).as("sum_f2"),
+          sum(col("f") * (col("f") - 1L)).as("sum_ff1"))
+        .select(col("n"), col("v"), col("sum_f2"),
+          (lit(10000L) * (col("sum_f2") - col("n"))).as("yule_num"),
+          (col("n") * col("n")).as("yule_den"),
+          col("sum_ff1").as("simpson_num"),
+          (col("n") * (col("n") - 1L)).as("simpson_den"))
+    },
+    oracle = Some("""
+      WITH freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE len(tok) > 0 GROUP BY 1),
+      agg AS (SELECT CAST(sum(f) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS v,
+                     CAST(sum(f * f) AS BIGINT) AS sum_f2,
+                     CAST(sum(f * (f - 1)) AS BIGINT) AS sum_ff1
+              FROM freq)
+      SELECT n, v, sum_f2,
+             CAST(10000 * (sum_f2 - n) AS BIGINT) AS yule_num,
+             CAST(n * n AS BIGINT) AS yule_den,
+             sum_ff1 AS simpson_num,
+             CAST(n * (n - 1) AS BIGINT) AS simpson_den
+      FROM agg"""))
+
   val all: Map[String, QuerySpec] = Map(
     "q280_token_chi2" -> q280TokenChi2,
+    "q299_lexical_concentration" -> q299LexicalConcentration,
     "q297_bbit_minwise" -> q297BbitMinwise,
     "q296_blocking_quality" -> q296BlockingQuality,
     "q292_grid_knn_join" -> q292GridKnnJoin,
