@@ -80,9 +80,6 @@ object ScaleSweep {
       // r8s4: duels are the per-part co-occurrence shape; 3 MM rounds on
       // the supplier-sized strength table
       "q269_bradley_terry",
-      // r9: 6-round 3-core peel — per round one degree rollup + one
-      // two-sided semi-join of the shrinking edge list
-      "q283_kcore_peel",
       // r9: 4 mutual-proposal matching rounds — min-rollup + proposal
       // self-join per round, edge list only shrinks
       "q290_greedy_matching",

@@ -9476,84 +9476,6 @@ object Catalog {
              CAST(NULL AS BIGINT) AS absent
       FROM orders ORDER BY o_orderkey"""))
 
-  /** k-CORE PEEL (Seidman 1983; batch distributed peeling à la
-    * Montresor, De Pellegrini & Miorandi 2013) on the co-purchase
-    * graph — the graph family's density filter next to q85 PageRank
-    * (importance), q94 triangles (transitivity) and q111 degrees
-    * (shape): six synchronous rounds of "drop every vertex with
-    * fewer than 3 alive neighbors", the subgraph every round shrinks
-    * toward the 3-core. Emits the round trace (round, n_alive,
-    * n_edges-within-alive) — the curve itself is the payload (how
-    * fast the periphery evaporates); rounds are FIXED at 6 for
-    * cross-engine replay (the q85/q251/q260 fixed-iteration
-    * contract; production peels to fixpoint with the identical
-    * per-round plan in a while-loop keyed on a one-row delta count).
-    *
-    * Spark: edges come from the session-shared [[coEdges]] kernel;
-    * each round is one degree rollup (map-side combined, vertex-keyed)
-    * + one two-sided semi-join filter of the shrinking edge list, with
-    * a localCheckpoint barrier per round (the fixed-iteration lineage
-    * rule — without it round 6 re-executes all prior rounds per
-    * consumer). The DuckDB oracle replays the rounds as a chained CTE
-    * pipeline; every a_r/e_r is AS MATERIALIZED because each round
-    * references its predecessor MORE THAN ONCE (both endpoint joins)
-    * — the q269 double-reference rule, else DuckDB re-expands
-    * 2^rounds copies of the base join. Scale: per-round cost is one
-    * pass over the alive edge list; the edge list only shrinks, and
-    * the rollup's key domain is the (already pair-capped) part
-    * vertex set.
-    */
-  val q283KCorePeel: QuerySpec = QuerySpec(
-    fn = (s, dir) => {
-      var e = coEdges(s, dir).localCheckpoint(true)
-      var trace = Vector.empty[DataFrame]
-      for (r <- 1 to 6) {
-        val alive = e.select(col("u").as("x"))
-          .unionByName(e.select(col("v").as("x")))
-          .groupBy(col("x")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 3L).select(col("x"))
-          .localCheckpoint(true)
-        val e2 = e.join(alive.withColumnRenamed("x", "u"), Seq("u"))
-          .join(alive.withColumnRenamed("x", "v"), Seq("v"))
-          .select(col("u"), col("v"))
-          .localCheckpoint(true)
-        trace = trace :+ alive.agg(count(lit(1)).as("n_alive"))
-          .crossJoin(e2.agg(count(lit(1)).as("n_edges")))
-          .select(lit(r.toLong).as("round"), col("n_alive"), col("n_edges"))
-        e = e2
-      }
-      trace.reduce(_ unionByName _).orderBy(col("round"))
-    },
-    oracle = Some {
-      val ctes = new StringBuilder(
-        """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        e0 AS MATERIALIZED (
-          SELECT a.l_partkey AS u, b.l_partkey AS v
-          FROM op a JOIN op b
-            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          GROUP BY 1, 2)""")
-      for (r <- 1 to 6) {
-        val prev = s"e${r - 1}"
-        ctes.append(s""",
-        a$r AS MATERIALIZED (
-          SELECT x FROM (
-            SELECT x, count(*) AS c FROM (
-              SELECT u AS x FROM $prev UNION ALL SELECT v FROM $prev)
-            GROUP BY 1)
-          WHERE c >= 3),
-        e$r AS MATERIALIZED (
-          SELECT e.u, e.v FROM $prev e
-          JOIN a$r p ON e.u = p.x
-          JOIN a$r q ON e.v = q.x)""")
-      }
-      ctes.append((1 to 6).map(r => s"""
-        SELECT CAST($r AS BIGINT) AS round,
-               (SELECT CAST(count(*) AS BIGINT) FROM a$r) AS n_alive,
-               (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges""")
-        .mkString("", " UNION ALL", " ORDER BY round"))
-      ctes.toString
-    })
-
   /** GREEDY MAXIMAL MATCHING, deterministic mutual-proposal rounds
     * (the Israeli–Itai 1986 symmetry-breaking shape with the min-id
     * rule replacing coin flips — fully deterministic, so the DuckDB
@@ -9561,10 +9483,10 @@ object Catalog {
     * alive vertex proposes to its MINIMUM alive neighbor, an edge
     * joins the matching iff the proposals are MUTUAL (u→v and v→u),
     * matched vertices leave, and the edge list shrinks. Four fixed
-    * rounds (the q85/q283 fixed-iteration contract; production loops
+    * rounds (the q85/q127 fixed-iteration contract; production loops
     * to the maximal fixpoint with the same per-round plan). Matching
     * is the allocation primitive the graph family lacked — q14 counts
-    * pairs, q85 ranks, q283 filters density; this PAIRS UP vertices
+    * pairs, q85 ranks, q127 filters density; this PAIRS UP vertices
     * disjointly (dedup canonical-pair assignment, task/resource
     * pairing). Emits the matched pairs (round, u, v).
     *
@@ -10640,7 +10562,6 @@ object Catalog {
     "q277_cramer_von_mises" -> q277CramerVonMises,
     "q278_haar_synopsis" -> q278HaarSynopsis,
     "q279_count_min" -> q279CountMin,
-    "q283_kcore_peel" -> q283KCorePeel,
     "q286_ams_f2" -> q286AmsF2,
     "q288_sax_symbols" -> q288SaxSymbols,
     "q289_permutation_test" -> q289PermutationTest,
