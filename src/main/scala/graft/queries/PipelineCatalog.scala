@@ -5845,10 +5845,16 @@ object PipelineCatalog {
           round(col("na") * col("na") + col("nb") * col("nb") -
             lit(2.0) * graft.functions.VectorExpressions
               .dotF(col("ae"), col("be")), 6).as("d2"))
-      scored.select(col("a_id"), col("b_id"), col("d2"),
+      // the per-point cut rides the custom GroupTopK physical operator
+      // (map-side bounded heaps, no SortExec anywhere) instead of a
+      // WindowGroupLimit plan that still sorts each input partition;
+      // rank is re-derived by a window over the pruned ≤3·|points|
+      // rows, where the sort is noise
+      val cut = graft.plans.GroupTopK.topKPerKey(scored,
+        Seq(col("a_id")), Seq(col("d2"), col("b_id")), 3)
+      cut.select(col("a_id"), col("b_id"), col("d2"),
           row_number().over(Window.partitionBy(col("a_id"))
             .orderBy(col("d2"), col("b_id"))).as("rank"))
-        .filter(col("rank") <= 3)
         .select(col("a_id").as("vec_id"), col("rank").cast("long").as("rank"),
           col("b_id").as("neighbor"), col("d2"))
         .orderBy(col("vec_id"), col("rank"))
