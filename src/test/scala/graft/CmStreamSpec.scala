@@ -77,4 +77,39 @@ class CmStreamSpec extends SparkSpec {
       assert(est >= n, s"user $u: merged est $est < exact $n")
     }
   }
+
+  test("day counters run on the RocksDB state store (production provider)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[RawEvent]
+      val latest = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+      val q = SketchStream.dayCountMin(in.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            latest((r.getTimestamp(0).getTime / 1000L, r.getLong(1),
+              r.getLong(2))) = r.getLong(3)
+          }
+        }.start()
+      try {
+        in.addData((1L to 20L).map(u => RawEvent(u % 3, "a", "click", ts(100 + u))))
+        q.processAllAvailable()
+        in.addData((1L to 10L).map(u => RawEvent(u % 3, "a", "view", ts(200 + u))))
+        q.processAllAvailable()
+      } finally q.stop()
+      // 30 events over day 0: every hash row's counters sum to 30
+      val perRow = latest.toSeq.groupBy(_._1._2)
+        .map { case (i, xs) => i -> xs.map(_._2).sum }
+      assert(perRow == (0L until 4L).map(_ -> 30L).toMap, s"rows: $perRow")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
