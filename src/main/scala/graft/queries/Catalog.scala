@@ -9553,7 +9553,8 @@ object Catalog {
         SELECT CAST($r AS BIGINT) AS round, mu AS u, mv AS v FROM m$r""")
         .mkString("", " UNION ALL", " ORDER BY round, u"))
       ctes.toString
-    })
+    },
+    headline = true)
 
   /** BUTTERFLY CENSUS of the bipartite order–part graph (Wang, Fu &
     * Cheng 2014; the bipartite clustering primitive behind ⟂-motif
@@ -9700,7 +9701,8 @@ object Catalog {
       SELECT v0.node AS v0, uu.node AS u, uu.dist AS ecc_v0,
              ww.node AS w, ww.dist AS diameter_lb, nr.n_reached
       FROM v0, uu, ww, nr"""
-    })
+    },
+    headline = true)
 
   /** BENJAMINI–HOCHBERG FDR selection (Benjamini & Hochberg 1995) over
     * 25 exact randomization p-values — the MULTIPLE-TESTING layer the
@@ -9718,9 +9720,12 @@ object Catalog {
     * DECIMAL(38,0) chain and the quotient is back in BIGINT by
     * construction (≤ 10⁶ × the cents gap). Emits per nation: its
     * order count, |g|, the extreme count, the exact rational p, the
-    * BH rank k, the pass flag and the global cutoff k* (−1 = nothing
-    * survives — the expected null-fixture answer, which makes this
-    * the A/A audit of the whole testing pipeline).
+    * BH rank k, the per-rank inequality flag `bh_pass`, the global
+    * cutoff k* (−1 = nothing survives — the expected null-fixture
+    * answer, which makes this the A/A audit of the whole testing
+    * pipeline) and the actual step-up DECISION `rejected` = (k ≤ k*):
+    * BH rejects every rank below the cutoff, including ranks whose
+    * own inequality fails, so the two flags genuinely differ.
     *
     * Scale: ONE pass over the fact join (48 conditional sums for the
     * ensemble + the per-nation rollup), then everything is 24-row ×
@@ -9790,7 +9795,13 @@ object Catalog {
       val kstar = ranked.agg(
         coalesce(max(when(col("bh_pass") === 1L, col("k"))), lit(-1L))
           .as("k_star"))
-      ranked.crossJoin(broadcast(kstar)).orderBy(col("k"))
+      // `bh_pass` is the PER-RANK inequality 5(extreme+1) ≤ k, NOT the
+      // rejection decision: BH step-up rejects ALL ranks k ≤ k*, even
+      // those whose own inequality fails. `rejected` is the decision.
+      ranked.crossJoin(broadcast(kstar))
+        .select(col("*"),
+          when(col("k") <= col("k_star"), 1L).otherwise(0L).as("rejected"))
+        .orderBy(col("k"))
     },
     oracle = Some("""
       WITH base AS (
@@ -9844,7 +9855,9 @@ object Catalog {
                   max(CASE WHEN bh_pass = 1 THEN k END), -1) AS BIGINT)
                   AS k_star
                 FROM flags)
-      SELECT nation, m1, g_abs_n, extreme, p_num, p_den, k, bh_pass, k_star
+      SELECT nation, m1, g_abs_n, extreme, p_num, p_den, k, bh_pass, k_star,
+             CAST(CASE WHEN k <= k_star THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
       FROM flags, kstar ORDER BY k"""))
 
   /** DIFFERENCE-IN-DIFFERENCES estimator (the two-period two-group
@@ -10002,7 +10015,8 @@ object Catalog {
                AS katz_x256
       FROM v1 JOIN v2 ON v2.x = v1.x JOIN v3 ON v3.x = v1.x
               JOIN v4 ON v4.x = v1.x
-      ORDER BY katz_x256 DESC, v1.x LIMIT 20"""))
+      ORDER BY katz_x256 DESC, v1.x LIMIT 20"""),
+    headline = true)
 
   /** COUNT-MIN SKETCH frequency audit (Cormode & Muthukrishnan 2005) —
     * the missing member of the sketch quartet: m18 Misra–Gries gives

@@ -5612,8 +5612,14 @@ object PipelineCatalog {
       val core = cells
         .join(nbr, cells("gx") === nbr("cx") && cells("gy") === nbr("cy"))
         .filter(col("ncnt") >= 5L)
+        // cell id packs (gx, gy) into 2^32 lanes — INJECTIVE for any
+        // 32-bit cell coordinate (coordinate·64 up to ±2^31, i.e. raw
+        // coordinates to ±33.5M — far past any plausible embedding
+        // domain); the old 2^16 lanes silently aliased any coordinate
+        // outside [-4, 1020)/64, merging unrelated clusters. ANSI mode
+        // makes an out-of-domain gx THROW rather than alias.
         .select(col("gx"), col("gy"), col("cnt"),
-          ((col("gx") + 256L) * 65536L + (col("gy") + 256L)).as("cell"))
+          (col("gx") * 4294967296L + col("gy") + 2147483648L).as("cell"))
         .localCheckpoint(true)
       val shifted = core
         .select(col("cell").as("d1"), col("gx"), col("gy"),
@@ -5661,7 +5667,7 @@ object PipelineCatalog {
                    (SELECT CAST(unnest([-1,0,1]) AS BIGINT) AS d) dy
               GROUP BY 1, 2),
       core AS (SELECT c.gx, c.gy, c.cnt,
-                      (c.gx + 256) * 65536 + (c.gy + 256) AS cell
+                      c.gx * 4294967296 + c.gy + 2147483648 AS cell
                FROM cells c JOIN nbr ON nbr.cx = c.gx AND nbr.cy = c.gy
                WHERE nbr.ncnt >= 5),
       adj AS (SELECT a.cell AS d1, b.cell AS d2
@@ -5685,7 +5691,8 @@ object PipelineCatalog {
                                   WHERE k.gx = cells.gx AND k.gy = cells.gy))
       SELECT * FROM (SELECT * FROM clusters
                      UNION ALL SELECT * FROM noise)
-      ORDER BY n_pts DESC, cluster_id"""))
+      ORDER BY n_pts DESC, cluster_id"""),
+    headline = true)
 
   /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009) — the
     * hybrid-retrieval merge every modern search/RAG pipeline runs:
@@ -6068,7 +6075,8 @@ object PipelineCatalog {
                n_docs * (n_docs - 1) // 2,
                n_true, pg.n_caught, pg.n_caught, n_true
         FROM nd, nt, pc2, pg)
-      ORDER BY blocker"""))
+      ORDER BY blocker"""),
+    headline = true)
 
   /** b-BIT MINWISE HASHING audit (Li & König 2010) — the storage end
     * of the MinHash family: keep only the LOW b = 2 BITS of each of

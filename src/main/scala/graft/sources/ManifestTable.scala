@@ -833,10 +833,14 @@ object ManifestTable {
         case _ => true
       }
       // runtime (DPP) filters arrive as IN-sets of join-key values: the
-      // file survives when ANY value falls inside its [min, max]
+      // file survives when ANY value falls inside its [min, max]. An
+      // EMPTY IN-set matches no rows, so a stats-bearing column prunes
+      // the file outright (a fully-selective dim filter should drop
+      // every fact file); only a stats-less column keeps the
+      // conservative read-everything path.
       case In(c, vs) => rng(c) match {
         case Some((mn, mx)) =>
-          vs.isEmpty || vs.exists(v => num(v) match {
+          vs.exists(v => num(v) match {
             case Some(x) => x >= mn && x <= mx
             case None => true
           })
@@ -846,11 +850,31 @@ object ManifestTable {
     }
   }
 
-  /** Data files actually opened by partition readers — the behavioral
-    * probe ManifestTableSpec uses to PROVE static and runtime pruning
-    * skip file I/O (plan text alone can lie about what executes).
+  /** Data files actually opened by partition readers, keyed by table
+    * directory — the behavioral probe ManifestTableSpec uses to PROVE
+    * static and runtime pruning skip file I/O (plan text alone can lie
+    * about what executes). Keyed per table dir (not one process-global
+    * counter) so concurrent queries over OTHER tables — parallel test
+    * suites, a second session — cannot interleave increments into the
+    * counter a spec is asserting on; assertions remain racy only for
+    * concurrent scans of the SAME directory, which a spec controls.
     */
-  val filesOpened = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val filesOpenedByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def openKey(dir: String): String = new File(dir).getAbsolutePath
+  private[sources] def recordFileOpened(dir: String): Unit =
+    filesOpenedByDir
+      .computeIfAbsent(openKey(dir), _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet()
+  /** Files opened for `dir` since the last [[resetFilesOpened]]. */
+  def filesOpened(dir: String): Long = {
+    val c = filesOpenedByDir.get(openKey(dir))
+    if (c == null) 0L else c.get()
+  }
+  def resetFilesOpened(dir: String): Unit = {
+    val c = filesOpenedByDir.get(openKey(dir))
+    if (c != null) c.set(0L)
+  }
 
   private final class MScan(dir: String, schema: StructType,
       required: StructType, entries: Seq[FileEntry],
@@ -906,11 +930,12 @@ object ManifestTable {
     override def createReaderFactory(): PartitionReaderFactory = {
       val full = schema
       val req = required
+      val tableDir = dir
       new PartitionReaderFactory {
         override def createReader(p: InputPartition): PartitionReader[InternalRow] =
           new PartitionReader[InternalRow] {
             private val it = {
-              filesOpened.incrementAndGet()
+              recordFileOpened(tableDir)
               Files.readAllLines(
                 Paths.get(p.asInstanceOf[MInputPartition].file),
                 StandardCharsets.UTF_8).iterator()

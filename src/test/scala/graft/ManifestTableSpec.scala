@@ -362,17 +362,17 @@ class ManifestTableSpec extends SparkSpec {
     // baseline: an unfiltered SUM (not metadata-answerable — COUNT(*)
     // would be served by the new aggregate pushdown with 0 files read)
     // opens every file
-    ManifestTable.filesOpened.set(0L)
+    ManifestTable.resetFilesOpened(dir)
     assert(fact.agg(sum("m")).head().getLong(0) ==
       (0L until 100000L).map(_ % 97).sum)
-    val total = ManifestTable.filesOpened.get()
+    val total = ManifestTable.filesOpened(dir)
     assert(total >= 8, s"expected >= 8 data files, saw $total")
     // the runtime-filtered join: dim's 1000 hot keys all live in the
     // first file's id range, so the IN-set must prune most files
-    ManifestTable.filesOpened.set(0L)
+    ManifestTable.resetFilesOpened(dir)
     val joined = fact.join(broadcast(dim), fact("id") === dim("k"))
     assert(joined.count() == 1000)
-    val opened = ManifestTable.filesOpened.get()
+    val opened = ManifestTable.filesOpened(dir)
     assert(opened < total,
       s"runtime filter pruned nothing: opened $opened of $total files")
   }
