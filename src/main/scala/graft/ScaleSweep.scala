@@ -131,6 +131,9 @@ object ScaleSweep {
       // r8s4: 5 BPE rounds over the vocab-bounded word-freq table —
       // should be flat in corpus size once the one freq rollup is paid
       "q263_bpe_merges",
+      // r10: encode pass = corpus explode + broadcast vocab join +
+      // per-doc rollup — tracks the explode volume
+      "q301_bpe_encode",
       // r8s4: explode + 20-source rollup; regexp in codegen, map-side combine
       "q268_readability_stats",
       // r8s4: 5 greedy rounds of vocab-bounded anti-join + top-1 over
@@ -196,7 +199,11 @@ object ScaleSweep {
       "q275_consistent_ring",
       // r9: Count-Min — the sketch build is a fixed 256-cell hash-agg,
       // so incremental cost over the orders scan should be ~flat
-      "q279_count_min"),
+      "q279_count_min",
+      // r10: Count sketch — same fixed-domain hash-agg shape (320 cells)
+      "q303_count_sketch",
+      // r10: sequential Poisson — one map pass + TakeOrdered(50)
+      "q302_sequential_poisson"),
     // line/token-granular curation (added r7): rows grow 10× but the
     // line-window and bigram-window state per key stays a counter, so
     // cost should track the explode volume; q149 rides the dedup
@@ -230,7 +237,11 @@ object ScaleSweep {
       // plus the exact-F2 audit rollup
       "q286_ams_f2",
       // r9: SAX — 16-segment PAA over the calendar-bounded daily rollup
-      "q288_sax_symbols"),
+      "q288_sax_symbols",
+      // r10: matrix profile — calendar-bounded windows² pair stage;
+      // only the daily rollup is fact-sized, so cost should be ~flat
+      // past the scan; a clean ANSI run checks the DECIMAL(38,0) chain
+      "q304_matrix_profile"),
     // r9: randomization inference — 48 conditional aggregates in ONE
     // map-side-combined pass; |T| = m2*S1 - m1*S2 nears 2^63 around
     // sf100, so a clean ANSI run doubles as the headroom check

@@ -591,10 +591,13 @@ object MlCatalog {
     * (RowMatrix.computeCovariance — the m15 tall-skinny pattern), the
     * 64×64 eigendecomposition is driver-side (breeze eigSym,
     * row-count-independent), the transform is a broadcast
-    * matrix-vector map, and both kNN passes run the brute-force
-    * contract on the fixture (at 100 TB the q40/m09/m16 candidate
-    * cuts slot in front unchanged — whitening is a per-row map, it
-    * composes with every index in the family). Rows-only m* class
+    * matrix-vector map, and both kNN passes ride the adaptive
+    * multi-probe hyperplane-LSH candidate cut (round 10; each space
+    * indexes its OWN geometry — whitening moves the hyperplane
+    * margins, so the raw-space buckets are rebuilt on the whitened
+    * vectors). The all-pairs cross join survives only as
+    * [[whiteningAuditExact]], the fixture-only recall oracle
+    * WhiteningSpec floors the cut against. Rows-only m* class
     * (eigenvectors are float); WhiteningSpec pins Σ_w ≈ I, mean ≈ 0,
     * and refit determinism.
     */
@@ -643,28 +646,62 @@ object MlCatalog {
     }.toDF("vec_id", "embedding", "label")
   }
 
+  /** cos-scored top-10 label-consistency rollup over a given candidate
+    * pair set (a_id, b_id). The pair SOURCE is the only thing the two
+    * audit forms disagree on.
+    */
+  private def consistencyOver(df: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val a = df.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("label").as("la"))
+    val b = df.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("label").as("lb"))
+    val dot = graft.functions.VectorExpressions.dotF(col("ea"), col("eb"))
+    val na = graft.functions.VectorExpressions.normF(col("ea"))
+    val nb = graft.functions.VectorExpressions.normF(col("eb"))
+    val scored = cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("cos", dot / (na * nb))
+    val top = graft.plans.GroupTopK.topKPerKey(scored,
+      Seq(col("a_id")), Seq(col("cos").desc, col("b_id")), 10)
+    val r = top.agg(count(lit(1)),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** PRODUCTION form: both consistency passes ride the adaptive
+    * multi-probe hyperplane-LSH candidate cut (each space gets its own
+    * index — whitening changes the geometry), so no data-sized cross
+    * join exists in m20's plan (the q165/q204 recomposition, extended
+    * here in round 10). The brute-force form below stays as the
+    * fixture-only recall oracle WhiteningSpec compares against.
+    */
   private[graft] def whiteningAudit(s: SparkSession,
       dir: String): Seq[(String, Long, Long, Long, Long)] = {
     val base = embeddingBase(s, dir)
-    val whitened = whitenedEmbeddings(s, dir)
-    def consistency(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val a = df.select(col("vec_id").as("ida"), col("embedding").as("ea"),
-        col("label").as("la"))
-      val b = df.select(col("vec_id").as("idb"), col("embedding").as("eb"),
-        col("label").as("lb"))
-      val dot = graft.functions.VectorExpressions.dotF(col("ea"), col("eb"))
-      val na = graft.functions.VectorExpressions.normF(col("ea"))
-      val nb = graft.functions.VectorExpressions.normF(col("eb"))
-      val scored = a.crossJoin(b).filter(col("ida") =!= col("idb"))
-        .withColumn("cos", dot / (na * nb))
-      val top = graft.plans.GroupTopK.topKPerKey(scored,
-        Seq(col("ida")), Seq(col("cos").desc, col("idb")), 10)
-      val r = top.agg(count(lit(1)),
-        sum(when(col("la") === col("lb"), 1L).otherwise(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    val whitened = whitenedEmbeddings(s, dir).localCheckpoint(true)
+    def cut(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      consistencyOver(df, graft.queries.PipelineCatalog.annCandidatesOf(df))
+    val (pr, mr) = cut(base)
+    val (pw, mw) = cut(whitened)
+    val n = base.count()
+    Seq(("raw", n, 10L, mr, pr), ("zca", n, 10L, mw, pw))
+  }
+
+  /** Fixture-only RECALL ORACLE (all-pairs cross join) — never benched,
+    * never in the catalog; WhiteningSpec floors the cut form against it.
+    */
+  private[graft] def whiteningAuditExact(s: SparkSession,
+      dir: String): Seq[(String, Long, Long, Long, Long)] = {
+    val base = embeddingBase(s, dir)
+    val whitened = whitenedEmbeddings(s, dir).localCheckpoint(true)
+    def exact(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val allPairs = df.select(col("vec_id").as("a_id"))
+        .crossJoin(df.select(col("vec_id").as("b_id")))
+        .filter(col("a_id") =!= col("b_id"))
+      consistencyOver(df, allPairs)
     }
-    val (pr, mr) = consistency(base)
-    val (pw, mw) = consistency(whitened)
+    val (pr, mr) = exact(base)
+    val (pw, mw) = exact(whitened)
     val n = base.count()
     Seq(("raw", n, 10L, mr, pr), ("zca", n, 10L, mw, pw))
   }

@@ -10384,6 +10384,229 @@ object Catalog {
                AS BIGINT) AS extreme
       FROM t, ob ORDER BY j"""))
 
+  /** SEQUENTIAL POISSON SAMPLING (Ohlsson 1998) — the ORDER-SAMPLING
+    * member of the PPS family: q184 draws a πps sample SYSTEMATICALLY
+    * (dollar-unit walk over the cumulated measure — needs the global
+    * prefix sum), this draws it by RANKING: each order gets the key
+    * u/w (u uniform, w = value cents) and the n smallest keys are the
+    * sample — inclusion probability ∝ w asymptotically (Ohlsson's
+    * result), no prefix sum, no fixed take-every stride, and the
+    * sample is STABLE under data arrival order. u is the shared
+    * integer mixer over o_orderkey (offset 511511511 for domain
+    * separation), and the key comparison is the q163/q287 SCALED
+    * TRUNCATING DIVISION (u·10⁶ div w — IntegralDivide, bit-equal to
+    * DuckDB's `//`) with the o_orderkey tiebreak, so the drawn sample
+    * is deterministic and identical cross-engine. Emits the n = 50
+    * sampled orders with rank, weight, u and the scaled key.
+    *
+    * Scale: ONE map pass + TakeOrderedAndProject(50) — top-k by key
+    * needs no global sort and no prefix exchange (the property that
+    * makes order sampling the distributed-friendly πps method); the
+    * row_number window runs over the already-limited 50 rows.
+    */
+  val q302SequentialPoisson: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      def mix(x0: Column): Column = {
+        val x1 = (x0 * lit(2654435761L)) % lit(2147483647L)
+        val x2 = x1.bitwiseXOR(shiftright(x1, 15))
+        val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
+        x3.bitwiseXOR(shiftright(x3, 13))
+      }
+      val keyed = Tables.orders(s, dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("w_cents"),
+          mix(col("o_orderkey").cast("long") + lit(511511511L)).as("u"))
+        .filter(col("w_cents") > 0L)
+        .select(col("o_orderkey"), col("w_cents"), col("u"),
+          expr("(u * 1000000L) div w_cents").as("key_q"))
+      val top = keyed.orderBy(col("key_q"), col("o_orderkey")).limit(50)
+      top.select(
+          row_number().over(Window.orderBy(col("key_q"), col("o_orderkey")))
+            .cast("long").as("rank"),
+          col("o_orderkey"), col("w_cents"), col("u"), col("key_q"))
+        .orderBy(col("rank"))
+    },
+    oracle = Some("""
+      WITH keyed AS (
+        SELECT o_orderkey, w_cents, u, (u * 1000000) // w_cents AS key_q
+        FROM (
+          SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents,
+                 xor(x3, x3 >> 13) AS u
+          FROM (SELECT o_orderkey, o_totalprice,
+                       xor(x1, x1 >> 15) * 1597334677 % 2147483647 AS x3
+                FROM (SELECT o_orderkey, o_totalprice,
+                             (CAST(o_orderkey AS BIGINT) + 511511511)
+                               * 2654435761 % 2147483647 AS x1
+                      FROM orders) t1) t2)
+        WHERE w_cents > 0),
+      top AS (SELECT * FROM keyed ORDER BY key_q, o_orderkey LIMIT 50)
+      SELECT CAST(row_number() OVER (ORDER BY key_q, o_orderkey) AS BIGINT)
+               AS rank,
+             o_orderkey, w_cents, u, key_q
+      FROM top ORDER BY rank"""))
+
+  /** COUNT SKETCH (Charikar, Chen & Farach-Colton 2002) — the SIGNED
+    * frequency estimator completing the point-frequency pair with q279
+    * Count-Min: each of d = 5 rows adds sign sᵢ(k) = ±1 into bucket
+    * hᵢ(k) of w = 64 counters, and the estimate is the MEDIAN over
+    * rows of sᵢ(k)·C[i][hᵢ(k)] — UNBIASED (collisions cancel in
+    * expectation, so `err` here takes both signs) where Count-Min's
+    * min-of-unsigned is one-sided (q279's `overcount` is provably
+    * ≥ 0); variance ∝ F₂/w ties it to the q286 AMS machinery, whose
+    * ±1 trick this reuses per-bucket. Hashes are the arithmetic
+    * family ((2i+5)k + 20011i and (2i+7)k + 30011i mod P mod ...) —
+    * pure BIGINT both engines replay bit-equally. The median of the
+    * 5 exact integers is position-3 of the sorted list on BOTH
+    * engines (array_sort/list_sort — no float percentile anywhere).
+    * Emits the top-20 customers by exact order count with estimate
+    * and signed error.
+    *
+    * Scale: the sketch build is ONE hash-agg onto a FIXED 5×64-cell
+    * domain — partial aggregation caps every task's contribution at
+    * 320 rows at any SF; the probe is a broadcast of those 320 cells
+    * against the top-k rollup.
+    */
+  val q303CountSketch: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val is = expr("array(0L, 1L, 2L, 3L, 4L)")
+      def cellOf(k: Column, i: Column): Column =
+        ((lit(2L) * i + lit(5L)) * k + lit(20011L) * i) % lit(2147483647L) % lit(64L)
+      def sgnOf(k: Column, i: Column): Column =
+        lit(2L) * (((lit(2L) * i + lit(7L)) * k + lit(30011L) * i)
+          % lit(2147483647L) % lit(2L)) - lit(1L)
+      val ks = Tables.orders(s, dir)
+        .select(col("o_custkey").cast("long").as("k"))
+      val g = ks.select(col("k"), explode(is).as("i"))
+        .select(col("k"), col("i"), cellOf(col("k"), col("i")).as("cell"),
+          sgnOf(col("k"), col("i")).as("sgn"))
+      val cells = g.groupBy(col("i"), col("cell"))
+        .agg(sum(col("sgn")).as("c"))
+      val top = ks.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("k")).limit(20)
+      top.select(col("k"), col("exact_cnt"), explode(is).as("i"))
+        .select(col("k"), col("exact_cnt"), col("i"),
+          cellOf(col("k"), col("i")).as("cell"),
+          sgnOf(col("k"), col("i")).as("sgn"))
+        .join(broadcast(cells), Seq("i", "cell"))
+        .groupBy(col("k"), col("exact_cnt"))
+        .agg(element_at(array_sort(collect_list(col("sgn") * col("c"))), 3)
+          .as("cs_est"))
+        .select(col("k").as("o_custkey"), col("exact_cnt"), col("cs_est"),
+          (col("cs_est") - col("exact_cnt")).as("err"))
+        .orderBy(col("exact_cnt").desc, col("o_custkey"))
+    },
+    oracle = Some("""
+      WITH ks AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders),
+      g AS (SELECT k, i,
+                   ((2*i+5)*k + 20011*i) % 2147483647 % 64 AS cell,
+                   2 * (((2*i+7)*k + 30011*i) % 2147483647 % 2) - 1 AS sgn
+            FROM ks, (SELECT CAST(unnest([0,1,2,3,4]) AS BIGINT) AS i)),
+      cells AS (SELECT i, cell, CAST(sum(sgn) AS BIGINT) AS c
+                FROM g GROUP BY 1, 2),
+      top AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM ks GROUP BY 1 ORDER BY exact_cnt DESC, k LIMIT 20),
+      probe AS (SELECT t.k, t.exact_cnt, i,
+                       ((2*i+5)*t.k + 20011*i) % 2147483647 % 64 AS cell,
+                       2 * (((2*i+7)*t.k + 30011*i) % 2147483647 % 2) - 1
+                         AS sgn
+                FROM top t, (SELECT CAST(unnest([0,1,2,3,4]) AS BIGINT) AS i)),
+      est AS (SELECT p.k, p.exact_cnt,
+                     list_sort(list(p.sgn * c.c))[3] AS cs_est
+              FROM probe p JOIN cells c ON c.i = p.i AND c.cell = p.cell
+              GROUP BY 1, 2)
+      SELECT k AS o_custkey, exact_cnt, cs_est,
+             CAST(cs_est - exact_cnt AS BIGINT) AS err
+      FROM est ORDER BY exact_cnt DESC, o_custkey"""))
+
+  /** MATRIX PROFILE / all-pairs distance profile (Yeh et al. 2016's
+    * matrix-profile formulation, the exact-distance special case; the
+    * z-normalization is deliberately omitted so every distance is an
+    * EXACT integer — motif and discord structure survives, and the
+    * q63 fixed-order-IEEE class of problems never arises) over the
+    * daily revenue series: for each 16-day window, the minimum
+    * squared Euclidean distance to any NON-OVERLAPPING window
+    * (exclusion zone |t−t'| ≥ 16) and its nearest-neighbor index —
+    * the lowest values are the series' MOTIFS (repeated regimes), the
+    * highest its DISCORDS (anomalous fortnights), the time-series
+    * curation signal the SAX (q288) symbols approximate. Distances
+    * ride the q109/q277 DECIMAL(38,0) chain ((rₜ−rₜ')² per day sums
+    * 16-fold; cents² crosses 2⁶³ near sf100) and ship as digit
+    * strings; argmin ties break on the smaller t' via lexicographic
+    * struct-min, which the oracle replays as a row_number window (the
+    * q94 cross-algorithm rule).
+    *
+    * Scale: the day domain is CALENDAR-BOUNDED (fixture dates span a
+    * fixed 7-year range, so ~2370 windows at ANY SF — the q256
+    * bounded-domain class): the only fact-sized work is the one
+    * map-side-combined daily rollup; the all-pairs stage is a
+    * CONSTANT ~5.6M pairs × 16-fold, SF-invariant by construction.
+    * Partitionless windows run over that bounded rollup (ExplainSpec
+    * allowlist entry names the domain).
+    */
+  val q304MatrixProfile: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("r"))
+      val idx = daily.select(
+        row_number().over(Window.orderBy(col("d"))).cast("long").as("t"),
+        col("r"))
+      val w16 = Window.orderBy(col("t")).rowsBetween(Window.currentRow, 15)
+      val sub = idx.select(col("t"),
+          collect_list(col("r")).over(w16).as("a"),
+          count(lit(1)).over(w16).as("n"))
+        .filter(col("n") === 16L).drop("n")
+        .localCheckpoint(true) // calendar-bounded (~2370 rows at any SF)
+      val x = sub.select(col("t").as("t"), col("a").as("ax"))
+      val y = sub.select(col("t").as("t2"), col("a").as("ay"))
+      val pairs = x.crossJoin(y) // bounded² — SF-invariant, never fact-sized
+        .filter(abs(col("t") - col("t2")) >= 16L)
+        .select(col("t"), col("t2"), expr(
+          """aggregate(zip_with(ax, ay,
+               (p, q) -> CAST(p - q AS DECIMAL(19,0))
+                         * CAST(p - q AS DECIMAL(19,0))),
+               CAST(0 AS DECIMAL(38,0)),
+               (acc, v) -> acc + CAST(v AS DECIMAL(38,0)))""").as("d2"))
+      pairs.groupBy(col("t"))
+        .agg(min(struct(col("d2"), col("t2"))).as("m"))
+        .select(col("t"), col("m.d2").cast("string").as("mp_d2"),
+          col("m.t2").as("nn_t"))
+        .orderBy(col("t"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS r
+        FROM orders GROUP BY 1),
+      idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, r
+              FROM daily),
+      sub AS (SELECT t, a FROM (
+                SELECT t,
+                       list(r) OVER (ORDER BY t
+                         ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS a,
+                       count(*) OVER (ORDER BY t
+                         ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS n
+                FROM idx)
+              WHERE n = 16),
+      pairs AS (
+        SELECT x.t AS t, y.t AS t2,
+               list_reduce(list_prepend(CAST(0 AS DECIMAL(38,0)),
+                 list_transform(range(1, 17), i ->
+                   CAST(CAST(x.a[i] - y.a[i] AS DECIMAL(19,0))
+                        * CAST(x.a[i] - y.a[i] AS DECIMAL(19,0))
+                     AS DECIMAL(38,0)))),
+                 (acc, v) -> acc + v) AS d2
+        FROM sub x, sub y WHERE abs(x.t - y.t) >= 16),
+      mp AS (SELECT t, d2, t2 FROM (
+               SELECT t, t2, d2, row_number() OVER (
+                 PARTITION BY t ORDER BY d2, t2) AS rn
+               FROM pairs)
+             WHERE rn = 1)
+      SELECT t, CAST(d2 AS VARCHAR) AS mp_d2, t2 AS nn_t
+      FROM mp ORDER BY t"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -10584,6 +10807,9 @@ object Catalog {
     "q295_did_estimator" -> q295DidEstimator,
     "q298_bh_fdr" -> q298BhFdr,
     "q300_two_sweep_diameter" -> q300TwoSweepDiameter,
+    "q302_sequential_poisson" -> q302SequentialPoisson,
+    "q303_count_sketch" -> q303CountSketch,
+    "q304_matrix_profile" -> q304MatrixProfile,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all

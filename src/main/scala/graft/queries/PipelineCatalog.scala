@@ -892,28 +892,52 @@ object PipelineCatalog {
     * both the all-pairs cut ([[annCandidates]], q204) and q165's
     * asymmetric train→bench cut.
     */
+  /** The g-th LCG hyperplane (shared by the cached fixture index and
+    * the generic [[annCandidatesOf]] form).
+    */
+  private def annPlane(g: Long): Seq[Double] = (1 to 64).map { d =>
+    val h1 = ((g * 64 + d) * 1103515245L + 12345L) % P
+    val h2 = (h1 * 1103515245L + 12345L) % P
+    h2.toDouble / P.toDouble - 0.5
+  }
+
+  /** 8-table bucket ids for one embedding frame at bit width k. */
+  private def annBucketTable(e0: DataFrame, k: Int): DataFrame = {
+    def bucketCol(t: Int) = (k - 1 to 0 by -1).foldLeft(lit(0L)) { (acc, j) =>
+      acc * lit(2L) + when(
+        graft.functions.VectorExpressions.dotFD(col("embedding"),
+          typedLit(annPlane(t.toLong * 16 + j))) >= 0d, lit(1L)).otherwise(lit(0L))
+    }
+    e0.withColumn("buckets", array((0 to 7).map(bucketCol): _*))
+      .select(col("vec_id"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+  }
+
   private def annBuckets(s: SparkSession, dir: String): (DataFrame, Int) =
     annBucketCache.getOrElseUpdate((s, dir), {
-      def plane(g: Long): Seq[Double] = (1 to 64).map { d =>
-        val h1 = ((g * 64 + d) * 1103515245L + 12345L) % P
-        val h2 = (h1 * 1103515245L + 12345L) % P
-        h2.toDouble / P.toDouble - 0.5
-      }
       val e0 = withNorm(Tables.embeddings(s, dir))
       val n = e0.count()
       val k = (4 to 16).find(kk => (1L << kk) * 32L >= n).getOrElse(16)
-      def bucketCol(t: Int) = (k - 1 to 0 by -1).foldLeft(lit(0L)) { (acc, j) =>
-        acc * lit(2L) + when(
-          graft.functions.VectorExpressions.dotFD(col("embedding"),
-            typedLit(plane(t.toLong * 16 + j))) >= 0d, lit(1L)).otherwise(lit(0L))
-      }
-      val tb = e0
-        .withColumn("buckets", array((0 to 7).map(bucketCol): _*))
-        .select(col("vec_id"),
-          posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val tb = annBucketTable(e0, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (tb, k)
     })
+
+  /** Generic all-pairs form of the adaptive multi-probe cut over ANY
+    * (vec_id, embedding) frame — m20's whitening audit runs its two
+    * consistency passes through this instead of a data-sized cross
+    * join (the same recomposition q165/q204 got in round 8; the
+    * whitened space gets its own hyperplane index because whitening
+    * changes the geometry the raw-space buckets were built in).
+    * Directed candidate pairs (a_id, b_id), deduplicated.
+    */
+  private[graft] def annCandidatesOf(e0: DataFrame): DataFrame = {
+    val n = e0.count()
+    val k = (4 to 16).find(kk => (1L << kk) * 32L >= n).getOrElse(16)
+    val tb = annBucketTable(e0.select(col("vec_id"), col("embedding")), k)
+      .localCheckpoint(true) // feeds BOTH sides of the probe join
+    annCandidatesFrom(tb, tb, k)
+  }
 
   /** Multi-probe (Hamming ≤ 1) expansion of a bucket-table subset:
     * each row probes its own bucket plus the k single-bit flips.
@@ -2041,42 +2065,54 @@ object PipelineCatalog {
     * fact rollup, then 5 × (vocab-sized explode + ≤ alphabet²-keyed
     * rollup + 1-row argmax + vocab-sized replace).
     */
-  val q263BpeMerges: QuerySpec = QuerySpec(
-    fn = (s, dir) => {
-      val freq = Tables.documents(s, dir)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      var words = freq.withColumn("seq",
-          array_join(transform(split(col("word"), ""),
-            c => concat(lit("|"), c, lit("|"))), " "))
+  /** The q263 5-round merge-learning loop, shared with q301's encoder:
+    * returns (per-round winner frames, final vocab segmentation table
+    * (word, freq, seq)). Vocab-sized at every step — each round's
+    * winner and replace run over the (Heaps-sublinear) word table,
+    * never the corpus.
+    */
+  private def bpeLearn(s: SparkSession, dir: String)
+      : (Vector[DataFrame], DataFrame) = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var words = freq.withColumn("seq",
+        array_join(transform(split(col("word"), ""),
+          c => concat(lit("|"), c, lit("|"))), " "))
+      .localCheckpoint(true)
+    var trace = Vector.empty[DataFrame]
+    for (r <- 1 to 5) {
+      val wd = Window.partitionBy(col("word")).orderBy(col("pos"))
+      val winner = words
+        .select(col("word"), col("freq"),
+          posexplode(split(col("seq"), " ")).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(wd))
+        .filter(col("nxt").isNotNull)
+        .groupBy(concat(col("tok"), lit(" "), col("nxt")).as("pair"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .withColumn("merged", expr("replace(pair, '| |', '')"))
         .localCheckpoint(true)
-      var trace = Vector.empty[DataFrame]
-      for (r <- 1 to 5) {
-        val wd = Window.partitionBy(col("word")).orderBy(col("pos"))
-        val winner = words
-          .select(col("word"), col("freq"),
-            posexplode(split(col("seq"), " ")).as(Seq("pos", "tok")))
-          .withColumn("nxt", lead(col("tok"), 1).over(wd))
-          .filter(col("nxt").isNotNull)
-          .groupBy(concat(col("tok"), lit(" "), col("nxt")).as("pair"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair")).limit(1)
-          .withColumn("merged", expr("replace(pair, '| |', '')"))
-          .localCheckpoint(true)
-        words = words
-          .crossJoin(broadcast(winner.select(col("pair"), col("merged"))))
-          .withColumn("seq", expr("replace(seq, pair, merged)"))
-          .drop("pair", "merged")
-          .localCheckpoint(true)
-        trace = trace :+ winner.select(lit(r.toLong).as("round"),
-          col("pair"), col("merged"), col("cnt"))
-      }
-      trace.reduce(_ unionByName _).orderBy(col("round"))
-    },
-    oracle = Some {
-      val rounds = (1 to 5).map { r =>
-        s"""p$r AS (SELECT t.w[i] || ' ' || t.w[i+1] AS pair,
+      words = words
+        .crossJoin(broadcast(winner.select(col("pair"), col("merged"))))
+        .withColumn("seq", expr("replace(seq, pair, merged)"))
+        .drop("pair", "merged")
+        .localCheckpoint(true)
+      trace = trace :+ winner.select(lit(r.toLong).as("round"),
+        col("pair"), col("merged"), col("cnt"))
+    }
+    (trace, words)
+  }
+
+  /** Shared oracle CTE text: freq → w0 → (p_r, g_r, w_r) for r = 1..5,
+    * the DuckDB replay of [[bpeLearn]]; consumers prepend `WITH ` and
+    * append their own final SELECT. Each w_r references w_{r-1} ONCE,
+    * so the chain is safe un-materialized (the q85/q269 CTE rule).
+    */
+  private val bpeRoundsSql: String = {
+    val rounds = (1 to 5).map { r =>
+      s"""p$r AS (SELECT t.w[i] || ' ' || t.w[i+1] AS pair,
                      CAST(sum(t.freq) AS BIGINT) AS cnt
               FROM (SELECT freq, string_split(seq, ' ') AS w,
                            unnest(range(1, len(string_split(seq, ' ')))) AS i
@@ -2088,12 +2124,8 @@ object PipelineCatalog {
                      replace(seq, (SELECT pair FROM g$r),
                              (SELECT merged FROM g$r)) AS seq
               FROM w${r - 1})"""
-      }.mkString(",\n      ")
-      val out = (1 to 5).map { r =>
-        s"SELECT CAST($r AS BIGINT) AS round, pair, merged, cnt FROM g$r"
-      }.mkString("\n        UNION ALL\n        ")
-      s"""
-      WITH freq AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    }.mkString(",\n      ")
+    s"""freq AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
              SELECT unnest(string_split(text, ' ')) AS word FROM documents)
            WHERE length(word) > 0 GROUP BY 1),
       w0 AS (SELECT word, freq,
@@ -2101,11 +2133,88 @@ object PipelineCatalog {
                       string_split_regex(word, ''), c -> '|' || c || '|'),
                       ' ') AS seq
              FROM freq),
-      $rounds
+      $rounds"""
+  }
+
+  val q263BpeMerges: QuerySpec = QuerySpec(
+    fn = (s, dir) =>
+      bpeLearn(s, dir)._1.reduce(_ unionByName _).orderBy(col("round")),
+    oracle = Some {
+      val out = (1 to 5).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, pair, merged, cnt FROM g$r"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $bpeRoundsSql
       SELECT * FROM (
         $out)
       ORDER BY round"""
     })
+
+  /** BPE ENCODE — applying q263's five LEARNED merges to tokenize the
+    * corpus (the apply/encode half of Sennrich, Haddow & Birch 2016;
+    * q263 is train, this is inference — together they close the
+    * tokenizer loop the reference's pipeline stops short of). The
+    * encoder is the Sennrich one: re-segment every VOCAB word by
+    * replaying the merges in learned order (the same sentinel-
+    * delimited `|x| |y|` replace chain, so greedy left-to-right
+    * non-overlapping application is bit-identical cross-engine), then
+    * the corpus is encoded by a broadcast join from exploded words to
+    * the vocab segmentation — per doc: word count, post-BPE token
+    * count, and the segmentation of the doc's first word as the
+    * deterministic sample (`head_seg`, sentinels stripped for
+    * display). n_tokens/n_words is the compression-ratio audit a
+    * tokenizer rollout gates on.
+    *
+    * Scale: merge learning is vocab-bounded (q263's contract); the
+    * encode pass is ONE corpus explode + a broadcast (vocab-sized)
+    * hash join + a map-side-combinable per-doc rollup — no shuffle
+    * carries more than (doc_id, counts). At 100 TB the vocab table is
+    * the only state, exactly how production tokenizers ship.
+    */
+  val q301BpeEncode: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val segs = broadcast(bpeLearn(s, dir)._2
+        .select(col("word"), col("seq"),
+          size(split(col("seq"), " ")).cast("long").as("ntok")))
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val perdoc = words.join(segs, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+      // first word per doc: ONE inline HOF chain over split(text) — the
+      // array is the lambda's input, evaluated once (the CollapseProject
+      // trap needs a *derived column* re-inlined per element)
+      val head = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("element_at(filter(split(text, ' '), w -> length(w) > 0), 1)")
+            .as("word"))
+      perdoc.join(head, "doc_id").join(segs, "word")
+        .select(col("doc_id"), col("n_words"), col("n_tokens"),
+          expr("replace(seq, '|', '')").as("head_seg"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH $bpeRoundsSql,
+      seg AS (SELECT word, seq,
+                     CAST(len(string_split(seq, ' ')) AS BIGINT) AS ntok
+              FROM w5),
+      wf AS (SELECT doc_id, word FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+             WHERE length(word) > 0),
+      perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                        CAST(sum(seg.ntok) AS BIGINT) AS n_tokens
+                 FROM wf JOIN seg ON seg.word = wf.word GROUP BY 1),
+      hd AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '),
+                                w -> length(w) > 0)[1] AS word
+             FROM documents)
+      SELECT p.doc_id, p.n_words, p.n_tokens,
+             replace(seg.seq, '|', '') AS head_seg
+      FROM perdoc p JOIN hd ON hd.doc_id = p.doc_id
+                    JOIN seg ON seg.word = hd.word
+      ORDER BY p.doc_id"""))
 
   /** READABILITY sufficient statistics per source — the word-level
     * integer core of the Flesch / FOG / Coleman–Liau family (Flesch
@@ -6326,6 +6435,7 @@ object PipelineCatalog {
     "q259_kmv_distinct" -> q259KmvDistinct,
     "q260_coverage_selection" -> q260CoverageSelection,
     "q263_bpe_merges" -> q263BpeMerges,
+    "q301_bpe_encode" -> q301BpeEncode,
     "q268_readability_stats" -> q268ReadabilityStats,
   )
 

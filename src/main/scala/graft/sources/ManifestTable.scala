@@ -108,7 +108,15 @@ object ManifestTable {
     */
   final case class FileEntry(path: String, stats: Map[String, (String, String)],
       rows: Long = -1L)
-  final case class Manifest(version: Long, schemaDdl: String, files: Seq[FileEntry])
+  /** `txns` (round 10): highest epoch committed per streaming writer id
+    * — the Delta `txn`-action shape that makes the streaming sink
+    * exactly-once: a replayed micro-batch (epoch ≤ the recorded high
+    * water mark for its writer) commits as a no-op instead of
+    * double-appending. Carried forward by EVERY publish so interleaved
+    * batch writes / deletes / compactions never drop stream state.
+    */
+  final case class Manifest(version: Long, schemaDdl: String,
+      files: Seq[FileEntry], txns: Map[String, Long] = Map.empty)
 
   private def encodeEntry(e: FileEntry): String =
     ((e.path +: e.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
@@ -165,7 +173,11 @@ object ManifestTable {
     }
     Some(Manifest(pick,
       kv.collectFirst { case ("schema", s) => s }.get,
-      kv.collect { case ("file", f) => decodeEntry(f) }))
+      kv.collect { case ("file", f) => decodeEntry(f) },
+      kv.collect { case ("txn", t) =>
+        val i = t.lastIndexOf(';')
+        t.substring(0, i) -> t.substring(i + 1).toLong
+      }.toMap))
   }
 
   private val okTypes: Set[DataType] =
@@ -263,7 +275,7 @@ object ManifestTable {
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.TRUNCATE)
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
     /** DELETE FROM support (metadata-only where stats allow): the
       * conjunction must be entirely in the comparison/null dialect the
@@ -322,10 +334,16 @@ object ManifestTable {
                 override def requiredNumPartitions(): Int = parts
                 override def toBatch: BatchWrite =
                   new MBatchWrite(dir, info.schema(), info.queryId(), doTruncate)
+                override def toStreaming
+                    : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+                  new MStreamingWrite(dir, info.schema(), info.queryId(), doTruncate)
               }
             case None => new Write {
               override def toBatch: BatchWrite =
                 new MBatchWrite(dir, info.schema(), info.queryId(), doTruncate)
+              override def toStreaming
+                  : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+                new MStreamingWrite(dir, info.schema(), info.queryId(), doTruncate)
             }
           }
         }
@@ -362,7 +380,8 @@ object ManifestTable {
       val files = if (truncate) moved.toSeq
         else prev.map(_.files).getOrElse(Nil) ++ moved
       val v = prev.map(_.version + 1).getOrElse(1L)
-      publish(dir, v, schema.toDDL, files, queryId)
+      publish(dir, v, schema.toDDL, files, queryId,
+        prev.map(_.txns).getOrElse(Map.empty))
       cleanupStaging()
     }
 
@@ -376,17 +395,98 @@ object ManifestTable {
     }
   }
 
+  /** EXACTLY-ONCE streaming sink (round 10) — the lakehouse surface's
+    * missing half: `df.writeStream.format("graft-manifest")` commits
+    * each micro-batch through the SAME atomic publish as a batch
+    * write, plus a Delta-style `txn` high-water mark per streaming
+    * writer id. `writerId` is the streaming query's STABLE id (Spark
+    * passes `StreamingQuery.id`, persisted in checkpoint metadata, as
+    * the LogicalWriteInfo queryId of a streaming write), so after a
+    * kill+restart the re-planned epoch arrives with the same
+    * (writerId, epochId) pair, reads `epochId <= txns(writerId)` from
+    * the latest manifest, and commits as a NO-OP — replayed batches
+    * can never double-append. A crash BETWEEN the file moves and the
+    * manifest publish leaves moved-but-unreferenced orphans, which
+    * readers never see (the manifest is the only source of truth);
+    * the restarted attempt re-stages under a fresh per-run token so
+    * its names can never collide with the orphans.
+    */
+  private final class MStreamingWrite(dir: String, schema: StructType,
+      writerId: String, truncate: Boolean)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    private val runToken = java.util.UUID.randomUUID().toString.take(8)
+    private val tag = s"$writerId-$runToken"
+
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+        : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+      new MStreamingWriterFactory(dir, schema, tag)
+
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = {
+      val prev = readManifest(dir, None)
+      val last = prev.flatMap(_.txns.get(writerId)).getOrElse(Long.MinValue)
+      if (epochId <= last) { cleanupStaging(); return } // replayed: no-op
+      val staged = messages.collect {
+        case sf: StagedFile if sf.name.nonEmpty => sf }
+      new File(dir, "data").mkdirs()
+      val moved = staged.map { sf =>
+        val from = Paths.get(dir, "_staging", tag, sf.name)
+        val to = Paths.get(dir, "data", sf.name)
+        require(!Files.exists(to),
+          s"graft-manifest: commit would overwrite committed data file $to")
+        Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+        FileEntry(s"data/${sf.name}",
+          sf.stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap, sf.rows)
+      }
+      val files = if (truncate) moved.toSeq
+        else prev.map(_.files).getOrElse(Nil) ++ moved
+      val v = prev.map(_.version + 1).getOrElse(1L)
+      publish(dir, v, schema.toDDL, files, s"$tag-e$epochId",
+        prev.map(_.txns).getOrElse(Map.empty) + (writerId -> epochId))
+      cleanupStaging()
+    }
+
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = cleanupStaging()
+
+    private def cleanupStaging(): Unit = {
+      val st = new File(new File(dir, "_staging"), tag)
+      Option(st.listFiles()).foreach(_.foreach(_.delete()))
+      st.delete()
+    }
+  }
+
+  private final class MStreamingWriterFactory(dir: String, schema: StructType,
+      tag: String)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long,
+        epochId: Long): DataWriter[InternalRow] =
+      newRowWriter(dir, schema, tag,
+        f"$tag-e$epochId-part-$partitionId%05d-$taskId")
+  }
+
   private final class MWriterFactory(dir: String, schema: StructType,
       queryId: String) extends DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      // (partitionId, taskId) alone is NOT unique across applications
+      // — Spark task IDs restart from 0 in a fresh JVM, so a later
+      // append could regenerate an already-committed name and the
+      // commit's ATOMIC_MOVE would silently replace it, corrupting
+      // every prior snapshot that references the file. The queryId
+      // (a per-write UUID) namespaces the name.
+      newRowWriter(dir, schema, queryId,
+        f"$queryId-part-$partitionId%05d-$taskId")
+  }
+
+  /** One staged-TSV row writer: stages under `_staging/<stagingTag>/`,
+    * records per-numeric-column (min, max) + row count, and returns
+    * the staged file as its commit message. Shared by the batch and
+    * streaming writer factories — the protocol differs only in WHO
+    * moves the staged files and when.
+    */
+  private def newRowWriter(dir: String, schema: StructType,
+      stagingTag: String, name: String): DataWriter[InternalRow] =
       new DataWriter[InternalRow] {
-        // (partitionId, taskId) alone is NOT unique across applications
-        // — Spark task IDs restart from 0 in a fresh JVM, so a later
-        // append could regenerate an already-committed name and the
-        // commit's ATOMIC_MOVE would silently replace it, corrupting
-        // every prior snapshot that references the file. The queryId
-        // (a per-write UUID) namespaces the name.
-        private val name = f"$queryId-part-$partitionId%05d-$taskId"
         private var out: java.io.BufferedWriter = _
         private var rows = 0L
         // per-numeric-column running (min, max) for the manifest's
@@ -407,7 +507,7 @@ object ManifestTable {
         private val dMaxs = Array.fill(numeric.length)(Double.NaN)
         override def write(record: InternalRow): Unit = {
           if (out == null) {
-            val st = new File(new File(dir, "_staging"), queryId)
+            val st = new File(new File(dir, "_staging"), stagingTag)
             st.mkdirs()
             out = Files.newBufferedWriter(new File(st, name).toPath,
               StandardCharsets.UTF_8)
@@ -448,11 +548,10 @@ object ManifestTable {
         }
         override def abort(): Unit = {
           if (out != null) out.close()
-          new File(new File(new File(dir, "_staging"), queryId), name).delete()
+          new File(new File(new File(dir, "_staging"), stagingTag), name).delete()
         }
         override def close(): Unit = if (out != null) { out.close(); out = null }
       }
-  }
 
   // ---- row-level DELETE + maintenance --------------------------------
 
@@ -577,7 +676,7 @@ object ManifestTable {
     }.filter(_ != null)
     // publish v+1 even when nothing matched: DELETE committed ⇒ a new
     // snapshot exists (readers of "latest" see a post-delete world)
-    publish(dir, v, m.schemaDdl, rewritten, s"delete-$v")
+    publish(dir, v, m.schemaDdl, rewritten, s"delete-$v", m.txns)
     if (!changed) () // kept for clarity: the empty delete still commits
   }
 
@@ -637,7 +736,7 @@ object ManifestTable {
         FileEntry(s"data/$name", merged, mergedRows)
       }
     }.toSeq
-    publish(dir, v, m.schemaDdl, entries, s"compact-$v")
+    publish(dir, v, m.schemaDdl, entries, s"compact-$v", m.txns)
     v
   }
 
@@ -645,8 +744,10 @@ object ManifestTable {
     * compaction: temp manifest + rename.
     */
   private def publish(dir: String, v: Long, schemaDdl: String,
-      files: Seq[FileEntry], tag: String): Unit = {
+      files: Seq[FileEntry], tag: String,
+      txns: Map[String, Long] = Map.empty): Unit = {
     val body = (Seq(s"version=$v", s"schema=$schemaDdl") ++
+      txns.toSeq.sortBy(_._1).map { case (w, e) => s"txn=$w;$e" } ++
       files.map(f => s"file=${encodeEntry(f)}")).mkString("", "\n", "\n")
     val tmp = Paths.get(dir, s".manifest-$v.$tag.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))

@@ -34,6 +34,28 @@ class CatalogSmokeSpec extends SparkSpec {
     assert(counts("m06_confusion_matrix") == 4L)
   }
 
+  test("every catalog entry declares algorithm keywords (duplicate-check protocol)") {
+    val missing = Catalog.all.keySet -- queries.Keywords.byQuery.keySet
+    val stale = queries.Keywords.byQuery.keySet -- Catalog.all.keySet
+    assert(missing.isEmpty,
+      s"catalog entries without a Keywords declaration: ${missing.toSeq.sorted}")
+    assert(stale.isEmpty,
+      s"Keywords entries for unregistered queries: ${stale.toSeq.sorted}")
+    val blank = queries.Keywords.byQuery.filter(_._2.isEmpty).keys
+    assert(blank.isEmpty, s"empty keyword sets: ${blank.toSeq.sorted}")
+  }
+
+  test("keyword sets are globally disjoint (a collision = a duplicate algorithm)") {
+    // the automated form of the round-9 lesson: q282/q283/q285 shipped
+    // and were dropped as duplicates of q163/q208/q127 because synonym
+    // greps missed them; a new entry claiming an existing identity now
+    // fails here instead
+    val collisions = queries.Keywords.inverted.filter(_._2.size > 1)
+    assert(collisions.isEmpty,
+      collisions.map { case (k, qs) => s"'$k' claimed by ${qs.mkString(", ")}" }
+        .toSeq.sorted.mkString("keyword collisions:\n  ", "\n  ", ""))
+  }
+
   test("oracle SQL exists for every SQL-expressible query") {
     // no-oracle entries must be partitioning- or sketch-dependent ops
     // sketches: engine-specific values (accuracy asserted below)

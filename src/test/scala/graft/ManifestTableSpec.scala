@@ -419,4 +419,100 @@ class ManifestTableSpec extends SparkSpec {
     val desc = got.queryExecution.executedPlan.toString
     assert(desc.contains("read id,s") || desc.contains("ReadSchema"))
   }
+
+  test("streaming write: replayed epochs commit as no-ops (exactly-once txn protocol)") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.catalog.SupportsWrite
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.sources.ManifestTable
+
+    val dir = tmpTable()
+    val tblSchema = StructType(Seq(StructField("id", LongType),
+      StructField("m", LongType)))
+    // the writerId Spark passes a streaming write is the STABLE query
+    // id from checkpoint metadata — a restart re-presents the same id
+    def writeInfo = new LogicalWriteInfo {
+      override def queryId(): String = "stable-stream-id"
+      override def schema(): StructType = tblSchema
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    }
+    def physInfo = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    def streamingWrite() = new ManifestTable()
+      .getTable(tblSchema, Array.empty, java.util.Map.of("path", dir))
+      .asInstanceOf[SupportsWrite]
+      .newWriteBuilder(writeInfo).build().toStreaming
+
+    def commitEpoch(sw: org.apache.spark.sql.connector.write.streaming.StreamingWrite,
+        epoch: Long, ids: Range): Unit = {
+      val w = sw.createStreamingWriterFactory(physInfo).createWriter(0, epoch * 100, epoch)
+      ids.foreach(i => w.write(
+        new GenericInternalRow(Array[Any](i.toLong, i.toLong % 7))))
+      sw.commit(epoch, Array[WriterCommitMessage](w.commit()))
+    }
+
+    val sw1 = streamingWrite()
+    commitEpoch(sw1, 0L, 0 until 100)
+    commitEpoch(sw1, 1L, 100 until 200)
+    val m2 = ManifestTable.readManifest(dir, None).get
+    assert(m2.version == 2L && m2.txns == Map("stable-stream-id" -> 1L))
+    assert(readBack(dir).count() == 200)
+
+    // same-instance replay of epoch 1: NO new snapshot, NO new rows
+    commitEpoch(sw1, 1L, 100 until 200)
+    assert(ManifestTable.readManifest(dir, None).get.version == 2L)
+    assert(readBack(dir).count() == 200)
+
+    // restart simulation: a FRESH StreamingWrite (new run token) with
+    // the same stable writer id replays epoch 1 — still a no-op
+    val sw2 = streamingWrite()
+    commitEpoch(sw2, 1L, 100 until 200)
+    assert(ManifestTable.readManifest(dir, None).get.version == 2L)
+    assert(readBack(dir).count() == 200)
+
+    // the next real epoch from the restarted writer commits normally,
+    // and an interleaved BATCH append carries the txn map forward
+    commitEpoch(sw2, 2L, 200 until 250)
+    (250L until 260L).map(i => (i, i % 7)).toDF("id", "m")
+      .write.format("graft-manifest").option("path", dir).mode("append").save()
+    val m4 = ManifestTable.readManifest(dir, None).get
+    assert(m4.txns == Map("stable-stream-id" -> 2L),
+      "batch publish dropped the streaming txn high-water mark")
+    val rows = readBack(dir)
+    assert(rows.count() == 260 && rows.select("id").distinct().count() == 260)
+  }
+
+  test("streaming write: end-to-end kill+restart from checkpoint converges without duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmpTable()
+    val ckpt = Files.createTempDirectory("graft_manifest_ckpt").toString
+    val in = MemoryStream[Long]
+    def start() = in.toDF().select(col("value").as("id"),
+        (col("value") % 7L).as("m"))
+      .writeStream.format("graft-manifest").option("path", dir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData(0L until 100L)
+      q1.processAllAvailable()
+      in.addData(100L until 200L) // in flight at the kill
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(200L until 300L)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val rows = readBack(dir)
+    assert(rows.count() == 300, "restart lost or duplicated a batch")
+    assert(rows.select("id").distinct().count() == 300)
+    val m = graft.sources.ManifestTable.readManifest(dir, None).get
+    // exactly one snapshot per committed epoch, one txn entry (the
+    // restarted query keeps its stable id from checkpoint metadata)
+    assert(m.version == m.txns.values.max + 1,
+      s"snapshot count ${m.version} != epochs ${m.txns.values.max + 1}")
+    assert(m.txns.size == 1, s"expected one stable writer id, got ${m.txns}")
+  }
 }

@@ -15,8 +15,27 @@ class WhiteningSpec extends SparkSpec {
     assert(rows.map(_._1) === Seq("raw", "zca"))
     rows.foreach { case (_, n, k, matches, pairs) =>
       assert(n > 0 && k === 10L)
-      assert(pairs === n * k, "every vector must contribute exactly k pairs")
+      // the production audit rides the LSH candidate cut: a vector may
+      // surface fewer than k candidates, never more
+      assert(pairs <= n * k, "no vector may contribute more than k pairs")
+      assert(pairs >= n * k * 9 / 10,
+        s"candidate cut too lossy: $pairs of ${n * k} pairs")
       assert(matches >= 0 && matches <= pairs)
+    }
+  }
+
+  test("cut audit tracks the exact all-pairs recall oracle") {
+    val exact = MlCatalog.whiteningAuditExact(spark, sf0001)
+    assert(exact.map(_._1) === Seq("raw", "zca"))
+    rows.zip(exact).foreach {
+      case ((sp, n, k, m, p), (se, ne, ke, me, pe)) =>
+        assert(sp === se && n === ne && k === ke)
+        assert(pe === ne * ke,
+          "the exact oracle contributes exactly k pairs per vector")
+        val cons = m.toDouble / p
+        val consE = me.toDouble / pe
+        assert(math.abs(cons - consE) <= 0.05,
+          s"$sp: cut consistency $cons drifted from exact $consE")
     }
   }
 
