@@ -10560,14 +10560,23 @@ object Catalog {
         .localCheckpoint(true) // calendar-bounded (~2370 rows at any SF)
       val x = sub.select(col("t").as("t"), col("a").as("ax"))
       val y = sub.select(col("t").as("t2"), col("a").as("ay"))
-      val pairs = x.crossJoin(y) // bounded² — SF-invariant, never fact-sized
-        .filter(abs(col("t") - col("t2")) >= 16L)
-        .select(col("t"), col("t2"), expr(
-          """aggregate(zip_with(ax, ay,
-               (p, q) -> CAST(p - q AS DECIMAL(19,0))
-                         * CAST(p - q AS DECIMAL(19,0))),
-               CAST(0 AS DECIMAL(38,0)),
-               (acc, v) -> acc + CAST(v AS DECIMAL(38,0)))""").as("d2"))
+      // UNROLLED 16-term sum, not aggregate(zip_with(...)): higher-order
+      // functions run interpreted (no doGenCode) and the lambda fold
+      // measured 21 s for the constant 5.6M-pair stage; the unrolled
+      // expression stays inside whole-stage codegen
+      val d2expr = (0 until 16).map(i =>
+        s"CAST(ax[$i] - ay[$i] AS DECIMAL(19,0)) " +
+          s"* CAST(ax[$i] - ay[$i] AS DECIMAL(19,0))").mkString(" + ")
+      // symmetry halving: d² is symmetric, so only the upper triangle
+      // (t2 ≥ t+16) pays the 16-term fold; the lower triangle is the
+      // mirrored copy of the MATERIALIZED half (localCheckpoint —
+      // without it each union branch would recompute the fold)
+      val half = x.crossJoin(y) // bounded² — SF-invariant, never fact-sized
+        .filter(col("t2") - col("t") >= 16L)
+        .select(col("t"), col("t2"), expr(d2expr).as("d2"))
+        .localCheckpoint(true)
+      val pairs = half.unionByName(
+        half.select(col("t2").as("t"), col("t").as("t2"), col("d2")))
       pairs.groupBy(col("t"))
         .agg(min(struct(col("d2"), col("t2"))).as("m"))
         .select(col("t"), col("m.d2").cast("string").as("mp_d2"),
