@@ -255,7 +255,10 @@ object ScaleSweep {
     "blocking" -> Seq("q296_blocking_quality",
       // r9s2: b-bit minwise audit — two signature lookups per LSH
       // candidate pair + one candidate-bounded intersection rollup
-      "q297_bbit_minwise"))
+      "q297_bbit_minwise",
+      // r10: Fellegi-Sunter m/u weights — candidate-bounded truth join
+      // + per-field flags + a 2-row rollup melted to 3 field rows
+      "q305_fellegi_sunter"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

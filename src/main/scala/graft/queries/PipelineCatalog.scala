@@ -2216,6 +2216,129 @@ object PipelineCatalog {
                     JOIN seg ON seg.word = hd.word
       ORDER BY p.doc_id"""))
 
+  /** FELLEGI–SUNTER record-linkage weights (Fellegi & Sunter 1969 —
+    * the decision theory under every probabilistic matcher, Splink/
+    * dedupe.io included): over the BLOCKED comparison space (the q36
+    * banded-LSH candidate pairs — the realistic universe a linker
+    * actually scores) and the verified 0.8-jaccard truth set (the q35
+    * lossless pair kernel), estimate per comparison field γ the
+    * m-probability P(agree | match) and u-probability P(agree |
+    * non-match) — the log₂(m/u) agreement weights ARE the linkage
+    * score, and this emits their EXACT integer sufficient statistics
+    * (m_num/m_den, u_num/u_den per field; the transcendental log
+    * stays client-side per the q59 rule). Fields: lang equality,
+    * source equality, and length-bucket equality (n_chars div 64 —
+    * IntegralDivide, the q163 `//` pairing). A field that separates
+    * well (lang for near-dups) shows m/u ≫ 1; one that doesn't shows
+    * the u-side agreement a naive matcher would over-trust. FULL
+    * OUTER on the field melt so a fixture where every candidate IS a
+    * match (or none is) still emits honest zero denominators.
+    *
+    * Scale: candidate generation is the banded-LSH join (bounded by
+    * Σbucket², never n²); the truth join and the per-field flags are
+    * pair-keyed lookups on the candidate set; the rollup is a 2-row
+    * group-by melted to 3 field rows — nothing beyond what q296's
+    * blocking audit already pays, and the session signature/shingle
+    * caches are shared.
+    */
+  val q305FellegiSunter: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val sig = minhashSigs(s, dir)
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 to 3).map(b =>
+          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
+            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
+          .as(Seq("band_idx", "band_sig")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val truth = ngramNearDupPairs(s, dir)
+        .select(col("d1"), col("d2"), lit(1L).as("is_match"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang"), col("source"), expr("n_chars div 64").as("lb"))
+      val base = cand.join(truth, Seq("d1", "d2"), "left")
+        .withColumn("is_match", coalesce(col("is_match"), lit(0L)))
+        .join(docs.select(col("doc_id").as("d1"), col("lang").as("lang1"),
+          col("source").as("src1"), col("lb").as("lb1")), "d1")
+        .join(docs.select(col("doc_id").as("d2"), col("lang").as("lang2"),
+          col("source").as("src2"), col("lb").as("lb2")), "d2")
+      val g = base.groupBy(col("is_match")).agg(
+        count(lit(1)).as("den"),
+        sum(when(col("lang1") === col("lang2"), 1L).otherwise(0L)).as("lang"),
+        sum(when(col("src1") === col("src2"), 1L).otherwise(0L)).as("source"),
+        sum(when(col("lb1") === col("lb2"), 1L).otherwise(0L)).as("len_bucket"))
+      val melted = g.select(col("is_match"), col("den"), expr(
+        "stack(3, 'lang', lang, 'source', source, 'len_bucket', len_bucket)" +
+          " AS (field, agree)"))
+      val m = melted.filter(col("is_match") === 1L)
+        .select(col("field"), col("agree").as("m_num"), col("den").as("m_den"))
+      val u = melted.filter(col("is_match") === 0L)
+        .select(col("field"), col("agree").as("u_num"), col("den").as("u_den"))
+      m.join(u, Seq("field"), "full_outer")
+        .select(col("field"),
+          coalesce(col("m_num"), lit(0L)).as("m_num"),
+          coalesce(col("m_den"), lit(0L)).as("m_den"),
+          coalesce(col("u_num"), lit(0L)).as("u_num"),
+          coalesce(col("u_den"), lit(0L)).as("u_den"))
+        .orderBy(col("field"))
+    },
+    oracle = Some(s"""
+      WITH sh0 AS ($shinglesSql),
+      sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+      sig AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 16), i -> list_min(
+                 list_transform(list_transform(sh, s -> ${polyhashSql("s")}),
+                                t -> ((2*i+1)*t + 12345*i) % $P))) AS mh
+        FROM sh),
+      buckets AS (
+        SELECT doc_id, b AS band_idx,
+               concat_ws('-', mh[4*b+1], mh[4*b+2], mh[4*b+3], mh[4*b+4]) AS band_sig
+        FROM sig, unnest(range(0, 4)) AS t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM buckets a JOIN buckets b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id),
+      $prefixPairsSql,
+      lab AS (SELECT c.d1, c.d2,
+                     CASE WHEN p.d1 IS NOT NULL THEN 1 ELSE 0 END AS is_match
+              FROM cand c LEFT JOIN pairs p
+                ON p.d1 = c.d1 AND p.d2 = c.d2),
+      feat AS (SELECT l.is_match,
+                      CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS ag_lang,
+                      CASE WHEN a.source = b.source THEN 1 ELSE 0 END
+                        AS ag_source,
+                      CASE WHEN a.n_chars // 64 = b.n_chars // 64
+                           THEN 1 ELSE 0 END AS ag_len
+               FROM lab l JOIN documents a ON a.doc_id = l.d1
+                          JOIN documents b ON b.doc_id = l.d2),
+      g AS (SELECT is_match, CAST(count(*) AS BIGINT) AS den,
+                   CAST(sum(ag_lang) AS BIGINT) AS lang,
+                   CAST(sum(ag_source) AS BIGINT) AS source,
+                   CAST(sum(ag_len) AS BIGINT) AS len_bucket
+            FROM feat GROUP BY 1),
+      mel AS (SELECT is_match, den, f.field,
+                     CASE f.field WHEN 'lang' THEN lang
+                                  WHEN 'source' THEN source
+                                  ELSE len_bucket END AS agree
+              FROM g, (SELECT unnest(['lang', 'source', 'len_bucket'])
+                         AS field) f),
+      m AS (SELECT field, agree AS m_num, den AS m_den FROM mel
+            WHERE is_match = 1),
+      u AS (SELECT field, agree AS u_num, den AS u_den FROM mel
+            WHERE is_match = 0)
+      SELECT coalesce(m.field, u.field) AS field,
+             CAST(coalesce(m_num, 0) AS BIGINT) AS m_num,
+             CAST(coalesce(m_den, 0) AS BIGINT) AS m_den,
+             CAST(coalesce(u_num, 0) AS BIGINT) AS u_num,
+             CAST(coalesce(u_den, 0) AS BIGINT) AS u_den
+      FROM m FULL OUTER JOIN u ON m.field = u.field
+      ORDER BY field"""))
+
   /** READABILITY sufficient statistics per source — the word-level
     * integer core of the Flesch / FOG / Coleman–Liau family (Flesch
     * 1948; Gunning 1952), the curation signal fineweb-edu-style
@@ -6436,6 +6559,7 @@ object PipelineCatalog {
     "q260_coverage_selection" -> q260CoverageSelection,
     "q263_bpe_merges" -> q263BpeMerges,
     "q301_bpe_encode" -> q301BpeEncode,
+    "q305_fellegi_sunter" -> q305FellegiSunter,
     "q268_readability_stats" -> q268ReadabilityStats,
   )
 
