@@ -740,6 +740,48 @@ object ManifestTable {
     v
   }
 
+  /** SNAPSHOT EXPIRATION + data-file GC (round 10 — Iceberg
+    * `expireSnapshots` and Delta `VACUUM` in one maintenance op, the
+    * retention half that bounds a table's storage against its write
+    * history): drops all but the newest `keepLast` manifests, then
+    * physically deletes every file under `data/` that NO RETAINED
+    * manifest references — which sweeps (a) data files only expired
+    * snapshots referenced (old overwrites, pre-compaction layouts,
+    * delete-rewritten inputs) and (b) orphans from crashed commits
+    * (moved but never published — always manifest-invisible, now also
+    * reclaimed). `graceMs` is the Delta-VACUUM-retention safety valve:
+    * a file younger than the grace is NEVER deleted, which protects
+    * the window between a concurrent commit's file moves and its
+    * manifest publish (production runs hours of grace; tests use 0
+    * with writes quiesced). Time travel to an expired version fails
+    * loudly at read; retained versions are untouched — including the
+    * streaming `txn` high-water marks, which live in the manifests
+    * themselves. Returns (expired manifest count, deleted file count).
+    */
+  def expireSnapshots(dir: String, keepLast: Int = 2,
+      graceMs: Long = 0L): (Long, Long) = {
+    require(keepLast >= 1, "graft-manifest: keepLast must be >= 1")
+    val d = new File(dir)
+    val versions = Option(
+      d.listFiles((f: File) => f.getName.startsWith("manifest-")))
+      .getOrElse(Array.empty)
+      .map(_.getName.stripPrefix("manifest-").toLong).sorted.toSeq
+    if (versions.isEmpty) return (0L, 0L)
+    val (expired, retained) =
+      versions.splitAt(math.max(0, versions.length - keepLast))
+    val referenced: Set[String] = retained.flatMap(v =>
+      readManifest(dir, Some(v)).toSeq.flatMap(_.files.map(_.path))).toSet
+    expired.foreach(v => manifestFile(dir, v).delete())
+    val now = System.currentTimeMillis()
+    var deleted = 0L
+    Option(new File(dir, "data").listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        if (f.isFile && !referenced.contains(s"data/${f.getName}") &&
+            now - f.lastModified() >= graceMs && f.delete()) deleted += 1
+      }
+    (expired.length.toLong, deleted)
+  }
+
   /** The single atomic commit point shared by write, delete and
     * compaction: temp manifest + rename.
     */

@@ -420,6 +420,43 @@ class ManifestTableSpec extends SparkSpec {
     assert(desc.contains("read id,s") || desc.contains("ReadSchema"))
   }
 
+  test("expireSnapshots: retention drops old manifests, GCs unreferenced data and orphans") {
+    import graft.sources.ManifestTable
+    val dir = tmpTable()
+    def dataFiles() = Option(new File(dir, "data").listFiles())
+      .getOrElse(Array.empty[File]).count(_.isFile)
+    // v1/v2 appends, v3 OVERWRITE — v3 references only its own files,
+    // so v1/v2's data become reclaimable once those snapshots expire
+    (1L to 100L).map(i => (i, i % 7)).toDF("id", "m")
+      .write.format("graft-manifest").option("path", dir).mode("append").save()
+    (101L to 200L).map(i => (i, i % 7)).toDF("id", "m")
+      .write.format("graft-manifest").option("path", dir).mode("append").save()
+    (201L to 250L).map(i => (i, i % 7)).toDF("id", "m")
+      .write.format("graft-manifest").option("path", dir).mode("overwrite").save()
+    // plus a crashed-commit orphan: moved into data/, never published
+    Files.writeString(new File(new File(dir, "data"), "orphan-xyz").toPath,
+      "9999\t0\n")
+    val before = dataFiles()
+    // a fresh orphan survives a grace window (the concurrent-commit
+    // protection), and keepLast=3 retains everything
+    assert(ManifestTable.expireSnapshots(dir, keepLast = 3,
+      graceMs = 3600 * 1000L) === (0L, 0L))
+    assert(dataFiles() === before)
+    // expire to the latest snapshot only, no grace: v1/v2 manifests
+    // drop, their unreferenced data files AND the orphan are reclaimed
+    val (expired, deleted) = ManifestTable.expireSnapshots(dir, keepLast = 1)
+    assert(expired === 2L)
+    assert(deleted >= 3L, s"expected v1+v2 data + orphan swept, got $deleted")
+    // the retained snapshot is untouched and fully readable
+    val back = readBack(dir)
+    assert(back.count() === 50 &&
+      back.agg(min("id"), max("id")).head().toString == "[201,250]")
+    // time travel to an expired version now fails loudly
+    intercept[Exception] { readBack(dir, Some(1L)).collect() }
+    // idempotent: nothing left to expire or sweep
+    assert(ManifestTable.expireSnapshots(dir, keepLast = 1) === (0L, 0L))
+  }
+
   test("streaming write: replayed epochs commit as no-ops (exactly-once txn protocol)") {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.connector.catalog.SupportsWrite
