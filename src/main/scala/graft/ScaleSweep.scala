@@ -213,7 +213,10 @@ object ScaleSweep {
       "q174_blocklist_filter",
       // r9: winnowing — positioned-shingle build + two doc-keyed
       // windows; output density pinned at 2/(w+1) of k-gram volume
-      "q274_winnowing_fingerprints"),
+      "q274_winnowing_fingerprints",
+      // r10: Aho-Corasick — one automaton pass, tracks corpus bytes
+      // regardless of dictionary size
+      "q306_aho_corasick"),
     // exact statistics (added late r7): the KS/MW prefix-sum kernel's
     // cost tracks the distinct-value rollup (~linear in facts here);
     // the day-rollup entries (Theil-Sen, TWAP) are calendar-bounded

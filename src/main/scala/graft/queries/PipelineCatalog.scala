@@ -2216,6 +2216,60 @@ object PipelineCatalog {
                     JOIN seg ON seg.word = hd.word
       ORDER BY p.doc_id"""))
 
+  /** AHO–CORASICK dictionary matching (Aho & Corasick 1975) — the
+    * blocklist operator DONE RIGHT at dictionary scale: ONE automaton
+    * pass per document counts every occurrence of every pattern
+    * (all start positions, OVERLAPPING included — "batch batch"
+    * counts 2 in "batch batch batch" where q174's length−replace form
+    * counts 1 and re-reads the text once per pattern). Runs on the
+    * repo's native [[graft.functions.AhoCorasickCounts]] Catalyst
+    * expression (goto trie + BFS fail links + merged output chains;
+    * the hot loop is compiled Scala referenced from whole-stage
+    * codegen — the RegExpExtract pattern). The oracle replays the
+    * identical all-positions semantics as per-pattern position scans,
+    * so the compare crosses two genuinely different algorithms (the
+    * q94 rule: automaton vs positional brute force).
+    *
+    * Scale: per-document cost is O(chars) TOTAL regardless of
+    * dictionary size (amortized O(1) per char including fail walks) —
+    * the production blocklist regime (10³–10⁵ phrases) where
+    * per-pattern scans are |patterns| full corpus passes; the
+    * automaton is plan-time state broadcast inside the expression,
+    * and the scan stays map-side with a map-side-combinable verdict.
+    */
+  val q306AhoCorasick: QuerySpec = {
+    val pats = Seq("slow", "batch batch", "the fast", "key")
+    QuerySpec(
+      fn = (s, dir) => {
+        val withC = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            graft.functions.AhoCorasick.countsCol(col("text"), pats).as("c"))
+        val cols = pats.indices.map(i => element_at(col("c"), i + 1).as(s"n$i"))
+        withC.select(col("doc_id") +: cols: _*)
+          .withColumn("total", pats.indices.map(i => col(s"n$i")).reduce(_ + _))
+          .withColumn("verdict",
+            when(col("total") > 0L, "drop").otherwise("keep"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val counts = pats.zipWithIndex.map { case (p, i) =>
+          val l = p.length
+          s"""CAST(len(list_filter(range(1, len(text) - $l + 2),
+                i -> text[CAST(i AS INTEGER):CAST(i + ${l - 1} AS INTEGER)] = '$p'))
+              AS BIGINT) AS n$i"""
+        }.mkString(",\n               ")
+        val total = pats.indices.map(i => s"n$i").mkString(" + ")
+        s"""
+        WITH c AS (SELECT doc_id,
+               $counts
+             FROM documents)
+        SELECT doc_id, ${pats.indices.map(i => s"n$i").mkString(", ")},
+               CAST($total AS BIGINT) AS total,
+               CASE WHEN $total > 0 THEN 'drop' ELSE 'keep' END AS verdict
+        FROM c ORDER BY doc_id"""
+      })
+  }
+
   /** FELLEGI–SUNTER record-linkage weights (Fellegi & Sunter 1969 —
     * the decision theory under every probabilistic matcher, Splink/
     * dedupe.io included): over the BLOCKED comparison space (the q36
@@ -6560,6 +6614,7 @@ object PipelineCatalog {
     "q263_bpe_merges" -> q263BpeMerges,
     "q301_bpe_encode" -> q301BpeEncode,
     "q305_fellegi_sunter" -> q305FellegiSunter,
+    "q306_aho_corasick" -> q306AhoCorasick,
     "q268_readability_stats" -> q268ReadabilityStats,
   )
 
