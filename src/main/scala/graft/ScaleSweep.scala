@@ -261,7 +261,10 @@ object ScaleSweep {
       "q297_bbit_minwise",
       // r10: Fellegi-Sunter m/u weights — candidate-bounded truth join
       // + per-field flags + a 2-row rollup melted to 3 field rows
-      "q305_fellegi_sunter"))
+      "q305_fellegi_sunter",
+      // r10: sorted-neighborhood — distributed prefix ranks + the 1-D
+      // block join; candidates exactly (n - w/2-ish)·(w-1) per pass
+      "q307_sorted_neighborhood"))
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")

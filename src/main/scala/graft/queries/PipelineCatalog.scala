@@ -2270,6 +2270,131 @@ object PipelineCatalog {
       })
   }
 
+  /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995 merge/
+    * purge) — the THIRD blocking law beside the prefix filter (q35,
+    * lossless) and banded LSH (q36, probabilistic-by-signature):
+    * sort the corpus by a key, slide a w=8 window, candidates = pairs
+    * within w−1 rank distance; MULTI-PASS (the paper's fix for
+    * key-choice blindness) with mh0 and mh1 of the shared 16-perm
+    * signature as the two pass keys plus their union. Emits the q296
+    * audit shape per blocker: candidate count, true-pair count and
+    * caught count against the verified 0.8-jaccard truth kernel — the
+    * recall/cost readout that tells you what a window of 8 buys.
+    *
+    * SCALE-CORRECT RANKS, the point of the entry: no global-sort
+    * window anywhere — ranks come from the q162/q166 distributed
+    * prefix-sum shape (range-partition on (key, doc_id), LOCAL
+    * row_number under a spark_partition_id window, per-partition
+    * counts prefix-summed behind a broadcast join, with the q185
+    * eager-barrier localCheckpoint pinning ONE boundary sample for
+    * both consumers), and the within-w window join is the 1-D grid
+    * trick (q292's in one dimension): probe side explodes to blocks
+    * {⌊r/w⌋, ⌊r/w⌋+1}, index side keys ⌊r/w⌋, equi-join then the
+    * exact rank-distance filter — each true pair matched exactly
+    * once. The oracle replays ranks as ONE plain row_number window
+    * (the q94 cross-algorithm rule: global window there, distributed
+    * prefix ranks here). Docs with <3 words carry no shingles, hence
+    * no signature and no rank — they cannot be near-dups under the
+    * truth definition either, so the audit universe is consistent.
+    */
+  val q307SortedNeighborhood: QuerySpec = {
+    val w = 8
+    QuerySpec(
+      fn = (s, dir) => {
+        def ranks(rows: DataFrame): DataFrame = {
+          val p = s.sparkContext.defaultParallelism
+          val parts = rows.repartitionByRange(p, col("k"), col("doc_id"))
+            .withColumn("pid", spark_partition_id())
+          val local = Window.partitionBy(col("pid"))
+            .orderBy(col("k"), col("doc_id"))
+          val cum = parts
+            .withColumn("lr", row_number().over(local).cast("long"))
+            .localCheckpoint(true) // q185 rule: one boundary sample
+          val offsets = cum.groupBy(col("pid")).agg(count(lit(1)).as("t"))
+            .withColumn("o", coalesce(sum(col("t")).over(
+              Window.orderBy(col("pid")).rowsBetween(
+                Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("pid"), col("o"))
+          cum.join(broadcast(offsets), "pid")
+            .select(col("doc_id"), (col("lr") + col("o")).as("r"))
+        }
+        def cand(ranked: DataFrame): DataFrame = {
+          val probe = ranked.select(col("doc_id").as("da"),
+            col("r").as("ra"),
+            explode(expr(s"array(r div $w, r div $w + 1L)")).as("blk"))
+          val index = ranked.select(col("doc_id").as("db"),
+            col("r").as("rb"), expr(s"r div $w").as("blk"))
+          probe.join(index, "blk")
+            .filter(col("rb") > col("ra") && col("rb") <= col("ra") + (w - 1))
+            .select(least(col("da"), col("db")).as("d1"),
+              greatest(col("da"), col("db")).as("d2"))
+            .distinct()
+        }
+        val sig = minhashSigs(s, dir)
+        val c0 = cand(ranks(sig.select(col("doc_id"), col("mh0").as("k"))))
+          .localCheckpoint(true)
+        val c1 = cand(ranks(sig.select(col("doc_id"), col("mh1").as("k"))))
+          .localCheckpoint(true)
+        val cu = c0.unionByName(c1).distinct()
+        val truth = ngramNearDupPairs(s, dir).select(col("d1"), col("d2"))
+        val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+        def audit(name: String, c: DataFrame): DataFrame =
+          c.agg(count(lit(1)).as("n_cand"))
+            .crossJoin(nTrue)
+            .crossJoin(broadcast(c.join(truth, Seq("d1", "d2"))
+              .agg(count(lit(1)).as("n_caught"))))
+            .select(lit(name).as("blocker"), col("n_cand"), col("n_true"),
+              col("n_caught"))
+        audit("sn_mh0", c0)
+          .unionByName(audit("sn_mh1", c1))
+          .unionByName(audit("sn_union", cu))
+          .orderBy(col("blocker"))
+      },
+      oracle = Some(s"""
+        WITH sh0 AS ($shinglesSql),
+        sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, 2), i -> list_min(
+                   list_transform(list_transform(sh, s -> ${polyhashSql("s")}),
+                                  t -> ((2*i+1)*t + 12345*i) % $P))) AS mh
+          FROM sh),
+        r0 AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY mh[1], doc_id)
+                 AS BIGINT) AS r FROM sig),
+        r1 AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY mh[2], doc_id)
+                 AS BIGINT) AS r FROM sig),
+        c0 AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                      greatest(a.doc_id, b.doc_id) AS d2
+               FROM r0 a JOIN r0 b ON b.r > a.r AND b.r <= a.r + ${w - 1}),
+        c1 AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                      greatest(a.doc_id, b.doc_id) AS d2
+               FROM r1 a JOIN r1 b ON b.r > a.r AND b.r <= a.r + ${w - 1}),
+        cu AS (SELECT * FROM c0 UNION SELECT * FROM c1),
+        $prefixPairsSql,
+        t AS (SELECT d1, d2 FROM pairs),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM t)
+        SELECT * FROM (
+          SELECT 'sn_mh0' AS blocker,
+                 (SELECT CAST(count(*) AS BIGINT) FROM c0) AS n_cand,
+                 nt.n_true,
+                 (SELECT CAST(count(*) AS BIGINT) FROM c0 JOIN t
+                    ON t.d1 = c0.d1 AND t.d2 = c0.d2) AS n_caught
+          FROM nt
+          UNION ALL
+          SELECT 'sn_mh1',
+                 (SELECT CAST(count(*) AS BIGINT) FROM c1), nt.n_true,
+                 (SELECT CAST(count(*) AS BIGINT) FROM c1 JOIN t
+                    ON t.d1 = c1.d1 AND t.d2 = c1.d2)
+          FROM nt
+          UNION ALL
+          SELECT 'sn_union',
+                 (SELECT CAST(count(*) AS BIGINT) FROM cu), nt.n_true,
+                 (SELECT CAST(count(*) AS BIGINT) FROM cu JOIN t
+                    ON t.d1 = cu.d1 AND t.d2 = cu.d2)
+          FROM nt)
+        ORDER BY blocker"""))
+  }
+
   /** FELLEGI–SUNTER record-linkage weights (Fellegi & Sunter 1969 —
     * the decision theory under every probabilistic matcher, Splink/
     * dedupe.io included): over the BLOCKED comparison space (the q36
@@ -6615,6 +6740,7 @@ object PipelineCatalog {
     "q301_bpe_encode" -> q301BpeEncode,
     "q305_fellegi_sunter" -> q305FellegiSunter,
     "q306_aho_corasick" -> q306AhoCorasick,
+    "q307_sorted_neighborhood" -> q307SortedNeighborhood,
     "q268_readability_stats" -> q268ReadabilityStats,
   )
 
