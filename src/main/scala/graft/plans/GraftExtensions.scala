@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.thetaUnionFn)
     ext.injectFunction(GraftExtensions.thetaEstimateFn)
     ext.injectFunction(GraftExtensions.thetaIntersectFn)
+    ext.injectFunction(GraftExtensions.acFn)
     ext.injectOptimizerRule(_ => LevenshteinBandRule)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
@@ -111,6 +112,21 @@ object GraftExtensions {
       ThetaIntersectEstimate(args(0), args(1))
     })
 
+  val acFn: FnDesc = (
+    FunctionIdentifier("graft_ac"),
+    new ExpressionInfo(classOf[graft.functions.AhoCorasickCounts].getName,
+      "graft_ac"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "graft_ac(string, 'p1,p2,...')")
+      require(args(1).foldable &&
+        args(1).dataType == org.apache.spark.sql.types.StringType,
+        "graft_ac: the pattern dictionary must be a string literal " +
+          "(the automaton is built at plan time)")
+      val pats = args(1).eval(null).toString
+        .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      graft.functions.AhoCorasickCounts(args(0), pats)
+    })
+
   /** Register on an already-built session (tests, REPL). Functions go
     * through the function registry; the optimizer rule rides
     * `experimental.extraOptimizations` (the live-session injection
@@ -118,7 +134,8 @@ object GraftExtensions {
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Seq(dotFn, polyhashFn, imageMetaFn, audioMetaFn,
-        thetaAggFn, thetaUnionFn, thetaEstimateFn, thetaIntersectFn).foreach {
+        thetaAggFn, thetaUnionFn, thetaEstimateFn, thetaIntersectFn,
+        acFn).foreach {
       case (id, info, builder) =>
       org.apache.spark.sql.graft.shims.registerFunction(spark, id, info, builder)
     }

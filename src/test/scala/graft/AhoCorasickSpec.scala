@@ -45,6 +45,19 @@ class AhoCorasickSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("SQL surface: graft_ac with a literal dictionary") {
+    graft.plans.GraftExtensions.register(spark)
+    Seq("ushers").toDF("t").createOrReplaceTempView("ac_t")
+    val got = spark.sql(
+      "SELECT graft_ac(t, 'he,she,his,hers') AS c FROM ac_t")
+      .head().getSeq[Long](0).toSeq
+    assert(got === Seq(1L, 1L, 0L, 1L))
+    // non-literal dictionary is refused at plan time
+    intercept[Exception] {
+      spark.sql("SELECT graft_ac(t, t) FROM ac_t").collect()
+    }
+  }
+
   test("codegen and interpreted paths agree; null text yields null") {
     val patterns = Seq("ab", "ba")
     val df = Seq(Some("ababab"), None).toDF("t")
