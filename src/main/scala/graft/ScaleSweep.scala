@@ -151,7 +151,9 @@ object ScaleSweep {
       "q271_fd_discovery",
       // r9: chi-squared token-class selection — posting-list rollup +
       // vocab/class-bounded margin joins; tracks the explode volume
-      "q280_token_chi2"),
+      "q280_token_chi2",
+      // r10: McNemar — two per-row classifier maps + a 6-row rollup
+      "q308_mcnemar"),
     "decode" -> Seq("q138_pixel_stats", "q247_container_decode", "q248_flac_decode",
       "q253_mp4_decode"),
     // decision-support classics (added r7): replicated facts with

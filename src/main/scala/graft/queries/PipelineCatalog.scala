@@ -2270,6 +2270,137 @@ object PipelineCatalog {
       })
   }
 
+  /** McNEMAR'S PAIRED TEST (McNemar 1947; Dietterich 1998 made it the
+    * standard two-classifier comparison) — "is classifier B actually
+    * better than A, or did they just err on different documents?":
+    * the question accuracy deltas can't answer because the two
+    * classifiers are evaluated on the SAME items (paired, not
+    * independent). A = q42's marker-word language-ID, B = q49's
+    * integer bigram-profile language-ID (both replicated expression-
+    * for-expression so this entry tests exactly those classifiers),
+    * truth = the labeled `lang` column. Per truth language AND
+    * overall ('ALL'): the paired 2×2 (n11 both-right, n10 only-A,
+    * n01 only-B, n00 both-wrong) and the McNemar statistic as the
+    * EXACT rational (n10−n01)²/(n10+n01) — numerator/denominator per
+    * the q49/q60 never-round rule (a language with no discordant
+    * pairs honestly emits 0/0). Only the DISCORDANT counts enter the
+    * statistic — that is McNemar's entire point.
+    *
+    * Scale: both classifiers are per-row map expressions (codegen'd
+    * CASE/filter chains), the rollup is one map-side-combinable
+    * group-by onto the 5-language domain plus a global pass — the
+    * fact table is touched once, the shuffle is ≤ 6 rows of counters.
+    */
+  val q308McNemar: QuerySpec = {
+    val markers = Seq(
+      "de" -> Seq("hash", "sort", "vector"),
+      "en" -> Seq("the", "a", "table", "row"),
+      "es" -> Seq("scan", "stream", "filter"),
+      "fr" -> Seq("query", "window", "agg"),
+      "zh" -> Seq("merge", "join", "batch"))
+    val bigrams = Seq("ta", "qu", "er", "st", "ow", "in")
+    val profiles = Seq(
+      "de" -> Seq(10L, 2L, 35L, 22L, 5L, 10L),
+      "en" -> Seq(14L, 5L, 30L, 17L, 12L, 15L),
+      "es" -> Seq(12L, 15L, 31L, 18L, 3L, 11L),
+      "fr" -> Seq(11L, 18L, 33L, 16L, 4L, 12L),
+      "zh" -> Seq(12L, 4L, 30L, 24L, 8L, 10L))
+    // counts/scores materialize ONCE as columns, the argmax CASEs then
+    // compare columns — inlining the count expressions into every WHEN
+    // branch re-evaluated each one per branch (first cut measured
+    // 10.8 s at 10×; this form is the q42/q49 per-row cost)
+    def aCnt(ws: Seq[String], spark: Boolean) =
+      if (spark) s"size(filter(split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+      else s"len(list_filter(string_split(text, ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    // the 6 bigram-erasure counts are PROFILE-INDEPENDENT: compute each
+    // once per row (6 replace scans), the 5 profile scores are then
+    // weighted sums over those columns (30 scans -> 6)
+    def bgCnt(bg: String, spark: Boolean) = {
+      val d = if (spark) "div" else "//"
+      s"((length(text) - length(replace(text, '$bg', ''))) $d 2)"
+    }
+    def bNum(ws: Seq[Long]) = bigrams.zip(ws).map { case (bg, w) =>
+      s"$w * bg_$bg" }.mkString("(", " + ", ")")
+    // q42's / q49's argmax tie order, over the materialized columns
+    val mxA = markers.map { case (l, _) => s"c_$l" }
+      .mkString("greatest(", ", ", ")")
+    val predACase = markers.init.map { case (l, _) =>
+      s"WHEN c_$l = $mxA THEN '$l'" }
+      .mkString("CASE ", " ", s" ELSE '${markers.last._1}' END")
+    val mxB = profiles.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+    val predBCase = profiles.init.map { case (l, _) =>
+      s"WHEN s_$l = $mxB THEN '$l'" }
+      .mkString("CASE ", " ", s" ELSE '${profiles.last._1}' END")
+    QuerySpec(
+      fn = (s, dir) => {
+        val counted = Tables.documents(s, dir).select(
+          col("lang") +:
+            (markers.map { case (l, ws) =>
+              expr(aCnt(ws, spark = true)).as(s"c_$l") } ++
+             bigrams.map(bg =>
+               expr(bgCnt(bg, spark = true)).as(s"bg_$bg"))): _*)
+          .select(col("lang") +:
+            markers.map { case (l, _) => col(s"c_$l") } ++:
+            profiles.map { case (l, ws) => expr(bNum(ws)).as(s"s_$l") }: _*)
+        val base = counted.select(col("lang"),
+          when(expr(predACase) === col("lang"), 1L).otherwise(0L).as("ok_a"),
+          when(expr(predBCase) === col("lang"), 1L).otherwise(0L).as("ok_b"))
+        def cells(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+          g.agg(
+            count(lit(1)).as("n"),
+            sum(col("ok_a") * col("ok_b")).as("n11"),
+            sum(col("ok_a") * (lit(1L) - col("ok_b"))).as("n10"),
+            sum((lit(1L) - col("ok_a")) * col("ok_b")).as("n01"),
+            sum((lit(1L) - col("ok_a")) * (lit(1L) - col("ok_b"))).as("n00"))
+        val perLang = cells(base.groupBy(col("lang")))
+        val overall = cells(base.groupBy(lit("ALL").as("lang")))
+        perLang.unionByName(overall)
+          .select(col("*"),
+            ((col("n10") - col("n01")) * (col("n10") - col("n01")))
+              .as("mcnemar_num"),
+            (col("n10") + col("n01")).as("mcnemar_den"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(s"""
+        WITH bgc AS (
+          SELECT lang,
+                 ${markers.map { case (l, ws) =>
+                   s"${aCnt(ws, spark = false)} AS c_$l" }.mkString(",\n                 ")},
+                 ${bigrams.map(bg =>
+                   s"${bgCnt(bg, spark = false)} AS bg_$bg").mkString(",\n                 ")}
+          FROM documents),
+        counted AS (
+          SELECT lang,
+                 ${markers.map { case (l, _) => s"c_$l" }.mkString(", ")},
+                 ${profiles.map { case (l, ws) =>
+                   s"${bNum(ws)} AS s_$l" }.mkString(",\n                 ")}
+          FROM bgc),
+        base AS (
+          SELECT lang,
+                 CASE WHEN ($predACase) = lang THEN 1 ELSE 0 END AS ok_a,
+                 CASE WHEN ($predBCase) = lang THEN 1 ELSE 0 END AS ok_b
+          FROM counted),
+        cells AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(ok_a * ok_b) AS BIGINT) AS n11,
+                 CAST(sum(ok_a * (1 - ok_b)) AS BIGINT) AS n10,
+                 CAST(sum((1 - ok_a) * ok_b) AS BIGINT) AS n01,
+                 CAST(sum((1 - ok_a) * (1 - ok_b)) AS BIGINT) AS n00
+          FROM base GROUP BY lang
+          UNION ALL
+          SELECT 'ALL', CAST(count(*) AS BIGINT),
+                 CAST(sum(ok_a * ok_b) AS BIGINT),
+                 CAST(sum(ok_a * (1 - ok_b)) AS BIGINT),
+                 CAST(sum((1 - ok_a) * ok_b) AS BIGINT),
+                 CAST(sum((1 - ok_a) * (1 - ok_b)) AS BIGINT)
+          FROM base)
+        SELECT lang, n, n11, n10, n01, n00,
+               CAST((n10 - n01) * (n10 - n01) AS BIGINT) AS mcnemar_num,
+               CAST(n10 + n01 AS BIGINT) AS mcnemar_den
+        FROM cells ORDER BY lang"""))
+  }
+
   /** SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995 merge/
     * purge) — the THIRD blocking law beside the prefix filter (q35,
     * lossless) and banded LSH (q36, probabilistic-by-signature):
@@ -6741,6 +6872,7 @@ object PipelineCatalog {
     "q305_fellegi_sunter" -> q305FellegiSunter,
     "q306_aho_corasick" -> q306AhoCorasick,
     "q307_sorted_neighborhood" -> q307SortedNeighborhood,
+    "q308_mcnemar" -> q308McNemar,
     "q268_readability_stats" -> q268ReadabilityStats,
   )
 
