@@ -251,6 +251,9 @@ object ScaleSweep {
     // map-side-combined pass; |T| = m2*S1 - m1*S2 nears 2^63 around
     // sf100, so a clean ANSI run doubles as the headroom check
     "inference" -> Seq("q289_permutation_test",
+      // r10: Cochran-Armitage — one orderkey semi-join + a 5-key
+      // rollup; DECIMAL(38,0) chain is the headroom check
+      "q309_cochran_armitage",
       // r9s2: DiD — one 8-sum global agg; DECIMAL chain is the check
       "q295_did_estimator",
       // r9s2: BH-FDR — 48-sum ensemble pass + 24x25 arithmetic

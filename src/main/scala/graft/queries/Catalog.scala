@@ -10616,6 +10616,99 @@ object Catalog {
       SELECT t, CAST(d2 AS VARCHAR) AS mp_d2, t2 AS nn_t
       FROM mp ORDER BY t"""))
 
+  /** COCHRAN–ARMITAGE TREND TEST (Cochran 1954; Armitage 1955) — the
+    * ordered-category member of the inference family: χ² (q88) asks
+    * "are outcome and category associated AT ALL", this asks the
+    * sharper dose-response question "does the RETURN RATE trend
+    * monotonically with order priority 1-URGENT … 5-LOW" — one degree
+    * of freedom spent exactly on the ordering, which is why it
+    * detects trends χ² dilutes across 4 df. Outcome = the order has
+    * a returned lineitem (EXISTS r-flag — one semi-join); weights
+    * wᵢ = the priority ordinal. Emits the per-category table
+    * (ord, n, r) with the EXACT trend numerator T = Σwᵢ(rᵢN − nᵢR)
+    * and the squared z-statistic as the exact rational z² = T²N /
+    * (R(N−R)(NΣw²nᵢ − (Σwnᵢ)²)) — all three on the q109/q277
+    * DECIMAL(38,0) digit-string chain (T² ≈ 10²² already at sf0.1;
+    * the 38-digit budget holds to ≈ sf300, the next stop is the q289
+    * string-chain escalation). z² vs χ²₁'s 3.84 is the trend verdict.
+    *
+    * Scale: one orderkey semi-join (the only fact-sized work) + a
+    * 5-key map-side-combined rollup; everything after is 5-row
+    * arithmetic behind broadcasts.
+    */
+  val q309CochranArmitage: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val ret = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o_orderkey")).distinct()
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("ord"))
+        .join(ret.withColumn("is_ret", lit(1L)), Seq("o_orderkey"), "left")
+        .select(col("ord"), coalesce(col("is_ret"), lit(0L)).as("is_ret"))
+      val cat = base.groupBy(col("ord"))
+        .agg(count(lit(1)).as("n"), sum(col("is_ret")).as("r"))
+        .localCheckpoint(true) // feeds the totals AND the final join
+      def d38(c: Column) = c.cast("decimal(38,0)")
+      // T needs N and R inside the category sum — compute them on one
+      // pass over the 5-row rollup, then join the totals back
+      val totals = cat.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+        sum(col("ord") * col("n")).as("swn"),
+        sum(col("ord") * col("ord") * col("n")).as("sw2n"))
+      val stats = cat.crossJoin(broadcast(totals))
+        .select(
+          sum(d38(col("ord")) * (d38(col("r")) * d38(col("nn")) -
+            d38(col("n")) * d38(col("rr")))).as("t"),
+          first(col("nn")).as("nn"), first(col("rr")).as("rr"),
+          first(col("swn")).as("swn"), first(col("sw2n")).as("sw2n"))
+        .select(col("t"),
+          (col("t") * col("t") * d38(col("nn"))).cast("decimal(38,0)")
+            .as("z2_num"),
+          (d38(col("rr")) * d38(col("nn") - col("rr")) *
+            (d38(col("nn")) * d38(col("sw2n")) -
+              d38(col("swn")) * d38(col("swn")))).cast("decimal(38,0)")
+            .as("z2_den"))
+      cat.crossJoin(broadcast(stats))
+        .select(col("ord"), col("n"), col("r"),
+          col("t").cast("string").as("trend_t"),
+          col("z2_num").cast("string").as("z2_num"),
+          col("z2_den").cast("string").as("z2_den"))
+        .orderBy(col("ord"))
+    },
+    oracle = Some("""
+      WITH ret AS (SELECT DISTINCT l_orderkey FROM lineitem
+                   WHERE l_returnflag = 'R'),
+      base AS (SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS ord,
+                      CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END
+                        AS is_ret
+               FROM orders o LEFT JOIN ret r ON r.l_orderkey = o.o_orderkey),
+      cat AS (SELECT ord, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(is_ret) AS BIGINT) AS r
+              FROM base GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     CAST(sum(r) AS BIGINT) AS rr,
+                     CAST(sum(ord * n) AS BIGINT) AS swn,
+                     CAST(sum(ord * ord * n) AS BIGINT) AS sw2n
+              FROM cat),
+      st AS (SELECT CAST(sum(CAST(ord AS HUGEINT) *
+                       (CAST(r AS HUGEINT) * nn - CAST(n AS HUGEINT) * rr))
+                     AS DECIMAL(38,0)) AS t,
+                    any_value(nn) AS nn, any_value(rr) AS rr,
+                    any_value(swn) AS swn, any_value(sw2n) AS sw2n
+             FROM cat, tot),
+      z AS (SELECT t,
+                   CAST(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * nn
+                     AS DECIMAL(38,0)) AS z2_num,
+                   CAST(CAST(rr AS HUGEINT) * (nn - rr) *
+                        (CAST(nn AS HUGEINT) * sw2n
+                         - CAST(swn AS HUGEINT) * swn)
+                     AS DECIMAL(38,0)) AS z2_den
+            FROM st)
+      SELECT cat.ord, cat.n, cat.r,
+             CAST(z.t AS VARCHAR) AS trend_t,
+             CAST(z.z2_num AS VARCHAR) AS z2_num,
+             CAST(z.z2_den AS VARCHAR) AS z2_den
+      FROM cat, z ORDER BY cat.ord"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -10819,6 +10912,7 @@ object Catalog {
     "q302_sequential_poisson" -> q302SequentialPoisson,
     "q303_count_sketch" -> q303CountSketch,
     "q304_matrix_profile" -> q304MatrixProfile,
+    "q309_cochran_armitage" -> q309CochranArmitage,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
