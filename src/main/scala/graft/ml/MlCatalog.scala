@@ -268,13 +268,28 @@ object MlCatalog {
     (train, valid)
   }
 
+  /** The FITTED m05 model itself, session-memoized — m22's permutation
+    * importance must re-SCORE six perturbed validation frames with the
+    * SAME model, which the scored-frame memo alone can't serve.
+    */
+  private val gbtModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Boolean),
+      org.apache.spark.ml.classification.GBTClassificationModel]
+
+  private[graft] def gbtModel(s: SparkSession, dir: String,
+      categorical: Boolean)
+      : org.apache.spark.ml.classification.GBTClassificationModel =
+    gbtModelCache.getOrElseUpdate((s, dir, categorical), {
+      val (train, _) = gbtData(s, dir, categorical)
+      new GBTClassifier()
+        .setMaxIter(10).setMaxDepth(4).setStepSize(0.05).setSeed(42L)
+        .fit(train.cache())
+    })
+
   private def gbtScoredBuild(s: SparkSession, dir: String,
       categorical: Boolean): org.apache.spark.sql.DataFrame = {
-    val (train, valid) = gbtData(s, dir, categorical)
-    val model = new GBTClassifier()
-      .setMaxIter(10).setMaxDepth(4).setStepSize(0.05).setSeed(42L)
-      .fit(train.cache())
-    model.transform(valid)
+    val (_, valid) = gbtData(s, dir, categorical)
+    gbtModel(s, dir, categorical).transform(valid)
       .withColumn("p",
         element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
       .cache()
@@ -1226,8 +1241,85 @@ object MlCatalog {
     },
     oracle = None)
 
+  /** PERMUTATION FEATURE IMPORTANCE for the m05 GBT (Breiman 2001's
+    * OOB importance, in the model-agnostic validation-set form Fisher/
+    * Rudin/Dominici 2019 standardized): re-score the SAME fitted model
+    * on the validation set with ONE feature's column permuted across
+    * rows — the AUC drop is that feature's importance, measured on the
+    * model as deployed (unlike impurity importances, which live inside
+    * the trees and inflate high-cardinality features). The permutation
+    * is DETERMINISTIC and scale-correct: rows hash-repartition on a
+    * salted integer mixer of a layout-stable row id, and each
+    * partition applies a cyclic shift in (mixer, id) order (lead(1)
+    * with the partition head wrapped around via a min-struct rollup —
+    * no global-sort window anywhere; a per-partition cyclic shift is a
+    * label-independent permutation, which is all PFI requires). Each
+    * feature gets its own salt so the six permutations are
+    * independent. Emits per feature: base AUC, permuted AUC, drop.
+    * Rows-only m* class; MlSpec pins base-AUC equality with m05, the
+    * permutation's multiset preservation, and determinism.
+    *
+    * Scale: the model is broadcast state; each of the 6 passes is one
+    * hash exchange of the validation rows + map-only scoring + the
+    * AUC rollup — no training anywhere (the fitted model is
+    * session-memoized via [[gbtModel]]).
+    */
+  val m22PermutationImportance: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      scopedCaches(s) {
+        val (_, valid0) = gbtData(s, dir, categorical = true)
+        val valid = valid0
+          .withColumn("k", monotonically_increasing_id())
+          .withColumn("fa", vector_to_array(col("features")))
+          .cache()
+        val model = gbtModel(s, dir, categorical = true)
+        val eval = new BinaryClassificationEvaluator()
+          .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
+        def mix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val x1 = (c * lit(2654435761L)) % lit(2147483647L)
+          val x2 = x1.bitwiseXOR(shiftright(x1, 15))
+          val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
+          x3.bitwiseXOR(shiftright(x3, 13))
+        }
+        val base = eval.evaluate(model.transform(valid))
+        val featNames = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax", "l_linenumber", "brand_idx")
+        val p = s.sparkContext.defaultParallelism
+        val rows = featNames.zipWithIndex.map { case (name, i) =>
+          val salted = valid
+            .withColumn("h", mix(col("k") + lit(1000003L * (i + 1))))
+            .repartition(p, col("h"))
+            .withColumn("pid", spark_partition_id())
+            .withColumn("fv", element_at(col("fa"), i + 1))
+            .localCheckpoint(true) // pid feeds the head rollup AND lead
+          val w = Window.partitionBy(col("pid"))
+            .orderBy(col("h"), col("k"))
+          // cyclic shift: every row takes its successor's value, the
+          // partition-last row takes the partition head's
+          val heads = salted.groupBy(col("pid"))
+            .agg(min(struct(col("h"), col("k"), col("fv"))).as("m"))
+            .select(col("pid"), col("m.fv").as("head_fv"))
+          val permuted = salted
+            .withColumn("nf", lead(col("fv"), 1).over(w))
+            .join(broadcast(heads), "pid")
+            .withColumn("pf", coalesce(col("nf"), col("head_fv")))
+            .withColumn("features", array_to_vector(expr(
+              s"transform(fa, (x, j) -> CASE WHEN j = $i THEN pf ELSE x END)")))
+            .select(col("label"), col("features"))
+          (name, base, eval.evaluate(model.transform(permuted)))
+        }
+        rows.toDF("feature", "base_auc", "perm_auc")
+          .withColumn("auc_drop", col("base_auc") - col("perm_auc"))
+          .orderBy(col("feature"))
+      }
+    },
+    oracle = None)
+
   val all: Map[String, QuerySpec] = Map(
     "m21_jl_projection" -> m21JlProjection,
+    "m22_permutation_importance" -> m22PermutationImportance,
     "m01_als_user_factors" -> m01AlsUserFactors,
     "m02_als_recommendations" -> m02AlsRecommendations,
     "m03_als_eval" -> m03AlsEval,
@@ -1254,5 +1346,6 @@ object MlCatalog {
   def clearCaches(s: SparkSession): Unit = {
     alsCache.keys.filter(_._1 eq s).foreach(alsCache.remove)
     gbtScoredCache.keys.filter(_._1 eq s).foreach(gbtScoredCache.remove)
+    gbtModelCache.keys.filter(_._1 eq s).foreach(gbtModelCache.remove)
   }
 }

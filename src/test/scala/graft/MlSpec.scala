@@ -138,6 +138,30 @@ class MlSpec extends SparkSpec {
       "lgbm_dropout" -> "20240101_000023"))
   }
 
+  test("m22 permutation importance: base AUC matches m05, drops bounded, deterministic") {
+    val rows = MlCatalog.all("m22_permutation_importance").fn(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).sorted === Array("brand_idx", "l_discount",
+      "l_extendedprice", "l_linenumber", "l_quantity", "l_tax"))
+    // base AUC is the SAME fitted model m05 evaluates
+    val (m05Auc, _, _) = MlCatalog.gbtMetrics(spark, sf0001, categorical = true)
+    rows.foreach { case (f, base, perm, drop) =>
+      assert(math.abs(base - m05Auc) < 1e-9,
+        s"$f base $base != m05 AUC $m05Auc")
+      assert(perm > 0.0 && perm < 1.0, s"$f perm AUC $perm out of range")
+      assert(math.abs(drop - (base - perm)) < 1e-12)
+      // permuting one feature of a weak-signal model cannot move AUC
+      // beyond the signal itself — a loose sanity band, not a claim
+      assert(math.abs(drop) < 0.25, s"$f drop $drop implausible")
+    }
+    // refit-free determinism: the permutation is mixer-driven
+    val again = MlCatalog.all("m22_permutation_importance").fn(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(again.toSeq === rows.map(r => (r._1, r._3)).toSeq,
+      "permuted AUCs changed across re-runs")
+  }
+
   test("m03/m05 leave no persisted RDDs behind (scoped caches, VERDICT r3 #7)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
