@@ -246,7 +246,10 @@ object ScaleSweep {
       // r10: matrix profile — calendar-bounded windows² pair stage;
       // only the daily rollup is fact-sized, so cost should be ~flat
       // past the scan; a clean ANSI run checks the DECIMAL(38,0) chain
-      "q304_matrix_profile"),
+      "q304_matrix_profile",
+      // r10: Mann-Kendall — same calendar-bounded pair-census class,
+      // integers BIGINT forever (N^3 ~ 1.4e10 at any SF)
+      "q310_mann_kendall"),
     // r9: randomization inference — 48 conditional aggregates in ONE
     // map-side-combined pass; |T| = m2*S1 - m1*S2 nears 2^63 around
     // sf100, so a clean ANSI run doubles as the headroom check

@@ -10709,6 +10709,82 @@ object Catalog {
              CAST(z.z2_den AS VARCHAR) AS z2_den
       FROM cat, z ORDER BY cat.ord"""))
 
+  /** MANN–KENDALL TREND TEST (Mann 1945; Kendall's S over time) — the
+    * significance HALF of the robust-trend pairing whose estimate half
+    * is q163's Theil–Sen slope (the two are partners in every
+    * environmental/ops monitoring stack: Sen answers "how steep",
+    * Mann–Kendall answers "is it real"): S = Σ_{i<j} sgn(rⱼ − rᵢ)
+    * over the daily revenue series, with the EXACT tie-corrected null
+    * variance Var(S) = [N(N−1)(2N+5) − Σₚ tₚ(tₚ−1)(2tₚ+5)]/18 and the
+    * continuity-corrected z² as exact rationals — z² = 18(|S|−1)² /
+    * var_num (q49/q60: no square root or float ever forms; the
+    * caller compares against χ²₁ quantiles). Distinct from q276,
+    * which computes Kendall's τ-b BETWEEN two cross-sectional
+    * rankings; here one series is TIME itself, which is what turns
+    * the pair census into a trend test.
+    *
+    * Scale: the day domain is CALENDAR-BOUNDED (the q256/q304 class),
+    * so the i<j pair census is a constant ~2.8M-pair stage at ANY SF
+    * and every integer fits BIGINT forever (N³ ≈ 1.4·10¹⁰); the only
+    * fact-sized work is the one map-side-combined daily rollup.
+    */
+  val q310MannKendall: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("r"))
+      // barrier AFTER the window (the q304 shape): a pre-window
+      // checkpoint truncates the Aggregate lineage the ExplainSpec
+      // boundedness walker proves the partitionless window safe by
+      val idx = daily.select(
+        row_number().over(Window.orderBy(col("d"))).cast("long").as("t"),
+        col("r"))
+        .localCheckpoint(true) // feeds both crossJoin sides
+      val x = idx.select(col("t").as("ti"), col("r").as("ri"))
+      val y = idx.select(col("t").as("tj"), col("r").as("rj"))
+      val sStat = x.crossJoin(y).filter(col("tj") > col("ti")) // bounded²
+        .agg(sum(when(col("rj") > col("ri"), 1L)
+          .when(col("rj") < col("ri"), -1L).otherwise(0L)).as("s_stat"))
+      val ties = daily.groupBy(col("r")).agg(count(lit(1)).as("tp"))
+        .agg(coalesce(sum(col("tp") * (col("tp") - 1L) *
+          (lit(2L) * col("tp") + 5L)), lit(0L)).as("tie_term"))
+      val n = daily.agg(count(lit(1)).as("n_days"))
+      n.crossJoin(broadcast(sStat)).crossJoin(broadcast(ties))
+        .select(col("n_days"), col("s_stat"),
+          (col("n_days") * (col("n_days") - 1L) *
+            (lit(2L) * col("n_days") + 5L) - col("tie_term")).as("var_num"),
+          lit(18L).as("var_den"))
+        .select(col("n_days"), col("s_stat"), col("var_num"), col("var_den"),
+          (lit(18L) * (abs(col("s_stat")) - 1L) * (abs(col("s_stat")) - 1L))
+            .as("z2_num"),
+          col("var_num").as("z2_den"))
+    },
+    oracle = Some("""
+      WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS r
+        FROM orders GROUP BY 1),
+      idx AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, r
+              FROM daily),
+      s AS (SELECT CAST(sum(CASE WHEN y.r > x.r THEN 1
+                                 WHEN y.r < x.r THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+            FROM idx x JOIN idx y ON y.t > x.t),
+      ties AS (SELECT CAST(coalesce(sum(tp * (tp - 1) * (2 * tp + 5)), 0)
+                 AS BIGINT) AS tie_term
+               FROM (SELECT count(*) AS tp FROM daily GROUP BY r)),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+      SELECT n.n_days, s.s_stat,
+             CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                  - ties.tie_term AS BIGINT) AS var_num,
+             CAST(18 AS BIGINT) AS var_den,
+             CAST(18 * (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1) AS BIGINT)
+               AS z2_num,
+             CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                  - ties.tie_term AS BIGINT) AS z2_den
+      FROM n, s, ties"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -10913,6 +10989,7 @@ object Catalog {
     "q303_count_sketch" -> q303CountSketch,
     "q304_matrix_profile" -> q304MatrixProfile,
     "q309_cochran_armitage" -> q309CochranArmitage,
+    "q310_mann_kendall" -> q310MannKendall,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
