@@ -155,7 +155,10 @@ object ScaleSweep {
       // r10: McNemar — two per-row classifier maps + a 6-row rollup
       "q308_mcnemar"),
     "decode" -> Seq("q138_pixel_stats", "q247_container_decode", "q248_flac_decode",
-      "q253_mp4_decode"),
+      "q253_mp4_decode",
+      // r10: aHash — map-only decode+hash, banded self-join on 16-bit
+      // hash bands (Σbucket² bounded, the q36 shape)
+      "q311_perceptual_hash_dedup"),
     // decision-support classics (added r7): replicated facts with
     // copied-through dims — the broadcast-dim / single-fact-shuffle
     // claims should track the fact volume ~linearly

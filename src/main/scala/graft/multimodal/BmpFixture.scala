@@ -25,8 +25,35 @@ object BmpFixture {
   def value(docId: Long, frame: Int, p: Int, c: Int): Int =
     ((docId * 7 + frame.toLong * 131 + p.toLong * 3 + c) % 256).toInt
 
+  /** Near-duplicate pixel family for PERCEPTUAL hashing (q311): four
+    * consecutive doc ids share the base image (base = docId div 4,
+    * same formula pixels) and each perturbs exactly ONE pixel — the
+    * pixel at index docId mod 64 — by +96 mod 256 on every channel.
+    * Same closed form on both engines, so the oracle replays pixels,
+    * grayscales, means, hash bits and hamming distances exactly.
+    */
+  def nearDupValue(docId: Long, p: Int, c: Int): Int = {
+    // the base*p cross term gives every base a DIFFERENT gradient
+    // slope: aHash is (by design) invariant to uniform brightness
+    // shifts, so a base-only additive term would make all bases
+    // near-identical to the hash — measured 20k cross-group pairs on
+    // the first cut; the structural term collapses that to the
+    // planted groups
+    val base = docId / 4
+    val v = ((base * 7 + p.toLong * p * 3 + base * p * 11 + c) % 256).toInt
+    if (p == (docId % 64).toInt) ((v + 96) % 256) else v
+  }
+
+  /** One 8×8 single-frame near-dup-family BMP (the q311 fixture). */
+  def nearDupBmp(docId: Long): Array[Byte] =
+    assemble(8, 8)((p, c) => nearDupValue(docId, p, c))
+
   /** One complete 24-bit bottom-up BMP of w×h formula pixels. */
-  def bmp(docId: Long, frame: Int, w: Int, h: Int): Array[Byte] = {
+  def bmp(docId: Long, frame: Int, w: Int, h: Int): Array[Byte] =
+    assemble(w, h)((p, c) => value(docId, frame, p, c))
+
+  /** Shared 24-bit bottom-up BMP assembly over any (p, c) → value. */
+  private def assemble(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0, s"degenerate geometry ${w}x$h")
     val rowBytes = (3 * w + 3) & ~3 // rows pad to 4-byte alignment
     val size = 54 + rowBytes * h
@@ -46,9 +73,9 @@ object BmpFixture {
       var x = 0
       while (x < w) {
         val p = y * w + x
-        u8(value(docId, frame, p, 2)) // BMP stores B,G,R
-        u8(value(docId, frame, p, 1))
-        u8(value(docId, frame, p, 0))
+        u8(px(p, 2)) // BMP stores B,G,R
+        u8(px(p, 1))
+        u8(px(p, 0))
         x += 1
       }
       fy += 1

@@ -2270,6 +2270,104 @@ object PipelineCatalog {
       })
   }
 
+  /** PERCEPTUAL IMAGE DEDUP via AVERAGE HASH (the aHash member of the
+    * pHash family — the standard cheap perceptual fingerprint every
+    * image-dedup pipeline runs before pixel-exact verification; q37's
+    * SimHash is its TEXT sibling, this is the decoded-PIXEL one): a
+    * REAL `javax.imageio` decode ([[graft.multimodal.PerceptualHash]])
+    * grayscales each 8×8 image, thresholds every cell against the
+    * integer mean (g > Σg div 64), and ships the 64 bits as two
+    * non-negative 32-bit halves; candidates come from a 4×16-bit
+    * banded self-join (pigeonhole: hamming ≤ 3 can never miss a band;
+    * 4–8 is probabilistic and BOTH engines replay the identical
+    * candidate rule, so the compare stays exact) and survivors verify
+    * with exact hamming = bit_count(hi⊕hi′) + bit_count(lo⊕lo′) ≤ 8.
+    * The fixture plants truth: docs sharing doc_id div 4 render the
+    * SAME image except ONE +96-perturbed pixel each
+    * ([[graft.multimodal.BmpFixture.nearDupValue]]), so intra-group
+    * hamming is small and cross-group hashes are far — the oracle
+    * recomputes pixels, grayscales, means, bits and distances from
+    * the closed form, fully independent of the JDK codec (the q138
+    * assembly-vs-decode independence, extended to POSITIONAL bits:
+    * a row-mirror or channel swap that permutation-invariant pixel
+    * SUMS cannot catch breaks these hashes immediately).
+    *
+    * Scale: hashing is map-only per image (at 100 TB a resample
+    * kernel prepends — deliberately OUTSIDE the cross-engine
+    * contract); the band join is bounded by Σ|band-bucket|², the q36
+    * shape, never n²; verification touches candidates only.
+    */
+  val q311PerceptualHashDedup: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import s.implicits._
+      val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .map { id =>
+          val (hi, lo) = graft.multimodal.PerceptualHash.aHash8x8(
+            graft.multimodal.BmpFixture.nearDupBmp(id))
+          (id, hi, lo)
+        }.toDF("doc_id", "hi", "lo")
+        .localCheckpoint(true) // feeds both sides of the band join
+      val bands = hashes.select(col("doc_id"), col("hi"), col("lo"),
+        posexplode(expr(
+          "array(lo % 65536, lo div 65536, hi % 65536, hi div 65536)"))
+          .as(Seq("band_idx", "band_val")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("a.hi").as("hi1"),
+          col("a.lo").as("lo1"), col("b.doc_id").as("d2"),
+          col("b.hi").as("hi2"), col("b.lo").as("lo2"))
+        .distinct()
+      cand.select(col("d1"), col("d2"),
+          (expr("bit_count(hi1 ^ hi2)") + expr("bit_count(lo1 ^ lo2)"))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 8L)
+        .orderBy(col("d1"), col("d2"))
+    },
+    oracle = Some("""
+      WITH px AS (
+        SELECT doc_id, p,
+               CASE WHEN p = doc_id % 64
+                    THEN (((doc_id // 4) * 7 + p * p * 3 + (doc_id // 4) * p * 11 + 0) % 256 + 96) % 256
+                    ELSE ((doc_id // 4) * 7 + p * p * 3 + (doc_id // 4) * p * 11 + 0) % 256 END AS r,
+               CASE WHEN p = doc_id % 64
+                    THEN (((doc_id // 4) * 7 + p * p * 3 + (doc_id // 4) * p * 11 + 1) % 256 + 96) % 256
+                    ELSE ((doc_id // 4) * 7 + p * p * 3 + (doc_id // 4) * p * 11 + 1) % 256 END AS gg,
+               CASE WHEN p = doc_id % 64
+                    THEN (((doc_id // 4) * 7 + p * p * 3 + (doc_id // 4) * p * 11 + 2) % 256 + 96) % 256
+                    ELSE ((doc_id // 4) * 7 + p * p * 3 + (doc_id // 4) * p * 11 + 2) % 256 END AS b
+        FROM documents, (SELECT unnest(range(0, 64)) AS p)),
+      lum AS (SELECT doc_id, p, (r + gg + b) // 3 AS l FROM px),
+      m AS (SELECT doc_id, sum(l) // 64 AS mv FROM lum GROUP BY 1),
+      bits AS (SELECT lum.doc_id, p,
+                      CASE WHEN l > mv THEN 1 ELSE 0 END AS bit
+               FROM lum JOIN m ON m.doc_id = lum.doc_id),
+      h AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN p >= 32 AND bit = 1
+                                 THEN CAST(power(2, p - 32) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS hi,
+                   CAST(sum(CASE WHEN p < 32 AND bit = 1
+                                 THEN CAST(power(2, p) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS lo
+            FROM bits GROUP BY 1),
+      bands AS (SELECT doc_id, hi, lo, i,
+                       CASE i WHEN 0 THEN lo % 65536
+                              WHEN 1 THEN lo // 65536
+                              WHEN 2 THEN hi % 65536
+                              ELSE hi // 65536 END AS bv
+                FROM h, (SELECT unnest([0, 1, 2, 3]) AS i)),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, a.hi AS hi1, a.lo AS lo1,
+                      b.doc_id AS d2, b.hi AS hi2, b.lo AS lo2
+               FROM bands a JOIN bands b
+                 ON a.i = b.i AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT d1, d2,
+             CAST(bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2))
+               AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(hi1, hi2)) + bit_count(xor(lo1, lo2)) <= 8
+      ORDER BY d1, d2"""))
+
   /** McNEMAR'S PAIRED TEST (McNemar 1947; Dietterich 1998 made it the
     * standard two-classifier comparison) — "is classifier B actually
     * better than A, or did they just err on different documents?":
@@ -6873,6 +6971,7 @@ object PipelineCatalog {
     "q306_aho_corasick" -> q306AhoCorasick,
     "q307_sorted_neighborhood" -> q307SortedNeighborhood,
     "q308_mcnemar" -> q308McNemar,
+    "q311_perceptual_hash_dedup" -> q311PerceptualHashDedup,
     "q268_readability_stats" -> q268ReadabilityStats,
   )
 
