@@ -10733,13 +10733,14 @@ object Catalog {
       val daily = Tables.orders(s, dir)
         .groupBy(col("o_orderdate").as("d"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("r"))
-      // barrier AFTER the window (the q304 shape): a pre-window
-      // checkpoint truncates the Aggregate lineage the ExplainSpec
-      // boundedness walker proves the partitionless window safe by
+      // partitionless row_number over the calendar-bounded daily rollup
+      // (ExplainSpec.windowAllowlist entry; the round-11 listener
+      // capture lints this pre-barrier plan too); the eager barrier
+      // exists because the result feeds both crossJoin sides
       val idx = daily.select(
         row_number().over(Window.orderBy(col("d"))).cast("long").as("t"),
         col("r"))
-        .localCheckpoint(true) // feeds both crossJoin sides
+        .localCheckpoint(true)
       val x = idx.select(col("t").as("ti"), col("r").as("ri"))
       val y = idx.select(col("t").as("tj"), col("r").as("rj"))
       val sStat = x.crossJoin(y).filter(col("tj") > col("ti")) // bounded²
@@ -10755,7 +10756,13 @@ object Catalog {
             (lit(2L) * col("n_days") + 5L) - col("tie_term")).as("var_num"),
           lit(18L).as("var_den"))
         .select(col("n_days"), col("s_stat"), col("var_num"), col("var_den"),
-          (lit(18L) * (abs(col("s_stat")) - 1L) * (abs(col("s_stat")) - 1L))
+          // Mann–Kendall defines z = 0 at S = 0: the continuity
+          // correction |S|−1 applies only to nonzero S (round-11
+          // ADVICE fix — 18·(|S|−1)² would report z²=18 for a
+          // perfectly trendless series).
+          when(col("s_stat") === 0L, lit(0L))
+            .otherwise(lit(18L) *
+              (abs(col("s_stat")) - 1L) * (abs(col("s_stat")) - 1L))
             .as("z2_num"),
           col("var_num").as("z2_den"))
     },
@@ -10779,8 +10786,9 @@ object Catalog {
              CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
                   - ties.tie_term AS BIGINT) AS var_num,
              CAST(18 AS BIGINT) AS var_den,
-             CAST(18 * (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1) AS BIGINT)
-               AS z2_num,
+             CAST(CASE WHEN s.s_stat = 0 THEN 0
+                       ELSE 18 * (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1)
+                  END AS BIGINT) AS z2_num,
              CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
                   - ties.tie_term AS BIGINT) AS z2_den
       FROM n, s, ties"""))

@@ -2107,28 +2107,35 @@ object PipelineCatalog {
 
   /** Shared oracle CTE text: freq → w0 → (p_r, g_r, w_r) for r = 1..5,
     * the DuckDB replay of [[bpeLearn]]; consumers prepend `WITH ` and
-    * append their own final SELECT. Each w_r references w_{r-1} ONCE,
-    * so the chain is safe un-materialized (the q85/q269 CTE rule).
+    * append their own final SELECT. The chain is MULTI-reference —
+    * p_r scans w_{r-1} in addition to w_r, w_r reads g_r twice via
+    * scalar subqueries, and q301 adds a second consumer of w5 — so
+    * the q269 invariant applies: every round CTE is AS MATERIALIZED,
+    * or DuckDB's plain-CTE inlining re-expands 2^rounds copies of the
+    * base rollup. (Each materialized table is vocab-sized, so the
+    * materialization itself is ~free.)
     */
   private val bpeRoundsSql: String = {
     val rounds = (1 to 5).map { r =>
-      s"""p$r AS (SELECT t.w[i] || ' ' || t.w[i+1] AS pair,
+      s"""p$r AS MATERIALIZED (SELECT t.w[i] || ' ' || t.w[i+1] AS pair,
                      CAST(sum(t.freq) AS BIGINT) AS cnt
               FROM (SELECT freq, string_split(seq, ' ') AS w,
                            unnest(range(1, len(string_split(seq, ' ')))) AS i
                     FROM w${r - 1}) t
               GROUP BY 1),
-      g$r AS (SELECT pair, cnt, replace(pair, '| |', '') AS merged
+      g$r AS MATERIALIZED (SELECT pair, cnt,
+                     replace(pair, '| |', '') AS merged
               FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-      w$r AS (SELECT word, freq,
+      w$r AS MATERIALIZED (SELECT word, freq,
                      replace(seq, (SELECT pair FROM g$r),
                              (SELECT merged FROM g$r)) AS seq
               FROM w${r - 1})"""
     }.mkString(",\n      ")
-    s"""freq AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    s"""freq AS MATERIALIZED (
+           SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
              SELECT unnest(string_split(text, ' ')) AS word FROM documents)
            WHERE length(word) > 0 GROUP BY 1),
-      w0 AS (SELECT word, freq,
+      w0 AS MATERIALIZED (SELECT word, freq,
                     array_to_string(list_transform(
                       string_split_regex(word, ''), c -> '|' || c || '|'),
                       ' ') AS seq

@@ -88,6 +88,15 @@ class ManifestTable extends TableProvider with DataSourceRegister {
       new CaseInsensitiveStringMap(properties))
 }
 
+/** Raised when a manifest publish loses the put-if-absent race — the
+  * lakehouse log-store conflict (Iceberg `CommitFailedException`,
+  * Delta `ConcurrentModificationException`). Append committers catch
+  * it and retry against the re-read snapshot; rewrite committers
+  * (delete / compact) let it surface because their inputs are stale.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 object ManifestTable {
 
   private def pathOf(o: CaseInsensitiveStringMap): String = {
@@ -376,12 +385,28 @@ object ManifestTable {
         FileEntry(s"data/${sf.name}",
           sf.stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap, sf.rows)
       }
-      val prev = readManifest(dir, None)
-      val files = if (truncate) moved.toSeq
-        else prev.map(_.files).getOrElse(Nil) ++ moved
-      val v = prev.map(_.version + 1).getOrElse(1L)
-      publish(dir, v, schema.toDDL, files, queryId,
-        prev.map(_.txns).getOrElse(Map.empty))
+      // Optimistic concurrency: read-check-publish against put-if-absent.
+      // Losing the publish race means another committer created our
+      // target version — re-read and re-derive (Delta-style reconcile:
+      // an append composes with any winner; an overwrite still wins the
+      // snapshot, the loser's files stay time-travelable).
+      var attempt = 0
+      var committed = false
+      while (!committed) {
+        val prev = readManifest(dir, None)
+        val files = if (truncate) moved.toSeq
+          else prev.map(_.files).getOrElse(Nil) ++ moved
+        val v = prev.map(_.version + 1).getOrElse(1L)
+        try {
+          publish(dir, v, schema.toDDL, files, queryId,
+            prev.map(_.txns).getOrElse(Map.empty))
+          committed = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > 50) throw e
+        }
+      }
       cleanupStaging()
     }
 
@@ -423,27 +448,46 @@ object ManifestTable {
 
     override def commit(epochId: Long,
         messages: Array[WriterCommitMessage]): Unit = {
-      val prev = readManifest(dir, None)
-      val last = prev.flatMap(_.txns.get(writerId)).getOrElse(Long.MinValue)
-      if (epochId <= last) { cleanupStaging(); return } // replayed: no-op
-      val staged = messages.collect {
-        case sf: StagedFile if sf.name.nonEmpty => sf }
-      new File(dir, "data").mkdirs()
-      val moved = staged.map { sf =>
-        val from = Paths.get(dir, "_staging", tag, sf.name)
-        val to = Paths.get(dir, "data", sf.name)
-        require(!Files.exists(to),
-          s"graft-manifest: commit would overwrite committed data file $to")
-        Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
-        FileEntry(s"data/${sf.name}",
-          sf.stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap, sf.rows)
+      // Optimistic loop over the put-if-absent publish: the txn
+      // high-water re-check happens against EVERY re-read, so if a
+      // racing instance of the same writer (zombie vs restarted
+      // driver) wins the CAS with this epoch, this attempt degrades
+      // to the replay no-op and its moved files become GC-able
+      // orphans — a committed epoch can never be clobbered or doubled.
+      var movedOpt: Option[Seq[FileEntry]] = None
+      var attempt = 0
+      while (true) {
+        val prev = readManifest(dir, None)
+        val last = prev.flatMap(_.txns.get(writerId)).getOrElse(Long.MinValue)
+        if (epochId <= last) { cleanupStaging(); return } // replayed: no-op
+        val moved = movedOpt.getOrElse {
+          val staged = messages.collect {
+            case sf: StagedFile if sf.name.nonEmpty => sf }
+          new File(dir, "data").mkdirs()
+          staged.toSeq.map { sf =>
+            val from = Paths.get(dir, "_staging", tag, sf.name)
+            val to = Paths.get(dir, "data", sf.name)
+            require(!Files.exists(to),
+              s"graft-manifest: commit would overwrite committed data file $to")
+            Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+            FileEntry(s"data/${sf.name}",
+              sf.stats.map { case (c, mn, mx) => c -> (mn, mx) }.toMap, sf.rows)
+          }
+        }
+        movedOpt = Some(moved)
+        val files = if (truncate) moved
+          else prev.map(_.files).getOrElse(Nil) ++ moved
+        val v = prev.map(_.version + 1).getOrElse(1L)
+        try {
+          publish(dir, v, schema.toDDL, files, s"$tag-e$epochId",
+            prev.map(_.txns).getOrElse(Map.empty) + (writerId -> epochId))
+          cleanupStaging(); return
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > 50) throw e
+        }
       }
-      val files = if (truncate) moved.toSeq
-        else prev.map(_.files).getOrElse(Nil) ++ moved
-      val v = prev.map(_.version + 1).getOrElse(1L)
-      publish(dir, v, schema.toDDL, files, s"$tag-e$epochId",
-        prev.map(_.txns).getOrElse(Map.empty) + (writerId -> epochId))
-      cleanupStaging()
     }
 
     override def abort(epochId: Long,
@@ -783,9 +827,20 @@ object ManifestTable {
   }
 
   /** The single atomic commit point shared by write, delete and
-    * compaction: temp manifest + rename.
+    * compaction: temp manifest + PUT-IF-ABSENT link. `Files.createLink`
+    * is link(2), which fails with EEXIST when manifest-v already
+    * exists — the compare-and-swap every Delta/Iceberg log store must
+    * provide. A plain rename(2) (ATOMIC_MOVE) silently REPLACES, so a
+    * zombie driver racing a restarted one, or a batch append racing a
+    * streaming epoch, could both read version v and publish v+1 with
+    * the loser clobbering the winner's committed snapshot (round-11
+    * ADVICE fix). On conflict the committer gets
+    * [[ConcurrentCommitException]]: append paths re-read and retry
+    * against the new snapshot; rewrite paths (delete/compact) surface
+    * it, because their rewrite premise is stale. At 100 TB the same
+    * contract is delegated to the object store's conditional put.
     */
-  private def publish(dir: String, v: Long, schemaDdl: String,
+  private[graft] def publish(dir: String, v: Long, schemaDdl: String,
       files: Seq[FileEntry], tag: String,
       txns: Map[String, Long] = Map.empty): Unit = {
     val body = (Seq(s"version=$v", s"schema=$schemaDdl") ++
@@ -793,7 +848,15 @@ object ManifestTable {
       files.map(f => s"file=${encodeEntry(f)}")).mkString("", "\n", "\n")
     val tmp = Paths.get(dir, s".manifest-$v.$tag.tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestFile(dir, v).toPath, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(manifestFile(dir, v).toPath, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(
+          s"graft-manifest: manifest-$v already committed under $dir " +
+            s"(lost the publish race; tag=$tag)")
+    }
+    Files.deleteIfExists(tmp)
   }
 
   // ---- read path -----------------------------------------------------

@@ -18,7 +18,15 @@ final case class DgimReadout(key: String, ts: Timestamp, seq: Long,
   */
 final case class DgimBucket(ts: Long, size: Long)
 
-final case class DgimState(buckets: List[DgimBucket])
+/** `hwm` = the key's high-water event instant (epoch ms), carried in
+  * state so "now" is MONOTONE across batches: a batch whose events all
+  * lag a previous batch's max must expire/estimate against the same
+  * advanced clock [[DgimStream.replay]] uses, not a batch-local reset
+  * (round-11 ADVICE fix — the old batch-local `var maxTs = 0L`
+  * regressed `now` on all-straggler batches and counted newer
+  * in-state buckets fully).
+  */
+final case class DgimState(buckets: List[DgimBucket], hwm: Long)
 
 /** DGIM sliding-window counting (Datar, Gionis, Indyk & Motwani 2002)
   * — "how many events did this key produce in the last W?" maintained
@@ -107,7 +115,9 @@ object DgimStream {
             val batch = rows.toVector.sortBy(e => (e.ts.getTime, e.seq))
             val out = Vector.newBuilder[DgimReadout]
             var buckets = state.getOption.map(_.buckets).getOrElse(Nil)
-            var maxTs = 0L
+            // fold FROM the persisted high-water mark, never a
+            // batch-local zero: straggler batches must not regress "now"
+            var maxTs = state.getOption.map(_.hwm).getOrElse(0L)
             batch.foreach { e =>
               val t = e.ts.getTime
               maxTs = math.max(maxTs, t)
@@ -117,8 +127,13 @@ object DgimStream {
                 buckets.length.toLong,
                 if (buckets.isEmpty) 0L else buckets.map(_.size).max)
             }
-            state.update(DgimState(buckets))
-            state.setTimeoutTimestamp(maxTs + retentionMs)
+            state.update(DgimState(buckets, maxTs))
+            // clamp above the watermark: an all-straggler batch can put
+            // maxTs + retention at/below it, and setTimeoutTimestamp
+            // throws on a non-future event-time timeout
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retentionMs,
+                state.getCurrentWatermarkMs() + 1L))
             out.result().iterator
           }
       }

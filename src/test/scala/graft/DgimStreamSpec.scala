@@ -105,4 +105,58 @@ class DgimStreamSpec extends SparkSpec {
       assert(got === expected)
     } finally q.stop()
   }
+
+  /** Sequential fold with the PERSISTED high-water mark semantics the
+    * stream implements: per-key hwm is monotone ACROSS batches (never
+    * reset batch-locally), so an all-straggler batch expires and
+    * estimates against the advanced clock, exactly like stragglers
+    * meeting newer state within a batch.
+    */
+  private def foldBatches(batches: Seq[Seq[MetricEvent]])
+      : Seq[(String, Long, Long, Long, Long)] = {
+    val st = scala.collection.mutable.Map
+      .empty[String, List[DgimBucket]].withDefaultValue(Nil)
+    val hwm = scala.collection.mutable.Map
+      .empty[String, Long].withDefaultValue(0L)
+    batches.flatMap { b =>
+      b.sortBy(e => (e.ts.getTime, e.seq)).map { e =>
+        val mx = math.max(hwm(e.key), e.ts.getTime)
+        hwm(e.key) = mx
+        val buckets = DgimStream.insert(st(e.key), e.ts.getTime)
+          .filter(_.ts > mx - windowMs)
+        st(e.key) = buckets
+        (e.key, e.seq, DgimStream.estimate(buckets, mx, windowMs),
+          buckets.length.toLong,
+          if (buckets.isEmpty) 0L else buckets.map(_.size).max)
+      }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("an all-straggler batch folds against the persisted high-water mark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[MetricEvent]
+    val out = DgimStream.readouts(input.toDS(), windowMs,
+      watermark = "10 seconds", retentionMs = 3600 * 1000L)
+    val name = s"dgim_strag_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 = the NEWER half; batch 2 = pure stragglers, every
+      // event behind batch 1's per-key max (round-11 ADVICE case: the
+      // old batch-local `var maxTs = 0L` regressed "now" here)
+      val cut = 2000L
+      val fresh = tape.filter(_.ts.getTime > cut)
+      val stragglers = tape.filter(_.ts.getTime <= cut)
+      assert(fresh.nonEmpty && stragglers.nonEmpty)
+      Seq(fresh, stragglers).foreach { b =>
+        input.addData(b)
+        q.processAllAvailable()
+      }
+      val got = spark.table(name).as[DgimReadout].collect().toSeq
+        .map(r => (r.key, r.seq, r.est, r.n_buckets, r.max_size))
+        .sortBy(r => (r._1, r._2))
+      assert(got === foldBatches(Seq(fresh, stragglers)))
+    } finally q.stop()
+  }
 }

@@ -73,14 +73,46 @@ class ExplainSpec extends SparkSpec {
     // rests on a bounded KEY DOMAIN the plan can't express are
     // allowlisted here WITH the domain that bounds them; anything new
     // fails the suite instead of shipping silently.
+    //
+    // EAGER-BARRIER coverage (round 11): `localCheckpoint(true)` runs
+    // its subtree at CONSTRUCTION time and replaces it with a leaf, so
+    // a window behind an eager barrier never reaches the final
+    // optimizedPlan — the lint used to be blind there (ADVICE r10).
+    // A QueryExecutionListener captures every plan the construction
+    // executes (checkpoint/collect barriers) and lints those too.
     val boundedByDomain: Map[String, String] = ExplainSpec.windowAllowlist
-    val offenders = queries.Catalog.all.toSeq.sortBy(_._1).flatMap {
-      case (name, spec) =>
-        // construction failures are CatalogSmokeSpec's job, not this lint's
-        val opt = scala.util.Try(
-          spec.fn(spark, sf0001).queryExecution.optimizedPlan).toOption
-        opt.filter(Explain.unboundedGlobalWindow).map(_ => name)
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        // optimizedPlan is a memoized lazy val already forced by the
+        // execution itself; Try guards exotic executions only
+        scala.util.Try(captured.add(qe.optimizedPlan))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
     }
+    spark.listenerManager.register(listener)
+    val offenders = try {
+      queries.Catalog.all.toSeq.sortBy(_._1).flatMap {
+        case (name, spec) =>
+          captured.clear()
+          // construction failures are CatalogSmokeSpec's job, not this lint's
+          val opt = scala.util.Try(
+            spec.fn(spark, sf0001).queryExecution.optimizedPlan).toOption
+          org.apache.spark.graft.SparkShims
+            .drainListenerBus(spark.sparkContext)
+          val eager = {
+            import scala.jdk.CollectionConverters._
+            captured.iterator().asScala.toVector
+          }
+          val flagged = opt.exists(Explain.unboundedGlobalWindow) ||
+            eager.exists(Explain.unboundedGlobalWindow)
+          if (flagged) Some(name) else None
+      }
+    } finally spark.listenerManager.unregister(listener)
     val unexplained = offenders.filterNot(boundedByDomain.contains)
     assert(unexplained.isEmpty,
       s"unproven partitionless Window in: ${unexplained.mkString(", ")} — " +
@@ -176,5 +208,15 @@ object ExplainSpec {
     "q277_cramer_von_mises" ->
       "offset prefix-sum over per-partition totals (rangePrefixSums kernel); bounded by the shuffle partition count",
     "q246_watermark_lag" ->
-      "offset prefix-MAX over per-partition high-water marks (accessionLateness kernel, two feeds); bounded by the shuffle partition count")
+      "offset prefix-MAX over per-partition high-water marks (accessionLateness kernel, two feeds); bounded by the shuffle partition count",
+    // the four below execute their windows behind eager localCheckpoint
+    // barriers — visible only to the round-11 listener capture
+    "q265_spearman_ranks" ->
+      "rank windows over the per-part rollup (eager barrier); |parts|-bounded at fixture scale — rangePrefixSums is the documented fact-scale swap",
+    "q304_matrix_profile" ->
+      "row_number + 16-row sliding collect over the daily rollup (eager barrier); day domain calendar-bounded (~2370 rows at any SF)",
+    "q307_sorted_neighborhood" ->
+      "offset prefix-sum over per-partition totals (rangePrefixSums kernel behind the eager barrier); bounded by the shuffle partition count",
+    "q310_mann_kendall" ->
+      "row_number over the daily rollup (eager barrier); day domain calendar-bounded (~2370 rows at any SF)")
 }

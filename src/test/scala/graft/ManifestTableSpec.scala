@@ -552,4 +552,51 @@ class ManifestTableSpec extends SparkSpec {
       s"snapshot count ${m.version} != epochs ${m.txns.values.max + 1}")
     assert(m.txns.size == 1, s"expected one stable writer id, got ${m.txns}")
   }
+
+  test("publish is put-if-absent: losing the race surfaces, never clobbers") {
+    import graft.sources.{ConcurrentCommitException, ManifestTable}
+    val dir = tmpTable()
+    Seq((1L, "committed")).toDF("id", "v").write.format("graft-manifest")
+      .option("path", dir).mode("append").save()
+    val m = ManifestTable.readManifest(dir, None).get
+    // a zombie committer that read version v-1 tries to publish the
+    // SAME version the winner already committed: rename(2) would
+    // silently replace it; the CAS must refuse and keep the winner
+    intercept[ConcurrentCommitException] {
+      ManifestTable.publish(dir, m.version, m.schemaDdl, Nil, "zombie")
+    }
+    val after = ManifestTable.readManifest(dir, None).get
+    assert(after.version === m.version)
+    assert(after.files === m.files, "losing committer clobbered the winner")
+    assert(readBack(dir).collect().map(_.getString(1)).toSeq ===
+      Seq("committed"))
+    // no tmp litter from the refused publish
+    assert(!new File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
+  }
+
+  test("concurrent appends reconcile: every committed row survives") {
+    val dir = tmpTable()
+    Seq((0L, "seed")).toDF("id", "v").write.format("graft-manifest")
+      .option("path", dir).mode("append").save()
+    // two writers race 5 appends each; the optimistic retry must make
+    // every commit land in SOME serialized order (old behavior: a
+    // read-check-publish loser silently erased the winner's snapshot)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try (0 until 5).foreach { i =>
+          Seq((w * 100L + i, s"w$w-$i")).toDF("id", "v")
+            .coalesce(1).write.format("graft-manifest")
+            .option("path", dir).mode("append").save()
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+    val got = readBack(dir).collect().map(_.getString(1)).toSet
+    val want = (for (w <- 0 until 2; i <- 0 until 5) yield s"w$w-$i").toSet + "seed"
+    assert(got === want, "a concurrent commit was lost")
+    // one snapshot per commit: 1 seed + 10 appends
+    assert(graft.sources.ManifestTable.readManifest(dir, None).get.version === 11L)
+  }
 }
