@@ -63,9 +63,20 @@ object Bench {
     ("verified_pairs", "q35_ngram_jaccard_neardup",
       Seq("q35_ngram_jaccard_neardup", "q50_corpus_curation",
         "q62_dedup_components", "q130_canonical_selection",
-        "q135_dedup_yield")),
+        "q135_dedup_yield",
+        // round-11 membership completion (full consumer audit of
+        // ngramNearDupPairs): every truth-kernel reader, headline or not
+        "q139_leakage_free_split", "q234_dedup_token_ledger",
+        "q296_blocking_quality", "q305_fellegi_sunter",
+        "q307_sorted_neighborhood")),
     ("lsh_candidates", "q40_embedding_lsh_ann",
       Seq("q40_embedding_lsh_ann", "q57_embedding_neardup_ann")),
+    // the adaptive multi-probe LSH bucket/candidate kernel
+    // (annBucketCache/annCandCache) — q165 sorts first among consumers,
+    // so it is the payer in any BENCH_ALL run
+    ("ann_buckets", "q165_semantic_decontamination",
+      Seq("q165_semantic_decontamination", "q204_mutual_knn",
+        "q238_matryoshka_audit")),
     ("shingle_rows", "q35_ngram_jaccard_neardup",
       Seq("q35_ngram_jaccard_neardup", "q36_minhash_lsh_neardup",
         "q50_corpus_curation", "q62_dedup_components",
@@ -78,14 +89,29 @@ object Bench {
         // membership gap — it sorted before q35 and silently paid the
         // build the envelope attributed to q35)
         "q149_minhash_estimate_audit", "q296_blocking_quality",
-        "q297_bbit_minwise")),
+        "q297_bbit_minwise",
+        // round-11 membership completion (full consumer audit of
+        // shingleRows/shingleTids/shingleSizes/minhashSigs/simhashPerDoc/
+        // prefixRows/verifyJaccard — all read the persisted shingle rows)
+        "q37_simhash", "q38_simhash_pairs", "q45_fingerprint",
+        "q60_ngram_novelty", "q139_leakage_free_split",
+        "q140_source_overlap", "q172_source_minhash_overlap",
+        "q231_accession_novelty", "q234_dedup_token_ledger",
+        "q260_coverage_selection", "q305_fellegi_sunter",
+        "q307_sorted_neighborhood")),
     ("co_pairs", "q14_part_pairs",
       Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
         "q95_item_similarity", "q111_degree_stats",
         "q137_association_rules",
         // round-10: the iterative graph family reads coEdges/coPairCounts
         "q290_greedy_matching", "q291_butterfly_census",
-        "q294_katz_centrality", "q300_two_sweep_diameter")))
+        "q294_katz_centrality", "q300_two_sweep_diameter",
+        // round-11 membership completion (full consumer audit of
+        // coPairCounts/coEdges)
+        "q127_kcore_decomposition", "q164_label_propagation",
+        "q222_bfs_distances", "q243_clustering_buckets",
+        "q251_sssp_weighted", "q252_modularity",
+        "q258_link_prediction")))
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._

@@ -221,7 +221,10 @@ object ScaleSweep {
       "q274_winnowing_fingerprints",
       // r10: Aho-Corasick — one automaton pass, tracks corpus bytes
       // regardless of dictionary size
-      "q306_aho_corasick"),
+      "q306_aho_corasick",
+      // r11: composed blocklist — broadcast token probe + one automaton
+      // pass; tracks the token explode volume
+      "q312_blocklist_ac"),
     // exact statistics (added late r7): the KS/MW prefix-sum kernel's
     // cost tracks the distinct-value rollup (~linear in facts here);
     // the day-rollup entries (Theil-Sen, TWAP) are calendar-bounded

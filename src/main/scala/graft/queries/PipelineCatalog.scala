@@ -2277,6 +2277,83 @@ object PipelineCatalog {
       })
   }
 
+  /** PRODUCTION BLOCKLIST AUDIT — the composed form q174's scaladoc
+    * promises, executed: the inlined per-pattern literals are swapped
+    * for (a) a BROADCAST TOKEN PROBE — the blocklist's word-level
+    * entries arrive as a table (in production, read from storage) and
+    * word-boundary-safe term hits come from one broadcast hash join
+    * over the exploded token stream (q67's asymmetric-probe shape:
+    * corpus explodes, dictionary broadcasts) — and (b) ONE
+    * Aho–Corasick automaton pass ([[graft.functions.AhoCorasickCounts]],
+    * q306's native codegen expression) counting every phrase of the
+    * dictionary in a single O(chars) scan, where q174's
+    * length−replace form re-reads the text once per phrase. Emits
+    * q174's exact per-doc audit contract — counts per class plus the
+    * keep/drop verdict — so swapping mechanisms changes COST, not the
+    * report shape. Phrase counts are the automaton's all-start-
+    * positions semantics (overlapping included, q306's rule),
+    * replayed positionally by the oracle.
+    *
+    * Scale: both halves are the 10⁵-entry regime. The token probe is
+    * a broadcast join — no corpus shuffle before the per-doc rollup
+    * (map-side combinable); the phrase scan is plan-time automaton
+    * state, map-only, O(chars) per doc REGARDLESS of dictionary size.
+    * Nothing here grows with |blocklist| except the broadcast payload.
+    */
+  val q312BlocklistAc: QuerySpec = {
+    val terms = Seq("slow", "dup", "stale", "skew", "vector", "merge")
+    val phrases = Seq("batch batch", "the fast key", "slow scan",
+      "table table", "scan scan", "value part", "group group", "fast fast")
+    QuerySpec(
+      fn = (s, dir) => {
+        import s.implicits._
+        val bl = broadcast(terms.toDF("tok"))
+        val docs = Tables.documents(s, dir)
+        val termCounts = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .join(bl, "tok")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_t"))
+        val phraseCounts = docs.select(col("doc_id"),
+            graft.functions.AhoCorasick.countsCol(col("text"), phrases).as("c"))
+          .select(col("doc_id"),
+            phrases.indices.map(i => element_at(col("c"), i + 1))
+              .reduce(_ + _).as("n_p"))
+        docs.select(col("doc_id"))
+          .join(termCounts, Seq("doc_id"), "left")
+          .join(phraseCounts, Seq("doc_id"))
+          .select(col("doc_id"),
+            coalesce(col("n_t"), lit(0L)).as("n_blocked_terms"),
+            col("n_p").as("n_blocked_phrases"),
+            when(coalesce(col("n_t"), lit(0L)) + col("n_p") > 0, "drop")
+              .otherwise("keep").as("verdict"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val termList = terms.map(t => s"'$t'").mkString(", ")
+        val phraseSum = phrases.map { p =>
+          val l = p.length
+          s"""len(list_filter(range(1, len(text) - $l + 2),
+                i -> text[CAST(i AS INTEGER):CAST(i + ${l - 1} AS INTEGER)] = '$p'))"""
+        }.mkString(" + ")
+        s"""
+        WITH bl AS (SELECT unnest([$termList]) AS tok),
+        t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_t
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents) w
+              JOIN bl USING (tok) GROUP BY doc_id),
+        p AS (SELECT doc_id, CAST($phraseSum AS BIGINT) AS n_p FROM documents)
+        SELECT d.doc_id,
+               CAST(coalesce(t.n_t, 0) AS BIGINT) AS n_blocked_terms,
+               p.n_p AS n_blocked_phrases,
+               CASE WHEN coalesce(t.n_t, 0) + p.n_p > 0
+                    THEN 'drop' ELSE 'keep' END AS verdict
+        FROM documents d
+        LEFT JOIN t USING (doc_id)
+        JOIN p USING (doc_id)
+        ORDER BY doc_id"""
+      })
+  }
+
   /** PERCEPTUAL IMAGE DEDUP via AVERAGE HASH (the aHash member of the
     * pHash family — the standard cheap perceptual fingerprint every
     * image-dedup pipeline runs before pixel-exact verification; q37's
@@ -2628,7 +2705,8 @@ object PipelineCatalog {
                  (SELECT CAST(count(*) AS BIGINT) FROM cu JOIN t
                     ON t.d1 = cu.d1 AND t.d2 = cu.d2)
           FROM nt)
-        ORDER BY blocker"""))
+        ORDER BY blocker"""),
+      headline = true)
   }
 
   /** FELLEGI–SUNTER record-linkage weights (Fellegi & Sunter 1969 —
@@ -2752,7 +2830,8 @@ object PipelineCatalog {
              CAST(coalesce(u_num, 0) AS BIGINT) AS u_num,
              CAST(coalesce(u_den, 0) AS BIGINT) AS u_den
       FROM m FULL OUTER JOIN u ON m.field = u.field
-      ORDER BY field"""))
+      ORDER BY field"""),
+    headline = true)
 
   /** READABILITY sufficient statistics per source — the word-level
     * integer core of the Flesch / FOG / Coleman–Liau family (Flesch
@@ -4979,7 +5058,9 @@ object PipelineCatalog {
     * before the presentation sort; a 10⁵-entry production blocklist
     * swaps the inlined literals for a broadcast join on tokens (q67's
     * asymmetric probe) + an Aho-Corasick-style codegen scan for
-    * phrases — the per-doc audit contract is unchanged.
+    * phrases — the per-doc audit contract is unchanged. That composed
+    * form is EXECUTED as [[q312BlocklistAc]] (broadcast token probe +
+    * the q306 `graft_ac` automaton), not just promised here.
     */
   val q174BlocklistFilter: QuerySpec = {
     val terms = Seq("slow", "dup")
@@ -6977,6 +7058,7 @@ object PipelineCatalog {
     "q305_fellegi_sunter" -> q305FellegiSunter,
     "q306_aho_corasick" -> q306AhoCorasick,
     "q307_sorted_neighborhood" -> q307SortedNeighborhood,
+    "q312_blocklist_ac" -> q312BlocklistAc,
     "q308_mcnemar" -> q308McNemar,
     "q311_perceptual_hash_dedup" -> q311PerceptualHashDedup,
     "q268_readability_stats" -> q268ReadabilityStats,

@@ -19,7 +19,12 @@ class DeterminismSpec extends SparkSpec {
     "q187_hierarchy_flatten",   // iterative localCheckpoint loop
     "q213_poisson_bootstrap",   // row-local hash weights ⇒ layout-free
     "q216_clamped_balance",     // sequential clamped fold over sort_array
-    "q201_hits_scores")         // iterative broadcast-Pregel rounds
+    "q201_hits_scores",         // iterative broadcast-Pregel rounds
+    // round-11 additions (the partition-count invariance guard exists
+    // for exactly these constructions):
+    "q304_matrix_profile",      // calendar-bounded crossJoin + argmin ranks
+    "q307_sorted_neighborhood", // distributed prefix-sum ranks + grid blocks
+    "q311_perceptual_hash_dedup") // banded candidates + hamming verify
 
   test("representative queries are shuffle-partition invariant") {
     val conf = spark.conf
