@@ -2378,8 +2378,17 @@ object PipelineCatalog {
     *
     * Scale: hashing is map-only per image (at 100 TB a resample
     * kernel prepends — deliberately OUTSIDE the cross-engine
-    * contract); the band join is bounded by Σ|band-bucket|², the q36
-    * shape, never n²; verification touches candidates only.
+    * contract); IDENTICAL fingerprints collapse BEFORE banding (the
+    * textbook dedup-before-LSH move: the band join runs on DISTINCT
+    * (hi, lo) values, exact-duplicate classes expand back through
+    * membership joins afterwards), so Σ|band-bucket|² is bounded by
+    * distinct-hash counts, not document counts — on duplicate-
+    * SATURATED data (the round-11 100× sweep: the synthetic pixel
+    * formula has period 256 in the group id, so 500k docs share ~16k
+    * hashes and the doc-level band join went quadratic at 497 s) the
+    * collapse keeps the join linear while the OUTPUT stays the full
+    * pair audit the oracle replays; verification touches candidate
+    * hash pairs only.
     */
   val q311PerceptualHashDedup: QuerySpec = QuerySpec(
     fn = (s, dir) => {
@@ -2390,24 +2399,43 @@ object PipelineCatalog {
             graft.multimodal.BmpFixture.nearDupBmp(id))
           (id, hi, lo)
         }.toDF("doc_id", "hi", "lo")
+        .localCheckpoint(true) // feeds band join + both expansion joins
+      // collapse identical fingerprints first: band join on distinct
+      // hashes (lex-oriented so each unordered hash pair appears once)
+      val distinctH = hashes.select(col("hi"), col("lo")).distinct()
         .localCheckpoint(true) // feeds both sides of the band join
-      val bands = hashes.select(col("doc_id"), col("hi"), col("lo"),
+      val bands = distinctH.select(col("hi"), col("lo"),
         posexplode(expr(
           "array(lo % 65536, lo div 65536, hi % 65536, hi div 65536)"))
           .as(Seq("band_idx", "band_val")))
-      val cand = bands.as("a").join(bands.as("b"),
+      val hashPairs = bands.as("a").join(bands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("a.hi").as("hi1"),
-          col("a.lo").as("lo1"), col("b.doc_id").as("d2"),
+            (col("a.hi") < col("b.hi") ||
+              (col("a.hi") === col("b.hi") && col("a.lo") < col("b.lo"))))
+        .select(col("a.hi").as("hi1"), col("a.lo").as("lo1"),
           col("b.hi").as("hi2"), col("b.lo").as("lo2"))
         .distinct()
-      cand.select(col("d1"), col("d2"),
+        .withColumn("hamming",
           (expr("bit_count(hi1 ^ hi2)") + expr("bit_count(lo1 ^ lo2)"))
-            .cast("long").as("hamming"))
+            .cast("long"))
         .filter(col("hamming") <= 8L)
-        .orderBy(col("d1"), col("d2"))
+      // expand surviving hash pairs through class membership; hamming
+      // is hash-determined, so the filter above covers every member
+      val cross = hashPairs
+        .join(hashes.select(col("doc_id").as("da"),
+          col("hi").as("hi1"), col("lo").as("lo1")), Seq("hi1", "lo1"))
+        .join(hashes.select(col("doc_id").as("db"),
+          col("hi").as("hi2"), col("lo").as("lo2")), Seq("hi2", "lo2"))
+        .select(least(col("da"), col("db")).as("d1"),
+          greatest(col("da"), col("db")).as("d2"), col("hamming"))
+      // same-fingerprint members are hamming-0 pairs by definition
+      val intra = hashes.as("a").join(hashes.as("b"),
+          col("a.hi") === col("b.hi") && col("a.lo") === col("b.lo") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          lit(0L).as("hamming"))
+      cross.unionByName(intra).orderBy(col("d1"), col("d2"))
     },
     oracle = Some("""
       WITH px AS (
