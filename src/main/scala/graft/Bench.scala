@@ -111,7 +111,7 @@ object Bench {
         "q127_kcore_decomposition", "q164_label_propagation",
         "q222_bfs_distances", "q243_clustering_buckets",
         "q251_sssp_weighted", "q252_modularity",
-        "q258_link_prediction")))
+        "q258_link_prediction", "q313_louvain_move")))
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._

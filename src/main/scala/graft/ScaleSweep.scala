@@ -90,7 +90,10 @@ object ScaleSweep {
       // clean ANSI run is the BIGINT headroom check
       "q294_katz_centrality",
       // r9s2: two-sweep diameter — two 6-round BFS chains + argmax cuts
-      "q300_two_sweep_diameter"),
+      "q300_two_sweep_diameter",
+      // r11: Louvain local-moving round — one gain join over the
+      // weighted co-pair kernel + a src-partitioned argmax window
+      "q313_louvain_move"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),

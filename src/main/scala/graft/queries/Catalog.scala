@@ -2548,7 +2548,7 @@ object Catalog {
     * (gi and gj), and DuckDB inlines plain CTEs, so the
     * double-reference chain would re-expand 2^rounds copies of the
     * base join (observed: 78 GB of temp spill at sf0.1 before the
-    * annotation; see the CLAUDE.md invariant). Emits the
+    * annotation; see the repo invariants doc). Emits the
     * top-20 suppliers by final strength with wins, games, and every
     * round's γ — the convergence trace. BIGINT headroom (q109 rule):
     * nᵢⱼ·10¹² crosses 2^63 at nᵢⱼ ≈ 9.2×10⁶ shared parts per
@@ -3998,7 +3998,7 @@ object Catalog {
   /** Regex extraction surface (F-family): parse the numeric id out of
     * the supplier name with a capture group, fold it per nation next to
     * a sign-split balance count. try_cast keeps the parse ANSI-lenient
-    * (CLAUDE.md contract); the `[0-9]+` / capture-group subset used is
+    * (repo invariants-doc contract); the `[0-9]+` / capture-group subset used is
     * dialect-identical between Java regex and RE2. Scale: per-row
     * regexp in codegen; nation dim broadcast; tiny group-by.
     */
@@ -10793,6 +10793,137 @@ object Catalog {
                   - ties.tie_term AS BIGINT) AS z2_den
       FROM n, s, ties"""))
 
+  /** LOUVAIN LOCAL-MOVING round (Blondel/Guillaume/Lambiotte/Lefebvre
+    * 2008) over the WEIGHTED co-purchase graph — the modularity-
+    * OPTIMIZATION step the community family was missing: q164 grows
+    * communities by neighbor-majority vote and q252 only SCORES a
+    * given partition; Louvain's phase 1 moves each node to the
+    * neighbor community with the largest modularity GAIN. This entry
+    * runs the deterministic PARALLEL-SYNCHRONOUS first sweep from
+    * singletons (every node evaluates its neighbors under PRE-MOVE
+    * labels — the standard distributed variant, since sequential
+    * node-by-node moving doesn't exist at 1000 executors): for
+    * isolated i joining singleton {j} the gain is
+    * ΔQ = w_ij/W − k_i·k_j/(2W²), so scaled by 2W² the decision
+    * statistic is the EXACT INTEGER 2·W·w_ij − k_i·k_j (W = total
+    * edge weight, k = weighted degree); node i adopts argmax_j with
+    * ties to the smallest j, and stays singleton unless the gain is
+    * strictly positive — every engine replays the identical rule.
+    * Emits the q252 report shape over the RESULTING partition
+    * (weighted: w_in/d_sum are weight sums, q_num = 4W·w_in − d_sum²
+    * over q_den = 4W² — never-rounded rationals): top-10 communities
+    * by size plus the −1 global row whose q_num/q_den IS the
+    * partition's modularity.
+    *
+    * Scale: rides the session-cached co-pair kernel; degrees and the
+    * gain join are one pass over the (src)-keyed edge list; the
+    * argmax is a src-partitioned window (never partitionless); the
+    * rollup is community-keyed. BIGINT headroom: k_i·k_j ≤ (2W)²/4
+    * with W ≈ 1.8e8 at the 100× sweep — 3.2e16 ≪ 2⁶³.
+    */
+  val q313LouvainMove: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val co = coPairCounts(s, dir) // (p1 < p2, co) — weighted edges
+      val edges = co.select(col("p1").as("src"), col("p2").as("dst"),
+          col("co").as("w"))
+        .unionByName(co.select(col("p2").as("src"), col("p1").as("dst"),
+          col("co").as("w")))
+      val m = co.agg(sum(col("co")).as("m")) // W
+      val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("k"))
+      val gain = edges
+        .join(deg.select(col("src"), col("k").as("k_src")), "src")
+        .join(deg.select(col("src").as("dst"), col("k").as("k_dst")), "dst")
+        .crossJoin(broadcast(m))
+        .select(col("src"), col("dst"),
+          (lit(2L) * col("m") * col("w") - col("k_src") * col("k_dst"))
+            .as("g"))
+      val labels = gain
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src"))
+            .orderBy(col("g").desc, col("dst"))))
+        .filter(col("rn") === 1)
+        .select(col("src").as("v"),
+          when(col("g") > 0, col("dst")).otherwise(col("src")).as("lbl"))
+        .localCheckpoint(true) // feeds three rollup consumers
+      val dc = deg.select(col("src").as("v"), col("k"))
+        .join(labels, "v")
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("k")).as("d_sum"))
+      val win = co
+        .join(labels.select(col("v").as("p1"), col("lbl").as("c1")), "p1")
+        .join(labels.select(col("v").as("p2"), col("lbl").as("c2")), "p2")
+        .filter(col("c1") === col("c2"))
+        .groupBy(col("c1").as("community")).agg(sum(col("co")).as("w_in"))
+      val comm = dc.join(win, Seq("community"), "left")
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("w_in"), lit(0L)).as("w_in"), col("d_sum"))
+        .crossJoin(broadcast(m))
+        .withColumn("q_num",
+          lit(4L) * col("m") * col("w_in") - col("d_sum") * col("d_sum"))
+        .withColumn("q_den", lit(4L) * col("m") * col("m"))
+        .localCheckpoint(true) // feeds the top-10 cut AND the global sum
+      val top = comm
+        .orderBy(col("n_nodes").desc, col("community")).limit(10)
+        .select(col("community"), col("n_nodes"), col("w_in"),
+          col("d_sum"), col("q_num"), col("q_den"))
+      val glob = comm.groupBy(col("q_den"))
+        .agg(sum(col("n_nodes")).as("n_nodes"), sum(col("w_in")).as("w_in"),
+          sum(col("d_sum")).as("d_sum"), sum(col("q_num")).as("q_num"))
+        .select(lit(-1L).as("community"), col("n_nodes"), col("w_in"),
+          col("d_sum"), col("q_num"), col("q_den"))
+      top.unionByName(glob).orderBy(col("community"))
+    },
+    oracle = Some("""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      co AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM op a JOIN op b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+      edges AS (SELECT p1 AS src, p2 AS dst, w FROM co
+                UNION ALL SELECT p2, p1, w FROM co),
+      mm AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM co),
+      deg AS (SELECT src AS v, CAST(sum(w) AS BIGINT) AS k
+              FROM edges GROUP BY 1),
+      gain AS (SELECT e.src, e.dst,
+                      CAST(2 * mm.m * e.w - da.k * db.k AS BIGINT) AS g
+               FROM edges e JOIN deg da ON da.v = e.src
+                            JOIN deg db ON db.v = e.dst
+               CROSS JOIN mm),
+      best AS (SELECT src, dst, g FROM (
+                 SELECT src, dst, g, row_number() OVER (PARTITION BY src
+                          ORDER BY g DESC, dst) AS rn FROM gain)
+               WHERE rn = 1),
+      lab AS (SELECT src AS v,
+                     CASE WHEN g > 0 THEN dst ELSE src END AS lbl
+              FROM best),
+      dc AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                    CAST(sum(d.k) AS BIGINT) AS d_sum
+             FROM lab l JOIN deg d ON d.v = l.v GROUP BY 1),
+      ein AS (SELECT la.lbl AS community, CAST(sum(c.w) AS BIGINT) AS w_in
+              FROM co c JOIN lab la ON la.v = c.p1
+                        JOIN lab lb ON lb.v = c.p2
+              WHERE la.lbl = lb.lbl GROUP BY 1),
+      comm AS (SELECT d.community, d.n_nodes,
+                      CAST(coalesce(e.w_in, 0) AS BIGINT) AS w_in, d.d_sum,
+                      CAST(4 * mm.m * coalesce(e.w_in, 0)
+                           - d.d_sum * d.d_sum AS BIGINT) AS q_num,
+                      CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+               FROM dc d LEFT JOIN ein e ON e.community = d.community
+               CROSS JOIN mm)
+      SELECT * FROM (
+        SELECT community, n_nodes, w_in, d_sum, q_num, q_den
+        FROM comm ORDER BY n_nodes DESC, community LIMIT 10)
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT) AS community,
+             CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+             CAST(sum(w_in) AS BIGINT) AS w_in,
+             CAST(sum(d_sum) AS BIGINT) AS d_sum,
+             CAST(sum(q_num) AS BIGINT) AS q_num,
+             CAST(max(q_den) AS BIGINT) AS q_den
+      FROM comm
+      ORDER BY community"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -10998,6 +11129,7 @@ object Catalog {
     "q304_matrix_profile" -> q304MatrixProfile,
     "q309_cochran_armitage" -> q309CochranArmitage,
     "q310_mann_kendall" -> q310MannKendall,
+    "q313_louvain_move" -> q313LouvainMove,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all

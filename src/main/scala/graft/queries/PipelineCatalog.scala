@@ -5709,7 +5709,7 @@ object PipelineCatalog {
     * w / Σw, and an integer ppm budget. Float discipline: sqrt is
     * IEEE-exact (the normSql precedent, NOT the transcendental class),
     * the Σw fold runs LEFT-TO-RIGHT over the source-sorted weight list
-    * on BOTH engines (the CLAUDE.md sequential-fold rule — a
+    * on BOTH engines (the repo invariants-doc sequential-fold rule — a
     * partition-order Σ would diverge), and the ppm budget applies
     * floor only — so every float ships raw and bit-equal. Scale: one
     * map-side-combined rollup to |sources| rows (20 here, thousands at

@@ -331,7 +331,7 @@ object ManifestTable {
                 SortDirection.ASCENDING)
               // clusterPartitions pins the task count (AQE otherwise
               // coalesces a small-byte range shuffle to ONE task/file,
-              // defeating the layout — the CLAUDE.md repartition-pin
+              // defeating the layout — the repo invariants-doc repartition-pin
               // rule surfacing through the DSv2 write path); 0/absent
               // lets the engine choose, which is right at real scale
               val parts = Option(info.options.get("clusterPartitions"))

@@ -351,7 +351,7 @@ class ManifestTableSpec extends SparkSpec {
     // dim through a REAL source (parquet round-trip cuts lineage): the
     // selective predicate sits on a NON-join column — a predicate on
     // the join key itself would be copied onto the fact statically and
-    // the dynamic path would vanish (the CLAUDE.md DPP rule)
+    // the dynamic path would vanish (the repo invariants-doc DPP rule)
     val dimPath = Files.createTempDirectory("graft_dim").toString
     spark.range(0, 100000)
       .select(col("id").as("k"),
