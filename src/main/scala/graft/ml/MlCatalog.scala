@@ -1278,7 +1278,17 @@ object MlCatalog {
         val eval = new BinaryClassificationEvaluator()
           .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
         def mix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-          val x1 = (c * lit(2654435761L)) % lit(2147483647L)
+          // BIGINT headroom at the TARGET SF (the q109 rule):
+          // monotonically_increasing_id carries the partition id in bits
+          // 33+, so on multi-partition input the raw id reaches ~1e11 and
+          // id * 2654435761 crosses 2^63 (ANSI overflow — caught by the
+          // round-11 sf0.1 BENCH_ALL, masked before by sf0.01's
+          // single-file = single-partition read). Bounding the input to
+          // 31 bits first keeps every product under 2^62; cross-partition
+          // h collisions only reorder ties, which (h, k) breaks on the
+          // unique k — the permutation stays label-independent.
+          val c0 = c % lit(2147483647L)
+          val x1 = (c0 * lit(2654435761L)) % lit(2147483647L)
           val x2 = x1.bitwiseXOR(shiftright(x1, 15))
           val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
           x3.bitwiseXOR(shiftright(x3, 13))
