@@ -111,7 +111,8 @@ object Bench {
         "q127_kcore_decomposition", "q164_label_propagation",
         "q222_bfs_distances", "q243_clustering_buckets",
         "q251_sssp_weighted", "q252_modularity",
-        "q258_link_prediction", "q313_louvain_move")))
+        "q258_link_prediction", "q313_louvain_move",
+        "q314_wl_refinement")))
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._

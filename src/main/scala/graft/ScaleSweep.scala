@@ -93,7 +93,10 @@ object ScaleSweep {
       "q300_two_sweep_diameter",
       // r11: Louvain local-moving round — one gain join over the
       // weighted co-pair kernel + a src-partitioned argmax window
-      "q313_louvain_move"),
+      "q313_louvain_move",
+      // r11: WL color refinement — two fixed rounds of edge join +
+      // node-keyed sorted-neighbor-color fold
+      "q314_wl_refinement"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),

@@ -1264,6 +1264,51 @@ object MlCatalog {
     * AUC rollup — no training anywhere (the fitted model is
     * session-memoized via [[gbtModel]]).
     */
+  /** K-MEANS (Lloyd 1982 iterations under the k-means|| seeded init,
+    * Bahmani et al. 2012 — Spark ML's default) over the embedding
+    * table — the baseline clustering primitive the ANN/dedup family
+    * composes around (m09's IVF coarse quantizer, m10's SemDedup
+    * clusters) but never exposed directly. k=8, seed=42, maxIter=20.
+    * Emits one row per cluster — size and the center's L2 norm in
+    * floored integer MILLIONTHS (the q85 scaled-integer convention;
+    * exact float centers are layout-sensitive reduction sums and stay
+    * out of the contract) — plus a −1 summary row carrying n, k and
+    * the training cost (inertia) in floored millionths. Rows-only m*
+    * class: Lloyd aggregates float sums whose low bits depend on
+    * reduction order, so there is no cross-engine-exact oracle; MlSpec
+    * pins the invariants instead (k clusters, sizes partition n,
+    * inertia below the global-variance bound that k=1 would give).
+    *
+    * Scale: each Lloyd iteration is one map over rows (nearest of k
+    * broadcast centers) + a k-row centroid rollup — the canonical
+    * linear-scan clustering; k and maxIter bound the work, never n².
+    */
+  val m23Kmeans: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val data = Tables.embeddings(s, dir)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(8).setSeed(42L).setMaxIter(20)
+        .fit(data)
+      val cost = model.summary.trainingCost
+      val sizes = model.transform(data)
+        .groupBy(col("prediction").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val norms = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i.toLong, math.floor(math.sqrt(c.toArray.map(x => x * x).sum) * 1e6).toLong)
+      }
+      import s.implicits._
+      val normDf = norms.toSeq.toDF("cluster", "center_norm_micros")
+      val summary = Seq((-1L, data.count(), math.floor(cost * 1e6).toLong))
+        .toDF("cluster", "n_vecs", "center_norm_micros")
+      sizes.join(normDf, "cluster")
+        .select(col("cluster"), col("n_vecs"), col("center_norm_micros"))
+        .unionByName(summary)
+        .orderBy(col("cluster"))
+    },
+    oracle = None)
+
   val m22PermutationImportance: QuerySpec = QuerySpec(
     fn = (s, dir) => {
       import s.implicits._
@@ -1330,6 +1375,7 @@ object MlCatalog {
   val all: Map[String, QuerySpec] = Map(
     "m21_jl_projection" -> m21JlProjection,
     "m22_permutation_importance" -> m22PermutationImportance,
+    "m23_kmeans" -> m23Kmeans,
     "m01_als_user_factors" -> m01AlsUserFactors,
     "m02_als_recommendations" -> m02AlsRecommendations,
     "m03_als_eval" -> m03AlsEval,

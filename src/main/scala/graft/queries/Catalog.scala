@@ -10924,6 +10924,101 @@ object Catalog {
       FROM comm
       ORDER BY community"""))
 
+  /** WEISFEILER–LEHMAN COLOR REFINEMENT (Weisfeiler & Lehman 1968; the
+    * 1-WL test under every WL graph kernel and the expressiveness
+    * ceiling of message-passing GNNs) over the co-purchase graph — the
+    * structural-FINGERPRINT primitive the graph family lacked: two
+    * synchronous refinement rounds where every node's color becomes a
+    * hash of (own color, SORTED multiset of neighbor colors), starting
+    * from degree colors. The per-round color-class census (how many
+    * distinct roles, how large the biggest) is the WL signature used
+    * for graph dedup/isomorphism screening. Hashing is the repo's
+    * cross-engine integer polyhash (acc·31 + x mod 2³¹−1) folded
+    * left-to-right over [own :: sorted neighbors] — Spark `aggregate`
+    * HOF ≡ DuckDB `list_reduce`, both engines replay the identical
+    * fold, so colors are value-exact (the q45 contract extended to
+    * integer lists). Emits per round: node count, distinct-color
+    * count, largest color class, and the mod-P color checksum.
+    *
+    * Scale: each round is ONE edge join + a node-keyed collect_list
+    * rollup — neighbor lists are degree-bounded and the fold is
+    * per-node; two fixed rounds by construction (refinement stabilizes
+    * in ≤ diameter+1 rounds on this diameter-2 graph). The interpreted
+    * aggregate lambda rides a node-sized table, not the fact scan.
+    */
+  val q314WlRefinement: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val pairs = coPairCounts(s, dir).select(col("p1"), col("p2"))
+      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+        .localCheckpoint(true) // feeds degree init + one join per round
+      var colors = edges.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val census = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      def censusOf(r: Int, cdf: DataFrame): DataFrame =
+        cdf.groupBy(col("c")).agg(count(lit(1)).as("n"))
+          .agg(lit(r.toLong).as("round"),
+            sum(col("n")).as("n_nodes"),
+            count(lit(1)).as("n_colors"),
+            max(col("n")).as("largest_class"),
+            (sum(col("c") % P) % P).as("color_sum"))
+      census += censusOf(0, colors)
+      for (r <- 1 to 2) {
+        val ns = edges
+          .join(colors.select(col("v").as("dst"), col("c").as("nc")), "dst")
+          .groupBy(col("src").as("v"))
+          .agg(sort_array(collect_list(col("nc"))).as("ns"))
+        colors = ns.join(colors, "v")
+          .select(col("v"), expr(
+            s"""aggregate(concat(array(c), ns), CAST(0 AS BIGINT),
+                 (acc, x) -> (acc * 31 + x) % $P)""").as("c"))
+          .localCheckpoint(true) // fixed-iteration lineage rule
+        census += censusOf(r, colors)
+      }
+      census.reduce(_ unionByName _).orderBy(col("round"))
+    },
+    oracle = Some {
+      val P = 2147483647L
+      s"""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+                UNION ALL SELECT p2, p1 FROM pairs),
+      c0 AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS c
+             FROM edges GROUP BY 1),
+      n1 AS (SELECT e.src AS v, list_sort(list(x.c)) AS ns
+             FROM edges e JOIN c0 x ON x.v = e.dst GROUP BY 1),
+      c1 AS (SELECT n1.v,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_prepend(o.c, n1.ns)),
+                      (acc, x) -> (acc * 31 + x) % $P) AS c
+             FROM n1 JOIN c0 o ON o.v = n1.v),
+      n2 AS (SELECT e.src AS v, list_sort(list(x.c)) AS ns
+             FROM edges e JOIN c1 x ON x.v = e.dst GROUP BY 1),
+      c2 AS (SELECT n2.v,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_prepend(o.c, n2.ns)),
+                      (acc, x) -> (acc * 31 + x) % $P) AS c
+             FROM n2 JOIN c1 o ON o.v = n2.v),
+      h0 AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM c0 GROUP BY 1),
+      h1 AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM c1 GROUP BY 1),
+      h2 AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM c2 GROUP BY 1)
+      SELECT CAST(0 AS BIGINT) AS round, CAST(sum(n) AS BIGINT) AS n_nodes,
+             CAST(count(*) AS BIGINT) AS n_colors,
+             CAST(max(n) AS BIGINT) AS largest_class,
+             CAST(sum(c % $P) % $P AS BIGINT) AS color_sum FROM h0
+      UNION ALL
+      SELECT 1, CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(max(n) AS BIGINT), CAST(sum(c % $P) % $P AS BIGINT) FROM h1
+      UNION ALL
+      SELECT 2, CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(max(n) AS BIGINT), CAST(sum(c % $P) % $P AS BIGINT) FROM h2
+      ORDER BY round"""
+    })
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -11130,6 +11225,7 @@ object Catalog {
     "q309_cochran_armitage" -> q309CochranArmitage,
     "q310_mann_kendall" -> q310MannKendall,
     "q313_louvain_move" -> q313LouvainMove,
+    "q314_wl_refinement" -> q314WlRefinement,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all

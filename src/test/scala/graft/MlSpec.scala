@@ -162,6 +162,30 @@ class MlSpec extends SparkSpec {
       "permuted AUCs changed across re-runs")
   }
 
+  test("m23 k-means: k clusters partition n, inertia beats the k=1 bound") {
+    val rows = MlCatalog.all("m23_kmeans").fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (summary, clusters) = rows.partition(_._1 == -1L)
+    assert(summary.length == 1 && clusters.length == 8,
+      s"expected 8 clusters + 1 summary, got ${rows.toSeq}")
+    val n = summary.head._2
+    assert(clusters.map(_._2).sum == n, "cluster sizes do not partition n")
+    assert(clusters.forall(_._2 > 0), "empty cluster emitted")
+    // inertia (sum of squared distances to assigned centers) must beat
+    // the k=1 baseline: total squared distance to the global mean
+    val inertia = summary.head._3.toDouble / 1e6
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf0001)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+    val k1 = e.groupBy(col("d"))
+      .agg(sum(col("x") * col("x")).as("sx2"), sum(col("x")).as("sx"),
+        count(lit(1)).as("m"))
+      .select(sum(col("sx2") - col("sx") * col("sx") / col("m")).as("tss"))
+      .head().getDouble(0)
+    assert(inertia > 0 && inertia < k1,
+      s"inertia $inertia outside (0, k=1 bound $k1)")
+  }
+
   test("m03/m05 leave no persisted RDDs behind (scoped caches, VERDICT r3 #7)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
