@@ -112,7 +112,7 @@ object Bench {
         "q222_bfs_distances", "q243_clustering_buckets",
         "q251_sssp_weighted", "q252_modularity",
         "q258_link_prediction", "q313_louvain_move",
-        "q314_wl_refinement")))
+        "q314_wl_refinement", "q317_anf")))
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._

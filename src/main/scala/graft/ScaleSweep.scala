@@ -96,7 +96,10 @@ object ScaleSweep {
       "q313_louvain_move",
       // r11: WL color refinement — two fixed rounds of edge join +
       // node-keyed sorted-neighbor-color fold
-      "q314_wl_refinement"),
+      "q314_wl_refinement",
+      // r11: ANF — two rounds of edge join + 8-column bit_or rollup,
+      // 8 longs of state per node (never a reach set)
+      "q317_anf"),
     // ANSI overflow = hard failure, so a clean run IS the headroom check
     "headroom" -> Seq("q82_anomaly_minutes", "q93_gini_order_value",
       "q108_rank_rationals", "q109_trend_ols", "q125_bm25_retrieval"),
@@ -120,7 +123,10 @@ object ScaleSweep {
       "q270_dau_overlap",
       // r9: Shapley attribution — one user-keyed shuffle, then a
       // 16-row coalition table regardless of SF
-      "q273_shapley_attribution"),
+      "q273_shapley_attribution",
+      // r11: FM-PCSA + linear counting — one map-side-combinable
+      // bit_or / distinct-slot rollup each, constant state per group
+      "q315_fm_pcsa", "q316_linear_counting"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures

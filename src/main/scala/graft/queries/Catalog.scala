@@ -11019,6 +11019,235 @@ object Catalog {
       ORDER BY round"""
     })
 
+  /** FLAJOLET–MARTIN probabilistic counting (FM 1985; PCSA — the
+    * 16-estimator stochastic-averaging form) — HLL's ancestor and the
+    * remaining member of the distinct-count sketch family (HLL q48,
+    * KMV q259, theta q175, linear counting q316): per (event_type,
+    * estimator) OR together the single-bit patterns 1 << ρ(h) where
+    * ρ is the trailing-zero rank of a replayable integer hash, and
+    * the estimate is 2^(ΣR/16)/0.77351 from R = each bitmap's lowest
+    * UNSET bit. Unlike the engine-specific Datasketches entries, the
+    * hash here is the repo's own LCG arithmetic replayed verbatim by
+    * DuckDB, so the bitmaps — and therefore R — are VALUE-EXACT
+    * cross-engine and the entry is fully oracle-backed (the q86
+    * replayed-hash rule applied to FM): emitted are the exact
+    * distinct count, ΣR over the 16 estimators, and the mod-P bitmap
+    * checksum; the final 2^(R/16) exponentiation stays client-side
+    * per the transcendental rule. Trailing-zero rank and lowest-unset
+    * bit are branch-free bit tricks identical on both engines:
+    * ρ(h) = popcount(h ⊕ (h−1)) − 1 (h forced nonzero by a 2²⁴
+    * sentinel bit), R(b) = popcount(b ⊕ (b+1)) − 1.
+    *
+    * Scale: ONE map-side-combinable bit_or aggregate over the fact
+    * scan — 16 longs of state per group, the same shape a 100 TB
+    * distinct-count rollup ships; merges are associative ORs.
+    */
+  val q315FmPcsa: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"))
+      val withBits = ev.select(col("event_type") +:
+        (0 until 16).map { e =>
+          val h = s"""(((user_id % $P) * 2654435761 % $P) * ${2 * e + 1}
+                       + ${12345 * (e + 1)}) % 16777216 + 16777216"""
+          expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"bit_count(($h) ^ (($h) - 1)) - 1)").as(s"b$e")
+        }: _*)
+      val agg = withBits.groupBy(col("event_type"))
+        .agg(expr("bit_or(b0)").as("m0"),
+          (1 until 16).map(e => expr(s"bit_or(b$e)").as(s"m$e")): _*)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val rSum = (0 until 16).map(e =>
+        expr(s"bit_count(m$e ^ (m$e + 1)) - 1").cast("long")).reduce(_ + _)
+      val ckSum = (0 until 16).map(e => col(s"m$e") % P).reduce(_ + _) % P
+      agg.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), rSum.as("r_sum"),
+          ckSum.as("bitmap_checksum"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some {
+      val P = 2147483647L
+      val maps = (0 until 16).map { e =>
+        s"""bit_or(CAST(1 AS BIGINT)
+              << (bit_count(xor(h$e, h$e - 1)) - 1)) AS m$e"""
+      }
+      val hs = (0 until 16).map { e =>
+        s"""(((user_id % $P) * 2654435761 % $P) * ${2 * e + 1}
+             + ${12345 * (e + 1)}) % 16777216 + 16777216 AS h$e"""
+      }
+      val rSum = (0 until 16).map(e =>
+        s"(CAST(bit_count(xor(m$e, m$e + 1)) AS BIGINT) - 1)").mkString(" + ")
+      val ck = (0 until 16).map(e => s"m$e % $P").mkString(" + ")
+      s"""
+      WITH h AS (SELECT event_type, user_id,
+                        ${hs.mkString(",\n                        ")}
+                 FROM events),
+      m AS (SELECT event_type,
+                   ${maps.mkString(",\n                   ")}
+            FROM h GROUP BY 1),
+      x AS (SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1)
+      SELECT m.event_type, x.n_exact,
+             CAST($rSum AS BIGINT) AS r_sum,
+             CAST(($ck) % $P AS BIGINT) AS bitmap_checksum
+      FROM m JOIN x ON x.event_type = m.event_type
+      ORDER BY 1"""
+    })
+
+  /** LINEAR COUNTING (Whang/Vander-Zanden/Taylor 1990) — the
+    * small-cardinality regime's distinct-count sketch (where FM/HLL
+    * bias is worst, linear counting is near-exact; production systems
+    * switch estimators on fill factor): hash every key into an m=4096
+    * slot bitmap per group, count empty slots z, estimate
+    * n̂ = m·ln(m/z). The hash is the same replayable LCG arithmetic as
+    * q315, so z is VALUE-EXACT cross-engine and the entry is fully
+    * oracle-backed; emitted are m, z, the occupied count and the
+    * exact distinct count (the estimator-quality audit layout, q149's
+    * shape) — the ln stays client-side. Scale: one
+    * map-side-combinable distinct-slot rollup; the bitmap is m bits
+    * of state per group however many rows stream through.
+    */
+  val q316LinearCounting: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val slots = ev.select(col("event_type"),
+          expr(s"((user_id % $P) * 2654435761 % $P + 7919) % 4096").as("slot"))
+        .distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("occupied"))
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(slots, "event_type")
+        .select(col("event_type"), lit(4096L).as("m"),
+          (lit(4096L) - col("occupied")).as("z"),
+          col("occupied"), col("n_exact"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some(s"""
+      WITH o AS (SELECT event_type,
+                        CAST(count(DISTINCT ((user_id % 2147483647)
+                          * 2654435761 % 2147483647 + 7919) % 4096)
+                          AS BIGINT) AS occupied
+                 FROM events GROUP BY 1),
+      x AS (SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1)
+      SELECT o.event_type, CAST(4096 AS BIGINT) AS m,
+             CAST(4096 - o.occupied AS BIGINT) AS z,
+             o.occupied, x.n_exact
+      FROM o JOIN x ON x.event_type = o.event_type
+      ORDER BY 1"""))
+
+  /** APPROXIMATE NEIGHBORHOOD FUNCTION (ANF — Palmer/Gibbons/Faloutsos
+    * 2002; HyperBall is its HLL-register successor) over the
+    * co-purchase graph: how many nodes are within r hops of each node,
+    * for ALL nodes at once — the effective-diameter/centrality
+    * question exact per-node BFS cannot answer at 100 TB (it is |V|
+    * BFS runs), answered by giving every node an FM bit-pattern and
+    * OR-merging neighbor patterns per round: mask_r(v) = mask_{r-1}(v)
+    * | OR_{u∈Γ(v)} mask_{r-1}(u) — set-union becomes an 8-long bit_or,
+    * associative and map-side combinable, one edge join per round.
+    * Hashes are the q315 replayable LCG, so every mask is VALUE-EXACT
+    * cross-engine (fully oracle-backed where real ANF deployments are
+    * unverifiable): emitted per round r ∈ {0,1,2} are ΣR over nodes
+    * and estimators (the neighborhood-function sufficient statistic;
+    * N̂(r) = Σ 2^(R/8)/0.77351 client-side), the mask checksum, and n.
+    *
+    * Scale: r rounds × (one edge join + one node-keyed 8-column
+    * bit_or) — the canonical all-nodes reachability sketch; state is
+    * 8 longs per node, never a reach SET (q300's frontier BFS keeps
+    * exact sets for 4 landmarks; this keeps sketches for ALL nodes).
+    */
+  val q317Anf: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val pairs = coPairCounts(s, dir).select(col("p1"), col("p2"))
+      val edges = pairs.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionByName(pairs.select(col("p2").as("src"), col("p1").as("dst")))
+        .localCheckpoint(true)
+      def maskExprs(idCol: String): Seq[org.apache.spark.sql.Column] =
+        (0 until 8).map { e =>
+          val h = s"""((($idCol % $P) * 2654435761 % $P) * ${2 * e + 1}
+                       + ${12345 * (e + 1)}) % 16777216 + 16777216"""
+          expr(s"shiftleft(CAST(1 AS BIGINT), bit_count(($h) ^ (($h) - 1)) - 1)")
+            .as(s"b$e")
+        }
+      var masks = edges.select(col("src").as("v")).distinct()
+        .select(col("v") +: maskExprs("v"): _*)
+      def censusOf(r: Int, m: DataFrame): DataFrame = {
+        val rSum = (0 until 8).map(e =>
+          expr(s"bit_count(b$e ^ (b$e + 1)) - 1").cast("long")).reduce(_ + _)
+        val ck = (0 until 8).map(e => col(s"b$e") % P).reduce(_ + _) % P
+        m.select(rSum.as("r"), ck.as("c"))
+          .agg(lit(r.toLong).as("round"), count(lit(1)).as("n_nodes"),
+            sum(col("r")).as("r_sum"), (sum(col("c")) % P).as("mask_checksum"))
+      }
+      val census = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      census += censusOf(0, masks)
+      for (r <- 1 to 2) {
+        val masksNext = edges
+          .join(masks.withColumnRenamed("v", "dst"), "dst")
+          .groupBy(col("src").as("v"))
+          .agg(expr("bit_or(b0)").as("n0"),
+            (1 until 8).map(e => expr(s"bit_or(b$e)").as(s"n$e")): _*)
+          .join(masks, "v")
+          .select(col("v") +:
+            (0 until 8).map(e => (col(s"b$e").bitwiseOR(col(s"n$e"))).as(s"b$e")): _*)
+          .localCheckpoint(true) // fixed-iteration lineage rule
+        masks = masksNext
+        census += censusOf(r, masks)
+      }
+      census.reduce(_ unionByName _).orderBy(col("round"))
+    },
+    oracle = Some {
+      val P = 2147483647L
+      def hs(idCol: String): Seq[String] = (0 until 8).map { e =>
+        s"""((($idCol % $P) * 2654435761 % $P) * ${2 * e + 1}
+             + ${12345 * (e + 1)}) % 16777216 + 16777216"""
+      }
+      val m0 = hs("v").zipWithIndex.map { case (h, e) =>
+        s"(CAST(1 AS BIGINT) << (bit_count(xor(($h), ($h) - 1)) - 1)) AS b$e"
+      }
+      def roundCte(r: Int): String = {
+        val ors = (0 until 8).map(e => s"bit_or(x.b$e) AS n$e")
+        val merged = (0 until 8).map(e => s"o.b$e | n.n$e AS b$e")
+        s"""n$r AS (SELECT e.src AS v, ${ors.mkString(", ")}
+               FROM edges e JOIN m${r - 1} x ON x.v = e.dst GROUP BY 1),
+      m$r AS (SELECT o.v, ${merged.mkString(", ")}
+              FROM m${r - 1} o JOIN n$r n ON n.v = o.v)"""
+      }
+      def census(r: Int): String = {
+        val rSum = (0 until 8).map(e =>
+          s"(CAST(bit_count(xor(b$e, b$e + 1)) AS BIGINT) - 1)").mkString(" + ")
+        val ck = (0 until 8).map(e => s"b$e % $P").mkString(" + ")
+        s"""SELECT CAST($r AS BIGINT) AS round,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum($rSum) AS BIGINT) AS r_sum,
+             CAST(sum(($ck) % $P) % $P AS BIGINT) AS mask_checksum
+           FROM m$r"""
+      }
+      s"""
+      WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+                UNION ALL SELECT p2, p1 FROM pairs),
+      m0 AS (SELECT v, ${m0.mkString(", ")}
+             FROM (SELECT DISTINCT src AS v FROM edges)),
+      ${roundCte(1)},
+      ${roundCte(2)}
+      ${census(0)}
+      UNION ALL
+      ${census(1)}
+      UNION ALL
+      ${census(2)}
+      ORDER BY round"""
+    })
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -11226,6 +11455,9 @@ object Catalog {
     "q310_mann_kendall" -> q310MannKendall,
     "q313_louvain_move" -> q313LouvainMove,
     "q314_wl_refinement" -> q314WlRefinement,
+    "q315_fm_pcsa" -> q315FmPcsa,
+    "q316_linear_counting" -> q316LinearCounting,
+    "q317_anf" -> q317Anf,
     "q291_butterfly_census" -> q291ButterflyCensus,
     "q281_page_hinkley" -> q281PageHinkley,
   ) ++ PipelineCatalog.all ++ graft.ml.MlCatalog.all
