@@ -236,7 +236,10 @@ object ScaleSweep {
       "q306_aho_corasick",
       // r11: composed blocklist — broadcast token probe + one automaton
       // pass; tracks the token explode volume
-      "q312_blocklist_ac"),
+      "q312_blocklist_ac",
+      // r11: DSIR stats — one bigram explode + constant-size bucket
+      // rollups + a broadcast bucket join; tracks the explode volume
+      "q318_dsir_stats"),
     // exact statistics (added late r7): the KS/MW prefix-sum kernel's
     // cost tracks the distinct-value rollup (~linear in facts here);
     // the day-rollup entries (Theil-Sen, TWAP) are calendar-bounded

@@ -2354,6 +2354,89 @@ object PipelineCatalog {
       })
   }
 
+  /** DSIR-SHAPE IMPORTANCE STATISTICS (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling" — the
+    * hashed-n-gram feature space that made target-distribution data
+    * selection tractable at web scale): every document's word bigrams
+    * hash into B=1024 buckets (the repo's cross-engine polyhash);
+    * bucket counts under the TARGET distribution (here lang='en'
+    * docs, the stand-in for "looks like my eval set") and the RAW
+    * corpus form the two hashed-n-gram histograms, and each doc's
+    * importance signal is the sum over its grams of the scaled
+    * target/raw ratio — emitted as the exact integer
+    * Σ ⌊t_b·10⁶ / r_b⌋ (each term an independent IntegralDivide, so
+    * the sum is order-free) plus the raw sufficient statistics
+    * (n_grams, Σt_b, Σr_b); the actual DSIR log-likelihood-ratio
+    * resampling weight is a client-side transform of these counts
+    * (logs stay out per the transcendental rule). r_b ≥ 1 for every
+    * gram that exists, so the divide never sees zero.
+    *
+    * Scale: one corpus explode + TWO map-side-combinable
+    * 1024-row bucket rollups + a BROADCAST bucket join back onto the
+    * gram stream — the feature table is CONSTANT-size however large
+    * the corpus, which is DSIR's entire point; the per-doc rollup is
+    * the only doc-keyed shuffle. The repartition is the shingleRows
+    * Exchange barrier (CollapseProject must not re-inline split(text)
+    * per element).
+    */
+  val q318DsirStats: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """CASE WHEN size(w) >= 2 THEN
+               transform(sequence(0, size(w)-2),
+                 i -> concat_ws(' ', w[i], w[i+1]))
+             ELSE array() END""")).as("g"))
+        .withColumn("b",
+          graft.functions.VectorExpressions.polyHash(col("g")) % 1024)
+      val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("r_b"))
+      val tgt = grams.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("t_b"))
+      val buckets = raw.join(tgt, Seq("b"), "left")
+        .select(col("b"), coalesce(col("t_b"), lit(0L)).as("t_b"), col("r_b"))
+      val perDoc = grams.join(broadcast(buckets), "b")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(expr("t_b * 1000000 div r_b")).as("score_micros"),
+          sum(col("t_b")).as("t_sum"), sum(col("r_b")).as("r_sum"))
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("score_micros"), lit(0L)).as("score_micros"),
+          coalesce(col("t_sum"), lit(0L)).as("t_sum"),
+          coalesce(col("r_sum"), lit(0L)).as("r_sum"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(s"""
+      WITH g0 AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                  FROM documents),
+      grams AS (SELECT doc_id, lang,
+                       unnest(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i + 1])) AS g
+                FROM g0 WHERE len(w) >= 2),
+      gb AS (SELECT doc_id, lang, ${polyhashSql("g")} % 1024 AS b
+             FROM grams),
+      raw AS (SELECT b, CAST(count(*) AS BIGINT) AS r_b FROM gb GROUP BY 1),
+      tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t_b
+              FROM gb WHERE lang = 'en' GROUP BY 1),
+      bk AS (SELECT raw.b, CAST(coalesce(t_b, 0) AS BIGINT) AS t_b, r_b
+             FROM raw LEFT JOIN tgt USING (b)),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                    CAST(sum(t_b * 1000000 // r_b) AS BIGINT) AS score_micros,
+                    CAST(sum(t_b) AS BIGINT) AS t_sum,
+                    CAST(sum(r_b) AS BIGINT) AS r_sum
+             FROM gb JOIN bk USING (b) GROUP BY 1)
+      SELECT d.doc_id, d.lang,
+             CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(pd.score_micros, 0) AS BIGINT) AS score_micros,
+             CAST(coalesce(pd.t_sum, 0) AS BIGINT) AS t_sum,
+             CAST(coalesce(pd.r_sum, 0) AS BIGINT) AS r_sum
+      FROM documents d LEFT JOIN pd USING (doc_id)
+      ORDER BY doc_id"""))
+
   /** PERCEPTUAL IMAGE DEDUP via AVERAGE HASH (the aHash member of the
     * pHash family — the standard cheap perceptual fingerprint every
     * image-dedup pipeline runs before pixel-exact verification; q37's
@@ -7087,6 +7170,7 @@ object PipelineCatalog {
     "q306_aho_corasick" -> q306AhoCorasick,
     "q307_sorted_neighborhood" -> q307SortedNeighborhood,
     "q312_blocklist_ac" -> q312BlocklistAc,
+    "q318_dsir_stats" -> q318DsirStats,
     "q308_mcnemar" -> q308McNemar,
     "q311_perceptual_hash_dedup" -> q311PerceptualHashDedup,
     "q268_readability_stats" -> q268ReadabilityStats,
