@@ -126,7 +126,10 @@ object ScaleSweep {
       "q273_shapley_attribution",
       // r11: FM-PCSA + linear counting — one map-side-combinable
       // bit_or / distinct-slot rollup each, constant state per group
-      "q315_fm_pcsa", "q316_linear_counting"),
+      "q315_fm_pcsa", "q316_linear_counting",
+      // r11: randomized response — one broadcast-index map over the
+      // fact stream + two type rollups
+      "q320_randomized_response"),
     // corpus-level audits (added r7): source count is FIXED at 20 while
     // docs/vecs grow, so the |sources|-bounded fan-out claims are what
     // this family actually measures
@@ -239,7 +242,10 @@ object ScaleSweep {
       "q312_blocklist_ac",
       // r11: DSIR stats — one bigram explode + constant-size bucket
       // rollups + a broadcast bucket join; tracks the explode volume
-      "q318_dsir_stats"),
+      "q318_dsir_stats",
+      // r11: Stupid Backoff — three gram rollups (the distributed LM)
+      // + gram-keyed joins onto the batch token stream
+      "q319_stupid_backoff"),
     // exact statistics (added late r7): the KS/MW prefix-sum kernel's
     // cost tracks the distinct-value rollup (~linear in facts here);
     // the day-rollup entries (Theil-Sen, TWAP) are calendar-bounded

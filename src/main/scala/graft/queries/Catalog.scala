@@ -11248,6 +11248,84 @@ object Catalog {
       ORDER BY round"""
     })
 
+  /** RANDOMIZED RESPONSE (Warner 1965; the k-ary generalized form is
+    * the canonical LOCAL differential-privacy mechanism — RAPPOR's
+    * core): each event reports its TRUE type with probability 12/16
+    * and one of the k−1 other types with probability 1/16 each (k=5
+    * event types; uniformity over others holds when (k−1) divides 4,
+    * which the fixture's domain satisfies), using the repo's
+    * replayable LCG on event_id as the coin — so the privatized
+    * counts are VALUE-EXACT cross-engine and the mechanism is fully
+    * oracle-backed, which no real randomized deployment can be but
+    * which makes the DEBIASING arithmetic auditable: with
+    * E[c_t] = (11·n_t + n)/16 the unbiased estimate is
+    * n̂_t = (16·c_t − n)/11, emitted as the never-rounded rational
+    * (est_num, est_den) next to the true and reported counts.
+    *
+    * Scale: one map over the fact stream (broadcast k-row type-index
+    * table both ways) + two map-side-combinable type rollups; the
+    * type index is built relationally (a k×k theta join, no window).
+    */
+  val q320RandomizedResponse: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val P = 2147483647L
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      val types = ev.select(col("event_type").as("t")).distinct()
+      val idx = types.as("a")
+        .join(types.as("b"), col("b.t") < col("a.t"), "left")
+        .groupBy(col("a.t").as("t")).agg(count(col("b.t")).as("idx"))
+      val k = types.agg(count(lit(1)).as("k"))
+      val reported = ev
+        .join(broadcast(idx.withColumnRenamed("t", "event_type")), "event_type")
+        .crossJoin(broadcast(k))
+        .withColumn("r", expr(s"(event_id % $P) * 2654435761 % $P % 16"))
+        .withColumn("ridx", when(col("r") < 12, col("idx"))
+          .otherwise((col("idx") + 1 + (col("r") - 12) % (col("k") - 1))
+            % col("k")))
+        .join(broadcast(idx.select(col("idx").as("ridx"), col("t").as("rt"))),
+          "ridx")
+      val trueCounts = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+      val repCounts = reported.groupBy(col("rt").as("event_type"))
+        .agg(count(lit(1)).as("n_reported"))
+      val n = ev.agg(count(lit(1)).as("n"))
+      trueCounts.join(repCounts, Seq("event_type"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("event_type"), col("n_true"),
+          coalesce(col("n_reported"), lit(0L)).as("n_reported"),
+          (lit(16L) * coalesce(col("n_reported"), lit(0L)) - col("n"))
+            .as("est_num"),
+          lit(11L).as("est_den"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some(s"""
+      WITH ev AS (SELECT event_id, event_type FROM events),
+      ty AS (SELECT DISTINCT event_type AS t FROM ev),
+      idx AS (SELECT a.t, CAST(count(b.t) AS BIGINT) AS idx
+              FROM ty a LEFT JOIN ty b ON b.t < a.t GROUP BY 1),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+      rep AS (SELECT e.event_id, e.event_type,
+                     (e.event_id % 2147483647) * 2654435761
+                       % 2147483647 % 16 AS r,
+                     i.idx, kk.k
+              FROM ev e JOIN idx i ON i.t = e.event_type CROSS JOIN kk),
+      rr AS (SELECT CASE WHEN r < 12 THEN idx
+                         ELSE (idx + 1 + (r - 12) % (k - 1)) % k
+                    END AS ridx
+             FROM rep),
+      rc AS (SELECT i.t AS event_type, CAST(count(*) AS BIGINT) AS n_reported
+             FROM rr JOIN idx i ON i.idx = rr.ridx GROUP BY 1),
+      tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+             FROM ev GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev)
+      SELECT tc.event_type, tc.n_true,
+             CAST(coalesce(rc.n_reported, 0) AS BIGINT) AS n_reported,
+             CAST(16 * coalesce(rc.n_reported, 0) - nn.n AS BIGINT) AS est_num,
+             CAST(11 AS BIGINT) AS est_den
+      FROM tc LEFT JOIN rc ON rc.event_type = tc.event_type
+      CROSS JOIN nn
+      ORDER BY 1"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -11456,6 +11534,7 @@ object Catalog {
     "q313_louvain_move" -> q313LouvainMove,
     "q314_wl_refinement" -> q314WlRefinement,
     "q315_fm_pcsa" -> q315FmPcsa,
+    "q320_randomized_response" -> q320RandomizedResponse,
     "q316_linear_counting" -> q316LinearCounting,
     "q317_anf" -> q317Anf,
     "q291_butterfly_census" -> q291ButterflyCensus,

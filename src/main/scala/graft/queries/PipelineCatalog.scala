@@ -2437,6 +2437,134 @@ object PipelineCatalog {
       FROM documents d LEFT JOIN pd USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** STUPID BACKOFF n-gram LM scoring (Brants/Popat/Xu/Och/Dean 2007,
+    * "Large Language Models in Machine Translation" — the scoring rule
+    * invented FOR distributed count tables: no discount mass to
+    * normalize, just back off with a fixed 0.4 factor, so scores come
+    * straight from MapReduce-style count joins): every document's
+    * tokens (positions ≥ 3) score against the CORPUS trigram/bigram/
+    * unigram tables — S(w|w₋₂w₋₁) = c₃/c₂(ctx) if the trigram was
+    * seen, else 0.4·c₂(w₋₁w)/c₁(w₋₁), else 0.4²·c₁(w)/N (never zero:
+    * every token is in-corpus). Emitted per document are the EXACT
+    * integer sufficient statistics — hit counts per backoff level and
+    * the score sum with each token's share an independent
+    * IntegralDivide (⌊10⁶·c₃/c₂⌋ / ⌊4·10⁵·c₂/c₁⌋ / ⌊16·10⁴·c₁/N⌋ —
+    * order-free, the q318 contract) — q148's unigram familiarity
+    * generalized to the real backoff chain.
+    *
+    * HELD-OUT shape so every backoff level is genuinely exercised: the
+    * LM counts come from the CORPUS (doc_id % 5 ≠ 0) and the scored
+    * stream is the BATCH (doc_id % 5 = 0, the q65 "today's crawl"
+    * convention) — unseen trigrams back off to bigrams, unseen bigrams
+    * to unigrams, and a token absent from the corpus vocabulary scores
+    * 0 at level 0 (counted as n_oov; level ≥ 2 always has its context
+    * count, because a seen bigram implies its seen prefix).
+    *
+    * Scale: three map-side-combinable gram rollups (the count tables
+    * ARE the distributed LM — Brants et al.'s point) + gram-keyed
+    * equi-joins back onto the token stream; everything shuffles on
+    * gram keys, nothing is ever collected.
+    */
+  val q319StupidBackoff: QuerySpec = QuerySpec(
+    fn = (s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .localCheckpoint(true) // feeds four gram rollups + the token stream
+      val corpus = words.filter(col("doc_id") % 5 =!= 0)
+      val uni = corpus.select(explode(col("w")).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("c1"))
+      val bi = corpus.select(explode(expr(
+          """CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w)-2),
+               i -> concat_ws(' ', w[i], w[i+1])) ELSE array() END""")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      val tri = corpus.select(explode(expr(
+          """CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w)-3),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2])) ELSE array() END""")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c3"))
+      val n = corpus.select(explode(col("w")).as("u")).agg(count(lit(1)).as("n"))
+      val toks = words.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 3 THEN transform(sequence(2, size(w)-1),
+               i -> struct(concat_ws(' ', w[i-2], w[i-1], w[i]) AS g3,
+                           concat_ws(' ', w[i-2], w[i-1]) AS b2,
+                           concat_ws(' ', w[i-1], w[i]) AS g2,
+                           w[i-1] AS u2, w[i] AS u1))
+             ELSE array() END""")).as("t"))
+        .select(col("doc_id"), col("t.g3"), col("t.b2"), col("t.g2"),
+          col("t.u2"), col("t.u1"))
+      val scored = toks
+        .join(tri.withColumnRenamed("g", "g3"), Seq("g3"), "left")
+        .join(bi.select(col("g").as("b2"), col("c2").as("c2b")), Seq("b2"), "left")
+        .join(bi.select(col("g").as("g2"), col("c2").as("c2g")), Seq("g2"), "left")
+        .join(uni.select(col("u").as("u2"), col("c1").as("c1u2")), Seq("u2"), "left")
+        .join(uni.select(col("u").as("u1"), col("c1").as("c1u1")), Seq("u1"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          when(col("c3").isNotNull, lit(3L))
+            .when(col("c2g").isNotNull, lit(2L))
+            .when(col("c1u1").isNotNull, lit(1L)).otherwise(lit(0L)).as("lvl"),
+          when(col("c3").isNotNull, expr("c3 * 1000000 div c2b"))
+            .when(col("c2g").isNotNull, expr("c2g * 400000 div c1u2"))
+            .when(col("c1u1").isNotNull, expr("c1u1 * 160000 div n"))
+            .otherwise(lit(0L)).as("sc"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_l3"),
+          sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_l2"),
+          sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_l1"),
+          sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"),
+          sum(col("sc")).as("score_sum"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      cw AS (SELECT * FROM w0 WHERE doc_id % 5 <> 0),
+      uni AS (SELECT u, CAST(count(*) AS BIGINT) AS c1 FROM
+                (SELECT unnest(w) AS u FROM cw) GROUP BY 1),
+      bi AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM
+               (SELECT unnest(list_transform(range(1, len(w)),
+                  i -> w[i] || ' ' || w[i+1])) AS g
+                FROM cw WHERE len(w) >= 2) GROUP BY 1),
+      tri AS (SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM
+                (SELECT unnest(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+                 FROM cw WHERE len(w) >= 3) GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+               (SELECT unnest(w) AS u FROM cw)),
+      toks AS (SELECT doc_id,
+                      w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g3,
+                      w[i] || ' ' || w[i+1] AS b2,
+                      w[i+1] || ' ' || w[i+2] AS g2,
+                      w[i+1] AS u2, w[i+2] AS u1
+               FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+                     FROM w0 WHERE len(w) >= 3 AND doc_id % 5 = 0)),
+      sc AS (SELECT t.doc_id,
+                    CASE WHEN tri.c3 IS NOT NULL THEN 3
+                         WHEN bg.c2 IS NOT NULL THEN 2
+                         WHEN u1t.c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+                    CASE WHEN tri.c3 IS NOT NULL
+                         THEN tri.c3 * 1000000 // bb.c2
+                         WHEN bg.c2 IS NOT NULL
+                         THEN bg.c2 * 400000 // u2t.c1
+                         WHEN u1t.c1 IS NOT NULL
+                         THEN u1t.c1 * 160000 // nn.n
+                         ELSE 0 END AS s
+             FROM toks t
+             LEFT JOIN tri ON tri.g = t.g3
+             LEFT JOIN bi bb ON bb.g = t.b2
+             LEFT JOIN bi bg ON bg.g = t.g2
+             LEFT JOIN uni u2t ON u2t.u = t.u2
+             LEFT JOIN uni u1t ON u1t.u = t.u1
+             CROSS JOIN nn)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+             CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+             CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+             CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(s) AS BIGINT) AS score_sum
+      FROM sc GROUP BY 1 ORDER BY doc_id"""))
+
   /** PERCEPTUAL IMAGE DEDUP via AVERAGE HASH (the aHash member of the
     * pHash family — the standard cheap perceptual fingerprint every
     * image-dedup pipeline runs before pixel-exact verification; q37's
@@ -7171,6 +7299,7 @@ object PipelineCatalog {
     "q307_sorted_neighborhood" -> q307SortedNeighborhood,
     "q312_blocklist_ac" -> q312BlocklistAc,
     "q318_dsir_stats" -> q318DsirStats,
+    "q319_stupid_backoff" -> q319StupidBackoff,
     "q308_mcnemar" -> q308McNemar,
     "q311_perceptual_hash_dedup" -> q311PerceptualHashDedup,
     "q268_readability_stats" -> q268ReadabilityStats,

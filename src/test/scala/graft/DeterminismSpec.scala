@@ -24,7 +24,11 @@ class DeterminismSpec extends SparkSpec {
     // for exactly these constructions):
     "q304_matrix_profile",      // calendar-bounded crossJoin + argmin ranks
     "q307_sorted_neighborhood", // distributed prefix-sum ranks + grid blocks
-    "q311_perceptual_hash_dedup") // banded candidates + hamming verify
+    "q311_perceptual_hash_dedup", // banded candidates + hamming verify
+    "q313_louvain_move",        // argmax-gain window + strict-positive rule
+    "q314_wl_refinement",       // sorted collect_list + hash fold per node
+    "q317_anf",                 // bit_or merges must be layout-free
+    "q318_dsir_stats")          // broadcast bucket join + integer div sums
 
   test("representative queries are shuffle-partition invariant") {
     val conf = spark.conf
