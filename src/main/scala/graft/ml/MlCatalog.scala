@@ -1269,7 +1269,8 @@ object MlCatalog {
     * table — the baseline clustering primitive the ANN/dedup family
     * composes around (m09's IVF coarse quantizer, m10's SemDedup
     * clusters) but never exposed directly. k=8, seed=42, maxIter=20.
-    * Emits one row per cluster — size and the center's L2 norm in
+    * Emits one row per cluster (a cluster emptied by Lloyd iterations
+    * still appears, with n_vecs=0) — size and the center's L2 norm in
     * floored integer MILLIONTHS (the q85 scaled-integer convention;
     * exact float centers are layout-sensitive reduction sums and stay
     * out of the contract) — plus a −1 summary row carrying n, k and
@@ -1302,8 +1303,12 @@ object MlCatalog {
       val normDf = norms.toSeq.toDF("cluster", "center_norm_micros")
       val summary = Seq((-1L, data.count(), math.floor(cost * 1e6).toLong))
         .toDF("cluster", "n_vecs", "center_norm_micros")
-      sizes.join(normDf, "cluster")
-        .select(col("cluster"), col("n_vecs"), col("center_norm_micros"))
+      // left-join FROM normDf (always all k centers): a cluster left
+      // empty by Lloyd iterations must surface as n_vecs=0, not vanish
+      // from the report (ADVICE r11)
+      normDf.join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          col("center_norm_micros"))
         .unionByName(summary)
         .orderBy(col("cluster"))
     },

@@ -3281,7 +3281,11 @@ object Catalog {
     * propagated on the DRIVER like m15's eigendecomposition
     * (O(scenarios·steps·|states|²), data-independent), which is the
     * right side of the collect rule: never rows, only the
-    * constant-size model. Journey truncation at FIRST purchase makes
+    * constant-size model — and the |states|² bound is ENFORCED, not
+    * assumed: a require(<10000) trips before the solve if the
+    * event_type domain ever stops being small-categorical (VERDICT
+    * r11 #4; Q256GuardSpec exercises the trip on a synthetic
+    * wide-domain fixture). Journey truncation at FIRST purchase makes
     * CONV genuinely absorbing; ties break on event_id so the walk is
     * deterministic. Scale: one user shuffle + a 36-row collect at any
     * SF.
@@ -3316,6 +3320,15 @@ object Catalog {
           expr("CAST((1000000 * c) div t AS BIGINT)").as("ppm"))
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .toSeq
+      // The collect is bounded by |states|^2, a DATA-SCHEMA contract
+      // (event_type is a small categorical domain), not a constant —
+      // enforce it instead of assuming it (VERDICT r11 #4): a wide
+      // event_type domain must fail loudly here, never OOM the driver
+      // or silently run an O(scenarios*steps*|states|^2) solve.
+      require(trans.size < 10000,
+        s"q256: ${trans.size} observed transitions — the driver-side " +
+          "absorbing-chain solve assumes a small categorical event_type " +
+          "domain (|states|^2 < 10000); this input breaks that contract")
       def absorb(removed: Option[String]): Long = {
         val merged = trans
           .map { case (src, dst, p) =>
@@ -11020,13 +11033,20 @@ object Catalog {
     })
 
   /** FLAJOLET–MARTIN probabilistic counting (FM 1985; PCSA — the
-    * 16-estimator stochastic-averaging form) — HLL's ancestor and the
-    * remaining member of the distinct-count sketch family (HLL q48,
-    * KMV q259, theta q175, linear counting q316): per (event_type,
-    * estimator) OR together the single-bit patterns 1 << ρ(h) where
-    * ρ is the trailing-zero rank of a replayable integer hash, and
-    * the estimate is 2^(ΣR/16)/0.77351 from R = each bitmap's lowest
-    * UNSET bit. Unlike the engine-specific Datasketches entries, the
+    * 16-estimator STOCHASTIC-AVERAGING form, §3 of the paper) — HLL's
+    * ancestor and the remaining member of the distinct-count sketch
+    * family (HLL q48, KMV q259, theta q175, linear counting q316):
+    * the hash's LOW 4 BITS route each key to exactly ONE of 16
+    * bitmaps (hash-partitioned substreams — each key updates one
+    * estimator, the property that makes the variance analysis hold;
+    * ADVICE r11 fixed the earlier form, which OR'd every key into
+    * all 16 bitmaps with affine-correlated hashes — 16 averaged
+    * correlated FULL sketches, not PCSA), the REMAINING bits set the
+    * single-bit pattern 1 << ρ(body), and the estimate is
+    * 16·2^(ΣR/16)/0.77351 from R = each bitmap's lowest UNSET bit
+    * (each substream holds ~n/16 keys, so the per-bitmap 2^R
+    * estimates average in the exponent and the m/φ factor restores
+    * the total). Unlike the engine-specific Datasketches entries, the
     * hash here is the repo's own LCG arithmetic replayed verbatim by
     * DuckDB, so the bitmaps — and therefore R — are VALUE-EXACT
     * cross-engine and the entry is fully oracle-backed (the q86
@@ -11036,7 +11056,8 @@ object Catalog {
     * per the transcendental rule. Trailing-zero rank and lowest-unset
     * bit are branch-free bit tricks identical on both engines:
     * ρ(h) = popcount(h ⊕ (h−1)) − 1 (h forced nonzero by a 2²⁴
-    * sentinel bit), R(b) = popcount(b ⊕ (b+1)) − 1.
+    * sentinel bit), R(b) = popcount(b ⊕ (b+1)) − 1 (an untouched
+    * bitmap reads R=0, exactly FM's empty-estimator convention).
     *
     * Scale: ONE map-side-combinable bit_or aggregate over the fact
     * scan — 16 longs of state per group, the same shape a 100 TB
@@ -11047,16 +11068,17 @@ object Catalog {
       val P = 2147483647L
       val ev = Tables.events(s, dir)
         .select(col("event_type"), col("user_id"))
-      val withBits = ev.select(col("event_type") +:
-        (0 until 16).map { e =>
-          val h = s"""(((user_id % $P) * 2654435761 % $P) * ${2 * e + 1}
-                       + ${12345 * (e + 1)}) % 16777216 + 16777216"""
-          expr(s"shiftleft(CAST(1 AS BIGINT), " +
-            s"bit_count(($h) ^ (($h) - 1)) - 1)").as(s"b$e")
-        }: _*)
+      val withBits = ev
+        .withColumn("hbase", expr(s"(user_id % $P) * 2654435761 % $P"))
+        .withColumn("est", expr("hbase % 16"))
+        .withColumn("body", expr("hbase div 16 % 16777216 + 16777216"))
+        .withColumn("bit", expr(
+          "shiftleft(CAST(1 AS BIGINT), bit_count(body ^ (body - 1)) - 1)"))
       val agg = withBits.groupBy(col("event_type"))
-        .agg(expr("bit_or(b0)").as("m0"),
-          (1 until 16).map(e => expr(s"bit_or(b$e)").as(s"m$e")): _*)
+        .agg(expr("bit_or(if(est = 0, bit, CAST(0 AS BIGINT)))").as("m0"),
+          (1 until 16).map(e =>
+            expr(s"bit_or(if(est = $e, bit, CAST(0 AS BIGINT)))")
+              .as(s"m$e")): _*)
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
       val rSum = (0 until 16).map(e =>
@@ -11070,23 +11092,26 @@ object Catalog {
     oracle = Some {
       val P = 2147483647L
       val maps = (0 until 16).map { e =>
-        s"""bit_or(CAST(1 AS BIGINT)
-              << (bit_count(xor(h$e, h$e - 1)) - 1)) AS m$e"""
-      }
-      val hs = (0 until 16).map { e =>
-        s"""(((user_id % $P) * 2654435761 % $P) * ${2 * e + 1}
-             + ${12345 * (e + 1)}) % 16777216 + 16777216 AS h$e"""
+        s"""bit_or(CASE WHEN est = $e THEN bit
+                        ELSE CAST(0 AS BIGINT) END) AS m$e"""
       }
       val rSum = (0 until 16).map(e =>
         s"(CAST(bit_count(xor(m$e, m$e + 1)) AS BIGINT) - 1)").mkString(" + ")
       val ck = (0 until 16).map(e => s"m$e % $P").mkString(" + ")
       s"""
-      WITH h AS (SELECT event_type, user_id,
-                        ${hs.mkString(",\n                        ")}
+      WITH h AS (SELECT event_type,
+                        (user_id % $P) * 2654435761 % $P AS hbase
                  FROM events),
+      h2 AS (SELECT event_type, hbase % 16 AS est,
+                    (hbase // 16) % 16777216 + 16777216 AS body
+             FROM h),
+      h3 AS (SELECT event_type, est,
+                    CAST(1 AS BIGINT)
+                      << (bit_count(xor(body, body - 1)) - 1) AS bit
+             FROM h2),
       m AS (SELECT event_type,
                    ${maps.mkString(",\n                   ")}
-            FROM h GROUP BY 1),
+            FROM h3 GROUP BY 1),
       x AS (SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
             FROM events GROUP BY 1)
@@ -11253,7 +11278,11 @@ object Catalog {
     * core): each event reports its TRUE type with probability 12/16
     * and one of the k−1 other types with probability 1/16 each (k=5
     * event types; uniformity over others holds when (k−1) divides 4,
-    * which the fixture's domain satisfies), using the repo's
+    * which the fixture's domain satisfies — and because BOTH the
+    * debias constants (16·c−n)/11 and that uniformity argument
+    * hardcode k=5, the plan ASSERTS k=5 at runtime via assert_true,
+    * so a changed event_type domain fails loudly instead of shipping
+    * a silently-biased estimator — ADVICE r11), using the repo's
     * replayable LCG on event_id as the coin — so the privatized
     * counts are VALUE-EXACT cross-engine and the mechanism is fully
     * oracle-backed, which no real randomized deployment can be but
@@ -11275,6 +11304,11 @@ object Catalog {
         .join(types.as("b"), col("b.t") < col("a.t"), "left")
         .groupBy(col("a.t").as("t")).agg(count(col("b.t")).as("idx"))
       val k = types.agg(count(lit(1)).as("k"))
+        // the 12/16 + 1/16-each mechanism and the (16c-n)/11 debias are
+        // k=5 constants: fail loudly on any other domain (ADVICE r11)
+        .filter(expr("assert_true(k = 5, 'q320: debias (16c-n)/11 and " +
+          "spread (r-12)%(k-1) hardcode k=5; rederive the constants " +
+          "before running on a different event_type domain') IS NULL"))
       val reported = ev
         .join(broadcast(idx.withColumnRenamed("t", "event_type")), "event_type")
         .crossJoin(broadcast(k))

@@ -124,6 +124,46 @@ class ExplainSpec extends SparkSpec {
         stale.mkString(", "))
   }
 
+  test("q318 materializes the gram stream once (VERDICT r11 #3)") {
+    // The DSIR gram stream (documents scan + split + explode + polyhash)
+    // feeds BOTH the bucket rollup and the per-doc join. Round 11 shipped
+    // it as three independent corpus scans; the fix checkpoints the gram
+    // stream eagerly and merges raw/tgt into one conditional rollup. In
+    // the final plan that reads as: the gram stream appears as LEAF RDD
+    // scans (built once at construction), and the ONLY parquet scan of
+    // documents left is the cheap doc_id/lang projection of the final
+    // left join — not the text-bearing corpus scan.
+    import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = queries.Catalog.all("q318_dsir_stats").fn(spark, sf0001)
+    val opt = df.queryExecution.optimizedPlan
+    val leaves = opt.collect { case l: LeafNode => l }
+    val docScans = leaves.collect {
+      case l: LogicalRelation if (l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("documents"))
+        case _ => false
+      }) => l
+    }
+    assert(docScans.size == 1,
+      s"expected exactly one residual documents scan, got ${docScans.size}:\n" +
+        opt.treeString)
+    // and that residual scan must NOT read the text column — pruning is
+    // physical (the logical LogicalRelation always carries full output),
+    // so assert on the FileScan's ReadSchema
+    val physical = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val readSchemas = physical.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.size == 1 && readSchemas.head.contains("doc_id") &&
+      readSchemas.head.contains("lang") && !readSchemas.head.contains("text"),
+      s"residual documents scan not pruned to (doc_id, lang): $readSchemas")
+    val rddLeaves = leaves.filterNot(_.isInstanceOf[LogicalRelation])
+    assert(rddLeaves.size == 2,
+      s"expected the checkpointed gram stream as 2 RDD leaves " +
+        s"(rollup + join), got ${rddLeaves.size}:\n" + opt.treeString)
+  }
+
   test("root sorted-limit plus a bare mid-plan sort is still a smell") {
     // The root-chain exemption must not soak up the inner bare sort.
     import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
