@@ -44,6 +44,46 @@ object Explain {
     }.exists(w => !bounded(w.child))
   }
 
+  /** Nested-loop classification (VERDICT r11 #2). A raw
+    * "BroadcastNestedLoopJoin appears in the plan" smell flagged ~45
+    * catalog entries, and every sampled one was an INTENDED 1-row
+    * scalar-aggregate broadcast (`crossJoin(broadcast(totals))`) — so a
+    * genuinely dangerous non-scalar nested loop added tomorrow would be
+    * invisible in the noise. This classifies at the LOGICAL level: a
+    * Join with NO extractable equi-key (Spark must plan it as
+    * BNLJ/Cartesian) is benign when either side is provably ≤1 row
+    * (`maxRows`, the planner's own bound: scalar aggregates, limits) —
+    * per-row work is O(1), the broadcast is constant-size at any SF.
+    * It is a SMELL when both sides are unbounded: candidate volume is
+    * |L|·|R|, the one shape that can never survive a 100× scale-up.
+    * Real small-domain theta joins (a k×k type-index build, a
+    * calendar-grid band join) sit in ExplainSpec's justified allowlist,
+    * and any NEW non-scalar nested loop fails the suite instead of
+    * shipping silently — the same enforcement the window lint got in
+    * round 5.
+    */
+  private[graft] def nonScalarNestedLoopJoin(optimized: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conj(a) ++ conj(b)
+      case x => Seq(x)
+    }
+    def splitsSides(j: Join, a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(j.left.outputSet) &&
+          b.references.subsetOf(j.right.outputSet)) ||
+         (b.references.subsetOf(j.left.outputSet) &&
+          a.references.subsetOf(j.right.outputSet)))
+    def hasEquiKey(j: Join): Boolean = j.condition.exists(c => conj(c).exists {
+      case EqualTo(a, b) => splitsSides(j, a, b)
+      case EqualNullSafe(a, b) => splitsSides(j, a, b)
+      case _ => false
+    })
+    def scalar(p: LogicalPlan): Boolean = p.maxRows.exists(_ <= 1L)
+    optimized.collect { case j: Join => j }
+      .exists(j => !hasEquiKey(j) && !scalar(j.left) && !scalar(j.right))
+  }
+
   /** NOTE: every catalog query deliberately ENDS in a total ORDER BY —
     * the oracle hash-compare requires a deterministic row order — so an
     * un-limited range-partitioned sort at the plan ROOT (possibly under
@@ -111,9 +151,12 @@ object Explain {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+        // scalar-broadcast BNLJ (crossJoin(broadcast(1-row agg))) is an
+        // intended plan shape, not a smell — only the non-scalar class
+        // (candidate volume |L|*|R|) is reported (VERDICT r11 #2)
         val smells = Seq(
-          "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          "NonScalarNestedLoopJoin" ->
+            nonScalarNestedLoopJoin(df.queryExecution.optimizedPlan),
           "MidPlanGlobalSort" -> midPlanGlobalSort(df.queryExecution.optimizedPlan),
           "UnboundedGlobalWindow" -> unboundedGlobalWindow(df.queryExecution.optimizedPlan),
         ).collect { case (s, true) => s }

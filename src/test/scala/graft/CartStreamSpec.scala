@@ -92,19 +92,34 @@ class CartStreamSpec extends SparkSpec {
     withRocksDb {
       val input = MemoryStream[RawEvent]
       val sink = new SetSink
-      // T=8s; refresh `keep` at +4s; probe at +10s: `old` (age 10s) is
-      // past TTL, `keep` (age 6s) is not — expiry is per (user, item)
-      // ENTRY, not per user key (a whole-value TTL would drop both or
-      // neither)
-      val q = start(input, Duration.ofSeconds(8), sink, ckptDir("cart_ttl"))
+      // Expiry must be per (user, item) ENTRY, not per user key (a
+      // whole-value TTL would drop both items or neither). The schedule
+      // anchors on MEASURED boundaries, not fixed sleeps racing the TTL
+      // (ADVICE r11: 2-4 s slack lost to one GC pause): `old`'s TTL
+      // clock starts no later than tIns (await return ⇒ already
+      // processed) and no earlier than its addData call, so
+      //   - refresh at tIns+6s commits ≥9s before old can expire (T=16)
+      //   - probing after tIns+T+1.5s guarantees old is PAST expiry
+      //   - keep's clock restarts no earlier than tRefAdd, so the probe
+      //     has until tRefAdd+T ≈ tIns+22s to process — ~4.5s of slack
+      //     for a loaded CI batch, vs the old schedule's 2s
+      val T = Duration.ofSeconds(16)
+      val q = start(input, T, sink, ckptDir("cart_ttl"))
       try {
         input.addData(RawEvent(7L, "old", "view", ts(1)),
           RawEvent(7L, "keep", "view", ts(2)))
         sink.await((7L, "keep:1|old:1"))
-        Thread.sleep(4000)
-        input.addData(RawEvent(7L, "keep", "view", ts(10)))
-        sink.await((7L, "keep:2|old:1")) // old alive at +4s, keep refreshed
+        val tIns = System.currentTimeMillis() // old's TTL start <= tIns
         Thread.sleep(6000)
+        val tRefAdd = System.currentTimeMillis() // keep's restart >= this
+        input.addData(RawEvent(7L, "keep", "view", ts(10)))
+        sink.await((7L, "keep:2|old:1")) // old alive at +6s, keep refreshed
+        // wait out old's TTL against the measured anchor, then probe
+        val wait = (tIns + T.toMillis + 1500) - System.currentTimeMillis()
+        if (wait > 0) Thread.sleep(wait)
+        assert(System.currentTimeMillis() < tRefAdd + T.toMillis - 3000,
+          "schedule lost its keep-alive margin before the probe was sent " +
+            "(machine stall?) — widen T")
         input.addData(RawEvent(7L, "probe", "view", ts(20)))
         sink.await((7L, "keep:2|probe:1")) // old aged out alone
       } finally q.stop()

@@ -66,21 +66,34 @@ class ExplainSpec extends SparkSpec {
     assert(Explain.midPlanGlobalSort(plan), s"plan:\n${plan.treeString}")
   }
 
-  test("partitionless windows: structurally bounded, or allowlisted with cause") {
-    // A Window with no PARTITION BY moves every row to one task — fatal
-    // at 100 TB unless its input is provably bounded (limit upstream,
-    // scalar rollup, joins/unions thereof). Queries whose boundedness
-    // rests on a bounded KEY DOMAIN the plan can't express are
-    // allowlisted here WITH the domain that bounds them; anything new
+  test("partitionless windows and non-scalar nested loops: bounded or allowlisted") {
+    // Two structural 100 TB lints over the whole catalog in ONE
+    // construction sweep:
+    //
+    // (1) A Window with no PARTITION BY moves every row to one task —
+    // fatal at 100 TB unless its input is provably bounded (limit
+    // upstream, scalar rollup, joins/unions thereof). Queries whose
+    // boundedness rests on a bounded KEY DOMAIN the plan can't express
+    // are allowlisted WITH the domain that bounds them; anything new
     // fails the suite instead of shipping silently.
+    //
+    // (2) A Join with no extractable equi-key plans as
+    // BroadcastNestedLoopJoin/CartesianProduct. The benign class —
+    // either side provably ≤1 row (crossJoin(broadcast(scalar_agg))) —
+    // is classified out by Explain.nonScalarNestedLoopJoin; what
+    // remains has |L|·|R| candidate volume and must either carry a
+    // domain bound justified here or fail the suite (VERDICT r11 #2:
+    // the raw string smell flagged ~45 intended scalar broadcasts, so
+    // a real nested loop added tomorrow would have been invisible).
     //
     // EAGER-BARRIER coverage (round 11): `localCheckpoint(true)` runs
     // its subtree at CONSTRUCTION time and replaces it with a leaf, so
-    // a window behind an eager barrier never reaches the final
+    // a smell behind an eager barrier never reaches the final
     // optimizedPlan — the lint used to be blind there (ADVICE r10).
     // A QueryExecutionListener captures every plan the construction
     // executes (checkpoint/collect barriers) and lints those too.
     val boundedByDomain: Map[String, String] = ExplainSpec.windowAllowlist
+    val nlAllowed: Map[String, String] = ExplainSpec.nestedLoopAllowlist
     val captured = new java.util.concurrent.ConcurrentLinkedQueue[
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -95,8 +108,8 @@ class ExplainSpec extends SparkSpec {
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
-    val offenders = try {
-      queries.Catalog.all.toSeq.sortBy(_._1).flatMap {
+    val (winOffenders, nlOffenders) = try {
+      val results = queries.Catalog.all.toSeq.sortBy(_._1).map {
         case (name, spec) =>
           captured.clear()
           // construction failures are CatalogSmokeSpec's job, not this lint's
@@ -108,20 +121,56 @@ class ExplainSpec extends SparkSpec {
             import scala.jdk.CollectionConverters._
             captured.iterator().asScala.toVector
           }
-          val flagged = opt.exists(Explain.unboundedGlobalWindow) ||
-            eager.exists(Explain.unboundedGlobalWindow)
-          if (flagged) Some(name) else None
+          val plans = opt.toVector ++ eager
+          (name, plans.exists(Explain.unboundedGlobalWindow),
+            plans.exists(Explain.nonScalarNestedLoopJoin))
       }
+      (results.collect { case (n, true, _) => n },
+        results.collect { case (n, _, true) => n })
     } finally spark.listenerManager.unregister(listener)
-    val unexplained = offenders.filterNot(boundedByDomain.contains)
+    val unexplained = winOffenders.filterNot(boundedByDomain.contains)
     assert(unexplained.isEmpty,
       s"unproven partitionless Window in: ${unexplained.mkString(", ")} — " +
         "either bound the input (limit / scalar rollup) or add a justified " +
         "ExplainSpec.windowAllowlist entry")
-    val stale = boundedByDomain.keys.filterNot(offenders.contains)
+    val stale = boundedByDomain.keys.filterNot(winOffenders.contains)
     assert(stale.isEmpty,
       s"allowlist entries no longer needed (plan now proves boundedness): " +
         stale.mkString(", "))
+    val nlUnexplained = nlOffenders.filterNot(nlAllowed.contains)
+    assert(nlUnexplained.isEmpty,
+      s"non-scalar nested-loop join in: ${nlUnexplained.mkString(", ")} — " +
+        "give the join an equi-key, bound one side to a scalar, or add a " +
+        "justified ExplainSpec.nestedLoopAllowlist entry naming the domain " +
+        "that bounds the |L|*|R| candidate volume")
+    val nlStale = nlAllowed.keys.filterNot(nlOffenders.contains)
+    assert(nlStale.isEmpty,
+      s"nestedLoopAllowlist entries no longer needed: ${nlStale.mkString(", ")}")
+  }
+
+  test("nested-loop classifier: scalar broadcast quiet, unbounded cross flagged") {
+    import spark.implicits._
+    // scalar-aggregate broadcast: the intended crossJoin(broadcast(tot))
+    // shape — quiet
+    val fact = Tables.orders(spark, sf0001)
+    val tot = fact.agg(sum("o_totalprice").as("t"))
+    val scalar = fact.crossJoin(broadcast(tot))
+    assert(!Explain.nonScalarNestedLoopJoin(scalar.queryExecution.optimizedPlan))
+    // both sides unbounded, no condition: |L|*|R| — flagged
+    val cross = fact.crossJoin(Tables.customer(spark, sf0001))
+    assert(Explain.nonScalarNestedLoopJoin(cross.queryExecution.optimizedPlan))
+    // non-equi theta over unbounded sides — flagged
+    val theta = fact.as("a").join(Tables.customer(spark, sf0001).as("b"),
+      col("a.o_totalprice") > col("b.c_acctbal"))
+    assert(Explain.nonScalarNestedLoopJoin(theta.queryExecution.optimizedPlan))
+    // equi-join (plus residual non-equi conjunct) — quiet
+    val equi = fact.as("a").join(Tables.customer(spark, sf0001).as("b"),
+      col("a.o_custkey") === col("b.c_custkey") &&
+        col("a.o_totalprice") > col("b.c_acctbal"))
+    assert(!Explain.nonScalarNestedLoopJoin(equi.queryExecution.optimizedPlan))
+    // limit-bounded side is NOT scalar: still flagged (allowlist decides)
+    val lim = fact.crossJoin(Tables.customer(spark, sf0001).limit(7))
+    assert(Explain.nonScalarNestedLoopJoin(lim.queryExecution.optimizedPlan))
   }
 
   test("q318 materializes the gram stream once (VERDICT r11 #3)") {
@@ -259,4 +308,75 @@ object ExplainSpec {
       "offset prefix-sum over per-partition totals (rangePrefixSums kernel behind the eager barrier); bounded by the shuffle partition count",
     "q310_mann_kendall" ->
       "row_number over the daily rollup (eager barrier); day domain calendar-bounded (~2370 rows at any SF)")
+
+  /** Non-scalar nested-loop joins (no equi-key, neither side provably
+    * ≤1 row) whose |L|·|R| candidate volume is bounded by a DOMAIN the
+    * plan cannot express — each entry names that domain. Keep justified
+    * and minimal: the lint fails any catalog query not listed here.
+    */
+  val nestedLoopAllowlist: Map[String, String] = Map(
+    "m02_als_recommendations" ->
+      "Spark ML recommendForAllUsers internals: blocked factor-matrix CartesianProduct (library code, block count bounded by rank/blocking params)",
+    "m09_ivf_ann" ->
+      "probe-to-centroid assignment: cross against the broadcast k-centroid table; k is a constant quantizer parameter",
+    "m10_semdedup" ->
+      "nearest-center assignment against broadcast k-means centroids; within-cluster pairs only afterwards, never all-pairs",
+    "m16_pq_ann" ->
+      "ADC lookup: cross against the broadcast constant-size PQ codebook (subspace x 256 centroids)",
+    "m21_jl_projection" ->
+      "cross against the broadcast constant d x k projection-matrix table",
+    "q104_fuzzy_name_rule" ->
+      "length-band candidate join over the DISTINCT name vocabulary; band predicate bounds fan-out, vocab is Heaps-bounded",
+    "q129_rank_fusion" ->
+      "fusion of two LIMIT-100 rank lists: both sides sorted-limit cuts, 100x100 worst case",
+    "q134_negative_sampling" ->
+      "bounded candidate build: 50 sampled candidates per user (documented bounded-build BNLJ class)",
+    "q140_source_overlap" ->
+      "|sources|^2/2 pair matrix; documents.source is a small categorical domain",
+    "q172_source_minhash_overlap" ->
+      "|sources|^2 signature pairs over 64-int minhash signatures; source domain small-categorical",
+    "q175_audience_overlap" ->
+      "|event_types|^2 pair matrix over constant-size theta sketches",
+    "q178_rfm_segmentation" ->
+      "threshold join against rank-filtered 2-row quantile extracts (bounded by construction, invisible to maxRows)",
+    "q188_equidepth_histogram" ->
+      "range probe of the 10-row quantile-rank table into the CDF; non-equi by nature, 10-row side",
+    "q213_poisson_bootstrap" ->
+      "fact x constant B-row resample-index table (B bootstrap replicates)",
+    "q215_heaps_law" ->
+      "10-row decile-cutoff grid band-joined (<=) against per-doc rollups; fan-out bounded by 10",
+    "q219_quantile_effect" ->
+      "range probe of the broadcast 9-row quantile-rank table (rangePrefixSums kernel)",
+    "q255_jaro_winkler_match" ->
+      "|vocab|^2 all-pairs over the DISTINCT name vocabulary by contract (Heaps-bounded; never |rows|^2)",
+    "q262_damerau_scores" ->
+      "|vocab|^2 all-pairs over the distinct vocabulary by contract (q255 shape; q89 bigram index is the fact-scale prefilter)",
+    "q273_shapley_attribution" ->
+      "coalition/marginal enumeration: broadcast joins over constant-size relations (2^|channels| with fixed channel domain)",
+    "q289_permutation_test" ->
+      "fact x constant 24-row permutation-index table",
+    "q298_bh_fdr" ->
+      "BH step-up comparison over the groupBy(nation) test rollup; nation domain fixture-fixed at 25",
+    "q300_two_sweep_diameter" ->
+      "argmax landmark cut (rank-filtered 1-row extract) joined non-equi into the next sweep; bounded by construction",
+    "q310_mann_kendall" ->
+      "i<j pair census over the daily rollup; day domain calendar-bounded (~2370 rows at any SF)",
+    "q320_randomized_response" ->
+      "k x k event-type index build; small categorical domain, k=5 asserted in-plan",
+    "q39_embedding_knn" ->
+      "brute-force exact kNN baseline BY DESIGN (recall oracle, never benched; q40/m09 are the scale paths)",
+    "q41_embedding_neardup" ->
+      "brute-force cosine threshold pair list (q39 class); q40's LSH bucketing is the documented scale path",
+    // the five below sit behind eager localCheckpoint barriers —
+    // visible only to the listener capture, not to Explain.main
+    "q263_bpe_merges" ->
+      "per-round join against the sorted-LIMIT-1 best-merge pair (1-row cut, invisible to maxRows); rounds vocab-bounded (eager barrier)",
+    "q301_bpe_encode" ->
+      "q263's merge loop reused: per-round 1-row best-pair cut; encode pass itself is a broadcast vocab hash join (eager barrier)",
+    "q275_consistent_ring" ->
+      "key assignment over the broadcast 128-point ring relation; ring size is a constant vnode parameter (eager barrier)",
+    "q287_rrf_fusion" ->
+      "probe-side pair stage over the bounded query set x k-bounded rank survivors (eager barrier)",
+    "q304_matrix_profile" ->
+      "i<j pair census over the daily rollup; day domain calendar-bounded, constant ~5.6M-pair stage at any SF (eager barrier)")
 }
