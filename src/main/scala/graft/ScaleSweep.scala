@@ -59,6 +59,10 @@ object ScaleSweep {
       "q238_matryoshka_audit", "q240_contamination_report",
       // late r8: PQ codes scan + 50-deep exact re-rank through GroupTopK
       "m16_pq_ann",
+      // r12: Lloyd k-means baseline — per-iteration map over rows
+      // against k broadcast centers; the sweep point the r11 verdict
+      // asked for (200k vectors at 100x, k=8)
+      "m23_kmeans",
       // r9: grid DBSCAN — per-point O(1) binning; components on the
       // core-CELL graph, never points
       "q284_grid_dbscan",

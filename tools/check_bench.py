@@ -22,43 +22,88 @@ import sys
 WARN_RATIO = 1.5   # BASELINE.md: ">1.5x over the envelope is a real regression"
 GATE_RATIO = 2.0   # the driver's hard gate
 MIN_ENVELOPE_QUERIES = 15  # a parse yielding fewer lost part of the row
+# An envelope may sit at most this far above its committed idle min.
+# Without this cap the ratchet only loosens (VERDICT r11 #1): envelopes
+# were elementwise-MAXed with prior committed values every round, so
+# load variance ratcheted them up until a real 1.5x plan regression
+# would read "1.0x of envelope, ok". Entries at the 0.50s sub-second
+# floor are exempt — the floor exists because 2x of a 0.2s query is
+# scheduler jitter, not signal.
+RATCHET_RATIO = 2.0
+SUBSECOND_FLOOR = 0.50
 
 
-def parse_envelope(baseline_md):
+def _parse_row(baseline_md, marker):
     """Structural parse: find the single physical markdown table row
-    whose metric cell names LOADED ENVELOPE, split on '|', and read the
+    whose metric cell names `marker`, split on '|', and read the
     'qNN <sec>' pairs from the VALUE cell only — commentary in other
     cells can never leak in. Fails loudly (not silently-empty) when the
     row is missing, wrapped, duplicated, or suspiciously short.
     """
     rows = [l for l in open(baseline_md).read().splitlines()
-            if "LOADED ENVELOPE" in l]
+            if marker in l]
     if not rows:
-        raise SystemExit(f"no LOADED ENVELOPE row found in {baseline_md}")
+        raise SystemExit(f"no {marker} row found in {baseline_md}")
     if len(rows) > 1:
-        raise SystemExit(f"{len(rows)} LOADED ENVELOPE rows in {baseline_md}; "
+        raise SystemExit(f"{len(rows)} {marker} rows in {baseline_md}; "
                          "keep exactly one (delete or rename the stale row)")
     row = rows[0].strip()
     if not row.startswith("|"):
-        raise SystemExit("LOADED ENVELOPE line is not a markdown table row "
+        raise SystemExit(f"{marker} line is not a markdown table row "
                          "(wrapped or reformatted?): " + row[:80])
     cells = [c.strip() for c in row.strip("|").split("|")]
     if len(cells) < 2:
-        raise SystemExit("LOADED ENVELOPE row has no value cell: " + row[:80])
+        raise SystemExit(f"{marker} row has no value cell: " + row[:80])
     out = {}
     # [qm]: ML catalog entries (m05 GBT) sit in the committed envelope
     # alongside the qNN queries since round 8
     for qm in re.finditer(r"([qm]\d+)\s+([0-9.]+)", cells[1]):
         name, secs = qm.group(1), float(qm.group(2))
         if name in out:
-            raise SystemExit(f"duplicate envelope entry for {name} — "
+            raise SystemExit(f"duplicate {marker} entry for {name} — "
                              "the value cell was edited inconsistently")
         out[name] = secs
     if len(out) < MIN_ENVELOPE_QUERIES:
         raise SystemExit(
-            f"only {len(out)} envelope entries parsed (expected >= "
-            f"{MIN_ENVELOPE_QUERIES}) — the envelope row was likely wrapped "
+            f"only {len(out)} {marker} entries parsed (expected >= "
+            f"{MIN_ENVELOPE_QUERIES}) — the row was likely wrapped "
             "or split; keep all 'qNN <sec>' pairs in the single value cell")
+    return out
+
+
+def parse_envelope(baseline_md):
+    return _parse_row(baseline_md, "LOADED ENVELOPE")
+
+
+def parse_idle_min(baseline_md):
+    return _parse_row(baseline_md, "per-query idle MIN")
+
+
+def ratchet_failures(envelope, idle):
+    """Committed-anchor hygiene (VERDICT r11 #1): every envelope entry
+    must stay within RATCHET_RATIO of its committed idle min (floored
+    entries exempt), and the two rows must cover the same query set —
+    a query in one but not the other means a refresh touched only half
+    the anchor.
+    """
+    out = []
+    for name in sorted(set(envelope) | set(idle)):
+        if name not in idle:
+            out.append(f"{name}: in LOADED ENVELOPE but not idle MIN row")
+            continue
+        if name not in envelope:
+            out.append(f"{name}: in idle MIN row but not LOADED ENVELOPE")
+            continue
+        env, idl = envelope[name], idle[name]
+        if env <= SUBSECOND_FLOOR:
+            continue
+        if env > RATCHET_RATIO * idl:
+            out.append(
+                f"{name}: envelope {env:.2f}s > {RATCHET_RATIO:.1f}x idle "
+                f"min {idl:.2f}s ({env / idl:.2f}x) — re-run the three-run "
+                "protocol and publish fresh maxima (BASELINE.md policy: "
+                "envelopes are fresh each refresh, never MAXed with prior "
+                "values)")
     return out
 
 
@@ -81,9 +126,12 @@ def main():
         line = next(l for l in raw.splitlines() if '"metric"' in l)
         bench = json.loads(line)
     envelope = parse_envelope(baseline)
+    idle_min = parse_idle_min(baseline)
 
     worst = 0.0
     failures, warnings, extras = [], [], []
+    for msg in ratchet_failures(envelope, idle_min):
+        failures.append(f"anchor hygiene: {msg}")
     for name, secs in sorted(bench["queries"].items()):
         short = name.split("_")[0]
         if secs is None:
