@@ -84,6 +84,55 @@ class StateStoreAuditSpec extends SparkSpec {
     assert(got === expected, s"checkpointed state diverged from batch fold")
   }
 
+  test("transformWithState: persisted 'counters' state matches the fMGWS twin") {
+    // The two stateful APIs are asserted output-identical in
+    // StreamingSpec; this audits the stronger claim that they PERSIST
+    // identical state — the part a restart actually depends on. TWS
+    // state is read back per named state variable
+    // (option("stateVarName", ...)), here the "counters" ValueState,
+    // and must equal the same batch fold the fMGWS audit pins.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.ScoringProcessor.configureRocksDb(spark)
+    try {
+      val input = MemoryStream[RawEvent]
+      val initial = Seq(
+        ((7L, "c1"), EventState(2L, 0L, 0L, 0L, 0L, 2L))).toDS()
+      val ckpt = ckptDir("ssaudit_tws")
+      val out = graft.streaming.ScoringProcessor
+        .scoredStreamTws(spark, input.toDS(), initial)
+      val q = out.writeStream.format("memory").queryName("ssaudit_tws")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(RawEvent(7L, "c1", "click", ts(10)),
+          RawEvent(7L, "c1", "view", ts(11)),
+          RawEvent(8L, "c2", "purchase", ts(12)))
+        q.processAllAvailable()
+        input.addData(RawEvent(7L, "c1", "error", ts(20)),
+          RawEvent(9L, "c3", "zzz-unknown", ts(21)))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val state = flatten(
+        spark.read.format("statestore")
+          .option("stateVarName", "counters").load(ckpt))
+        .select(col("_1").as("user"), col("_2").as("item"), col("nClick"),
+          col("nView"), col("nPurchase"), col("nSignup"), col("nError"),
+          col("total"))
+      val expected = Set(
+        (7L, "c1", 3L, 1L, 0L, 0L, 1L, 5L),
+        (8L, "c2", 0L, 0L, 1L, 0L, 0L, 1L),
+        (9L, "c3", 0L, 0L, 0L, 0L, 0L, 0L))
+      val got = state.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSet
+      assert(got === expected,
+        "transformWithState persisted state diverged from the batch fold " +
+          "(and therefore from the fMGWS twin's audited state)")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicates: state keys equal the batch distinct of the tape") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
