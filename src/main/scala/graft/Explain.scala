@@ -145,26 +145,50 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // Eager-barrier coverage, matching ExplainSpec's lint: a
+    // localCheckpoint(true) subtree executes at CONSTRUCTION time and
+    // is replaced by a leaf, so its plan never reaches the final
+    // optimizedPlan — capture every construction-time execution and
+    // lint those too (before round 12 the standalone audit was blind
+    // where the spec was not).
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[LogicalPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        scala.util.Try(captured.add(qe.optimizedPlan))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
     queries.Catalog.all.toSeq.sortBy(_._1).foreach { case (name, spec) =>
       try {
+        captured.clear()
         val df = spec.fn(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+        org.apache.spark.graft.SparkShims.drainListenerBus(spark.sparkContext)
+        val eager = {
+          import scala.jdk.CollectionConverters._
+          captured.iterator().asScala.toVector
+        }
+        val plans = df.queryExecution.optimizedPlan +: eager
         // scalar-broadcast BNLJ (crossJoin(broadcast(1-row agg))) is an
         // intended plan shape, not a smell — only the non-scalar class
         // (candidate volume |L|*|R|) is reported (VERDICT r11 #2)
         val smells = Seq(
-          "NonScalarNestedLoopJoin" ->
-            nonScalarNestedLoopJoin(df.queryExecution.optimizedPlan),
-          "MidPlanGlobalSort" -> midPlanGlobalSort(df.queryExecution.optimizedPlan),
-          "UnboundedGlobalWindow" -> unboundedGlobalWindow(df.queryExecution.optimizedPlan),
+          "NonScalarNestedLoopJoin" -> plans.exists(nonScalarNestedLoopJoin),
+          "MidPlanGlobalSort" -> plans.exists(midPlanGlobalSort),
+          "UnboundedGlobalWindow" -> plans.exists(unboundedGlobalWindow),
         ).collect { case (s, true) => s }
         println(s"[plan] $name ${if (smells.isEmpty) "ok" else smells.mkString(",")}")
       } catch {
         case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(80)}")
       }
     }
+    spark.listenerManager.unregister(listener)
     spark.stop()
   }
 }
