@@ -133,6 +133,88 @@ class StateStoreAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("MapState+TTL: persisted cart entries equal the batch fold") {
+    // Completes the state-kind matrix: ValueState (above), dropDuplicates
+    // keys (below), and here the COMPOSITE-KEY MapState with per-entry
+    // TTL — one persisted row per (user, item) map entry, read back via
+    // stateVarName="cart". A long TTL keeps expiry out of the picture;
+    // what is audited is the fold (view +1, purchase removes) as
+    // PERSISTED, not as emitted.
+    import java.time.Duration
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.streaming.ScoringProcessor.configureRocksDb(spark)
+    try {
+      val input = MemoryStream[RawEvent]
+      val ckpt = ckptDir("ssaudit_cart")
+      val out = graft.streaming.CartStream.cartCounts(
+        input.toDS(), Duration.ofHours(1))
+      // TimeMode.ProcessingTime operators never settle under
+      // processAllAvailable (the TTL clock advances batch-by-batch) —
+      // pace with a real trigger and poll the sink, the CartStreamSpec
+      // discipline
+      val q = out.writeStream.format("memory").queryName("ssaudit_cart")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("100 milliseconds"))
+        .start()
+      def awaitSnapshot(user: Long, items: String): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!spark.table("ssaudit_cart").collect()
+            .exists(r => r.getLong(0) == user && r.getString(1) == items)) {
+          assert(System.currentTimeMillis() < deadline,
+            s"timed out waiting for ($user, $items) in " +
+              spark.table("ssaudit_cart").collect().mkString(", "))
+          Thread.sleep(100)
+        }
+      }
+      try {
+        input.addData(RawEvent(5L, "a", "view", ts(1)),
+          RawEvent(5L, "b", "view", ts(2)),
+          RawEvent(5L, "a", "view", ts(3)),
+          RawEvent(6L, "c", "view", ts(4)))
+        awaitSnapshot(5L, "a:2|b:1"); awaitSnapshot(6L, "c:1")
+        input.addData(RawEvent(5L, "b", "purchase", ts(5)), // removes (5,b)
+          RawEvent(6L, "c", "view", ts(6)))
+        awaitSnapshot(5L, "a:2"); awaitSnapshot(6L, "c:2")
+      } finally q.stop()
+
+      val raw = spark.read.format("statestore")
+        .option("stateVarName", "cart").load(ckpt)
+      // layout: grouping key struct + the map's user key + the entry
+      // value (possibly TTL-wrapped; primitives may sit in single-field
+      // structs) — resolve the three paths generically so an upstream
+      // layout rename fails with a readable schema, not a wrong audit
+      import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+      def firstPath(prefix: String, dt: DataType,
+          want: DataType): Option[String] = dt match {
+        case `want` => Some(prefix)
+        case s: StructType => s.fields.iterator
+          .filterNot(_.name.toLowerCase.contains("ttl"))
+          .flatMap(f => firstPath(s"$prefix.`${f.name}`", f.dataType, want))
+          .nextOption()
+        case _ => None
+      }
+      def resolve(fieldFilter: String => Boolean, want: DataType,
+          what: String): String =
+        raw.schema.fields.iterator.filter(f => fieldFilter(f.name))
+          .flatMap(f => firstPath(s"`${f.name}`", f.dataType, want))
+          .nextOption()
+          .getOrElse(fail(s"no $what in state layout: ${raw.schema.treeString}"))
+      val userPath = resolve(_ == "key", LongType, "grouping-key long under 'key'")
+      val countPath = resolve(n => n == "value" || n == "user_map_value",
+        LongType, "count long under the map-value column")
+      val itemPath = resolve(n => n != "key" && n != "value" &&
+        n != "user_map_value" && n != "partition_id", StringType,
+        "string map key")
+      val got = raw.select(expr(userPath), expr(itemPath), expr(countPath))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set((5L, "a", 2L), (6L, "c", 2L)),
+        s"persisted cart entries diverged (layout: ${raw.schema.simpleString})")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("dropDuplicates: state keys equal the batch distinct of the tape") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
