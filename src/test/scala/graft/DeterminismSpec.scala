@@ -28,7 +28,10 @@ class DeterminismSpec extends SparkSpec {
     "q313_louvain_move",        // argmax-gain window + strict-positive rule
     "q314_wl_refinement",       // sorted collect_list + hash fold per node
     "q317_anf",                 // bit_or merges must be layout-free
-    "q318_dsir_stats")          // broadcast bucket join + integer div sums
+    "q318_dsir_stats",          // broadcast bucket join + integer div sums
+    // round-12 rewrites: both must stay layout-free after the change
+    "q315_fm_pcsa",             // true-PCSA routing: bit_or of routed bits
+    "q319_stupid_backoff")      // gram-keyed joins + order-free div sums
 
   test("representative queries are shuffle-partition invariant") {
     val conf = spark.conf
