@@ -59,7 +59,7 @@ object Bench {
     * Members are every catalog entry that reads the group's persisted
     * kernel, headline or not, so BENCH_ALL runs attribute correctly.
     */
-  private val sharedGroups: Seq[(String, String, Seq[String])] = Seq(
+  private[graft] val sharedGroups: Seq[(String, String, Seq[String])] = Seq(
     ("verified_pairs", "q35_ngram_jaccard_neardup",
       Seq("q35_ngram_jaccard_neardup", "q50_corpus_curation",
         "q62_dedup_components", "q130_canonical_selection",
@@ -76,7 +76,11 @@ object Bench {
     // so it is the payer in any BENCH_ALL run
     ("ann_buckets", "q165_semantic_decontamination",
       Seq("q165_semantic_decontamination", "q204_mutual_knn",
-        "q238_matryoshka_audit")),
+        "q238_matryoshka_audit",
+        // round 12: caught by BenchGroupsSpec's derived-membership
+        // audit on its first run — q240 composes the LSH cut and reads
+        // this family's caches (ScaleSweep knew; this list didn't)
+        "q240_contamination_report")),
     ("shingle_rows", "q35_ngram_jaccard_neardup",
       Seq("q35_ngram_jaccard_neardup", "q36_minhash_lsh_neardup",
         "q50_corpus_curation", "q62_dedup_components",
@@ -98,7 +102,10 @@ object Bench {
         "q140_source_overlap", "q172_source_minhash_overlap",
         "q231_accession_novelty", "q234_dedup_token_ledger",
         "q260_coverage_selection", "q305_fellegi_sunter",
-        "q307_sorted_neighborhood")),
+        "q307_sorted_neighborhood",
+        // round 12: BenchGroupsSpec derived-membership audit — q240's
+        // lexical probe reads the shingle kernel too
+        "q240_contamination_report")),
     ("co_pairs", "q14_part_pairs",
       Seq("q14_part_pairs", "q85_pagerank", "q94_triangle_count",
         "q95_item_similarity", "q111_degree_stats",

@@ -11589,4 +11589,11 @@ object Catalog {
     graft.ml.MlCatalog.clearCaches(s)
     s.catalog.clearCache()
   }
+
+  /** Shared-cache-family introspection for BenchGroupsSpec — see
+    * [[PipelineCatalog.cacheFamiliesFor]].
+    */
+  private[graft] def cacheFamiliesFor(s: SparkSession): Set[String] =
+    PipelineCatalog.cacheFamiliesFor(s) ++
+      (if (coPairCache.keys.exists(_._1 eq s)) Set("co_pairs") else Set.empty)
 }

@@ -7327,4 +7327,23 @@ object PipelineCatalog {
       annBucketCache.remove(k).foreach(_._1.unpersist(blocking = true))
     }
   }
+
+  /** Which Bench shared-cache families this session currently holds
+    * entries for — the introspection behind BenchGroupsSpec, which
+    * DERIVES group membership (construct a query with cleared caches,
+    * snapshot what appeared) instead of trusting the hand-maintained
+    * member lists (the round-9 q149 envelope drift was exactly a
+    * membership gap). Cache maps fill at CONSTRUCTION time
+    * (getOrElseUpdate in the kernel helpers), so no execution is needed.
+    */
+  private[graft] def cacheFamiliesFor(s: SparkSession): Set[String] = {
+    def has(c: scala.collection.concurrent.TrieMap[(SparkSession, String), _]) =
+      c.keys.exists(_._1 eq s)
+    Set(
+      "shingle_rows" -> (has(shingleRowCache) || has(prefixRowCache)),
+      "verified_pairs" -> has(nearDupPairCache),
+      "lsh_candidates" -> has(lshScoredCache),
+      "ann_buckets" -> (has(annBucketCache) || has(annCandCache)),
+    ).collect { case (n, true) => n }
+  }
 }
