@@ -82,6 +82,24 @@ class StateStoreAuditSpec extends SparkSpec {
       r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
       r.getLong(7))).toSet
     assert(got === expected, s"checkpointed state diverged from batch fold")
+
+    // STATE TIME TRAVEL: option("batchId", 0) reads the store AS OF the
+    // first commit — it must equal the fold of the tape PREFIX (batch 1
+    // only: no error yet for user 7, no c3 key at all). A time-travel
+    // read that silently served the latest version would still pass the
+    // final-state check above; this pins the versioned read itself.
+    val asOf0 = flatten(
+      spark.read.format("statestore").option("batchId", 0).load(ckpt))
+      .select(col("_1").as("user"), col("_2").as("item"), col("nClick"),
+        col("nView"), col("nPurchase"), col("nSignup"), col("nError"),
+        col("total"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSet
+    assert(asOf0 === Set(
+      (7L, "c1", 3L, 1L, 0L, 0L, 0L, 4L), // click+view on the bootstrap
+      (8L, "c2", 0L, 0L, 1L, 0L, 0L, 1L)),
+      "batchId=0 state read is not the prefix-tape fold")
   }
 
   test("transformWithState: persisted 'counters' state matches the fMGWS twin") {
@@ -249,5 +267,28 @@ class StateStoreAuditSpec extends SparkSpec {
       "dedup state keys diverged from the batch distinct")
     // and the emitted stream saw exactly one row per distinct key
     assert(spark.table("ssaudit_dedup").count() === batchDistinct.size.toLong)
+
+    // CHANGE FEED: the store's per-batch deltas must match the tape's
+    // per-batch NEW keys (batch 0 inserted one deduped key, batch 1 two
+    // more; dedup state is insert-only, so no deletes ever appear) —
+    // the final-state read above cannot distinguish "written in the
+    // right batch" from "all written at the end"; this can.
+    val feed = spark.read.format("statestore")
+      .option("readChangeFeed", "true")
+      .option("changeStartBatchId", "0")
+      .load(ckpt)
+    val byBatch = feed
+      .select(col("batch_id"), col("change_type"),
+        col("key.user"), col("key.item"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(byBatch.forall(_._2 == "update"),
+      s"dedup state is insert-only; change feed shows: ${byBatch.toSeq}")
+    val perBatchKeys = byBatch.groupBy(_._1)
+      .view.mapValues(_.map(t => (t._3, t._4)).toSet).toMap
+    assert(perBatchKeys(0L) === Set((1L, "a")),
+      s"batch 0 delta wrong: ${perBatchKeys.get(0L)}")
+    assert(perBatchKeys(1L) === Set((1L, "a"), (2L, "b")),
+      s"batch 1 delta wrong: ${perBatchKeys.get(1L)}")
   }
 }
