@@ -1,0 +1,145 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+/** Deterministic plan-shape gate for the bench headlines (round 12).
+  *
+  * Wall-time envelopes absorb container load BY DESIGN — which is
+  * exactly why they cannot catch a plan regression smaller than the
+  * noise floor: the r11 q85 4.71 s reading was pure load variance, and
+  * a dropped broadcast hint costing a real 1.3× would have read the
+  * same. The EXCHANGE FINGERPRINT is the deterministic complement:
+  * with AQE off and stat-based broadcast disabled, the
+  * (shuffle exchanges, broadcast exchanges) pair per headline is a
+  * pure function of the query source — a new shuffle, a dropped
+  * broadcast hint, or a de-hinted join moves an integer here on every
+  * machine identically, long before it moves seconds anywhere.
+  * Disabling the autoBroadcast threshold also means the counts record
+  * the HINTED plan shape — what the query does at 100 TB, where no
+  * side fits under the threshold by accident of a tiny fixture.
+  *
+  * Counts include subqueries, the plans cached behind shared-kernel
+  * InMemoryTableScans (construction happens with cleared caches, so
+  * each entry owns its kernels' exchanges in full), and eager
+  * localCheckpoint(true) barriers captured at construction time via a
+  * QueryExecutionListener (the Explain.scala idiom) — a checkpointed
+  * subtree executes during fn() and is a leaf in the final plan, so
+  * its shuffles would otherwise vanish from the fingerprint.
+  *
+  * ML headlines (m*) are excluded: fit() runs at construction and
+  * floods the listener with per-iteration job plans that are not any
+  * single query's shape.
+  *
+  * Updating a row is a DELIBERATE act, same contract as a BASELINE
+  * envelope edit: the failure message prints the full actual map —
+  * paste it only with a commit message explaining the shape delta.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  /** name -> (shuffle exchanges, broadcast exchanges), committed.
+    * Harvested twice back-to-back on the round-12 tree (identical both
+    * runs). Notable shapes, as sanity anchors for future edits: q21 is
+    * (0,0) — a pure TakeOrderedAndProject, no exchange at all; q12's
+    * (2,1) is the hinted dim broadcast; the big totals are the
+    * bounded-round iterative kernels (q284 grid-DBSCAN components,
+    * q300 two-sweep BFS, q307 blocking) where each round legitimately
+    * owns a shuffle — the gate pins the ROUND COUNT times the
+    * per-round shape, so an accidental extra exchange per round moves
+    * the integer by the round count, loudly.
+    */
+  private val budgets: Map[String, (Int, Int)] = Map(
+    "q01_pricing_summary" -> ((2, 0)),
+    "q04_part_stats" -> ((1, 0)),
+    "q05_customer_order_stats" -> ((3, 0)),
+    "q12_brand_revenue" -> ((2, 1)),
+    "q149_minhash_estimate_audit" -> ((18, 0)),
+    "q14_part_pairs" -> ((3, 0)),
+    "q201_hits_scores" -> ((10, 5)),
+    "q206_ranking_metrics" -> ((10, 2)),
+    "q213_poisson_bootstrap" -> ((2, 1)),
+    "q21_recent_orders" -> ((0, 0)),
+    "q284_grid_dbscan" -> ((71, 0)),
+    "q290_greedy_matching" -> ((32, 0)),
+    "q294_katz_centrality" -> ((15, 0)),
+    "q296_blocking_quality" -> ((37, 0)),
+    "q300_two_sweep_diameter" -> ((45, 0)),
+    "q305_fellegi_sunter" -> ((41, 0)),
+    "q307_sorted_neighborhood" -> ((51, 8)),
+    "q35_ngram_jaccard_neardup" -> ((17, 0)),
+    "q36_minhash_lsh_neardup" -> ((14, 0)),
+    "q40_embedding_lsh_ann" -> ((8, 0)),
+    "q47_user_sessions" -> ((2, 0)),
+    "q50_corpus_curation" -> ((22, 0)),
+    "q57_embedding_neardup_ann" -> ((7, 0)),
+    "q63_embedding_quantize" -> ((1, 0)),
+    "q65_incremental_dedup" -> ((25, 0)),
+    "q66_repetition_stats" -> ((1, 0)),
+    "q74_substring_dedup" -> ((5, 0)),
+    "q83_zorder_layout" -> ((1, 0)),
+    "q85_pagerank" -> ((14, 5)),
+    "q86_bloom_decontamination" -> ((9, 2)),
+    "q95_item_similarity" -> ((12, 0)),
+    "q99_regional_revenue" -> ((3, 3)),
+  )
+
+  test("headline exchange fingerprints match the committed budgets") {
+    val conf = spark.conf
+    val savedAqe = conf.get("spark.sql.adaptive.enabled")
+    val savedBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        scala.util.Try(captured.add(qe))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.listenerManager.register(listener)
+    try {
+      val headlines = queries.Catalog.all.toSeq
+        .filter { case (name, spec) => spec.headline && name.startsWith("q") }
+        .sortBy(_._1)
+      val actuals = headlines.map { case (name, spec) =>
+        queries.Catalog.clearCaches(spark)
+        org.apache.spark.graft.SparkShims.drainListenerBus(spark.sparkContext)
+        captured.clear()
+        val df = spec.fn(spark, sf0001)
+        val (sh0, bc0) = Explain.exchangeCounts(df.queryExecution.executedPlan)
+        org.apache.spark.graft.SparkShims.drainListenerBus(spark.sparkContext)
+        val eager = captured.iterator().asScala.toVector
+          .map(qe => Explain.exchangeCounts(qe.executedPlan))
+        name -> ((sh0 + eager.map(_._1).sum, bc0 + eager.map(_._2).sum))
+      }
+      val rendered = actuals
+        .map { case (n, (s, b)) => s"""    "$n" -> (($s, $b)),""" }
+        .mkString("\n")
+      val missing = actuals.collect {
+        case (n, _) if !budgets.contains(n) => n
+      }
+      val drifted = actuals.collect {
+        case (n, got) if budgets.get(n).exists(_ != got) =>
+          s"$n: committed ${budgets(n)} actual $got"
+      }
+      val stale = (budgets.keySet -- actuals.map(_._1)).toSeq.sorted
+      assert(missing.isEmpty && drifted.isEmpty && stale.isEmpty,
+        s"""exchange-fingerprint drift (a plan SHAPE changed — explain it
+           |in the commit that updates this map):
+           |  missing rows: ${missing.mkString(", ")}
+           |  drifted: ${drifted.mkString("; ")}
+           |  stale rows (no longer q* headlines): ${stale.mkString(", ")}
+           |full actual map:
+           |$rendered""".stripMargin)
+    } finally {
+      spark.listenerManager.unregister(listener)
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      queries.Catalog.clearCaches(spark)
+    }
+  }
+}

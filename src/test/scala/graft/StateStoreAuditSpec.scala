@@ -291,4 +291,51 @@ class StateStoreAuditSpec extends SparkSpec {
     assert(perBatchKeys(1L) === Set((1L, "a"), (2L, "b")),
       s"batch 1 delta wrong: ${perBatchKeys.get(1L)}")
   }
+
+  /** The operational contract behind every stateful stream here: the
+    * state partition count is written into the offset-log metadata at
+    * the FIRST checkpoint and re-read on every restart —
+    * `spark.sql.shuffle.partitions` is ignored from then on. At 100 TB
+    * this is a sizing decision you make once, up-front: rescaling
+    * state later means an offline read-state/rewrite (which the
+    * statestore source used here is the supported read half of), not a
+    * conf change. The test pins the behavior: a query checkpointed at
+    * 3 partitions and restarted under 7 must keep ALL state (old and
+    * newly written) in partitions 0-2 — 50 keys hashed over 7
+    * partitions would otherwise land above 2 with certainty — and must
+    * lose nothing across the restart.
+    */
+  test("state partition count is pinned at first checkpoint across restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val input = MemoryStream[Int]
+    val ckpt = ckptDir("ssaudit_pin")
+    def start() = input.toDS().toDF("k").dropDuplicates("k")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => b.collect(); () }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val q1 = start()
+      try { input.addData(1 to 40); q1.processAllAvailable() }
+      finally q1.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val q2 = start()
+      try { input.addData(41 to 50); q2.processAllAvailable() }
+      finally q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    val st = spark.read.format("statestore").load(ckpt)
+      .select(col("partition_id"), col("key.k"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(st.map(_._2).toSet === (1 to 50).toSet,
+      "state lost or invented keys across the restart")
+    val above = st.filter(_._1 >= 3)
+    assert(above.isEmpty,
+      s"state landed outside the pinned 3 partitions (pinning broken, " +
+        s"post-restart writes re-hashed under the new conf): " +
+        s"${above.toSeq.sorted.mkString(", ")}")
+  }
 }
