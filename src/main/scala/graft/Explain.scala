@@ -175,6 +175,12 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // Audit-mode planning, matching PlanBudgetSpec: no AQE wrapper
+      // (executedPlan stays statically walkable) and no stat-based
+      // broadcast (counts reflect the HINTED shape — the one a 100 TB
+      // input gets, where nothing fits the threshold by accident).
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -185,12 +191,13 @@ object Explain {
     // optimizedPlan — capture every construction-time execution and
     // lint those too (before round 12 the standalone audit was blind
     // where the spec was not).
-    val captured = new java.util.concurrent.ConcurrentLinkedQueue[LogicalPlan]()
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.QueryExecution]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit =
-        scala.util.Try(captured.add(qe.optimizedPlan))
+        scala.util.Try(captured.add(qe))
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
@@ -204,11 +211,11 @@ object Explain {
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
         org.apache.spark.graft.SparkShims.drainListenerBus(spark.sparkContext)
-        val eager = {
+        val eagerQs = {
           import scala.jdk.CollectionConverters._
           captured.iterator().asScala.toVector
         }
-        val plans = df.queryExecution.optimizedPlan +: eager
+        val plans = df.queryExecution.optimizedPlan +: eagerQs.map(_.optimizedPlan)
         // scalar-broadcast BNLJ (crossJoin(broadcast(1-row agg))) is an
         // intended plan shape, not a smell — only the non-scalar class
         // (candidate volume |L|*|R|) is reported (VERDICT r11 #2)
@@ -217,7 +224,17 @@ object Explain {
           "MidPlanGlobalSort" -> plans.exists(midPlanGlobalSort),
           "UnboundedGlobalWindow" -> plans.exists(unboundedGlobalWindow),
         ).collect { case (s, true) => s }
-        println(s"[plan] $name ${if (smells.isEmpty) "ok" else smells.mkString(",")}")
+        // Exchange fingerprint per entry (shuffles, broadcasts) — the
+        // same counts PlanBudgetSpec GATES for headlines, printed
+        // catalog-wide here so a round-over-round diff of the audit
+        // log surfaces shape drift in the long tail too. Main plan +
+        // eager construction barriers, kernels counted via their
+        // cached plans.
+        val fps = (df.queryExecution +: eagerQs)
+          .map(qe => exchangeCounts(qe.executedPlan))
+        val (sh, bc) = (fps.map(_._1).sum, fps.map(_._2).sum)
+        println(s"[plan] $name sh=$sh bc=$bc " +
+          s"${if (smells.isEmpty) "ok" else smells.mkString(",")}")
       } catch {
         case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(80)}")
       }

@@ -1979,23 +1979,35 @@ object PipelineCatalog {
     fn = (s, dir) => {
       val tok = shingleRows(s, dir).select(col("doc_id"),
         col("shingle").as("tok"))
+      // Fresh output ids after every eager barrier: with AQE DISABLED,
+      // localCheckpoint records the checkpointed plan's physical
+      // hash-partitioning against the original attribute ids, and
+      // DeduplicateRelations then cannot re-instance the LogicalRDD
+      // when the next round's anti-join meets those same ids on its
+      // other side — analysis dies with "conflicting references". The
+      // loop must not depend on an optimizer flag for its joins to
+      // ANALYZE; a post-checkpoint alias mints new ids unconditionally
+      // (found by the round-12 audit-mode Explain run, reproduced with
+      // spark.sql.adaptive.enabled=false alone).
+      def reid(df: DataFrame): DataFrame =
+        df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
       var covered: DataFrame = tok.select(col("tok")).limit(0)
       var selected: DataFrame = tok.select(col("doc_id")).limit(0)
       var trace = Vector.empty[DataFrame]
       for (r <- 1 to 5) {
-        val winner = tok
+        val winner = reid(tok
           .join(selected, Seq("doc_id"), "left_anti")
           .join(covered, Seq("tok"), "left_anti")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1)
-          .localCheckpoint(true)
-        selected = selected.unionByName(winner.select(col("doc_id")))
-          .localCheckpoint(true)
-        covered = covered.unionByName(
+          .localCheckpoint(true))
+        selected = reid(selected.unionByName(winner.select(col("doc_id")))
+          .localCheckpoint(true))
+        covered = reid(covered.unionByName(
             tok.join(winner.select(col("doc_id")), "doc_id")
               .select(col("tok")))
           .distinct()
-          .localCheckpoint(true)
+          .localCheckpoint(true))
         trace = trace :+ winner
           .crossJoin(covered.agg(count(lit(1)).as("covered_total")))
           .select(lit(r.toLong).as("round"), col("doc_id"), col("gain"),
