@@ -337,5 +337,22 @@ class StateStoreAuditSpec extends SparkSpec {
       s"state landed outside the pinned 3 partitions (pinning broken, " +
         s"post-restart writes re-hashed under the new conf): " +
         s"${above.toSeq.sorted.mkString(", ")}")
+
+    // And the state-metadata source (the reader family's third API,
+    // beside the final-state and change-feed reads) must report the
+    // same contract OUT-OF-BAND: one dedup operator whose store runs
+    // at the pinned partition count, covering both batches.
+    val meta = spark.read.format("state-metadata").load(ckpt)
+      .select(col("operatorName"), col("numPartitions"),
+        col("minBatchId"), col("maxBatchId"))
+      .collect()
+    assert(meta.length === 1, s"expected one stateful operator: ${meta.toSeq}")
+    val m = meta.head
+    assert(m.getString(0) === "dedupe",
+      s"operator name: ${m.getString(0)}")
+    assert(m.getInt(1) === 3,
+      s"state-metadata reports numPartitions=${m.getInt(1)}, pinned 3")
+    assert(m.getLong(2) === 0L && m.getLong(3) === 1L,
+      s"batch range ${(m.getLong(2), m.getLong(3))}, expected (0,1)")
   }
 }
