@@ -77,6 +77,77 @@ class StateEvolutionSpec extends SparkSpec {
     }
   }
 
+  /** The ROLLBACK path: a bad V2 deploy rolls back to V1 on the same
+    * checkpoint — the checkpoint now contains a state variable
+    * ("max_amt") the V1 processor never registers. The operational
+    * question is whether the orphaned column family is tolerated
+    * (rollback = restart) or rejected (rollback = state surgery).
+    * This pins the observed contract so a Spark upgrade changing it
+    * fails loudly here instead of in an incident.
+    */
+  test("rollback: V1 processor on a V2 checkpoint (orphaned state variable)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EvoEvent]
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("state_evo_rb").toString
+      val got =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      def start(v2: Boolean) = {
+        val base = input.toDS().groupByKey(_.user)
+        val out: DataFrame =
+          if (v2) base.transformWithState(new EvoV2(),
+            TimeMode.None(), OutputMode.Append()).toDF()
+          else base.transformWithState(new EvoV1(),
+            TimeMode.None(), OutputMode.Append()).toDF()
+        out.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(r => got.add(r.toString)); ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append()).start()
+      }
+      val q1 = start(v2 = true)
+      try {
+        input.addData(EvoEvent(1L, 10L), EvoEvent(1L, 5L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      got.clear()
+      val q2 = start(v2 = false)
+      val outcome = scala.util.Try {
+        input.addData(EvoEvent(1L, 3L))
+        q2.processAllAvailable()
+      }
+      try {
+        outcome match {
+          case scala.util.Success(_) =>
+            // tolerated: V1 continues the shared "counts" fold; the
+            // orphaned max_amt column family is simply never read
+            info("rollback TOLERATED: orphaned state variable ignored")
+            import scala.jdk.CollectionConverters._
+            assert(got.asScala.toSet.contains("[1,3,18]"),
+              s"rollback run lost the V2 fold: ${got.asScala.toSet}")
+          case scala.util.Failure(e) =>
+            // rejected: must be the state-schema guard, not a crash in
+            // the operator — rollback then requires checkpoint surgery
+            def chain(t: Throwable): Seq[String] =
+              Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+                .map(x => s"${x.getClass.getSimpleName}: ${String.valueOf(x.getMessage).take(200)}")
+                .toSeq
+            val msgs = chain(e).mkString(" <- ")
+            info(s"rollback REJECTED by the state-schema guard: ${msgs.take(160)}")
+            assert(msgs.toLowerCase.contains("state") &&
+              (msgs.toLowerCase.contains("schema") ||
+                msgs.toLowerCase.contains("column famil") ||
+                msgs.toLowerCase.contains("variable")),
+              s"rollback failed OUTSIDE the state-schema guard: $msgs")
+        }
+      } finally q2.stop()
+    }
+  }
+
   /** The second supported evolution: with the AVRO state encoding
     * (`spark.sql.streaming.stateStore.encodingFormat=avro`, chosen at
     * the FIRST checkpoint — UnsafeRow bytes cannot evolve), the state
