@@ -102,4 +102,51 @@ class FileStreamSpec extends SparkSpec {
       "orphan file leaked into a batch read — the metadata log is " +
         "not being honored as the source of truth")
   }
+
+  /** Trigger.AvailableNow: the scheduled-incremental pattern — drain
+    * everything that has landed since the last run in BOUNDED batches
+    * (admission limits still apply, unlike the legacy one-shot
+    * Trigger.Once), then terminate on its own. At 100 TB this is how
+    * incremental ETL runs without a 24/7 cluster: the checkpoint
+    * carries the offset between invocations, so each run picks up
+    * exactly where the previous one stopped.
+    */
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("fstream_an").toString
+    val ckpt = Files.createTempDirectory("fstream_an_ck").toString
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect()
+          if (rows.nonEmpty) nBatches.incrementAndGet()
+          rows.foreach(r => got.add(r.getLong(0))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode(OutputMode.Append()).start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not terminate on its own")
+    }
+    // three files land, then ONE scheduled run drains all three in
+    // maxFilesPerTrigger-bounded batches and exits
+    (1 to 3).foreach(i => Seq(i.toLong).toDF("id")
+      .coalesce(1).write.mode("append").parquet(dir))
+    drain()
+    assert(got.asScala.toSet === Set(1L, 2L, 3L), s"backlog not drained: $got")
+    assert(nBatches.get() >= 3,
+      s"admission limit ignored under AvailableNow: ${nBatches.get()} batches")
+    // a later file + a SECOND scheduled run resumes from the checkpoint
+    Seq(4L).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    drain()
+    assert(got.asScala.toSet === Set(1L, 2L, 3L, 4L),
+      s"second run lost the new file: $got")
+  }
 }
