@@ -149,4 +149,43 @@ class FileStreamSpec extends SparkSpec {
     assert(got.asScala.toSet === Set(1L, 2L, 3L, 4L),
       s"second run lost the new file: $got")
   }
+
+  /** Ingest → layout → pruned scan: a partitionBy sink writes the
+    * hive layout batch readers prune on. At 100 TB the partition
+    * filter is the difference between scanning one day and scanning
+    * the lake — the assertion is structural (the scan's partition
+    * count), not a timing.
+    */
+  test("partitioned sink layout prunes batch read-back") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = Files.createTempDirectory("fstream_part").toString
+    val ckpt = Files.createTempDirectory("fstream_part_ck").toString
+    val q = input.toDS().toDF("day", "v")
+      .writeStream.format("parquet")
+      .partitionBy("day")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("2026-01-01", 1L), ("2026-01-02", 2L),
+        ("2026-01-03", 3L), ("2026-01-02", 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(Files.exists(Paths.get(out, "day=2026-01-02")),
+      "sink did not write the hive partition layout")
+    val pruned = spark.read.parquet(out).filter(col("day") === "2026-01-02")
+    assert(pruned.select("v").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(2L, 4L))
+    // structural pruning proof: the scan's selected partition count
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in the plan"))
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .length === 1,
+      s"partition filter did not prune to one partition: " +
+        s"${scan.partitionFilters}")
+  }
 }
