@@ -236,7 +236,11 @@ object Explain {
         println(s"[plan] $name sh=$sh bc=$bc " +
           s"${if (smells.isEmpty) "ok" else smells.mkString(",")}")
       } catch {
-        case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(80)}")
+        // String.valueOf: a null-message throwable must not NPE the
+        // audit loop — a prefix-only audit log would make every
+        // missing entry read as 'gone (informational)' in check_plans
+        case e: Throwable =>
+          println(s"[plan] $name ERROR ${String.valueOf(e.getMessage).take(80)}")
       }
     }
     spark.listenerManager.unregister(listener)

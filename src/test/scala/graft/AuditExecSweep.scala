@@ -12,24 +12,16 @@ package graft
   */
 class AuditExecSweep extends SparkSpec {
   ignore("all catalog entries execute under AQE-off / no-stat-broadcast") {
-    val conf = spark.conf
-    val aqe = conf.get("spark.sql.adaptive.enabled")
-    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withAuditConf {
       queries.Catalog.clearCaches(spark)
       val failures = queries.Catalog.all.toSeq.sortBy(_._1).flatMap {
         case (name, spec) =>
           scala.util.Try(spec.fn(spark, sf0001).count()).failed.toOption
-            .map(e => s"$name: ${e.getMessage.linesIterator.take(2).mkString(" | ").take(160)}")
+            .map(e => s"$name: ${String.valueOf(e.getMessage)
+              .linesIterator.take(2).mkString(" | ").take(160)}")
       }
       assert(failures.isEmpty,
         failures.mkString("audit-conf execution failures:\n  ", "\n  ", ""))
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqe)
-      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
-      queries.Catalog.clearCaches(spark)
     }
   }
 }

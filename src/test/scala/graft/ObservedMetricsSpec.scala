@@ -38,12 +38,26 @@ class ObservedMetricsSpec extends SparkSpec {
     assert(metrics.getAs[Long]("null_shipdates") === truth.getLong(2))
     assert(metrics.getAs[Double]("max_price") === truth.getDouble(3))
     // CollectMetrics is a pass-through node: same exchange fingerprint
-    // as the un-observed pipeline (no second scan, no extra shuffle)
-    val bare = li.filter(col("l_quantity") > 0)
-      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("qty"))
-    assert(Explain.exchangeCounts(pipeline.queryExecution.executedPlan)
-      === Explain.exchangeCounts(bare.queryExecution.executedPlan),
-      "observe added exchanges to the plan")
+    // as the un-observed pipeline (no second scan, no extra shuffle).
+    // MUST compare under audit conf: with AQE on, executedPlan is an
+    // AdaptiveSparkPlanExec LEAF and both sides would count (0,0) —
+    // a comparison that can never fail (round-12 self-review catch).
+    withAuditConf {
+      // rebuild BOTH frames here: a Dataset caches its QueryExecution,
+      // so the already-collected `pipeline` would replay its AQE plan
+      val observed2 = Observed.withMetrics(
+        li.filter(col("l_quantity") > 0), "dq2",
+        count(lit(1)).as("rows"))
+      val obs = observed2.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val bare = li.filter(col("l_quantity") > 0)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("qty"))
+      val obsFp = Explain.exchangeCounts(obs.queryExecution.executedPlan)
+      val bareFp = Explain.exchangeCounts(bare.queryExecution.executedPlan)
+      assert(bareFp._1 > 0, s"audit conf not in effect — bare plan " +
+        s"counted $bareFp, the groupBy must show its shuffle")
+      assert(obsFp === bareFp, "observe added exchanges to the plan")
+    }
   }
 
   test("streaming: observed counters are per-micro-batch in the progress events") {

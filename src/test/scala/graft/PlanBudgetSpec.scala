@@ -83,9 +83,6 @@ class PlanBudgetSpec extends SparkSpec {
   )
 
   test("headline exchange fingerprints match the committed budgets") {
-    val conf = spark.conf
-    val savedAqe = conf.get("spark.sql.adaptive.enabled")
-    val savedBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
     val captured =
       new java.util.concurrent.ConcurrentLinkedQueue[
         org.apache.spark.sql.execution.QueryExecution]()
@@ -98,10 +95,8 @@ class PlanBudgetSpec extends SparkSpec {
           qe: org.apache.spark.sql.execution.QueryExecution,
           exception: Exception): Unit = ()
     }
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.listenerManager.register(listener)
-    try {
+    try withAuditConf {
       val headlines = queries.Catalog.all.toSeq
         .filter { case (name, spec) => spec.headline && name.startsWith("q") }
         .sortBy(_._1)
@@ -135,11 +130,6 @@ class PlanBudgetSpec extends SparkSpec {
            |  stale rows (no longer q* headlines): ${stale.mkString(", ")}
            |full actual map:
            |$rendered""".stripMargin)
-    } finally {
-      spark.listenerManager.unregister(listener)
-      conf.set("spark.sql.adaptive.enabled", savedAqe)
-      conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
-      queries.Catalog.clearCaches(spark)
-    }
+    } finally spark.listenerManager.unregister(listener)
   }
 }

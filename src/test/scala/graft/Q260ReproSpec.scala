@@ -13,20 +13,11 @@ package graft
   */
 class Q260ReproSpec extends SparkSpec {
   test("q260 plans and executes under AQE-off / no-stat-broadcast") {
-    val conf = spark.conf
-    val aqe = conf.get("spark.sql.adaptive.enabled")
-    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withAuditConf {
       queries.Catalog.clearCaches(spark)
       val df = queries.Catalog.all("q260_coverage_selection").fn(spark, sf0001)
       val n = df.count()
       assert(n == 5L, s"expected 5 rounds, got $n")
-    } finally {
-      conf.set("spark.sql.adaptive.enabled", aqe)
-      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
-      queries.Catalog.clearCaches(spark)
     }
   }
 }

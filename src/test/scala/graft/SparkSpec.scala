@@ -10,6 +10,27 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf0001 = "/root/testdata/sf0.001"
   def sf001 = "/root/testdata/sf0.01"
+
+  /** Audit-mode planning (the one definition shared by every gate that
+    * fingerprints plans — Explain.main's session builder mirrors it):
+    * AQE off so executedPlan is statically walkable (AdaptiveSparkPlanExec
+    * is a LEAF — collecting through it sees nothing), stat-based
+    * broadcast off so counts reflect the HINTED 100 TB shape. Restores
+    * both confs and clears catalog caches afterwards.
+    */
+  def withAuditConf[A](body: => A): A = {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      queries.Catalog.clearCaches(spark)
+    }
+  }
 }
 
 object SparkSpec {

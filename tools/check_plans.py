@@ -45,11 +45,16 @@ def main():
         return 2
     old, old_errs = parse(sys.argv[1])
     new, new_errs = parse(sys.argv[2])
-    if not new:
-        print(f"no fingerprint lines parsed from {sys.argv[2]} "
-              "(pre-round-12 logs lack sh=/bc= — regenerate with "
-              "`sbt -batch \"runMain graft.Explain\"`)")
-        return 2
+    for label, fps in (("old", old), ("new", new)):
+        if not fps:
+            # an unparseable OLD baseline would otherwise report every
+            # entry as "added (informational)" and exit 0 — a silent
+            # false pass of the whole drift gate
+            path = sys.argv[1] if label == "old" else sys.argv[2]
+            print(f"no fingerprint lines parsed from {label} log {path} "
+                  "(pre-round-12 logs lack sh=/bc= — regenerate with "
+                  "`sbt -batch \"runMain graft.Explain\"`)")
+            return 2
     rc = 0
     drifted = sorted(n for n in old.keys() & new.keys()
                      if old[n][:2] != new[n][:2])
