@@ -205,6 +205,10 @@ object Explain {
     spark.listenerManager.register(listener)
     queries.Catalog.all.toSeq.sortBy(_._1).foreach { case (name, spec) =>
       try {
+        // drain BEFORE clearing: a failed previous query may have eager
+        // plans still in flight on the async bus — delivered after the
+        // clear they would attribute to THIS entry's smell report
+        org.apache.spark.graft.SparkShims.drainListenerBus(spark.sparkContext)
         captured.clear()
         val df = spec.fn(spark, sfDir)
         val plan = df.queryExecution.explainString(

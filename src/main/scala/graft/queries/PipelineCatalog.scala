@@ -7323,22 +7323,49 @@ object PipelineCatalog {
     "q268_readability_stats" -> q268ReadabilityStats,
   )
 
+  /** One registered session-keyed kernel cache: its Bench shared-cache
+    * family plus how to unpersist an evicted value.
+    */
+  private final case class KernelCache[V](
+      family: String,
+      map: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+      unpersist: V => Unit) {
+    def clear(s: SparkSession): Unit =
+      map.keys.filter(_._1 eq s).foreach(k => map.remove(k).foreach(unpersist))
+    def heldBy(s: SparkSession): Boolean = map.keys.exists(_._1 eq s)
+  }
+
+  /** SINGLE-SOURCE registry: BOTH clearCaches and cacheFamiliesFor
+    * consume this list, so a future kernel cache registered here is
+    * automatically cleared between bench reps AND visible to
+    * BenchGroupsSpec's derived-membership audit — the two consumers
+    * cannot diverge. (Round-12 self-review: the family derivation was
+    * previously a second hand-maintained list beside clearCaches —
+    * recreating the q149 drift class one level up; a cache added to
+    * one and forgotten in the other would silently escape the audit.)
+    */
+  private val kernelCaches: Seq[KernelCache[_]] = Seq(
+    KernelCache[DataFrame]("shingle_rows", shingleRowCache,
+      _.unpersist(blocking = true)),
+    KernelCache[DataFrame]("shingle_rows", prefixRowCache,
+      _.unpersist(blocking = true)),
+    KernelCache[DataFrame]("verified_pairs", nearDupPairCache,
+      _.unpersist(blocking = true)),
+    KernelCache[DataFrame]("lsh_candidates", lshScoredCache,
+      _.unpersist(blocking = true)),
+    KernelCache[(DataFrame, Int)]("ann_buckets", annBucketCache,
+      _._1.unpersist(blocking = true)),
+    KernelCache[DataFrame]("ann_buckets", annCandCache,
+      _.unpersist(blocking = true)),
+  )
+
   /** Drop this session's persisted shared intermediates (shingle rows,
     * verified near-dup pairs, LSH-scored pairs). Bench repetitions call
     * this between reps so every rep pays the full pipeline cost —
     * otherwise rep 2+ of q35/q40/q50/q57 would time a cache hit.
     */
-  def clearCaches(s: SparkSession): Unit = {
-    Seq(shingleRowCache, prefixRowCache, nearDupPairCache, lshScoredCache,
-        annCandCache).foreach { c =>
-      c.keys.filter(_._1 eq s).foreach { k =>
-        c.remove(k).foreach(_.unpersist(blocking = true))
-      }
-    }
-    annBucketCache.keys.filter(_._1 eq s).foreach { k =>
-      annBucketCache.remove(k).foreach(_._1.unpersist(blocking = true))
-    }
-  }
+  def clearCaches(s: SparkSession): Unit =
+    kernelCaches.foreach(_.clear(s))
 
   /** Which Bench shared-cache families this session currently holds
     * entries for — the introspection behind BenchGroupsSpec, which
@@ -7348,14 +7375,6 @@ object PipelineCatalog {
     * membership gap). Cache maps fill at CONSTRUCTION time
     * (getOrElseUpdate in the kernel helpers), so no execution is needed.
     */
-  private[graft] def cacheFamiliesFor(s: SparkSession): Set[String] = {
-    def has(c: scala.collection.concurrent.TrieMap[(SparkSession, String), _]) =
-      c.keys.exists(_._1 eq s)
-    Set(
-      "shingle_rows" -> (has(shingleRowCache) || has(prefixRowCache)),
-      "verified_pairs" -> has(nearDupPairCache),
-      "lsh_candidates" -> has(lshScoredCache),
-      "ann_buckets" -> (has(annBucketCache) || has(annCandCache)),
-    ).collect { case (n, true) => n }
-  }
+  private[graft] def cacheFamiliesFor(s: SparkSession): Set[String] =
+    kernelCaches.filter(_.heldBy(s)).map(_.family).toSet
 }

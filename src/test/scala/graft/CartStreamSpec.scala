@@ -106,10 +106,19 @@ class CartStreamSpec extends SparkSpec {
       val T = Duration.ofSeconds(16)
       val q = start(input, T, sink, ckptDir("cart_ttl"))
       try {
+        val tAdd = System.currentTimeMillis() // old's TTL start >= tAdd
         input.addData(RawEvent(7L, "old", "view", ts(1)),
           RawEvent(7L, "keep", "view", ts(2)))
         sink.await((7L, "keep:1|old:1"))
         val tIns = System.currentTimeMillis() // old's TTL start <= tIns
+        // old's TTL clock actually starts at batch-1 PLAN time, i.e.
+        // somewhere in [tAdd, tIns] — the refresh margin below reasons
+        // from tIns but expiry can come as early as tAdd+T. If the
+        // first batch itself ate most of that slack (cold RocksDB on a
+        // stalled machine), the schedule is inconclusive, not wrong:
+        // cancel instead of racing (round-12 self-review catch).
+        assume(tIns - tAdd < 6000,
+          s"first batch took ${tIns - tAdd}ms — TTL schedule inconclusive")
         Thread.sleep(6000)
         val tRefAdd = System.currentTimeMillis() // keep's restart >= this
         input.addData(RawEvent(7L, "keep", "view", ts(10)))
