@@ -17,6 +17,9 @@ package graft
   */
 class CodegenSweep extends SparkSpec {
   ignore("all oracle-backed entries agree between codegen and interpreted paths") {
+    // SWEEP_SF_DIR widens the data (FP-midpoint divergence is
+    // data-dependent); defaults to sf0.001
+    val sweepDir = sys.env.getOrElse("SWEEP_SF_DIR", sf0001)
     val conf = spark.conf
     val savedWs = conf.get("spark.sql.codegen.wholeStage")
     val savedFm = conf.get("spark.sql.codegen.factoryMode")
@@ -26,7 +29,7 @@ class CodegenSweep extends SparkSpec {
     def runAll(): Map[String, Either[String, Seq[String]]] =
       entries.map { case (n, spec) =>
         queries.Catalog.clearCaches(spark)
-        n -> scala.util.Try(spec.fn(spark, sf0001)
+        n -> scala.util.Try(spec.fn(spark, sweepDir)
             .collect().map(_.toString).toSeq)
           .toEither.left.map(e => String.valueOf(e.getMessage).take(120))
       }.toMap

@@ -11,10 +11,15 @@ package graft
   * no-oracle allowlist (engine-specific values by design). Any diff
   * found here is either a real layout bug (the rangePrefixSums class)
   * or the q63 FP-midpoint rounding class — both worth a targeted fix.
-  * Ran clean over all 315 oracle-backed entries on the round-12 tree.
+  * Ran clean over all 315 oracle-backed entries on the round-12 tree
+  * at BOTH sf0.001 and sf0.01 (SWEEP_SF_DIR selects the fixture; the
+  * FP-midpoint class is data-dependent, so the 10x run matters).
   */
 class PartitionSweep extends SparkSpec {
   ignore("all oracle-backed entries are shuffle-partition invariant") {
+    // SWEEP_SF_DIR widens the data (FP-midpoint divergence is
+    // data-dependent); defaults to sf0.001
+    val sweepDir = sys.env.getOrElse("SWEEP_SF_DIR", sf0001)
     val conf = spark.conf
     val saved = conf.get("spark.sql.shuffle.partitions")
     val entries = queries.Catalog.all.toSeq
@@ -24,7 +29,7 @@ class PartitionSweep extends SparkSpec {
       conf.set("spark.sql.shuffle.partitions", parts)
       try entries.map { case (n, spec) =>
         queries.Catalog.clearCaches(spark)
-        n -> scala.util.Try(spec.fn(spark, sf0001)
+        n -> scala.util.Try(spec.fn(spark, sweepDir)
             .collect().map(_.toString).toSeq)
           .toEither.left.map(e => String.valueOf(e.getMessage).take(120))
       }.toMap
