@@ -126,7 +126,11 @@ class CartStreamSpec extends SparkSpec {
         // wait out old's TTL against the measured anchor, then probe
         val wait = (tIns + T.toMillis + 1500) - System.currentTimeMillis()
         if (wait > 0) Thread.sleep(wait)
-        assert(System.currentTimeMillis() < tRefAdd + T.toMillis - 3000,
+        // assume, not assert: like the first-batch guard above, a lost
+        // keep-alive margin means the MACHINE stalled mid-schedule —
+        // the test is inconclusive, not wrong, so cancel instead of
+        // reporting a spurious red (ADVICE r12)
+        assume(System.currentTimeMillis() < tRefAdd + T.toMillis - 3000,
           "schedule lost its keep-alive margin before the probe was sent " +
             "(machine stall?) — widen T")
         input.addData(RawEvent(7L, "probe", "view", ts(20)))
