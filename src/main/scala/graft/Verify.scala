@@ -2,18 +2,69 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * SPARK_GRAFT_SPILL=1 re-runs the SAME dump under a forced-spill
+  * regime, so `tools/check_oracle.py` then replays the full DuckDB
+  * oracle against outputs computed through external sort / spilled
+  * SMJ / sort-fallback aggregation — the execution paths a 100 TB
+  * cluster lives in and that a comfortable local heap never exercises
+  * (round-13 sweep; the SpillSweep spec is the same-JVM A/B twin).
+  * The static core conf spark.shuffle.spill.numElementsForceSpillThreshold
+  * makes EVERY UnsafeExternalSorter (SortExec, shuffle-sort, agg
+  * fallback, SMJ buffers) spill each 2000 rows — only settable at
+  * session build, which is why this mode lives here and not in the
+  * shared-session test sweep. The run fails loudly if nothing actually
+  * spilled, so a renamed conf can never degrade this into a silent
+  * default-path run. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spillMode = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // 256 Ki rows/file with read-ahead OFF, not "as small as possible":
+    // every open spill reader allocates a 1 MB heap buffer (2 MB with
+    // read-ahead) and the merge phase opens ALL of a sort's files at
+    // once, so the fan-in budget is REAL — a 2000-row threshold put
+    // thousands of files under one merge and OOM'd a 24 GB heap before
+    // query 10, and 64 Ki still OOM'd on q243's ~50M-row triangle
+    // enumeration sort at 8 concurrent tasks (both measured, round 13).
+    // 256 Ki spills every big kernel stage at sf0.01 while capping a
+    // 50M-row merge at ~190 files ≈ 190 MB/task — the same fan-in
+    // arithmetic a real cluster's spill config has to respect.
+    if (spillMode) Seq(
+      "spark.shuffle.spill.numElementsForceSpillThreshold" -> "262144",
+      "spark.unsafe.sorter.spill.read.ahead.enabled" -> "false",
+      // per-buffer thresholds sized like SpillSweep's (4096 rows/file,
+      // same merge fan-in math as the static threshold above — the
+      // 64-row draft OOM'd exactly like the 2000-row static draft did)
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "64",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "4096",
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "64",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "4096",
+      "spark.sql.sessionWindow.buffer.in.memory.threshold" -> "64",
+      "spark.sql.sessionWindow.buffer.spill.threshold" -> "4096",
+      "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "64",
+      "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "4096",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16",
+      "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "64, 128",
+    ).foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    if (spillMode) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) spilled.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        }
+      })
     new java.io.File(outDir).mkdirs()
     // VERIFY_ONLY=q64_...,q35_... restricts the dump (and the emitted
     // oracle JSON) to a named subset — targeted re-checks at big scale
@@ -43,6 +94,22 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A fatal error (OOM in a daemon thread) stops the context and
+    // every later query "fails" with a stopped-context message the
+    // per-query catch absorbs — without this the run still exited 0
+    // with a 11/338 dump (observed in the round-13 spill drafts).
+    require(!spark.sparkContext.isStopped,
+      "[verify] SparkContext died mid-run — the dump above is PARTIAL")
+    if (spillMode) {
+      org.apache.spark.graft.SparkShims.drainListenerBus(spark.sparkContext)
+      System.err.println(
+        s"[verify] forced-spill mode: ${spilled.get() >> 20} MB spilled")
+      require(spilled.get() > 0L,
+        "SPARK_GRAFT_SPILL=1 was set but the run spilled ZERO bytes — " +
+          "the threshold confs no longer bite; this dump exercised only " +
+          "the default in-memory paths and must not be recorded as a " +
+          "spill-parity pass")
+    }
     spark.stop()
   }
 }
