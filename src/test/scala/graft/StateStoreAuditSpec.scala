@@ -27,6 +27,28 @@ class StateStoreAuditSpec extends SparkSpec {
   private def ckptDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(tag).toString
 
+  /** Runs the body under RocksDB with CHANGELOG checkpointing — the
+    * production knob for large state (per-batch delta files replayed
+    * over periodic snapshots instead of full-snapshot uploads every
+    * commit; VERDICT r12 #5). Both the WRITE half (the streaming query)
+    * and the READ half (the statestore source, which must reconstruct
+    * a version by replaying changelogs it never wrote itself) run under
+    * the mode; each state-kind audit below is registered twice so the
+    * changelog replay path is held to the exact same batch-fold oracle
+    * as the default format.
+    */
+  private def withChangelogRocksDb(body: => Unit): Unit = {
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    graft.streaming.ScoringProcessor.configureRocksDb(spark)
+    spark.conf.set(changelogKey, "true")
+    try body
+    finally {
+      spark.conf.unset(changelogKey)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** `key.*` + `value.*`, drilling one level when the value wraps the
     * state object in a single nested struct (the layout varies by
     * operator: dropDuplicates values are empty/null placeholders,
@@ -45,14 +67,22 @@ class StateStoreAuditSpec extends SparkSpec {
   }
 
   test("flatMapGroupsWithState: checkpointed counters equal the batch fold") {
+    auditFmgws("hdfs")
+  }
+
+  test("flatMapGroupsWithState audit holds under RocksDB changelog checkpointing") {
+    withChangelogRocksDb { auditFmgws("chlog") }
+  }
+
+  private def auditFmgws(tag: String): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawEvent]
     val initial = Seq(
       ((7L, "c1"), EventState(2L, 0L, 0L, 0L, 0L, 2L))).toDS()
-    val ckpt = ckptDir("ssaudit_fmgws")
+    val ckpt = ckptDir(s"ssaudit_fmgws_$tag")
     val out = ScoringStream.scoredStream(spark, input.toDS(), initial)
-    val q = out.writeStream.format("memory").queryName("ssaudit_scored")
+    val q = out.writeStream.format("memory").queryName(s"ssaudit_scored_$tag")
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append()).start()
     try {
@@ -103,6 +133,14 @@ class StateStoreAuditSpec extends SparkSpec {
   }
 
   test("transformWithState: persisted 'counters' state matches the fMGWS twin") {
+    auditTws("rocks")
+  }
+
+  test("transformWithState audit holds under RocksDB changelog checkpointing") {
+    withChangelogRocksDb { auditTws("chlog") }
+  }
+
+  private def auditTws(tag: String): Unit = {
     // The two stateful APIs are asserted output-identical in
     // StreamingSpec; this audits the stronger claim that they PERSIST
     // identical state — the part a restart actually depends on. TWS
@@ -116,10 +154,10 @@ class StateStoreAuditSpec extends SparkSpec {
       val input = MemoryStream[RawEvent]
       val initial = Seq(
         ((7L, "c1"), EventState(2L, 0L, 0L, 0L, 0L, 2L))).toDS()
-      val ckpt = ckptDir("ssaudit_tws")
+      val ckpt = ckptDir(s"ssaudit_tws_$tag")
       val out = graft.streaming.ScoringProcessor
         .scoredStreamTws(spark, input.toDS(), initial)
-      val q = out.writeStream.format("memory").queryName("ssaudit_tws")
+      val q = out.writeStream.format("memory").queryName(s"ssaudit_tws_$tag")
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append()).start()
       try {
@@ -152,6 +190,14 @@ class StateStoreAuditSpec extends SparkSpec {
   }
 
   test("MapState+TTL: persisted cart entries equal the batch fold") {
+    auditCart("rocks")
+  }
+
+  test("MapState+TTL audit holds under RocksDB changelog checkpointing") {
+    withChangelogRocksDb { auditCart("chlog") }
+  }
+
+  private def auditCart(tag: String): Unit = {
     // Completes the state-kind matrix: ValueState (above), dropDuplicates
     // keys (below), and here the COMPOSITE-KEY MapState with per-entry
     // TTL — one persisted row per (user, item) map entry, read back via
@@ -164,14 +210,14 @@ class StateStoreAuditSpec extends SparkSpec {
     graft.streaming.ScoringProcessor.configureRocksDb(spark)
     try {
       val input = MemoryStream[RawEvent]
-      val ckpt = ckptDir("ssaudit_cart")
+      val ckpt = ckptDir(s"ssaudit_cart_$tag")
       val out = graft.streaming.CartStream.cartCounts(
         input.toDS(), Duration.ofHours(1))
       // TimeMode.ProcessingTime operators never settle under
       // processAllAvailable (the TTL clock advances batch-by-batch) —
       // pace with a real trigger and poll the sink, the CartStreamSpec
       // discipline
-      val q = out.writeStream.format("memory").queryName("ssaudit_cart")
+      val q = out.writeStream.format("memory").queryName(s"ssaudit_cart_$tag")
         .option("checkpointLocation", ckpt)
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger
@@ -179,11 +225,11 @@ class StateStoreAuditSpec extends SparkSpec {
         .start()
       def awaitSnapshot(user: Long, items: String): Unit = {
         val deadline = System.currentTimeMillis() + 30000
-        while (!spark.table("ssaudit_cart").collect()
+        while (!spark.table(s"ssaudit_cart_$tag").collect()
             .exists(r => r.getLong(0) == user && r.getString(1) == items)) {
           assert(System.currentTimeMillis() < deadline,
             s"timed out waiting for ($user, $items) in " +
-              spark.table("ssaudit_cart").collect().mkString(", "))
+              spark.table(s"ssaudit_cart_$tag").collect().mkString(", "))
           Thread.sleep(100)
         }
       }
@@ -234,12 +280,20 @@ class StateStoreAuditSpec extends SparkSpec {
   }
 
   test("dropDuplicates: state keys equal the batch distinct of the tape") {
+    auditDedup("hdfs")
+  }
+
+  test("dropDuplicates audit holds under RocksDB changelog checkpointing") {
+    withChangelogRocksDb { auditDedup("chlog") }
+  }
+
+  private def auditDedup(tag: String): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawEvent]
-    val ckpt = ckptDir("ssaudit_dedup")
+    val ckpt = ckptDir(s"ssaudit_dedup_$tag")
     val out = ScoringStream.dedupStream(input.toDS(), "10 minutes")
-    val q = out.writeStream.format("memory").queryName("ssaudit_dedup")
+    val q = out.writeStream.format("memory").queryName(s"ssaudit_dedup_$tag")
       .option("checkpointLocation", ckpt)
       .outputMode(OutputMode.Append()).start()
     val tape = Seq(
@@ -266,7 +320,7 @@ class StateStoreAuditSpec extends SparkSpec {
     assert(stateKeys === batchDistinct,
       "dedup state keys diverged from the batch distinct")
     // and the emitted stream saw exactly one row per distinct key
-    assert(spark.table("ssaudit_dedup").count() === batchDistinct.size.toLong)
+    assert(spark.table(s"ssaudit_dedup_$tag").count() === batchDistinct.size.toLong)
 
     // CHANGE FEED: the store's per-batch deltas must match the tape's
     // per-batch NEW keys (batch 0 inserted one deduped key, batch 1 two
