@@ -37,8 +37,25 @@ object Verify {
     // 256 Ki spills every big kernel stage at sf0.01 while capping a
     // 50M-row merge at ~190 files ≈ 190 MB/task — the same fan-in
     // arithmetic a real cluster's spill config has to respect.
+    // SPARK_GRAFT_SPILL_THRESHOLD overrides the static rows/file for
+    // bigger SFs: at sf0.1 the 256 Ki default tripped the 20k fd
+    // ulimit on q243's fallback sort (open spill files accumulate per
+    // task until the merge) — 2 Mi holds the same fan-in budget at
+    // 10x the rows.
+    val spillThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_SPILL_THRESHOLD", "262144")
+    // The hash-agg fallback point needs the same scale-awareness for a
+    // DIFFERENT reason: every time the map refills to the fallback key
+    // count it is destructed into a sorter whose merge appends one
+    // spill FILE, so "64, 128" over a multi-million-group aggregate
+    // (q243's triangle corners at sf0.1) creates tens of thousands of
+    // files per task and trips the fd ulimit no matter what the static
+    // row threshold says. Scale it with the data: groups/file ≈
+    // fallback second value.
+    val aggFallback =
+      sys.env.getOrElse("SPARK_GRAFT_SPILL_AGG_FALLBACK", "64, 128")
     if (spillMode) Seq(
-      "spark.shuffle.spill.numElementsForceSpillThreshold" -> "262144",
+      "spark.shuffle.spill.numElementsForceSpillThreshold" -> spillThreshold,
       "spark.unsafe.sorter.spill.read.ahead.enabled" -> "false",
       // per-buffer thresholds sized like SpillSweep's (4096 rows/file,
       // same merge fan-in math as the static threshold above — the
@@ -52,7 +69,7 @@ object Verify {
       "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "64",
       "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "4096",
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16",
-      "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "64, 128",
+      "spark.sql.TungstenAggregate.testFallbackStartsAt" -> aggFallback,
     ).foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
