@@ -31,6 +31,26 @@ class RestartSpec extends SparkSpec {
     finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  /** RocksDB with changelog checkpointing — the restart is where the
+    * format actually differs: a resumed query reconstructs state by
+    * REPLAYING per-batch changelog files over the last snapshot
+    * instead of downloading a full snapshot per version, so the
+    * kill+restart parity below exercises the production replay path
+    * end-to-end (StateStoreAuditSpec covers the out-of-band reader's
+    * half; this covers the engine's own recovery).
+    */
+  private def withChangelogRocksDb[A](body: => A): A = {
+    val key =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    graft.streaming.ScoringProcessor.configureRocksDb(spark)
+    spark.conf.set(key, "true")
+    try body
+    finally {
+      spark.conf.unset(key)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** Feed `processedBeforeStop` batches fully, add the next batch
     * WITHOUT awaiting it (in flight at the kill), stop, start a NEW
     * query on the same checkpoint + source, feed the rest. Rows
@@ -83,6 +103,14 @@ class RestartSpec extends SparkSpec {
   }
 
   test("ScoringProcessor (transformWithState) survives a mid-tape kill+restart") {
+    twsRestartParity(body => withRocksDb(body))
+  }
+
+  test("transformWithState kill+restart parity holds under changelog checkpointing") {
+    twsRestartParity(body => withChangelogRocksDb(body))
+  }
+
+  private def twsRestartParity(withStore: (=> Unit) => Unit): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val actions = Vector("click", "view", "purchase", "signup", "error")
@@ -90,7 +118,7 @@ class RestartSpec extends SparkSpec {
       RawEvent(i % 5L, s"item${i % 3}", actions((i * 2654435761L % 5).toInt), ts(i))
     }
     val batches = tape.grouped(15).toSeq
-    withRocksDb {
+    withStore {
       def mk(in: MemoryStream[RawEvent]) = () =>
         graft.streaming.ScoringProcessor.scoredStreamTws(spark, in.toDS(),
           spark.emptyDataset[((Long, String), EventState)]).toDF()
