@@ -152,8 +152,24 @@ object Bench {
       }
     }
   }
+  /** 1/5/15-min load averages, or empty off-Linux — recorded at suite
+    * start and end in the diagnostics line. Round-13 lesson: an
+    * orphaned hung test JVM (~1.4 cores for 8 h) inflated two rounds
+    * of driver bench readings before anyone looked at machine load;
+    * with loadavg in the emitted JSON that diagnosis is one grep, and
+    * an envelope ratio read against a loaded box stops masquerading as
+    * engine drift.
+    */
+  private def loadavg(): Seq[Double] =
+    scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+        .split("\\s+").take(3).toSeq.map(_.toDouble))
+      .getOrElse(Seq.empty)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadavg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
@@ -278,7 +294,9 @@ object Bench {
     // driver's tail window and the round's bench parse came back null).
     // The full per-rep distribution/attribution stays on the earlier
     // "diagnostics" line for humans and tools/check_bench.py.
-    println(f"""{"diagnostics":true,"rep_times":$repTimes,"gc_ms":$gcJson,"codegen_compiles":$cgJson,"shuffle_write_mb":$swJson,"spill_mb":$spJson,"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)}}""")
+    def loadJson(v: Seq[Double]): String =
+      v.map(d => f"$d%.2f").mkString("[", ",", "]")
+    println(f"""{"diagnostics":true,"rep_times":$repTimes,"gc_ms":$gcJson,"codegen_compiles":$cgJson,"shuffle_write_mb":$swJson,"spill_mb":$spJson,"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadavg())}}""")
     val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stat":"min","reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
     // BENCH_ALL's ~150-query map would overflow the tail window too —
     // drop the per-query detail (it survives via rep_times above) before
