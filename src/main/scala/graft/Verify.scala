@@ -12,8 +12,9 @@ import java.nio.file.{Files, Paths}
   * (round-13 sweep; the SpillSweep spec is the same-JVM A/B twin).
   * The static core conf spark.shuffle.spill.numElementsForceSpillThreshold
   * makes EVERY UnsafeExternalSorter (SortExec, shuffle-sort, agg
-  * fallback, SMJ buffers) spill each 2000 rows — only settable at
-  * session build, which is why this mode lives here and not in the
+  * fallback, SMJ buffers) spill each SPARK_GRAFT_SPILL_THRESHOLD rows
+  * (default 256 Ki — see the fan-in sizing note below) — only settable
+  * at session build, which is why this mode lives here and not in the
   * shared-session test sweep. The run fails loudly if nothing actually
   * spilled, so a renamed conf can never degrade this into a silent
   * default-path run. */

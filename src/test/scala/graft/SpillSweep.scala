@@ -68,18 +68,31 @@ class SpillSweep extends SparkSpec {
     * SFs — the same math a real cluster obeys, which is WHY Spark's
     * defaults tie these thresholds to numElementsForceSpillThreshold
     * instead of "as small as possible". */
-  private val forced = Seq(
-    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "64",
-    "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "4096",
-    "spark.sql.windowExec.buffer.in.memory.threshold" -> "64",
-    "spark.sql.windowExec.buffer.spill.threshold" -> "4096",
-    "spark.sql.sessionWindow.buffer.in.memory.threshold" -> "64",
-    "spark.sql.sessionWindow.buffer.spill.threshold" -> "4096",
-    "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "64",
-    "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "4096",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16",
-    "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "64, 128",
-  )
+  private val forced = {
+    // Scale knobs, mirroring Verify's spill mode: the shared test JVM
+    // cannot lower core spill-reader confs (read-ahead stays ON at
+    // ~2 MB heap per open spill file), so at bigger SWEEP_SF_DIRs the
+    // per-buffer thresholds must grow with the data or the merge
+    // fan-in OOMs the heap — the sf0.01 run uses
+    // SWEEP_SPILL_BUFFER=65536 SWEEP_SPILL_AGG_FALLBACK="65536, 131072"
+    // (defaults verified at sf0.001; the agg fallback point appends
+    // one spill file per map destruct, the same fd/alloc bomb Verify's
+    // scaladoc derives).
+    val buf = sys.env.getOrElse("SWEEP_SPILL_BUFFER", "4096")
+    val fallback = sys.env.getOrElse("SWEEP_SPILL_AGG_FALLBACK", "64, 128")
+    Seq(
+      "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "64",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> buf,
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "64",
+      "spark.sql.windowExec.buffer.spill.threshold" -> buf,
+      "spark.sql.sessionWindow.buffer.in.memory.threshold" -> "64",
+      "spark.sql.sessionWindow.buffer.spill.threshold" -> buf,
+      "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "64",
+      "spark.sql.cartesianProductExec.buffer.spill.threshold" -> buf,
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16",
+      "spark.sql.TungstenAggregate.testFallbackStartsAt" -> fallback,
+    )
+  }
 
   ignore("all oracle-backed entries agree between in-memory and forced-spill paths") {
     // SWEEP_SF_DIR widens the data (bigger buffered groups spill more
