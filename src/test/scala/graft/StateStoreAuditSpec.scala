@@ -186,6 +186,34 @@ class StateStoreAuditSpec extends SparkSpec {
       assert(got === expected,
         "transformWithState persisted state diverged from the batch fold " +
           "(and therefore from the fMGWS twin's audited state)")
+
+      // SNAPSHOT-REPLAY equivalence (changelog leg only — the API
+      // starts from an uploaded snapshot and replays changelog files
+      // forward, which only exist in this mode): reconstructing every
+      // partition via snapshotStartBatchId=0 must equal the plain
+      // latest-version read. This is the supported kernel of offline
+      // state surgery (rescale/repair reads state this way), and a
+      // changelog replay bug that dropped or double-applied a delta
+      // would surface here as a diverging row.
+      if (tag == "chlog") {
+        val plain = spark.read.format("statestore")
+          .option("stateVarName", "counters").load(ckpt)
+        val parts = plain.select(col("partition_id")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        val plainSet = plain.drop("partition_id").collect()
+          .map(_.toString).toSet
+        val snapSet = parts.map { p =>
+            spark.read.format("statestore")
+              .option("stateVarName", "counters")
+              .option("snapshotStartBatchId", 0)
+              .option("snapshotPartitionId", p)
+              .load(ckpt)
+          }.reduce(_ unionAll _)
+          .drop("partition_id").collect().map(_.toString).toSet
+        assert(snapSet === plainSet,
+          s"snapshot-replay read diverged from the latest-version read: " +
+            s"missing=${plainSet -- snapSet} extra=${snapSet -- plainSet}")
+      }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
