@@ -250,13 +250,18 @@ object Bench {
       }
     }
     def best(v: Vector[Double]): Double = v.min
+    // JSON-bound doubles must be locale-fixed (ADVICE r13): the f
+    // interpolator honors the default locale, so a comma-decimal locale
+    // would emit `0,27` and corrupt the machine-parsed lines.
+    def num(d: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
     // a query that failed in ANY rep is null — a partial min next to
     // an errors entry would read as both failed and timed
     def goodTimes(k: String): Option[Vector[Double]] =
       if (failed(k)) None else times.get(k).filter(_.nonEmpty)
     val qs = names.map { case (k, _) =>
       goodTimes(k) match {
-        case Some(v) => "\"" + k + f"\":${best(v)}%.3f"
+        case Some(v) => "\"" + k + "\":" + num(best(v), 3)
         case None => "\"" + k + "\":null"
       }
     }.mkString("{", ",", "}")
@@ -268,7 +273,7 @@ object Bench {
         else m.get(k).filter(_.nonEmpty).map(v =>
           "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]"))
       }.mkString("{", ",", "}")
-    val repTimes = perRep(times, (d: Double) => f"$d%.3f")
+    val repTimes = perRep(times, (d: Double) => num(d, 3))
     val gcJson = perRep(gcDeltas, (l: Long) => l.toString)
     val cgJson = perRep(cgDeltas, (l: Long) => l.toString)
     val swJson = perRep(swDeltas, (l: Long) => l.toString)
@@ -295,15 +300,15 @@ object Bench {
     // The full per-rep distribution/attribution stays on the earlier
     // "diagnostics" line for humans and tools/check_bench.py.
     def loadJson(v: Seq[Double]): String =
-      v.map(d => f"$d%.2f").mkString("[", ",", "]")
+      v.map(d => num(d, 2)).mkString("[", ",", "]")
     println(f"""{"diagnostics":true,"rep_times":$repTimes,"gc_ms":$gcJson,"codegen_compiles":$cgJson,"shuffle_write_mb":$swJson,"spill_mb":$spJson,"shared_cache_groups":$shared,"cache_build_paid_by":$attribution,"warmup":true,"heap_gb":${Runtime.getRuntime.maxMemory / (1 << 30)},"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadavg())}}""")
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stat":"min","reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"stat":"min","reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
     // BENCH_ALL's ~150-query map would overflow the tail window too —
     // drop the per-query detail (it survives via rep_times above) before
     // letting the final line grow past the driver's capture.
     val lastLine =
       if (summary.length <= 1900) summary
-      else f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"min","reps":$reps,"n_queries":${names.size},"queries_elided":true,"errors":$errs,"sf":"$sfDir"}"""
+      else s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","stat":"min","reps":$reps,"n_queries":${names.size},"queries_elided":true,"errors":$errs,"sf":"$sfDir"}"""
     println(lastLine)
     spark.stop()
   }

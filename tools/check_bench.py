@@ -138,6 +138,30 @@ def main():
     envelope = parse_envelope(baseline)
     idle_min = parse_idle_min(baseline)
 
+    # Load context (VERDICT r13 #3): Bench's diagnostics line carries
+    # loadavg_start/_end; a loaded box explains nominal over-1.0x
+    # readings (envelopes absorb load by design — this is context, not a
+    # gate). Search the raw text: the fields survive both the bare
+    # two-line Bench output and the driver wrapper's ~2000-char tail.
+    loads = {}
+    for field in ("loadavg_start", "loadavg_end"):
+        # quotes may be backslash-escaped: inside a driver BENCH_rN.json
+        # wrapper the diagnostics line lives embedded in the "tail" string
+        m = re.search(r'\\?"%s\\?":\[([0-9.,\s]+)\]' % field, raw)
+        if m:
+            loads[field] = [float(x) for x in m.group(1).split(",")]
+    if loads:
+        start = loads.get("loadavg_start", [0.0])[0]
+        end = loads.get("loadavg_end", [0.0])[0]
+        desc = (f"loadavg start {start:.2f} -> end {end:.2f}")
+        if start > 1.0:
+            print(f"LOAD CONTEXT: box was LOADED at bench start ({desc}) "
+                  "— read nominal over-1.0x ratios below with that in "
+                  "mind (round-13 lesson: an orphaned JVM, not a plan "
+                  "regression)")
+        else:
+            print(f"load context: idle box ({desc})")
+
     worst = 0.0
     failures, warnings, extras = [], [], []
     hygiene = [f"anchor hygiene: {msg}"

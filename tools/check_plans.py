@@ -85,8 +85,12 @@ def main():
         print(f"added  {n}: sh={new[n][0]} bc={new[n][1]} (informational)")
     for n in sorted(old.keys() - new.keys()):
         print(f"gone   {n} (informational)")
+    # unchanged + drifted + m-drifted == |old ∩ new| by construction
+    # (ADVICE r13: without the explicit m-drift bucket the totals didn't
+    # sum when an m* entry wobbled)
     same = len(old.keys() & new.keys()) - len(moved)
     print(f"{same} unchanged, {len(drifted)} drifted, "
+          f"{len(moved) - len(drifted)} m-drifted (informational), "
           f"{len(new.keys() - old.keys())} added, "
           f"{len(old.keys() - new.keys())} removed, "
           f"{len(new_errs)} errors")
