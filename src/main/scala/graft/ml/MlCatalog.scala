@@ -250,7 +250,29 @@ object MlCatalog {
   private[graft] def gbtData(s: SparkSession, dir: String,
       categorical: Boolean): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
+    // Round-14 (guide §1/§2.6): the whole GBT pipeline inherited the
+    // parquet scan's 3 splits — profiled at sf0.1, the two featurize-
+    // materialization jobs ran 3 tasks and all 40 boosting level-jobs
+    // 6 tasks on a 32-core box (18.5 s wall, 15.7 s sum-of-jobs). A
+    // FIXED 16-way round-robin repartition right after the scan
+    // parallelizes featurization, split finding, every stats pass and
+    // the evaluator sort. 16 was MEASURED, not assumed: the level-pass
+    // cost is stats-array-bound, not row-bound, so parallelism is
+    // non-monotone — sf0.1 wall seconds 8→19.6, 16→10.9-12.2 (×3
+    // runs), 24→15.3, 32→33, 64→23 (each task allocates the full
+    // (node,feature,bin) DTStatsAggregator and treeAggregate pays the
+    // merge fan-in, so wide layouts lose more than they gain). Fixed,
+    // not defaultParallelism: randomSplit membership and the split-
+    // finding sample are partitioning-dependent (the documented
+    // m*-class sensitivity), so deriving the count from the core count
+    // would make the MODEL vary across the driver's core-count scaling
+    // runs — 16 keeps it a pure function of the fixture. At cluster
+    // scale SPARK_GRAFT_ML_PARTS overrides (size to ~40k rows/task,
+    // the measured sweet spot here). Metric bands re-checked at all
+    // three SFs after the change (MlSpec + manual sf0.1 run).
+    val mlParts = sys.env.getOrElse("SPARK_GRAFT_ML_PARTS", "16").toInt
     val li = Tables.lineitem(s, dir)
+      .repartition(mlParts)
       .withColumn("label", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
     val withBrand = li
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
