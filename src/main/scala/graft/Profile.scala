@@ -49,8 +49,13 @@ object Profile {
       (System.nanoTime - t) / 1e9
     }
     println(f"[profile] warmup ${once()}%.2f s")
-    queries.Catalog.clearCaches(spark)
-    System.gc()
+    // PROFILE_KEEP_CACHES=1 reproduces the bench regime of a shared-
+    // group MEMBER (kernel caches stay warm from the payer); default
+    // reproduces the PAYER regime (caches cleared, build cost included).
+    if (!sys.env.get("PROFILE_KEEP_CACHES").contains("1")) {
+      queries.Catalog.clearCaches(spark)
+      System.gc()
+    }
     org.apache.spark.graft.SparkShims.drainListenerBus(spark.sparkContext)
     jobs = Vector.empty
     val dt = once()

@@ -9639,9 +9639,19 @@ object Catalog {
     * |V| means disconnection, which the q62-component world makes
     * expected, so it ships as data rather than an assumption.
     *
-    * Scale: two 6-round frontier expansions — per round ONE edge join
-    * + distinct + anti-join (all key-partitioned, the q222 shape) —
-    * plus three one-row argmax cuts; the oracle replays both chains
+    * Scale: two 6-round frontier expansions — per round ONE map-side
+    * pass over the checkpointed adjacency (the frontier and the
+    * visited set are VERTEX-sized and broadcast, the q85 Pregel
+    * shape: the edge list never re-shuffles and never re-sorts) plus
+    * one vertex-sized distinct; the visited set is the UNION of the
+    * checkpointed per-round frontiers, never re-materialized. Round-14
+    * measurement (sf0.1, cache-hit regime): the pre-r14 shape re-sorted
+    * the 64-partition edge list under a sort-merge join AND re-wrote
+    * the whole reached set every round — 6.6 s; this shape 2.4 s,
+    * plan 45 shuffle exchanges → 14. As with q85, at corpus scale the
+    * broadcast hints must be DROPPED once frontiers outgrow the
+    * driver (the join then degrades to the old key-partitioned shape).
+    * Three one-row argmax cuts; the oracle replays both chains
     * as MATERIALIZED CTEs (frontier AND visited reference the prior
     * round — the q269 rule).
     */
@@ -9653,22 +9663,24 @@ object Catalog {
         pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
       def bfs(start: DataFrame): DataFrame = {
-        var reached = start.select(col("node"), lit(0L).as("dist"))
+        var frontier = start.select(col("node"), lit(0L).as("dist"))
           .localCheckpoint(true)
-        var frontier = reached
+        var levels = Vector(frontier)
         for (r <- 1 to 6) {
-          val next = frontier.join(edges, col("node") === col("src"))
+          val reached = levels.map(_.select(col("node"))).reduce(_ unionByName _)
+          val next = edges
+            .join(broadcast(frontier.select(col("node"))),
+              col("node") === col("src"))
             .select(col("dst").as("node")).distinct()
-            .join(reached.select(col("node")), Seq("node"), "left_anti")
+            .join(broadcast(reached), Seq("node"), "left_anti")
             .withColumn("dist", lit(r.toLong))
             .localCheckpoint(true)
-          reached = reached.unionByName(next).localCheckpoint(true)
+          levels = levels :+ next
           frontier = next
         }
-        reached
+        levels.reduce(_ unionByName _)
       }
-      val v0 = edges.select(col("src").as("node")).distinct()
-        .orderBy(col("node")).limit(1).localCheckpoint(true)
+      val v0 = edges.agg(min(col("src")).as("node")).localCheckpoint(true)
       val b1 = bfs(v0)
       val u = b1.orderBy(col("dist").desc, col("node")).limit(1)
         .localCheckpoint(true)
