@@ -9526,7 +9526,7 @@ object Catalog {
           .unionByName(e.select(col("v").as("a"), col("u").as("b")))
         val prop = sym.groupBy(col("a")).agg(min(col("b")).as("p"))
           .localCheckpoint(true)
-        val matched = prop.as("x").join(prop.as("y"),
+        val matched = prop.as("x").join(broadcast(prop.as("y")),
             col("x.p") === col("y.a") && col("y.p") === col("x.a") &&
               col("x.a") < col("x.p"))
           .select(col("x.a").as("mu"), col("x.p").as("mv"))
@@ -9535,8 +9535,8 @@ object Catalog {
           col("mu").as("u"), col("mv").as("v"))
         val gone = matched.select(col("mu").as("x"))
           .unionByName(matched.select(col("mv").as("x")))
-        e = e.join(gone.withColumnRenamed("x", "u"), Seq("u"), "left_anti")
-          .join(gone.withColumnRenamed("x", "v"), Seq("v"), "left_anti")
+        e = e.join(broadcast(gone.withColumnRenamed("x", "u")), Seq("u"), "left_anti")
+          .join(broadcast(gone.withColumnRenamed("x", "v")), Seq("v"), "left_anti")
           .select(col("u"), col("v"))
           .localCheckpoint(true)
       }
