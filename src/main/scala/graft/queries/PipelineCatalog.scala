@@ -81,14 +81,61 @@ object PipelineCatalog {
     shingleRows(s, dir).groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
   /** MinHash signature as 16 columns mh0..mh15 — each a plain min
-    * aggregate over the permuted tid, one groupBy pass, no nested HOFs.
+    * aggregate over the permuted tid, one groupBy pass, no nested
+    * HOFs — plus the doc's distinct-shingle count `n` folded into the
+    * SAME pass (count(1) rides the identical groupBy for free; q149's
+    * union-size arithmetic previously joined [[shingleSizes]] twice on
+    * top of its two signature joins).
+    *
+    * Persisted per (session, fixture) since round 15 (guide §2.4):
+    * SIX catalog entries (q36/q149/q296/q297/q305/q307) each
+    * re-ran this 16-min aggregation over the full inverted index 1-3
+    * times per construction — the single most duplicated stage left in
+    * the dedup family after the round-2 shingle cache. Bounded: one
+    * row per doc. Registered under the `shingle_rows` bench family
+    * (every consumer is already a member); [[clearCaches]] drops it
+    * between bench reps so each rep pays the build exactly once.
     */
+  private val minhashSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    shingleTids(s, dir).groupBy(col("doc_id"))
-      .agg(
-        min(expr(s"(1*tid + 0) % $P")).as("mh0"),
-        (1 to 15).map(i =>
-          min(expr(s"((2*$i+1)*tid + ${12345 * i}) % $P")).as(s"mh$i")): _*)
+    minhashSigCache.getOrElseUpdate((s, dir),
+      shingleTids(s, dir).groupBy(col("doc_id"))
+        .agg(
+          min(expr(s"(1*tid + 0) % $P")).as("mh0"),
+          ((1 to 15).map(i =>
+            min(expr(s"((2*$i+1)*tid + ${12345 * i}) % $P")).as(s"mh$i")) :+
+            count(lit(1)).as("n")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Banded-LSH candidate pairs (4 bands × 4 rows over the shared
+    * 16-perm signature, d1 < d2, distinct): the identical
+    * band-bucket self-join was inlined in FIVE entries (q36, q149,
+    * q296, q297, q305) — each paid the bands explode + self-join +
+    * distinct per construction (q296/q297 even checkpointed their
+    * private copies). One persisted kernel per (session, fixture)
+    * replaces all five (guide §2.4); bounded by Σ bucket² — the same
+    * LSH-candidate volume every consumer already materialized.
+    */
+  private val bandCandCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def lshBandCandidates(s: SparkSession, dir: String): DataFrame =
+    bandCandCache.getOrElseUpdate((s, dir), {
+      val bands = minhashSigs(s, dir).select(col("doc_id"),
+        posexplode(array((0 to 3).map(b =>
+          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
+            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
+          .as(Seq("band_idx", "band_sig")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** 16-bit SimHash per doc: 16 sum aggregates (±1 parity votes) in one
     * groupBy pass, combined arithmetically.
@@ -397,21 +444,9 @@ object PipelineCatalog {
     * The DuckDB oracle replays the identical arithmetic end-to-end.
     */
   val q36MinhashLshNearDup: QuerySpec = QuerySpec(
-    fn = (s, dir) => {
-      val sig = minhashSigs(s, dir)
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 to 3).map(b =>
-          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
-            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
-          .as(Seq("band_idx", "band_sig")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      verifyJaccard(s, dir, cand, 0.8).orderBy(col("d1"), col("d2"))
-    },
+    fn = (s, dir) =>
+      verifyJaccard(s, dir, lshBandCandidates(s, dir), 0.8)
+        .orderBy(col("d1"), col("d2")),
     oracle = Some(s"""
       WITH sh0 AS ($shinglesSql),
       sh AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
@@ -2905,19 +2940,41 @@ object PipelineCatalog {
           .localCheckpoint(true)
         val c1 = cand(ranks(sig.select(col("doc_id"), col("mh1").as("k"))))
           .localCheckpoint(true)
-        val cu = c0.unionByName(c1).distinct()
+        // Round 15 (guide §2.3/§2.4): ONE pass computes all three
+        // audits. The old shape re-derived the union twice (its
+        // distinct ran once under the n_cand rollup and again under
+        // the truth join) and ran six separate aggregate jobs + three
+        // crossJoin assemblies; here the two checkpointed passes union
+        // with membership flags, ONE pair-keyed groupBy rebuilds the
+        // distinct union carrying per-blocker membership, one left
+        // join marks truth pairs, and a single scalar rollup holds all
+        // six counts — melted to the same three (blocker, n_cand,
+        // n_true, n_caught) rows. Counts are identical by
+        // construction: c0/c1 are distinct pair sets, max(flag) over
+        // the grouped union recovers exact membership, and the truth
+        // set is distinct so the left join never duplicates a pair.
+        val flagged = c0.withColumn("b0", lit(1L)).withColumn("b1", lit(0L))
+          .unionByName(c1.withColumn("b0", lit(0L)).withColumn("b1", lit(1L)))
+          .groupBy(col("d1"), col("d2"))
+          .agg(max(col("b0")).as("in0"), max(col("b1")).as("in1"))
         val truth = ngramNearDupPairs(s, dir).select(col("d1"), col("d2"))
         val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
-        def audit(name: String, c: DataFrame): DataFrame =
-          c.agg(count(lit(1)).as("n_cand"))
-            .crossJoin(nTrue)
-            .crossJoin(broadcast(c.join(truth, Seq("d1", "d2"))
-              .agg(count(lit(1)).as("n_caught"))))
-            .select(lit(name).as("blocker"), col("n_cand"), col("n_true"),
-              col("n_caught"))
-        audit("sn_mh0", c0)
-          .unionByName(audit("sn_mh1", c1))
-          .unionByName(audit("sn_union", cu))
+        val counts = flagged
+          .join(truth.withColumn("t", lit(1L)), Seq("d1", "d2"), "left")
+          .withColumn("t", coalesce(col("t"), lit(0L)))
+          .agg(coalesce(sum(col("in0")), lit(0L)).as("nc0"),
+            coalesce(sum(col("in1")), lit(0L)).as("nc1"),
+            count(lit(1)).as("ncu"),
+            coalesce(sum(col("in0") * col("t")), lit(0L)).as("ca0"),
+            coalesce(sum(col("in1") * col("t")), lit(0L)).as("ca1"),
+            coalesce(sum(col("t")), lit(0L)).as("cau"))
+        counts.crossJoin(nTrue)
+          .select(expr(
+            "stack(3, 'sn_mh0', nc0, ca0, 'sn_mh1', nc1, ca1," +
+              " 'sn_union', ncu, cau) AS (blocker, n_cand, n_caught)"),
+            col("n_true"))
+          .select(col("blocker"), col("n_cand"), col("n_true"),
+            col("n_caught"))
           .orderBy(col("blocker"))
       },
       oracle = Some(s"""
@@ -2993,18 +3050,10 @@ object PipelineCatalog {
     */
   val q305FellegiSunter: QuerySpec = QuerySpec(
     fn = (s, dir) => {
-      val sig = minhashSigs(s, dir)
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 to 3).map(b =>
-          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
-            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
-          .as(Seq("band_idx", "band_sig")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      // round 15: the banded-LSH comparison space comes from the
+      // shared [[lshBandCandidates]] kernel (was a private copy of
+      // the same bands self-join — guide §2.4)
+      val cand = lshBandCandidates(s, dir)
       val truth = ngramNearDupPairs(s, dir)
         .select(col("d1"), col("d2"), lit(1L).as("is_match"))
       val docs = Tables.documents(s, dir).select(col("doc_id"),
@@ -5113,18 +5162,15 @@ object PipelineCatalog {
     */
   val q149MinhashEstimateAudit: QuerySpec = QuerySpec(
     fn = (s, dir) => {
+      // Round 15 (guide §2.4): candidates come from the shared
+      // [[lshBandCandidates]] kernel (was a private bands self-join)
+      // and the set sizes ride the signature rows themselves (the `n`
+      // column [[minhashSigs]] now carries) — the two shingleSizes
+      // joins are gone, so the post-candidate assembly is 3 joins
+      // instead of 5 and the signature aggregation runs once per rep
+      // instead of three times inside this entry alone.
       val sig = minhashSigs(s, dir)
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 to 3).map(b =>
-          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
-            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
-          .as(Seq("band_idx", "band_sig")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      val cand = lshBandCandidates(s, dir)
       val inv = shingleRows(s, dir)
       val inter = cand
         .join(inv.as("ia"), col("d1") === col("ia.doc_id"))
@@ -5133,19 +5179,16 @@ object PipelineCatalog {
             col("ia.shingle") === col("ib.shingle"))
         .groupBy(col("d1"), col("d2"))
         .agg(count(lit(1)).as("inter"))
-      val sizes = shingleSizes(s, dir)
       val match16 = (0 to 15)
         .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1L).otherwise(0L))
         .reduce(_ + _)
       cand
         .join(inter, Seq("d1", "d2"), "left")
         .withColumn("inter", coalesce(col("inter"), lit(0L)))
-        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
         .join(sig.as("sa"), col("d1") === col("sa.doc_id"))
         .join(sig.as("sb"), col("d2") === col("sb.doc_id"))
         .select(col("d1"), col("d2"), match16.as("match16"), col("inter"),
-          (col("n1") + col("n2") - col("inter")).as("n_union"))
+          (col("sa.n") + col("sb.n") - col("inter")).as("n_union"))
         .withColumn("err_num",
           abs(col("match16") * col("n_union") - lit(16L) * col("inter")))
         .withColumn("err_den", lit(16L) * col("n_union"))
@@ -6984,18 +7027,10 @@ object PipelineCatalog {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct().localCheckpoint(true)
-      val sig = minhashSigs(s, dir)
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 to 3).map(b =>
-          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
-            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
-          .as(Seq("band_idx", "band_sig")))
-      val candL = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct().localCheckpoint(true)
+      // round 15: the LSH candidate set is the shared persisted
+      // [[lshBandCandidates]] kernel (was a private checkpointed copy
+      // of the same bands self-join — guide §2.4)
+      val candL = lshBandCandidates(s, dir)
       val truth = ngramNearDupPairs(s, dir).select(col("d1"), col("d2"))
         .localCheckpoint(true)
       val nd = shingleRows(s, dir).select(col("doc_id")).distinct()
@@ -7085,18 +7120,12 @@ object PipelineCatalog {
     */
   val q297BbitMinwise: QuerySpec = QuerySpec(
     fn = (s, dir) => {
+      // round 15: candidates from the shared [[lshBandCandidates]]
+      // kernel and set sizes from the signature rows' `n` column —
+      // the private bands self-join and both shingleSizes joins are
+      // gone (guide §2.4)
       val sig = minhashSigs(s, dir)
-      val bands = sig.select(col("doc_id"),
-        posexplode(array((0 to 3).map(b =>
-          concat_ws("-", col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
-            col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}"))): _*))
-          .as(Seq("band_idx", "band_sig")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_sig") === col("b.band_sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct().localCheckpoint(true)
+      val cand = lshBandCandidates(s, dir)
       val inv = shingleRows(s, dir)
       val comm = cand
         .join(inv.as("ia"), col("d1") === col("ia.doc_id"))
@@ -7104,10 +7133,11 @@ object PipelineCatalog {
           col("ia.shingle") === col("ib.shingle"))
         .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
       val sa = sig.select(col("doc_id").as("d1") +:
-        (0 to 15).map(i => col(s"mh$i").as(s"a$i")): _*)
+        (col("n").as("na") +:
+          (0 to 15).map(i => col(s"mh$i").as(s"a$i"))): _*)
       val sb = sig.select(col("doc_id").as("d2") +:
-        (0 to 15).map(i => col(s"mh$i").as(s"b$i")): _*)
-      val sizes = shingleSizes(s, dir)
+        (col("n").as("nb") +:
+          (0 to 15).map(i => col(s"mh$i").as(s"b$i"))): _*)
       val fullColl = (0 to 15).map(i =>
         when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
       val bbitColl = (0 to 15).map(i =>
@@ -7115,11 +7145,9 @@ object PipelineCatalog {
         .reduce(_ + _)
       cand.join(sa, "d1").join(sb, "d2")
         .join(comm, Seq("d1", "d2"), "left")
-        .join(sizes.as("za"), col("d1") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("d2") === col("zb.doc_id"))
         .select(col("d1"), col("d2"),
           coalesce(col("common"), lit(0L)).as("j_num"),
-          (col("za.n") + col("zb.n") - coalesce(col("common"), lit(0L)))
+          (col("na") + col("nb") - coalesce(col("common"), lit(0L)))
             .as("j_den"),
           fullColl.as("full_coll"), bbitColl.as("bbit_coll"))
         .select(col("*"),
@@ -7348,6 +7376,10 @@ object PipelineCatalog {
     KernelCache[DataFrame]("shingle_rows", shingleRowCache,
       _.unpersist(blocking = true)),
     KernelCache[DataFrame]("shingle_rows", prefixRowCache,
+      _.unpersist(blocking = true)),
+    KernelCache[DataFrame]("shingle_rows", minhashSigCache,
+      _.unpersist(blocking = true)),
+    KernelCache[DataFrame]("shingle_rows", bandCandCache,
       _.unpersist(blocking = true)),
     KernelCache[DataFrame]("verified_pairs", nearDupPairCache,
       _.unpersist(blocking = true)),
