@@ -3806,13 +3806,23 @@ object Catalog {
     fn = (s, dir) => {
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // round 15 (guide §3.1): the per-part order-count table is
+      // vertex-sized — broadcast it into both enrichment joins instead
+      // of sort-merging the symmetric pair table twice (the same
+      // size-gated hint as the iterative kernels; past the gate the
+      // joins degrade to the key-partitioned shape)
       val cnt = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      lazy val nParts = cnt.count()
       val co = coPairCounts(s, dir)
       val sym = co.unionAll(
         co.select(col("p2").as("p1"), col("p1").as("p2"), col("co")))
       val scored = sym
-        .join(cnt.select(col("l_partkey").as("p1"), col("n").as("n1")), "p1")
-        .join(cnt.select(col("l_partkey").as("p2"), col("n").as("n2")), "p2")
+        .join(bcastIfSmall(
+          cnt.select(col("l_partkey").as("p1"), col("n").as("n1")),
+          dir, nParts), "p1")
+        .join(bcastIfSmall(
+          cnt.select(col("l_partkey").as("p2"), col("n").as("n2")),
+          dir, nParts), "p2")
         .withColumn("jscore", expr("(1000000 * co) div (n1 + n2 - co)"))
       val w = Window.partitionBy(col("p1"))
         .orderBy(col("jscore").desc, col("co").desc, col("p2"))

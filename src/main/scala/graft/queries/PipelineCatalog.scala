@@ -249,6 +249,14 @@ object PipelineCatalog {
       cand: DataFrame, threshold: Double): DataFrame = {
     val inv = shingleRows(s, dir)
     val sizes = shingleSizes(s, dir)
+    // Round-15 note (measured, kept as-is): broadcasting the doc-sized
+    // `sizes` table into these two joins LOST ~0.2-0.5 s on the payer
+    // q35 in two 5-rep idle A/Bs — the broadcast build serializes the
+    // shingleSizes aggregation into blocking exchange jobs where the
+    // SMJ pipeline overlapped it with the verify join. The shuffle-join
+    // shape stays; at corpus scale the pair set outgrows |docs| and the
+    // broadcast becomes right — revisit with the bcastIfSmall gate if a
+    // bigger fixture ever shows it.
     cand
       .join(inv.as("ia"), col("d1") === col("ia.doc_id"))
       .join(inv.as("ib"),

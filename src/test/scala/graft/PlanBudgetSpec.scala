@@ -105,7 +105,11 @@ class PlanBudgetSpec extends SparkSpec {
     "q83_zorder_layout" -> ((1, 0)),
     "q85_pagerank" -> ((14, 5)),
     "q86_bloom_decontamination" -> ((9, 2)),
-    "q95_item_similarity" -> ((12, 0)),
+    // q95 (12,0)->(10,1) round 15: the vertex-sized per-part count
+    // table broadcasts into both enrichment joins (bcastIfSmall gate;
+    // ReuseExchange dedupes the two hints into one broadcast build)
+    // instead of sort-merging the symmetric pair table twice
+    "q95_item_similarity" -> ((10, 1)),
     "q99_regional_revenue" -> ((3, 3)),
   )
 
