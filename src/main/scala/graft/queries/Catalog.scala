@@ -297,8 +297,18 @@ object Catalog {
 
   private def coPairCounts(s: SparkSession, dir: String): DataFrame =
     coPairCache.getOrElseUpdate((s, dir), {
+      // Round 15 (guide §2.4 share one exchange): partition the
+      // projection by the JOIN key before the dedup — HashPartitioning
+      // on l_orderkey satisfies the distinct's clustering requirement
+      // (equal (ok, pk) rows co-locate under equal ok) AND the
+      // self-join's, so the build runs ONE full-data exchange instead
+      // of two (the old shape shuffled by (ok, pk) for distinct, then
+      // re-shuffled both join sides by ok; ReuseExchange dedupes the
+      // two identical branches either way).
       val op = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("l_orderkey"), col("l_partkey"))
+        .repartition(col("l_orderkey"))
+        .distinct()
       op.as("a").join(op.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))

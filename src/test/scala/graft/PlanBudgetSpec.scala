@@ -67,8 +67,13 @@ class PlanBudgetSpec extends SparkSpec {
     // audit aggregates collapsed into one flagged-union pass (the
     // union distinct no longer recomputes twice; two of the three
     // broadcast assemblies gone).
+    // q14 3->(2,0) and -1/-2 sh on every co_pairs consumer
+    // (q85/q290/q294/q300/q95) round 15: the coPairCounts kernel build
+    // partitions its projection by the join key BEFORE the dedup, so
+    // one exchange serves both the distinct and the self-join (the old
+    // shape shuffled by (ok,pk) then re-shuffled by ok).
     "q149_minhash_estimate_audit" -> ((14, 0)),
-    "q14_part_pairs" -> ((3, 0)),
+    "q14_part_pairs" -> ((2, 0)),
     "q201_hits_scores" -> ((10, 5)),
     "q206_ranking_metrics" -> ((10, 2)),
     "q213_poisson_bootstrap" -> ((2, 1)),
@@ -86,10 +91,10 @@ class PlanBudgetSpec extends SparkSpec {
     // broadcast into the checkpointed adjacency + one-aggregate start
     // vertex (2fdc104), driver-confirmed 2.47x.
     "q284_grid_dbscan" -> ((66, 0)),
-    "q290_greedy_matching" -> ((8, 12)),
-    "q294_katz_centrality" -> ((10, 6)),
+    "q290_greedy_matching" -> ((7, 12)),
+    "q294_katz_centrality" -> ((8, 6)),
     "q296_blocking_quality" -> ((39, 0)),
-    "q300_two_sweep_diameter" -> ((20, 22)),
+    "q300_two_sweep_diameter" -> ((18, 22)),
     "q305_fellegi_sunter" -> ((43, 0)),
     "q307_sorted_neighborhood" -> ((45, 5)),
     "q35_ngram_jaccard_neardup" -> ((17, 0)),
@@ -103,13 +108,13 @@ class PlanBudgetSpec extends SparkSpec {
     "q66_repetition_stats" -> ((1, 0)),
     "q74_substring_dedup" -> ((5, 0)),
     "q83_zorder_layout" -> ((1, 0)),
-    "q85_pagerank" -> ((14, 5)),
+    "q85_pagerank" -> ((12, 5)),
     "q86_bloom_decontamination" -> ((9, 2)),
     // q95 (12,0)->(10,1) round 15: the vertex-sized per-part count
     // table broadcasts into both enrichment joins (bcastIfSmall gate;
     // ReuseExchange dedupes the two hints into one broadcast build)
     // instead of sort-merging the symmetric pair table twice
-    "q95_item_similarity" -> ((10, 1)),
+    "q95_item_similarity" -> ((8, 1)),
     "q99_regional_revenue" -> ((3, 3)),
   )
 
