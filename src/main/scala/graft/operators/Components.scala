@@ -28,6 +28,25 @@ object Components {
     org.apache.spark.sql.graft.shims.checkpointedRdd(df)
       .foreach(_.unpersist(blocking = false))
 
+  /** Size-gated broadcast for the per-round vertex-sized tables (the
+    * min-label table, the star halves' per-node minima) — the same
+    * Pregel-style hinted shape as the Catalog graph kernels (round
+    * 15, guide §3.1): the edge set streams from its persisted/
+    * checkpointed blocks while the vertex-sized side broadcasts, so a
+    * round stops re-shuffling the edges. The gate takes the MEASURED
+    * row count the convergence protocol already maintains (edges ≥
+    * every per-round broadcast side), so it costs nothing extra; past
+    * SPARK_GRAFT_BCAST_MAX_ROWS (default 8M rows — inside the
+    * 8 GB / 512M-row broadcast cap with an order of magnitude of
+    * headroom) every round degrades to the key-partitioned shape with
+    * no code edit.
+    */
+  private val bcastMaxRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX_ROWS", "8000000").toLong
+
+  private def bcastIfSmall(df: DataFrame, measuredRows: Long): DataFrame =
+    if (measuredRows <= bcastMaxRows) broadcast(df) else df
+
   /** Min-label propagation. Each round: push every node's label across
     * its edges, keep the per-node min; converged when no label changes.
     *
@@ -48,6 +67,11 @@ object Components {
       var labels = edges.select(col("d1").as("node")).distinct()
         .withColumn("lbl", col("node"))
         .localCheckpoint(true)
+      // Round-15 note (measured, kept as-is): broadcasting the
+      // vertex-sized label table here LOST ~7% on q62 in a 5-rep idle
+      // A/B — the near-dup pair graph is tiny, so per-round broadcast
+      // builds cost more than the saved micro-shuffles. The star
+      // kernel (whose grids are bigger) takes the broadcast instead.
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
@@ -98,19 +122,27 @@ object Components {
           least(col("u"), col("v")).as("v"))
         .distinct()
 
-    def largeStar(e: DataFrame): DataFrame = {
+    // Round 15 (the Pregel treatment, guide §3.1): both halves'
+    // per-node minimum tables are vertex-sized — broadcast them
+    // (gated on the edge count the convergence protocol already
+    // tracks) so the symmetrized/canonical edge stream never
+    // re-shuffles for the join; the kept shuffles per half are the
+    // min rollup and the canonical distinct. Inputs are checkpointed
+    // per round, so the broadcast build's re-scan of the edge subtree
+    // reads materialized blocks, not a recomputation.
+    def largeStar(e: DataFrame, rows: Long): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      sym.join(m, "u")
+      sym.join(bcastIfSmall(m, rows), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: canonical
     }
 
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStar(e: DataFrame, rows: Long): DataFrame = {
       // e is canonically oriented: every neighbor v of u satisfies v < u
       val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val joined = e.join(m, "u")
+      val joined = e.join(bcastIfSmall(m, rows), "u")
       joined.select(col("v").as("u"), col("m").as("v")) // {v, m}
         .unionByName(joined.select(col("u"), col("m").as("v")).distinct()) // {u, m}
     }
@@ -132,8 +164,12 @@ object Components {
     // of exceptAll's two-sided except plan.
     var prevCount = edges.count()
     while (!converged && round < maxRounds) {
-      val ls = canon(largeStar(edges)).localCheckpoint(true)
-      val next = canon(smallStar(ls)).localCheckpoint(true)
+      // |m| ≤ |V| ≤ 2·|e| for both halves — prevCount (the current
+      // edge count, maintained by the convergence protocol anyway)
+      // gates the broadcasts; the large-star output is ≤ 2·prevCount,
+      // inside the gate's order-of-magnitude headroom
+      val ls = canon(largeStar(edges, prevCount)).localCheckpoint(true)
+      val next = canon(smallStar(ls, prevCount)).localCheckpoint(true)
       freeCheckpoint(ls)
       val nextCount = next.count()
       // fixed point = identical canonical edge sets (both are distinct)

@@ -90,7 +90,12 @@ class PlanBudgetSpec extends SparkSpec {
     // "regression" was box load). q300 45->(20,22): frontier/visited
     // broadcast into the checkpointed adjacency + one-aggregate start
     // vertex (2fdc104), driver-confirmed 2.47x.
-    "q284_grid_dbscan" -> ((66, 0)),
+    // q284 (66,0)->(54,18) round 15: the star-contraction halves
+    // broadcast their vertex-sized per-node minimum tables (gated on
+    // the edge count the convergence protocol already tracks) — 12
+    // per-round edge re-shuffles become broadcasts; focused 7-rep A/B
+    // 4.32->3.49s.
+    "q284_grid_dbscan" -> ((54, 18)),
     "q290_greedy_matching" -> ((7, 12)),
     "q294_katz_centrality" -> ((8, 6)),
     "q296_blocking_quality" -> ((39, 0)),
