@@ -285,30 +285,22 @@ object MlCatalog {
     val feats = new VectorAssembler()
       .setInputCols(if (categorical) numericCols :+ "brand_idx" else numericCols)
       .setOutputCol("features")
-    // Round 15 (guide §5 caching + the m05 profile): every consumer of
-    // this split re-derived the scan→repartition→join→assemble chain —
-    // profiled at sf0.1, m05 alone re-executed the 3-split parquet scan
-    // ~6 times across StringIndexer.fit, the GBT instance conversion
-    // and the validation scoring (0.5-0.8 s per pass, ~3.9 s of its
-    // 10 s). Caching the featurized PRE-SPLIT frame makes it one
-    // materialization per derivation chain; Spark's CacheManager
-    // dedupes the identical logical plan across gbtData calls, so
-    // gbtModel's train and gbtScoredBuild's valid read the same
-    // entry. Model-identical by construction: the cache preserves
-    // partition content and order, randomSplit sorts within
-    // partitions before sampling, so split membership — and therefore
-    // the fitted model — is a pure function of the same inputs as
-    // before (MlSpec's determinism + band tests re-verified after the
-    // change). The callers' scopedCaches wrapper unpersists the blocks
-    // when the entry's metrics are done, exactly as it did for the old
-    // train-level cache (which this replaces — GradientBoostedTrees
-    // persists its internal instances RDD anyway, so the extra
-    // train-level materialization was pure overhead on top of the
-    // base cache).
-    val base = feats.transform(indexed)
-      .select("label", "features")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val Array(train, valid) = base.randomSplit(Array(0.8, 0.2), seed = 42L)
+    // Round-15 note (tried, measured, REVERTED): persisting the
+    // featurized PRE-SPLIT frame here (to stop the 3-split scan chain
+    // re-executing ~6× per m05 — a profiled ~3.9 s) made the FITTED
+    // MODEL context-sensitive: the full-suite MlSpec run produced a
+    // different model than the isolated run (AUC 0.5284 → 0.5123) and
+    // the evaluator wobbled by 1 ulp between same-session calls —
+    // randomSplit's per-partition pre-sample sort is not a total
+    // order over (label, vector) ties, so row order through a
+    // CacheManager entry whose materialization state varies with
+    // suite context shifts split membership. The 1.04× bench delta
+    // was not worth a model that depends on cache state; the
+    // DF-level train cache below (whose materialization order is
+    // fixed by the fit that triggers it) stays the only cache, as
+    // shipped in round 14.
+    val Array(train, valid) = feats.transform(indexed)
+      .select("label", "features").randomSplit(Array(0.8, 0.2), seed = 42L)
     (train, valid)
   }
 
