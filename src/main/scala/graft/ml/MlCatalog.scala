@@ -1,11 +1,11 @@
 package graft.ml
 
-import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
 import org.apache.spark.ml.classification.GBTClassifier
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
 import org.apache.spark.ml.regression.IsotonicRegression
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -210,9 +210,7 @@ object MlCatalog {
   private[graft] def gbtMetrics(s: SparkSession, dir: String,
       categorical: Boolean): (Double, Double, Double) = {
     val scored = gbtScored(s, dir, categorical)
-    val auc = new BinaryClassificationEvaluator()
-      .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
-      .evaluate(scored)
+    val auc = exactAuc(scored)
     // logloss as a plain aggregation (SURVEY.md §2.10 UDF note (a)):
     // clamp p away from {0,1} exactly like sklearn's log_loss eps.
     val eps = 1e-15
@@ -225,6 +223,53 @@ object MlCatalog {
         .as("accuracy"))
       .head()
     (auc, Row0.getDouble(0), Row0.getDouble(1))
+  }
+
+  /** Deterministic exact areaUnderROC over a scored frame's `label` +
+    * `rawPrediction` columns. `BinaryClassificationEvaluator` is NOT
+    * reproducible within a session: its curve runs through an RDD
+    * sortByKey whose RangePartitioner samples boundaries with an
+    * rdd.id-derived seed, so the numBins=1000 downsampling chunks AND
+    * the final FP reduction grouping both shift between calls — MlSpec
+    * (and the driver's r14 run) caught the AUC wobbling by 1 ulp
+    * across two evaluations of the SAME cached scored frame. This
+    * computes the identical quantity — the exact trapezoidal ROC area
+    * with tie groups as diagonal segments — via the midrank form of
+    * the Mann-Whitney U statistic:
+    * AUC = (Σ_{positives} midrank − P(P+1)/2) / (P·N), ranks ascending
+    * by the class-1 raw margin. Doubled midranks are integers (a tie
+    * group of size g ending at ascending cumulative count c has
+    * 2·midrank = 2c − g + 1), so every aggregate here is
+    * integer-exact and partition-order-independent; the one floating
+    * division happens once on the driver. DECIMAL(38,0) for the rank
+    * sum per the q109 headroom rule (Σ ≤ 2·P·n crosses 2^63 near
+    * n ≈ 2×10⁹ validation rows). The cumulative count comes from the
+    * shared [[graft.queries.Catalog.rangePrefixSums]] distributed
+    * prefix-sum (range-partition on the margin, local cumsum, offsets
+    * behind a broadcast join) — no single-task sort of the score grid
+    * ever forms, and because ranks of distinct values are chunking-
+    * independent integers, the value is bit-identical no matter where
+    * the range sampler drops its boundaries.
+    */
+  private[graft] def exactAuc(scored: DataFrame): Double = {
+    val margin = element_at(
+      org.apache.spark.ml.functions.vector_to_array(col("rawPrediction")), 2)
+    val perScore = scored
+      .groupBy(margin.as("cents")) // kernel's value-column contract
+      .agg(count(lit(1)).as("d1"), sum(col("label")).cast("long").as("d2"))
+    val ranked = graft.queries.Catalog
+      .rangePrefixSums(scored.sparkSession, perScore)
+      .withColumnRenamed("d1", "g").withColumnRenamed("d2", "pos")
+      .withColumnRenamed("c1", "c")
+    val r = ranked.agg(
+      sum(col("pos").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        (col("c") * 2 - col("g") + 1)).as("rank2"),
+      sum(col("pos")).as("p"), sum(col("g")).as("n")).head()
+    val rank2 = r.getDecimal(0).doubleValue()
+    val p = r.getLong(1).toDouble
+    val n = r.getLong(2).toDouble
+    if (p == 0 || n - p == 0) Double.NaN
+    else (rank2 / 2.0 - p * (p + 1) / 2.0) / (p * (n - p))
   }
 
   /** Scored validation frame (label, rawPrediction, p) behind m05's
@@ -458,10 +503,7 @@ object MlCatalog {
         val model = new GBTClassifier()
           .setMaxIter(10).setMaxDepth(4).setStepSize(0.05).setSeed(42L)
           .fit(tc)
-        val auc = new BinaryClassificationEvaluator()
-          .setMetricName("areaUnderROC")
-          .setRawPredictionCol("rawPrediction")
-          .evaluate(model.transform(vc))
+        val auc = exactAuc(model.transform(vc))
         (pct, tc.count(), auc)
     }
   }
@@ -513,10 +555,7 @@ object MlCatalog {
         val model = new org.apache.spark.ml.classification.LogisticRegression()
           .setMaxIter(20).setRegParam(0.01)
           .fit(train)
-        val auc = new BinaryClassificationEvaluator()
-          .setMetricName("areaUnderROC")
-          .setRawPredictionCol("rawPrediction")
-          .evaluate(model.transform(valid))
+        val auc = exactAuc(model.transform(valid))
         (f.toLong, train.count(), valid.count(), auc)
       }
     } finally { all.unpersist(); () }
@@ -1361,8 +1400,6 @@ object MlCatalog {
           .withColumn("fa", vector_to_array(col("features")))
           .cache()
         val model = gbtModel(s, dir, categorical = true)
-        val eval = new BinaryClassificationEvaluator()
-          .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
         def mix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
           // BIGINT headroom at the TARGET SF (the q109 rule):
           // monotonically_increasing_id carries the partition id in bits
@@ -1379,7 +1416,7 @@ object MlCatalog {
           val x3 = (x2 * lit(1597334677L)) % lit(2147483647L)
           x3.bitwiseXOR(shiftright(x3, 13))
         }
-        val base = eval.evaluate(model.transform(valid))
+        val base = exactAuc(model.transform(valid))
         val featNames = Seq("l_quantity", "l_extendedprice", "l_discount",
           "l_tax", "l_linenumber", "brand_idx")
         val p = s.sparkContext.defaultParallelism
@@ -1404,7 +1441,7 @@ object MlCatalog {
             .withColumn("features", array_to_vector(expr(
               s"transform(fa, (x, j) -> CASE WHEN j = $i THEN pf ELSE x END)")))
             .select(col("label"), col("features"))
-          (name, base, eval.evaluate(model.transform(permuted)))
+          (name, base, exactAuc(model.transform(permuted)))
         }
         rows.toDF("feature", "base_auc", "perm_auc")
           .withColumn("auc_drop", col("base_auc") - col("perm_auc"))
