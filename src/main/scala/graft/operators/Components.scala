@@ -28,24 +28,27 @@ object Components {
     org.apache.spark.sql.graft.shims.checkpointedRdd(df)
       .foreach(_.unpersist(blocking = false))
 
-  /** Size-gated broadcast for the per-round vertex-sized tables (the
-    * min-label table, the star halves' per-node minima) — the same
-    * Pregel-style hinted shape as the Catalog graph kernels (round
-    * 15, guide §3.1): the edge set streams from its persisted/
-    * checkpointed blocks while the vertex-sized side broadcasts, so a
-    * round stops re-shuffling the edges. The gate takes the MEASURED
-    * row count the convergence protocol already maintains (edges ≥
-    * every per-round broadcast side), so it costs nothing extra; past
-    * SPARK_GRAFT_BCAST_MAX_ROWS (default 8M rows — inside the
-    * 8 GB / 512M-row broadcast cap with an order of magnitude of
-    * headroom) every round degrades to the key-partitioned shape with
-    * no code edit.
+  /** Round-15 note (tried TWICE, measured, REVERTED): broadcasting the
+    * per-round vertex-sized tables here (min-label table, star halves'
+    * per-node minima — the Catalog kernels' Pregel shape, guide §3.1)
+    * is a measured LOSS for both algorithms at fixture scale. Min-label
+    * (q62): −7% in a 5-rep idle A/B — the near-dup pair graph is tiny,
+    * per-round broadcast builds cost more than the saved
+    * micro-shuffles. Star contraction (q284): a focused 7-rep cold A/B
+    * read +1.24×, but the FULL-bench warm context — the driver's
+    * actual measurement — read the opposite both ways it was probed:
+    * q284 stepped 2.57 → 3.58 s the commit the broadcasts landed, and
+    * a constant-context env A/B (SPARK_GRAFT_BCAST_MAX_ROWS=0 vs
+    * default, full suite back-to-back) read 3.36 s un-hinted vs 4.04 s
+    * hinted (0.83×). Mechanism: the loop is AQE-stage-bound (one job
+    * per exchange), and 12 per-round broadcast BUILDS add more
+    * driver-gap jobs than the 12 saved edge re-shuffles cost — both
+    * sides of every star join are small here, so the shuffle is the
+    * cheaper exchange. At a scale where the edge stream dwarfs the
+    * vertex tables the broadcast becomes right again; it must return
+    * behind the Catalog's bcastIfSmall two-tier gate, not
+    * unconditionally.
     */
-  private val bcastMaxRows: Long =
-    sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX_ROWS", "8000000").toLong
-
-  private def bcastIfSmall(df: DataFrame, measuredRows: Long): DataFrame =
-    if (measuredRows <= bcastMaxRows) broadcast(df) else df
 
   /** Min-label propagation. Each round: push every node's label across
     * its edges, keep the per-node min; converged when no label changes.
@@ -69,9 +72,7 @@ object Components {
         .localCheckpoint(true)
       // Round-15 note (measured, kept as-is): broadcasting the
       // vertex-sized label table here LOST ~7% on q62 in a 5-rep idle
-      // A/B — the near-dup pair graph is tiny, so per-round broadcast
-      // builds cost more than the saved micro-shuffles. The star
-      // kernel (whose grids are bigger) takes the broadcast instead.
+      // A/B — see the object-level revert note.
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
@@ -122,27 +123,22 @@ object Components {
           least(col("u"), col("v")).as("v"))
         .distinct()
 
-    // Round 15 (the Pregel treatment, guide §3.1): both halves'
-    // per-node minimum tables are vertex-sized — broadcast them
-    // (gated on the edge count the convergence protocol already
-    // tracks) so the symmetrized/canonical edge stream never
-    // re-shuffles for the join; the kept shuffles per half are the
-    // min rollup and the canonical distinct. Inputs are checkpointed
-    // per round, so the broadcast build's re-scan of the edge subtree
-    // reads materialized blocks, not a recomputation.
-    def largeStar(e: DataFrame, rows: Long): DataFrame = {
+    // Per-node minimum joins stay SHUFFLE joins — the per-round
+    // broadcast variant was measured and reverted, see the
+    // object-level round-15 note.
+    def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      sym.join(bcastIfSmall(m, rows), "u")
+      sym.join(m, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: canonical
     }
 
-    def smallStar(e: DataFrame, rows: Long): DataFrame = {
+    def smallStar(e: DataFrame): DataFrame = {
       // e is canonically oriented: every neighbor v of u satisfies v < u
       val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val joined = e.join(bcastIfSmall(m, rows), "u")
+      val joined = e.join(m, "u")
       joined.select(col("v").as("u"), col("m").as("v")) // {v, m}
         .unionByName(joined.select(col("u"), col("m").as("v")).distinct()) // {u, m}
     }
@@ -164,12 +160,8 @@ object Components {
     // of exceptAll's two-sided except plan.
     var prevCount = edges.count()
     while (!converged && round < maxRounds) {
-      // |m| ≤ |V| ≤ 2·|e| for both halves — prevCount (the current
-      // edge count, maintained by the convergence protocol anyway)
-      // gates the broadcasts; the large-star output is ≤ 2·prevCount,
-      // inside the gate's order-of-magnitude headroom
-      val ls = canon(largeStar(edges, prevCount)).localCheckpoint(true)
-      val next = canon(smallStar(ls, prevCount)).localCheckpoint(true)
+      val ls = canon(largeStar(edges)).localCheckpoint(true)
+      val next = canon(smallStar(ls)).localCheckpoint(true)
       freeCheckpoint(ls)
       val nextCount = next.count()
       // fixed point = identical canonical edge sets (both are distinct)

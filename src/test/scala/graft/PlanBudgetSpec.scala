@@ -90,12 +90,14 @@ class PlanBudgetSpec extends SparkSpec {
     // "regression" was box load). q300 45->(20,22): frontier/visited
     // broadcast into the checkpointed adjacency + one-aggregate start
     // vertex (2fdc104), driver-confirmed 2.47x.
-    // q284 (66,0)->(54,18) round 15: the star-contraction halves
-    // broadcast their vertex-sized per-node minimum tables (gated on
-    // the edge count the convergence protocol already tracks) — 12
-    // per-round edge re-shuffles become broadcasts; focused 7-rep A/B
-    // 4.32->3.49s.
-    "q284_grid_dbscan" -> ((54, 18)),
+    // q284 stays (66,0): the round-15 star-minima broadcast
+    // ((66,0)->(54,18), focused cold A/B +1.24x) was REVERTED at round
+    // close — the FULL-bench warm context read 0.83x both by the
+    // commit-boundary step (2.57->3.58s) and by a constant-context
+    // SPARK_GRAFT_BCAST_MAX_ROWS=0 A/B (3.36 vs 4.04s); the loop is
+    // AQE-stage-bound and 12 broadcast builds add more driver-gap jobs
+    // than the saved edge re-shuffles cost (Components.scala note).
+    "q284_grid_dbscan" -> ((66, 0)),
     "q290_greedy_matching" -> ((7, 12)),
     "q294_katz_centrality" -> ((8, 6)),
     "q296_blocking_quality" -> ((39, 0)),
